@@ -1,0 +1,88 @@
+#!/usr/bin/env python3
+"""Local dev harness mimicking the driver's correctness gate.
+
+Usage: python3 scripts/check.py <verify_out_dir> <sf_dir> [query ...]
+
+Reads each <out>/<name> parquet (Spark result) and runs the matching
+oracle SQL from <out>/oracle_sql.json in DuckDB against the sf tables,
+then compares: row count, column names, and value hash (columns sorted
+by name, rows sorted by all columns).
+"""
+import sys, json, glob, os
+import duckdb
+import pandas as pd
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    df = df.sort_values(by=list(df.columns), ignore_index=True)
+    return df
+
+def norm_cell(v):
+    import datetime, numpy as np
+    if isinstance(v, float):
+        return f"{v:.10g}"
+    if isinstance(v, (pd.Timestamp, datetime.datetime)):
+        return pd.Timestamp(v).isoformat()
+    if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+        return "[" + ",".join(norm_cell(x) for x in v) + "]"
+    return repr(v)
+
+def digest(df: pd.DataFrame) -> str:
+    import hashlib
+    h = hashlib.sha256()
+    for row in df.itertuples(index=False):
+        h.update(("|".join(norm_cell(v) for v in row) + "\n").encode())
+    return h.hexdigest()
+
+def main():
+    out_dir, sf_dir = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3:])
+    oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    con = duckdb.connect()
+    for t in ["region","nation","customer","supplier","part","orders",
+              "lineitem","events","documents","embeddings"]:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    failures = 0
+    for name in sorted(oracle):
+        if only and name not in only:
+            continue
+        spark_dir = os.path.join(out_dir, name)
+        files = glob.glob(os.path.join(spark_dir, "*.parquet"))
+        if not files:
+            print(f"FAIL {name}: no spark output at {spark_dir}")
+            failures += 1
+            continue
+        sdf = canon(pd.concat([pd.read_parquet(f) for f in sorted(files)]))
+        try:
+            odf = canon(con.execute(oracle[name]).fetchdf())
+        except Exception as e:
+            print(f"FAIL {name}: oracle error: {e}")
+            failures += 1
+            continue
+        problems = []
+        if list(sdf.columns) != list(odf.columns):
+            problems.append(f"cols spark={list(sdf.columns)} oracle={list(odf.columns)}")
+        if len(sdf) != len(odf):
+            problems.append(f"rows spark={len(sdf)} oracle={len(odf)}")
+        if not problems and digest(sdf) != digest(odf):
+            diff_idx = None
+            for i in range(len(sdf)):
+                a = [norm_cell(v) for v in sdf.iloc[i]]
+                b = [norm_cell(v) for v in odf.iloc[i]]
+                if a != b:
+                    diff_idx = i
+                    problems.append(f"hash mismatch, first diff row {i}:\n  spark : {a}\n  oracle: {b}")
+                    break
+            if diff_idx is None:
+                problems.append("hash mismatch (normalization-level)")
+        if problems:
+            failures += 1
+            print(f"FAIL {name}: " + "; ".join(problems))
+        else:
+            print(f"OK   {name} ({len(sdf)} rows)")
+    sys.exit(1 if failures else 0)
+
+if __name__ == "__main__":
+    main()
