@@ -1,0 +1,256 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.sources.Tables
+
+/** The reference's event-log surface, re-expressed as Spark batch
+  * operators over the `events` table.
+  *
+  * Mapping (see SURVEY.md §3): `ts` ≈ the envelope `time`, `props` ≈
+  * the raw JSON `detail`, `event_type` ≈ the route/stream name,
+  * `event_id` ≈ the memlog's monotone sequential offset.
+  *
+  * Reference cites:
+  *  - envelope parse + skip-on-error:
+  *    internal/kinesis2sse/record_processor.go:52-101
+  *  - timestamp→nearest-offset (forward seek, backward fallback):
+  *    internal/kinesis2sse/timestamp2offset.go:60-80
+  *  - bounded log capacity (default 100k):
+  *    internal/kinesis2sse/service.go:97-104
+  *  - SSE frame format `data: <json>\n\n`:
+  *    internal/kinesis2sse/service.go:271
+  *  - per-route fan-out: internal/kinesis2sse/service.go:92-128
+  *  - start positions LATEST/TRIM_HORIZON/ts/duration:
+  *    kinesis2sse.go:117-126
+  *
+  * Scale notes: every query is one scan plus at most one shuffle on a
+  * bounded key space (hours, routes, or nothing). The nearest-offset
+  * lookup aggregates events to the probe grid first (shuffle of
+  * |hours| rows, not |events|), then answers all probes with two
+  * windows over the tiny grid. Capacity retention uses orderBy+limit,
+  * which Spark plans as TakeOrderedAndProject (per-partition top-N,
+  * merge of N·P rows — the table never crosses the shuffle).
+  */
+object EventLogOps {
+
+  private val D = DecimalType(18, 2)
+  private val MicrosPerHour = 3600L * 1000000L
+  private val MicrosPerDay = 24L * MicrosPerHour
+
+  /** ts_nanos DIV 1000: µs-since-epoch, bit-identical to DuckDB's read
+    * of the same TIMESTAMP(NANOS) column. Integer division — a double
+    * quotient of ~1.7e18 loses the low bits. */
+  private def tsUs = expr("ts DIV 1000")
+
+  // ---------------------------------------------------------------- A1
+  /** Envelope parse with skip-on-error: drop records whose time is
+    * missing, whose detail (props) is missing, or whose detail does not
+    * parse as a JSON object with the expected field — mirroring
+    * record_processor.go:59-88's skip semantics. */
+  def parse(spark: SparkSession, dir: String): DataFrame =
+    Tables.eventsRaw(spark, dir)
+      .select(col("event_id"), tsUs.as("ts_us"), col("props"),
+        get_json_object(col("props"), "$.k").cast(IntegerType).as("k"))
+      .where(col("ts_us").isNotNull && col("props").isNotNull && col("k").isNotNull)
+      .select(col("event_id"), col("ts_us"), col("k"), col("props").as("detail"))
+      .orderBy("event_id")
+
+  val parseSql: String =
+    """SELECT event_id, epoch_us(ts) AS ts_us,
+      |  CAST(json_extract_string(props, '$.k') AS INT) AS k,
+      |  props AS detail
+      |FROM events
+      |WHERE ts IS NOT NULL AND props IS NOT NULL
+      |  AND json_extract_string(props, '$.k') IS NOT NULL
+      |ORDER BY event_id""".stripMargin
+
+  // ---------------------------------------------------------------- A2
+  /** `?since=` resume filter (service.go:226-242): events at or after a
+    * client-supplied instant. The predicate compares raw nanos against
+    * a literal so it reaches the parquet scan (PushedFilters). */
+  def since(spark: SparkSession, dir: String): DataFrame = {
+    val sinceNs = 1705276800000000000L // 2024-01-15T00:00:00Z
+    Tables.eventsRaw(spark, dir)
+      .where(col("ts") >= sinceNs)
+      .select(col("event_id"), tsUs.as("ts_us"), col("event_type"), col("value"))
+      .orderBy("event_id")
+  }
+
+  val sinceSql: String =
+    """SELECT event_id, epoch_us(ts) AS ts_us, event_type, value
+      |FROM events
+      |WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'
+      |ORDER BY event_id""".stripMargin
+
+  // ---------------------------------------------------------------- A3
+  /** Timestamp→nearest-offset, the reference's only query operator
+    * (timestamp2offset.go:60-80): for each probe instant, the smallest
+    * offset at-or-after it, else (backward fallback) the largest offset
+    * before it.
+    *
+    * Scalable shape: aggregate events to the hourly probe grid (one
+    * shuffle of |hours| rows), then a suffix-min / prefix-max window
+    * pair over the grid answers every probe. Probe cardinality is
+    * bounded (resume requests), so the unpartitioned window over the
+    * grid is a non-issue at any data scale. */
+  def nearestOffset(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val hourly = ev
+      .groupBy(date_trunc("hour", col("ts_us")).as("h"))
+      .agg(min("event_id").as("min_id"), max("event_id").as("max_id"))
+    val probes = spark.sql(
+      """SELECT explode(sequence(timestamp'2024-01-01 00:00:00',
+        |                        timestamp'2024-01-31 00:00:00',
+        |                        interval 1 hour)) AS probe_ts""".stripMargin)
+    val wSuffixMin = Window.orderBy(col("probe_ts").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wPrefixMax = Window.orderBy(col("probe_ts"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    probes
+      .join(hourly, col("probe_ts") === col("h"), "left")
+      .withColumn("fwd", min("min_id").over(wSuffixMin))
+      .withColumn("bwd", max("max_id").over(wPrefixMax))
+      .select(unix_micros(col("probe_ts")).as("probe_us"),
+        coalesce(col("fwd"), col("bwd")).as("offset_id"))
+      .orderBy("probe_us")
+  }
+
+  val nearestOffsetSql: String =
+    """WITH probes AS (
+      |  SELECT unnest(generate_series(TIMESTAMP '2024-01-01 00:00:00',
+      |                                TIMESTAMP '2024-01-31 00:00:00',
+      |                                INTERVAL 1 HOUR)) AS probe_ts)
+      |SELECT epoch_us(probe_ts) AS probe_us,
+      |  coalesce((SELECT min(e.event_id) FROM events e WHERE e.ts >= probe_ts),
+      |           (SELECT max(e.event_id) FROM events e WHERE e.ts < probe_ts)) AS offset_id
+      |FROM probes
+      |ORDER BY probe_us""".stripMargin
+
+  // ---------------------------------------------------------------- A4
+  /** Bounded log, capacity N (service.go:97-104; memlog default 100k):
+    * retain the newest N events by offset. orderBy+limit plans as
+    * TakeOrderedAndProject — per-partition top-N then an N·P-row merge,
+    * never a full-table shuffle. */
+  def retentionCapacity(spark: SparkSession, dir: String, capacity: Int = 500): DataFrame =
+    Tables.eventsRaw(spark, dir)
+      .select(col("event_id"), tsUs.as("ts_us"), col("event_type"), col("value"))
+      .orderBy(col("event_id").desc)
+      .limit(capacity)
+      .orderBy("event_id")
+
+  val retentionCapacitySql: String =
+    """SELECT * FROM (
+      |  SELECT event_id, epoch_us(ts) AS ts_us, event_type, value
+      |  FROM events ORDER BY event_id DESC LIMIT 500)
+      |ORDER BY event_id""".stripMargin
+
+  // ---------------------------------------------------------------- A5
+  /** Bounded log, max-age M (README: "N events no older than M"):
+    * retain events within a trailing window of the newest event.
+    * Threshold math is done in µs on both engines so the instants are
+    * bit-identical. */
+  def retentionAge(spark: SparkSession, dir: String, days: Int = 7): DataFrame = {
+    val ev = Tables.eventsRaw(spark, dir)
+    val bounds = ev.agg(max(tsUs).as("max_us"))
+    ev.crossJoin(broadcast(bounds))
+      .where(tsUs >= col("max_us") - lit(days * MicrosPerDay))
+      .select(col("event_id"), tsUs.as("ts_us"), col("event_type"), col("value"))
+      .orderBy("event_id")
+  }
+
+  val retentionAgeSql: String =
+    """SELECT event_id, epoch_us(ts) AS ts_us, event_type, value
+      |FROM events
+      |WHERE ts >= (SELECT max(ts) FROM events) - INTERVAL 7 DAY
+      |ORDER BY event_id""".stripMargin
+
+  // ---------------------------------------------------------------- A6
+  /** SSE frame projection (service.go:271): `data: <json>\n\n`, where
+    * the json carries the RFC3339 time and the raw detail payload. The
+    * frame is assembled with concat (not to_json) so the bytes are
+    * engine-independent. */
+  def sseFrames(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_id"),
+        concat(
+          lit("data: {\"time\":\""),
+          date_format(col("ts_us"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'"),
+          lit("\",\"detail\":"), col("props"), lit("}\n\n")).as("frame"))
+      .orderBy("event_id")
+
+  val sseFramesSql: String =
+    """SELECT event_id,
+      |  'data: {"time":"' || strftime(make_timestamp(epoch_us(ts)), '%Y-%m-%dT%H:%M:%S.%fZ')
+      |    || '","detail":' || props || '}' || chr(10) || chr(10) AS frame
+      |FROM events
+      |ORDER BY event_id""".stripMargin
+
+  // ---------------------------------------------------------------- A7
+  /** Multi-route fan-out (service.go:92-128): one bounded log per
+    * route — summarized as per-route stats (offset range, count, total
+    * value). One shuffle on the route key. */
+  def routes(spark: SparkSession, dir: String): DataFrame =
+    Tables.eventsRaw(spark, dir)
+      .groupBy(col("event_type").as("route"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min("event_id").as("first_offset"),
+        max("event_id").as("last_offset"),
+        sum(col("value").cast(D)).cast(DoubleType).as("total_value"))
+      .orderBy("route")
+
+  val routesSql: String =
+    """SELECT event_type AS route, count(*) AS n_events,
+      |  min(event_id) AS first_offset, max(event_id) AS last_offset,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY route""".stripMargin
+
+  // ---------------------------------------------------------------- A8
+  /** Start-position resolution (kinesis2sse.go:117-126): map each of
+    * LATEST / TRIM_HORIZON / AT_TIMESTAMP / DURATION-ago to the offset
+    * a new subscription would begin at. One aggregate pass computes all
+    * four; AT_TIMESTAMP and DURATION reuse the nearest-offset
+    * semantics (forward seek, backward fallback) as conditional
+    * aggregates. */
+  def startPosition(spark: SparkSession, dir: String): DataFrame = {
+    val atUs = 1705276800000000L // 2024-01-15T00:00:00Z in µs
+    val durUs = MicrosPerDay // 24h
+    val ev = Tables.eventsRaw(spark, dir).select(col("event_id"), tsUs.as("us"))
+    val bounds = ev.agg(max("us").as("max_us"))
+    ev.crossJoin(broadcast(bounds))
+      .agg(
+        min("event_id").as("min_id"),
+        max("event_id").as("max_id"),
+        min(when(col("us") >= atUs, col("event_id"))).as("at_fwd"),
+        max(when(col("us") < atUs, col("event_id"))).as("at_bwd"),
+        min(when(col("us") >= col("max_us") - durUs, col("event_id"))).as("dur_fwd"),
+        max(when(col("us") < col("max_us") - durUs, col("event_id"))).as("dur_bwd"))
+      .selectExpr(
+        """stack(4,
+          |  'TRIM_HORIZON', min_id,
+          |  'LATEST', max_id + 1,
+          |  'AT_TIMESTAMP', coalesce(at_fwd, at_bwd),
+          |  'DURATION_24H', coalesce(dur_fwd, dur_bwd)
+          |) AS (mode, start_offset)""".stripMargin)
+      .orderBy("mode")
+  }
+
+  val startPositionSql: String =
+    """WITH b AS (SELECT min(event_id) AS min_id, max(event_id) AS max_id,
+      |                  max(ts) AS max_ts FROM events)
+      |SELECT 'TRIM_HORIZON' AS mode, min_id AS start_offset FROM b
+      |UNION ALL SELECT 'LATEST', max_id + 1 FROM b
+      |UNION ALL SELECT 'AT_TIMESTAMP', coalesce(
+      |  (SELECT min(event_id) FROM events WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'),
+      |  (SELECT max(event_id) FROM events WHERE ts < TIMESTAMP '2024-01-15 00:00:00'))
+      |UNION ALL SELECT 'DURATION_24H', coalesce(
+      |  (SELECT min(e.event_id) FROM events e, b WHERE e.ts >= b.max_ts - INTERVAL 24 HOUR),
+      |  (SELECT max(e.event_id) FROM events e, b WHERE e.ts < b.max_ts - INTERVAL 24 HOUR))
+      |ORDER BY mode""".stripMargin
+}

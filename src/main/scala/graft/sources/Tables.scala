@@ -1,21 +1,119 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** Schema-pinned loaders for the driver-generated parquet tables.
   *
+  * Schemas are declared explicitly (no inference): schema drift across
+  * files or scale factors fails loudly at read, and the streaming file
+  * source (which requires a user-supplied schema) reuses the same
+  * StructType.
+  *
+  * `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
+  * reader rejects ([PARQUET_TYPE_ILLEGAL]); we read it as a nanos
+  * BIGINT via `spark.sql.legacy.parquet.nanosAsLong` and expose a
+  * derived microsecond `ts_us` TimestampType column (truncation, which
+  * is exactly what DuckDB 1.x does when it reads the same file — so the
+  * oracle sees identical instants). Predicates that must reach the
+  * parquet scan should compare the raw `ts` nanos against literal
+  * nanos; everything else can use `ts_us`.
+  *
   * Columns are pruned at call sites (select before shuffle) so the
-  * parquet scan's ReadSchema stays minimal; filters are expressed on
-  * the raw frame so they push down to the scan.
+  * scan's ReadSchema stays minimal; filters are expressed on raw
+  * columns so they push down.
   */
 object Tables {
-  val all: Seq[String] = Seq(
-    "region", "nation", "customer", "supplier", "part",
-    "orders", "lineitem", "events", "documents", "embeddings")
+
+  val lineitemSchema: StructType = StructType(Seq(
+    StructField("l_orderkey", LongType),
+    StructField("l_partkey", LongType),
+    StructField("l_suppkey", LongType),
+    StructField("l_linenumber", IntegerType),
+    StructField("l_quantity", DoubleType),
+    StructField("l_extendedprice", DoubleType),
+    StructField("l_discount", DoubleType),
+    StructField("l_tax", DoubleType),
+    StructField("l_returnflag", StringType),
+    StructField("l_linestatus", StringType),
+    StructField("l_shipdate", TimestampType)))
+
+  val ordersSchema: StructType = StructType(Seq(
+    StructField("o_orderkey", LongType),
+    StructField("o_custkey", LongType),
+    StructField("o_orderstatus", StringType),
+    StructField("o_totalprice", DoubleType),
+    StructField("o_orderdate", TimestampType),
+    StructField("o_orderpriority", StringType)))
+
+  val customerSchema: StructType = StructType(Seq(
+    StructField("c_custkey", LongType),
+    StructField("c_name", StringType),
+    StructField("c_nationkey", IntegerType),
+    StructField("c_acctbal", DoubleType),
+    StructField("c_mktsegment", StringType)))
+
+  val supplierSchema: StructType = StructType(Seq(
+    StructField("s_suppkey", LongType),
+    StructField("s_name", StringType),
+    StructField("s_nationkey", IntegerType),
+    StructField("s_acctbal", DoubleType)))
+
+  val partSchema: StructType = StructType(Seq(
+    StructField("p_partkey", LongType),
+    StructField("p_name", StringType),
+    StructField("p_brand", StringType),
+    StructField("p_type", StringType),
+    StructField("p_size", IntegerType),
+    StructField("p_retailprice", DoubleType)))
+
+  val nationSchema: StructType = StructType(Seq(
+    StructField("n_nationkey", IntegerType),
+    StructField("n_name", StringType),
+    StructField("n_regionkey", IntegerType)))
+
+  val regionSchema: StructType = StructType(Seq(
+    StructField("r_regionkey", IntegerType),
+    StructField("r_name", StringType)))
+
+  /** `ts` carried as nanos-since-epoch BIGINT (see object Scaladoc). */
+  val eventsRawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  val documentsSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  val embeddingsSchema: StructType = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(FloatType)),
+    StructField("label", IntegerType)))
+
+  val schemas: Map[String, StructType] = Map(
+    "region" -> regionSchema, "nation" -> nationSchema,
+    "customer" -> customerSchema, "supplier" -> supplierSchema,
+    "part" -> partSchema, "orders" -> ordersSchema,
+    "lineitem" -> lineitemSchema, "events" -> eventsRawSchema,
+    "documents" -> documentsSchema, "embeddings" -> embeddingsSchema)
+
+  val all: Seq[String] = schemas.keys.toSeq.sorted
+
+  def path(dir: String, name: String): String = s"$dir/$name.parquet"
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
-    require(all.contains(name), s"unknown table: $name")
-    spark.read.parquet(s"$dir/$name.parquet")
+    val schema = schemas.getOrElse(name, sys.error(s"unknown table: $name"))
+    if (name == "events")
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.schema(schema).parquet(path(dir, name))
   }
 
   def lineitem(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "lineitem")
@@ -25,7 +123,16 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "part")
   def nation(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "region")
-  def events(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "events")
   def documents(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "embeddings")
+
+  /** events with `ts` as raw nanos BIGINT (pushdown-friendly). */
+  def eventsRaw(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "events")
+
+  /** events plus derived `ts_us` TimestampType (µs, matches DuckDB).
+    * Integer division (DIV) — a double quotient of ~1.7e18 nanos loses
+    * the low bits and lands ±hundreds of ns off. */
+  def events(spark: SparkSession, dir: String): DataFrame =
+    eventsRaw(spark, dir)
+      .withColumn("ts_us", timestamp_micros(expr("ts DIV 1000")))
 }
