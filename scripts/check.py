@@ -14,12 +14,18 @@ import pandas as pd
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
-    df = df.sort_values(by=list(df.columns), ignore_index=True)
+    # Sort on the NORMALIZED string form: raw-float sorts can order rows
+    # differently between engines when values differ only in low-order
+    # bits, and raw sorts raise on array-valued cells (embeddings).
+    norm = df.map(norm_cell)
+    df = df.iloc[norm.sort_values(by=list(norm.columns)).index].reset_index(drop=True)
     return df
 
 def norm_cell(v):
     import datetime, numpy as np
     if isinstance(v, float):
+        if v == 0:
+            return "0"  # fold -0.0 and 0.0 together across engines
         return f"{v:.10g}"
     if isinstance(v, (pd.Timestamp, datetime.datetime)):
         return pd.Timestamp(v).isoformat()
