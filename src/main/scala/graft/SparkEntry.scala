@@ -19,7 +19,19 @@ object SparkEntry {
     "q_evt_routes" -> (EventLogOps.routes _),
     "q_evt_start_position" -> (EventLogOps.startPosition _),
     // B. relational core
-    "q1_pricing_summary" -> (Relational.q1PricingSummary _)
+    "q1_pricing_summary" -> (Relational.q1PricingSummary _),
+    "q3_shipping_priority" -> (Relational.q3ShippingPriority _),
+    "q5_local_supplier" -> (Relational.q5LocalSupplier _),
+    "q_window_running" -> (Relational.qWindowRunning _),
+    "q_distinct_users" -> (Relational.qDistinctUsers _),
+    "q_semi_join" -> (Relational.qSemiJoin _),
+    "q_anti_join" -> (Relational.qAntiJoin _),
+    "q_rollup" -> (Relational.qRollup _),
+    "q_topk_per_group" -> (Relational.qTopkPerGroup _),
+    "q_sessionize" -> (Relational.qSessionize _),
+    "q_tumbling_window" -> (Relational.qTumblingWindow _),
+    "q_json_extract" -> (Relational.qJsonExtract _),
+    "q_above_avg" -> (Relational.qAboveAvg _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -33,6 +45,18 @@ object SparkEntry {
     "q_evt_sse_frames" -> EventLogOps.sseFramesSql,
     "q_evt_routes" -> EventLogOps.routesSql,
     "q_evt_start_position" -> EventLogOps.startPositionSql,
-    "q1_pricing_summary" -> Relational.q1PricingSummarySql
+    "q1_pricing_summary" -> Relational.q1PricingSummarySql,
+    "q3_shipping_priority" -> Relational.q3ShippingPrioritySql,
+    "q5_local_supplier" -> Relational.q5LocalSupplierSql,
+    "q_window_running" -> Relational.qWindowRunningSql,
+    "q_distinct_users" -> Relational.qDistinctUsersSql,
+    "q_semi_join" -> Relational.qSemiJoinSql,
+    "q_anti_join" -> Relational.qAntiJoinSql,
+    "q_rollup" -> Relational.qRollupSql,
+    "q_topk_per_group" -> Relational.qTopkPerGroupSql,
+    "q_sessionize" -> Relational.qSessionizeSql,
+    "q_tumbling_window" -> Relational.qTumblingWindowSql,
+    "q_json_extract" -> Relational.qJsonExtractSql,
+    "q_above_avg" -> Relational.qAboveAvgSql
   )
 }

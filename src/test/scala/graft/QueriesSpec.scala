@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Smoke + invariant coverage for every SparkEntry query at sf0.001.
+  * (Value-level correctness is the driver's DuckDB oracle compare; these
+  * assert structural invariants cheaply per operator.)
+  */
+class QueriesSpec extends SparkSpec {
+
+  test("every registered query runs and yields rows") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val df = fn(spark, sfDir)
+      val n = df.count()
+      assert(n > 0, s"$name returned 0 rows")
+    }
+  }
+
+  test("every query has matching oracle SQL") {
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(missing.isEmpty, s"queries without oracle: $missing")
+  }
+
+  test("entry() flagship returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("retention capacity keeps exactly N newest offsets") {
+    val df = graft.operators.EventLogOps.retentionCapacity(spark, sfDir, capacity = 100)
+    assert(df.count() == 100)
+    val ids = df.select("event_id").collect().map(_.getLong(0))
+    val maxId = graft.operators.EventLogOps
+      .parse(spark, sfDir).agg(max("event_id")).collect()(0).getLong(0)
+    assert(ids.max == maxId, "newest event must survive capacity retention")
+    assert(ids.sorted.sameElements(ids), "output sorted by offset")
+  }
+
+  test("nearest-offset: forward seek else backward fallback is total") {
+    val df = graft.operators.EventLogOps.nearestOffset(spark, sfDir)
+    assert(df.where(col("offset_id").isNull).count() == 0,
+      "every probe inside the data range must resolve")
+  }
+
+  test("sessionize: session counts sum to event count") {
+    val events = spark.read.parquet(s"$sfDir/events.parquet").count()
+    val sessions = graft.operators.Relational.qSessionize(spark, sfDir)
+    val total = sessions.agg(sum("n_events")).collect()(0).getLong(0)
+    assert(total == events)
+  }
+
+  test("topk per group: ≤3 rows per segment, rank dense from 1") {
+    val df = graft.operators.Relational.qTopkPerGroup(spark, sfDir)
+    val bad = df.groupBy("segment").agg(count(lit(1)).as("n"), max("rk").as("m"))
+      .where(col("n") > 3 || col("m") =!= col("n"))
+    assert(bad.count() == 0)
+  }
+}
