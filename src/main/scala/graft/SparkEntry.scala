@@ -31,7 +31,13 @@ object SparkEntry {
     "q_sessionize" -> (Relational.qSessionize _),
     "q_tumbling_window" -> (Relational.qTumblingWindow _),
     "q_json_extract" -> (Relational.qJsonExtract _),
-    "q_above_avg" -> (Relational.qAboveAvg _)
+    "q_above_avg" -> (Relational.qAboveAvg _),
+    // E. text analysis + C1 exact dedup
+    "q_text_langid" -> (TextAnalysis.langId _),
+    "q_text_quality" -> (TextAnalysis.quality _),
+    "q_text_tokens" -> (TextAnalysis.tokenCounts _),
+    "q_text_fingerprint" -> (TextAnalysis.fingerprint _),
+    "q_dedup_exact" -> (Dedup.exact _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -57,6 +63,11 @@ object SparkEntry {
     "q_sessionize" -> Relational.qSessionizeSql,
     "q_tumbling_window" -> Relational.qTumblingWindowSql,
     "q_json_extract" -> Relational.qJsonExtractSql,
-    "q_above_avg" -> Relational.qAboveAvgSql
+    "q_above_avg" -> Relational.qAboveAvgSql,
+    "q_text_langid" -> TextAnalysis.langIdSql,
+    "q_text_quality" -> TextAnalysis.qualitySql,
+    "q_text_tokens" -> TextAnalysis.tokenCountsSql,
+    "q_text_fingerprint" -> TextAnalysis.fingerprintSql,
+    "q_dedup_exact" -> Dedup.exactSql
   )
 }

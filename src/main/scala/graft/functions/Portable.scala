@@ -1,0 +1,45 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text/hash primitives built ONLY from engine-portable operations
+  * (length/replace/split/md5/integer arithmetic) so the DuckDB oracle
+  * reproduces results bit-for-bit. Every helper has a `...Sql` twin
+  * generating the equivalent DuckDB SQL fragment from the same
+  * parameters — one source of truth for both engines.
+  *
+  * All are codegen'd built-ins (no UDFs): they stay inside
+  * WholeStageCodegen and never leave the JVM hot path.
+  */
+object Portable {
+
+  /** Non-overlapping substring occurrence count via length-difference.
+    * Left-to-right non-overlapping on both engines — deterministic. */
+  def countSubstr(c: Column, pat: String): Column =
+    ((length(c) - length(replace(c, lit(pat), lit("")))) / pat.length).cast("long")
+
+  def countSubstrSql(c: String, pat: String): String =
+    s"CAST((length($c) - length(replace($c, '$pat', ''))) / ${pat.length} AS BIGINT)"
+
+  /** ' '||text||' ' so word-boundary patterns match at string edges. */
+  def padded(c: Column): Column = concat(lit(" "), c, lit(" "))
+  def paddedSql(c: String): String = s"(' ' || $c || ' ')"
+
+  /** Whitespace token count (single-spaced, trimmed input). */
+  def nTokens(text: Column): Column = countSubstr(text, " ") + 1
+  def nTokensSql(text: String): String = s"(${countSubstrSql(text, " ")} + 1)"
+
+  /** Sorted-distinct-token signature: normalizes word order away, so
+    * bag-equality collapses to string equality. */
+  def bagSignature(text: Column): Column =
+    md5(concat_ws(" ", array_sort(array_distinct(split(text, " ")))))
+  def bagSignatureSql(text: String): String =
+    s"md5(array_to_string(list_sort(list_distinct(string_split($text, ' '))), ' '))"
+
+  /** Sum of word-boundary hits for a stopword set over padded text. */
+  def stopwordHits(p: Column, words: Seq[String]): Column =
+    words.map(w => countSubstr(p, s" $w ")).reduce(_ + _)
+  def stopwordHitsSql(p: String, words: Seq[String]): String =
+    words.map(w => countSubstrSql(p, s" $w ")).mkString("(", " + ", ")")
+}

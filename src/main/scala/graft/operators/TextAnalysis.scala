@@ -1,0 +1,131 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Portable
+import graft.sources.Tables
+
+/** Text-analysis operators over the `documents` table (E1-E4):
+  * language ID, quality scoring, token counting, fingerprinting.
+  *
+  * All expressions are narrow per-row built-ins (no shuffle at all —
+  * these queries are a single scan and stay in one WholeStageCodegen
+  * span), so they scale embarrassingly: 100 TB of documents is just
+  * more partitions. Every primitive is portable (see
+  * [[graft.functions.Portable]]) so the DuckDB oracle reproduces the
+  * exact bits; double arithmetic is derived from integers with the
+  * same operation order on both engines (IEEE-identical).
+  */
+object TextAnalysis {
+
+  /** Stopword sets for the n-gram language-ID heuristic. Deterministic
+    * argmax with fixed tie order (en > es > fr > de, 'und' when all
+    * zero). */
+  val stopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "is", "of", "and"),
+    "es" -> Seq("el", "la", "los", "que", "es"),
+    "fr" -> Seq("le", "les", "est", "une", "et"),
+    "de" -> Seq("der", "die", "das", "und", "ist"))
+
+  // ---------------------------------------------------------------- E1
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val p = Portable.padded(col("text"))
+    val scores = stopwords.map { case (lang, ws) =>
+      lang -> Portable.stopwordHits(p, ws)
+    }
+    val Seq(en, es, fr, de) = scores.map(_._2)
+    val guess = when(en + es + fr + de === 0, "und")
+      .when(en >= es && en >= fr && en >= de, "en")
+      .when(es >= fr && es >= de, "es")
+      .when(fr >= de, "fr")
+      .otherwise("de")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        en.as("s_en"), es.as("s_es"), fr.as("s_fr"), de.as("s_de"),
+        guess.as("lang_guess"), col("lang").as("lang_declared"))
+      .orderBy("doc_id")
+  }
+
+  val langIdSql: String = {
+    val p = Portable.paddedSql("text")
+    val Seq(en, es, fr, de) =
+      stopwords.map { case (_, ws) => Portable.stopwordHitsSql(p, ws) }
+    s"""SELECT doc_id, $en AS s_en, $es AS s_es, $fr AS s_fr, $de AS s_de,
+      |  CASE WHEN $en + $es + $fr + $de = 0 THEN 'und'
+      |       WHEN $en >= $es AND $en >= $fr AND $en >= $de THEN 'en'
+      |       WHEN $es >= $fr AND $es >= $de THEN 'es'
+      |       WHEN $fr >= $de THEN 'fr'
+      |       ELSE 'de' END AS lang_guess,
+      |  lang AS lang_declared
+      |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- E2
+  /** Quality scoring: token count, type-token ratio, mean token
+    * length, and a blended [0,1] score. Double math is int-derived
+    * with identical operation order on both engines. */
+  def quality(spark: SparkSession, dir: String): DataFrame = {
+    val nTok = Portable.nTokens(col("text"))
+    val nTypes = size(array_distinct(split(col("text"), " "))).cast("long")
+    val ttr = nTypes.cast("double") / nTok
+    val avgTokLen = (length(col("text")) - nTok + 1).cast("double") / nTok
+    val score = lit(0.5) * least(lit(1.0), nTok.cast("double") / 100.0) + lit(0.5) * ttr
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), nTok.as("n_tokens"), nTypes.as("n_types"),
+        ttr.as("ttr"), avgTokLen.as("avg_token_len"), score.as("quality_score"))
+      .orderBy("doc_id")
+  }
+
+  val qualitySql: String = {
+    val nTok = Portable.nTokensSql("text")
+    val nTypes = "CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)"
+    s"""SELECT doc_id, $nTok AS n_tokens, $nTypes AS n_types,
+      |  CAST($nTypes AS DOUBLE) / $nTok AS ttr,
+      |  CAST(length(text) - $nTok + 1 AS DOUBLE) / $nTok AS avg_token_len,
+      |  0.5 * least(1.0, CAST($nTok AS DOUBLE) / 100.0)
+      |    + 0.5 * (CAST($nTypes AS DOUBLE) / $nTok) AS quality_score
+      |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- E3
+  /** Token counting: whitespace tokens plus a BPE-ish subword estimate
+    * (ceil(chars/4) — the classic ~4-chars-per-token rule). */
+  def tokenCounts(spark: SparkSession, dir: String): DataFrame = {
+    val nTok = Portable.nTokens(col("text"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), nTok.as("n_tokens"),
+        length(col("text")).cast("long").as("n_chars_text"),
+        ceil(length(col("text")) / lit(4.0)).cast("long").as("est_bpe_tokens"),
+        (length(col("text")).cast("double") / nTok).as("chars_per_token"))
+      .orderBy("doc_id")
+  }
+
+  val tokenCountsSql: String = {
+    val nTok = Portable.nTokensSql("text")
+    s"""SELECT doc_id, $nTok AS n_tokens,
+      |  CAST(length(text) AS BIGINT) AS n_chars_text,
+      |  CAST(ceil(length(text) / 4.0) AS BIGINT) AS est_bpe_tokens,
+      |  CAST(length(text) AS DOUBLE) / $nTok AS chars_per_token
+      |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- E4
+  /** Fingerprints: full-content md5, 64-bit prefix, first-8-token
+    * prefix hash, and the order-normalized bag signature. */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        md5(col("text")).as("fp_md5"),
+        substring(md5(col("text")), 1, 16).as("fp64"),
+        md5(concat_ws(" ", slice(split(col("text"), " "), 1, 8))).as("fp_prefix8"),
+        Portable.bagSignature(col("text")).as("fp_bag"))
+      .orderBy("doc_id")
+
+  val fingerprintSql: String =
+    s"""SELECT doc_id, md5(text) AS fp_md5,
+      |  substring(md5(text), 1, 16) AS fp64,
+      |  md5(array_to_string(string_split(text, ' ')[1:8], ' ')) AS fp_prefix8,
+      |  ${Portable.bagSignatureSql("text")} AS fp_bag
+      |FROM documents ORDER BY doc_id""".stripMargin
+}
