@@ -37,7 +37,14 @@ object SparkEntry {
     "q_text_quality" -> (TextAnalysis.quality _),
     "q_text_tokens" -> (TextAnalysis.tokenCounts _),
     "q_text_fingerprint" -> (TextAnalysis.fingerprint _),
-    "q_dedup_exact" -> (Dedup.exact _)
+    "q_dedup_exact" -> (Dedup.exact _),
+    // C2-C5 near-dup, D1-D2 ANN
+    "q_dedup_minhash_lsh" -> (Dedup.minhashLsh _),
+    "q_dedup_simhash" -> (Dedup.simhash _),
+    "q_dedup_ngram_jaccard" -> (Dedup.ngramJaccard _),
+    "q_dedup_embedding" -> (Dedup.embeddingNearDup _),
+    "q_ann_brute_topk" -> (SimilaritySearch.bruteTopK _),
+    "q_ann_ivf" -> (SimilaritySearch.ivfTopK _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -68,6 +75,12 @@ object SparkEntry {
     "q_text_quality" -> TextAnalysis.qualitySql,
     "q_text_tokens" -> TextAnalysis.tokenCountsSql,
     "q_text_fingerprint" -> TextAnalysis.fingerprintSql,
-    "q_dedup_exact" -> Dedup.exactSql
+    "q_dedup_exact" -> Dedup.exactSql,
+    "q_dedup_minhash_lsh" -> Dedup.minhashLshSql,
+    "q_dedup_simhash" -> Dedup.simhashSql,
+    "q_dedup_ngram_jaccard" -> Dedup.ngramJaccardSql,
+    "q_dedup_embedding" -> Dedup.embeddingNearDupSql,
+    "q_ann_brute_topk" -> SimilaritySearch.bruteTopKSql,
+    "q_ann_ivf" -> SimilaritySearch.ivfTopKSql
   )
 }

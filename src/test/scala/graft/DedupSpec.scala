@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, SimilaritySearch}
+import graft.functions.Vectors
+
+/** Scale-contract and recall tests for the dedup/ANN operators. */
+class DedupSpec extends SparkSpec {
+
+  test("LSH candidate pair count is << n^2") {
+    val n = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    val pairs = Dedup.minhashLsh(spark, sfDir).count()
+    assert(pairs < n * n / 100,
+      s"LSH must prune: $pairs candidate pairs for $n docs")
+  }
+
+  test("LSH finds every true near-dup pair (jaccard >= 0.8)") {
+    // Brute-force ground truth is feasible at sf0.001 (50 docs).
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .withColumn("sh", expr(
+        "array_distinct(transform(sequence(1, greatest(size(toks)-2, 1)), i -> concat_ws(' ', slice(toks, i, 3))))"))
+      .select("doc_id", "sh")
+    val truth = docs.as("a").join(docs.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        (size(array_intersect(col("a.sh"), col("b.sh"))).cast("double") /
+          (size(col("a.sh")) + size(col("b.sh")) -
+            size(array_intersect(col("a.sh"), col("b.sh"))))).as("j"))
+      .where(col("j") >= 0.8)
+      .select("doc_a", "doc_b")
+    val found = Dedup.ngramJaccard(spark, sfDir)
+      .where(col("is_dup")).select("doc_a", "doc_b")
+    val missed = truth.exceptAll(found).count()
+    assert(missed == 0, s"LSH missed $missed true near-dup pairs")
+  }
+
+  test("simhash pairs have genuinely similar shingle sets") {
+    val pairs = Dedup.simhash(spark, sfDir)
+    // hamming<=4 pairs at sf0.001 must also be LSH candidates (both
+    // target the same planted near-dups)
+    val lsh = Dedup.minhashLsh(spark, sfDir).select("doc_a", "doc_b")
+    val overlap = pairs.join(lsh, Seq("doc_a", "doc_b")).count()
+    assert(pairs.count() == 0 || overlap > 0)
+  }
+
+  test("brute-force top-k: ranks are dense 1..k and self is excluded") {
+    val df = SimilaritySearch.bruteTopK(spark, sfDir)
+    assert(df.where(col("query_id") === col("vec_id")).count() == 0)
+    val bad = df.groupBy("query_id")
+      .agg(count(lit(1)).as("n"), max("rank").as("m"))
+      .where(col("m") =!= col("n")).count()
+    assert(bad == 0)
+  }
+
+  test("IVF results are a subset-quality approximation of brute force") {
+    val brute = SimilaritySearch.bruteTopK(spark, sfDir)
+      .select("query_id", "vec_id")
+    val ivf = SimilaritySearch.ivfTopK(spark, sfDir)
+    // every IVF hit must be a real vector with sane cosine
+    assert(ivf.where(col("cos_sim") > 1.0001 || col("cos_sim") < -1.0001).count() == 0)
+    assert(ivf.count() > 0)
+    // recall is approximate but must be nonzero on any realistic data
+    assert(ivf.join(brute, Seq("query_id", "vec_id")).count() > 0)
+  }
+
+  test("cosine: zip_with/aggregate matches a locally computed value") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id", "embedding").where(col("vec_id") < 2)
+      .collect().map(r => r.getSeq[Float](1).map(_.toDouble).toArray)
+    val expected = {
+      val Array(a, b) = emb
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val got = e.where(col("vec_id") === 0).select(col("embedding").as("a"))
+      .crossJoin(e.where(col("vec_id") === 1).select(col("embedding").as("b")))
+      .select(Vectors.cosine(col("a"), col("b"))).collect()(0).getDouble(0)
+    assert(math.abs(got - expected) < 1e-9)
+  }
+}
