@@ -44,7 +44,11 @@ object SparkEntry {
     "q_dedup_ngram_jaccard" -> (Dedup.ngramJaccard _),
     "q_dedup_embedding" -> (Dedup.embeddingNearDup _),
     "q_ann_brute_topk" -> (SimilaritySearch.bruteTopK _),
-    "q_ann_ivf" -> (SimilaritySearch.ivfTopK _)
+    "q_ann_ivf" -> (SimilaritySearch.ivfTopK _),
+    // A9: structured streaming ingest (AvailableNow, complete mode)
+    "q_stream_window_counts" -> (graft.streaming.EventStreams.windowCounts _),
+    // F1: multimodal binary + metadata pipeline (stubbed decode)
+    "q_mm_binary_meta" -> (Multimodal.binaryMeta _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -81,6 +85,8 @@ object SparkEntry {
     "q_dedup_ngram_jaccard" -> Dedup.ngramJaccardSql,
     "q_dedup_embedding" -> Dedup.embeddingNearDupSql,
     "q_ann_brute_topk" -> SimilaritySearch.bruteTopKSql,
-    "q_ann_ivf" -> SimilaritySearch.ivfTopKSql
+    "q_ann_ivf" -> SimilaritySearch.ivfTopKSql,
+    "q_stream_window_counts" -> graft.streaming.EventStreams.windowCountsSql,
+    "q_mm_binary_meta" -> Multimodal.binaryMetaSql
   )
 }

@@ -1,0 +1,73 @@
+package graft.streaming
+
+import java.util.concurrent.ConcurrentLinkedQueue
+
+import scala.collection.concurrent.TrieMap
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, ForeachWriter, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** A11: SSE serving sink — the Spark realization of the reference's
+  * HTTP event-stream handler
+  * (/root/reference/internal/kinesis2sse/service.go:217-283). Each
+  * event is framed as `data: <json>\n\n` (service.go:271) and handed
+  * to a transport.
+  *
+  * The default transport is an in-process registry (what the tests
+  * read); a production deployment replaces [[SseTransport]] with a
+  * push to connected HTTP clients. The ForeachWriter runs on
+  * executors — one transport connection per partition, frames within a
+  * partition delivered in order, exactly like one SSE client per
+  * shard-consumer in the reference.
+  */
+object SseSink {
+
+  trait SseTransport extends Serializable {
+    def send(route: String, frame: String): Unit
+  }
+
+  /** In-process collector keyed by runId (single-JVM local mode). */
+  object InMemoryTransport {
+    private val buffers = TrieMap.empty[String, ConcurrentLinkedQueue[String]]
+    def queue(runId: String): ConcurrentLinkedQueue[String] =
+      buffers.getOrElseUpdate(runId, new ConcurrentLinkedQueue[String]())
+    def frames(runId: String): Seq[String] = queue(runId).asScala.toSeq
+    def clear(runId: String): Unit = buffers.remove(runId)
+  }
+
+  final class InMemory(runId: String) extends SseTransport {
+    def send(route: String, frame: String): Unit =
+      InMemoryTransport.queue(runId).add(frame)
+  }
+
+  /** SSE frame: `data: {"time":"<RFC3339-µs>","detail":<json>}\n\n` —
+    * byte-compatible with service.go:271's `data: %s\n\n`. */
+  def frameCol: org.apache.spark.sql.Column =
+    concat(
+      lit("data: {\"time\":\""),
+      date_format(col("ts_us"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'"),
+      lit("\",\"detail\":"), col("props"), lit("}\n\n"))
+
+  def writer(transport: SseTransport): ForeachWriter[Row] =
+    new ForeachWriter[Row] {
+      override def open(partitionId: Long, epochId: Long): Boolean = true
+      override def process(r: Row): Unit =
+        transport.send(r.getString(0), r.getString(1))
+      override def close(errorOrNull: Throwable): Unit = ()
+    }
+
+  /** Run the event stream through the SSE sink until all available
+    * data is served; returns after termination. */
+  def serve(spark: org.apache.spark.sql.SparkSession, dir: String,
+            transport: SseTransport): Unit = {
+    val frames: DataFrame = EventStreams.readEvents(spark, dir)
+      .select(col("event_type"), frameCol.as("frame"))
+    val q = frames.writeStream
+      .foreach(writer(transport))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+}
