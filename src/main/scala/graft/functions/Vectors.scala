@@ -27,4 +27,14 @@ object Vectors {
   /** DuckDB twin; relies on DOUBLE[] promotion for f64 math. */
   def cosineSql(a: String, b: String): String =
     s"list_cosine_similarity(CAST($a AS DOUBLE[]), CAST($b AS DOUBLE[]))"
+
+  /** Hot-path cosine: the native codegen'd Catalyst expression
+    * ([[graft.plans.CosineSimilarity]]), bit-identical to [[cosine]]
+    * (same per-sum accumulation order) but a fused primitive loop
+    * instead of interpreted higher-order lambdas. Registers the
+    * function in the session on first use (idempotent). */
+  def cosineFast(spark: org.apache.spark.sql.SparkSession, a: Column, b: Column): Column = {
+    graft.plans.GraftFunctions.register(spark)
+    call_function("graft_cosine", a, b)
+  }
 }

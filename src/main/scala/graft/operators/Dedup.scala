@@ -65,13 +65,17 @@ object Dedup {
       |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents))""".stripMargin
 
   /** (doc_id, band, key): md5-banded MinHash signatures. Seeded hash
-    * family = md5("j:" || shingle); min over the shingle array is a
-    * per-row array_min — the only shuffle is the band-key groupBy. */
+    * family = md5("j:" || shingle), computed over EXPLODED shingle rows
+    * with H codegen'd min() aggregates — higher-order array lambdas are
+    * interpreted per element, while this shape stays inside
+    * WholeStageCodegen and partial-aggregates map-side (the shuffle
+    * carries one 12-hash row per doc, not the shingles). */
   private def minhashBands(spark: SparkSession, dir: String): DataFrame = {
-    val sig = withShingles(spark, dir).select(
-      col("doc_id") +:
-        (0 until H).map(j =>
-          expr(s"array_min(transform(sh, x -> md5(concat('$j:', x))))").as(s"mh_$j")): _*)
+    val exploded = withShingles(spark, dir)
+      .select(col("doc_id"), explode(col("sh")).as("x"))
+    val sig = exploded.groupBy("doc_id").agg(
+      min(md5(concat(lit("0:"), col("x")))).as("mh_0"),
+      (1 until H).map(j => min(md5(concat(lit(s"$j:"), col("x")))).as(s"mh_$j")): _*)
     val bandStructs = (0 until Bands).map { b =>
       val ks = (0 until R).map(i => col(s"mh_${b * R + i}"))
       struct(lit(b).as("band"), md5(concat_ws("|", ks: _*)).as("key"))
@@ -131,13 +135,22 @@ object Dedup {
     * the majority vote of nibble-high across shingle hashes — computed
     * per-row via filter/size, no shuffle until the band join. */
   def simhash(spark: SparkSession, dir: String): DataFrame = {
-    val hexHigh = "('8','9','a','b','c','d','e','f')"
+    // Exploded shingles + 32 codegen'd conditional-count aggregates
+    // (one per md5 hex position): the nibble-majority per position is
+    // computed map-side; only one 33-column row per doc shuffles.
+    val highs = (1 to 32).map { p =>
+      sum(when(substring(col("h"), p, 1)
+        .isin("8", "9", "a", "b", "c", "d", "e", "f"), 1).otherwise(0)).as(s"hi_$p")
+    }
+    val counts = withShingles(spark, dir)
+      .select(col("doc_id"), explode(col("sh")).as("x"))
+      .select(col("doc_id"), md5(col("x")).as("h"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("nsh"), highs: _*)
     val bitTerms = (1 to 32).map { p =>
-      s"(CASE WHEN 2 * size(filter(hs, h -> substring(h, $p, 1) IN $hexHigh)) > size(hs) THEN ${1L << (p - 1)}L ELSE 0L END)"
+      s"(CASE WHEN 2 * hi_$p > nsh THEN ${1L << (p - 1)}L ELSE 0L END)"
     }.mkString(" + ")
-    val sigs = withShingles(spark, dir)
-      .withColumn("hs", expr("transform(sh, x -> md5(x))"))
-      .select(col("doc_id"), expr(s"$bitTerms").as("simhash"))
+    val sigs = counts.select(col("doc_id"), expr(bitTerms).as("simhash"))
     val bands = sigs.select(col("doc_id"), col("simhash"),
       explode(expr("transform(sequence(0, 3), b -> named_struct('band', b, 'key', CAST(simhash DIV CAST(pow(256, b) AS BIGINT) % 256 AS INT)))")).as("bk"))
       .select(col("doc_id"), col("simhash"), col("bk.band"), col("bk.key"))
@@ -229,7 +242,7 @@ object Dedup {
     sk.as("a").join(sk.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        Vectors.cosine(col("a.embedding"), col("b.embedding")).as("cos_sim"))
+        Vectors.cosineFast(spark, col("a.embedding"), col("b.embedding")).as("cos_sim"))
       .where(round(col("cos_sim"), 9) >= 0.35)
       .orderBy("vec_a", "vec_b")
   }

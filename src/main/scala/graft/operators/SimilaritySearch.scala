@@ -26,7 +26,7 @@ object SimilaritySearch {
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb")))
     emb.join(q, col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
-        Vectors.cosine(col("q_emb"), col("embedding")).as("cos_sim"))
+        Vectors.cosineFast(spark, col("q_emb"), col("embedding")).as("cos_sim"))
   }
 
   // ---------------------------------------------------------------- D1
@@ -78,7 +78,7 @@ object SimilaritySearch {
 
     val centScore = emb.select("vec_id", "embedding").join(cents)
       .select(col("vec_id"), col("embedding"), col("label"),
-        Vectors.cosine(col("embedding"), col("c_emb")).as("c_cos"))
+        Vectors.cosineFast(spark, col("embedding"), col("c_emb")).as("c_cos"))
     val wVec = Window.partitionBy("vec_id")
       .orderBy(round(col("c_cos"), 9).desc, col("label"))
     val assign = centScore.withColumn("rk", row_number().over(wVec))
@@ -93,7 +93,7 @@ object SimilaritySearch {
     probes.join(assign, Seq("label"))
       .where(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
-        Vectors.cosine(col("q_emb"), col("embedding")).as("cos_sim"))
+        Vectors.cosineFast(spark, col("q_emb"), col("embedding")).as("cos_sim"))
       .withColumn("rank", row_number().over(wQuery)).where(col("rank") <= K)
       .select(col("query_id"), col("rank"), col("vec_id"), col("cos_sim"))
       .orderBy("query_id", "rank")

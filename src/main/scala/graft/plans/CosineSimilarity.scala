@@ -1,0 +1,102 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.SparkSessionExtensions
+
+/** Native codegen'd cosine similarity over array<float>/array<double>
+  * columns — the hot-path replacement for the portable
+  * zip_with/aggregate formulation in [[graft.functions.Vectors]]
+  * (higher-order lambdas are interpreted per element; this compiles to
+  * a tight fused loop inside WholeStageCodegen).
+  *
+  * Accumulation order per sum is identical to the portable version
+  * (sequential over elements), so results are bit-identical and the
+  * DuckDB oracle comparison is unaffected.
+  */
+case class CosineSimilarity(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  private def okType(dt: DataType): Boolean = dt match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (okType(left.dataType) && okType(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_cosine expects array<float|double>, got ${left.dataType} / ${right.dataType}")
+
+  override def dataType: DataType = DoubleType
+
+  override def prettyName: String = "graft_cosine"
+
+  private def elemType(e: Expression): DataType =
+    e.dataType.asInstanceOf[ArrayType].elementType
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val lf = elemType(left) == FloatType
+    val rf = elemType(right) == FloatType
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < n) {
+      val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
+      val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
+      dot += xv * yv; na += xv * xv; nb += yv * yv
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val getX = if (elemType(left) == FloatType) s"(double) $a.getFloat(i)"
+                 else s"$a.getDouble(i)"
+      val getY = if (elemType(right) == FloatType) s"(double) $b.getFloat(i)"
+                 else s"$b.getDouble(i)"
+      s"""
+         |int n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double dot = 0.0, na = 0.0, nb = 0.0;
+         |for (int i = 0; i < n; i++) {
+         |  double x = $getX;
+         |  double y = $getY;
+         |  dot += x * y; na += x * x; nb += y * y;
+         |}
+         |${ev.value} = dot / (java.lang.Math.sqrt(na) * java.lang.Math.sqrt(nb));
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSimilarity =
+    copy(left = newLeft, right = newRight)
+}
+
+object GraftFunctions {
+  private val cosineDesc = (
+    FunctionIdentifier("graft_cosine"),
+    new ExpressionInfo(classOf[CosineSimilarity].getName, null, "graft_cosine"),
+    (children: Seq[Expression]) => CosineSimilarity(children(0), children(1)): Expression)
+
+  /** Idempotent per-session registration (for sessions built without
+    * the extensions config). */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.registerFunction(
+      cosineDesc._1, cosineDesc._2, cosineDesc._3)
+
+  private[plans] def inject(ext: SparkSessionExtensions): Unit =
+    ext.injectFunction(cosineDesc)
+}
+
+/** `spark.sql.extensions=graft.plans.GraftExtensions` injects the
+  * native functions at session build time. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.inject(ext)
+}

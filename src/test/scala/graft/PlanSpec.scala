@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import graft.operators.{EventLogOps, Relational}
+
+/** Physical-plan contracts: these queries must keep their scan
+  * pushdowns, broadcasts, and top-N shapes — the properties that make
+  * them survive a 100× scale-up. A regression here is a perf bug even
+  * while results stay correct.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def finalPlan(df: DataFrame): String = {
+    df.collect() // force AQE to finalize
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("since-filter pushes down to the parquet scan") {
+    val plan = finalPlan(EventLogOps.since(spark, sfDir))
+    assert(plan.contains("PushedFilters: [IsNotNull(ts), GreaterThanOrEqual(ts"),
+      s"missing pushdown:\n$plan")
+  }
+
+  test("q1 pushes the shipdate filter and prunes columns") {
+    val plan = finalPlan(Relational.q1PricingSummary(spark, sfDir))
+    assert(plan.contains("PushedFilters") && plan.contains("LessThanOrEqual(l_shipdate"),
+      s"missing pushdown:\n$plan")
+    // 7 of 11 lineitem columns are needed; the scan must not read the rest
+    assert(!plan.contains("l_orderkey"), "scan reads unneeded columns")
+  }
+
+  test("q5 6-way join broadcasts the fixed-size dims") {
+    val plan = finalPlan(Relational.q5LocalSupplier(spark, sfDir))
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join:\n$plan")
+  }
+
+  test("capacity retention plans as TakeOrderedAndProject (no full sort)") {
+    val plan = finalPlan(EventLogOps.retentionCapacity(spark, sfDir, 100))
+    assert(plan.contains("TakeOrderedAndProject"), s"full sort instead of top-N:\n$plan")
+  }
+
+  test("pricing summary partial-aggregates before the shuffle") {
+    val plan = finalPlan(Relational.q1PricingSummary(spark, sfDir))
+    // HashAggregate appears twice: partial (map-side) + final
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, s"no partial agg:\n$plan")
+  }
+
+  test("native graft_cosine stays in the codegen'd plan (no UDF)") {
+    val df = graft.operators.SimilaritySearch.bruteTopK(spark, sfDir)
+    val plan = finalPlan(df)
+    assert(plan.contains("graft_cosine"), s"native expression missing:\n$plan")
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"))
+  }
+}
