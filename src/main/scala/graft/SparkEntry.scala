@@ -11,13 +11,13 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // A. event-log surface
     "q_evt_parse" -> (EventLogOps.parse _),
-    "q_evt_since" -> (EventLogOps.since _),
+    "q_evt_since" -> ((s: SparkSession, d: String) => EventLogOps.since(s, d)),
     "q_evt_nearest_offset" -> (EventLogOps.nearestOffset _),
     "q_evt_retention_capacity" -> ((s: SparkSession, d: String) => EventLogOps.retentionCapacity(s, d)),
     "q_evt_retention_age" -> ((s: SparkSession, d: String) => EventLogOps.retentionAge(s, d)),
     "q_evt_sse_frames" -> (EventLogOps.sseFrames _),
     "q_evt_routes" -> (EventLogOps.routes _),
-    "q_evt_start_position" -> (EventLogOps.startPosition _),
+    "q_evt_start_position" -> ((s: SparkSession, d: String) => EventLogOps.startPosition(s, d)),
     // B. relational core
     "q1_pricing_summary" -> (Relational.q1PricingSummary _),
     "q3_shipping_priority" -> (Relational.q3ShippingPriority _),

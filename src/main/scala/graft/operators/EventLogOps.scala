@@ -72,8 +72,8 @@ object EventLogOps {
   /** `?since=` resume filter (service.go:226-242): events at or after a
     * client-supplied instant. The predicate compares raw nanos against
     * a literal so it reaches the parquet scan (PushedFilters). */
-  def since(spark: SparkSession, dir: String): DataFrame = {
-    val sinceNs = 1705276800000000000L // 2024-01-15T00:00:00Z
+  def since(spark: SparkSession, dir: String,
+            sinceNs: Long = 1705276800000000000L /* 2024-01-15T00:00:00Z */): DataFrame = {
     Tables.eventsRaw(spark, dir)
       .where(col("ts") >= sinceNs)
       .select(col("event_id"), tsUs.as("ts_us"), col("event_type"), col("value"))
@@ -97,15 +97,19 @@ object EventLogOps {
     * pair over the grid answers every probe. Probe cardinality is
     * bounded (resume requests), so the unpartitioned window over the
     * grid is a non-issue at any data scale. */
-  def nearestOffset(spark: SparkSession, dir: String): DataFrame = {
+  def nearestOffset(spark: SparkSession, dir: String): DataFrame =
+    nearestOffsetFor(spark, dir, spark.sql(
+      """SELECT explode(sequence(timestamp'2024-01-01 00:00:00',
+        |                        timestamp'2024-01-31 00:00:00',
+        |                        interval 1 hour)) AS probe_ts""".stripMargin))
+
+  /** Parameterized form: answer arbitrary probe instants (column
+    * `probe_ts`, hour-aligned) against the event log. */
+  def nearestOffsetFor(spark: SparkSession, dir: String, probes: DataFrame): DataFrame = {
     val ev = Tables.events(spark, dir)
     val hourly = ev
       .groupBy(date_trunc("hour", col("ts_us")).as("h"))
       .agg(min("event_id").as("min_id"), max("event_id").as("max_id"))
-    val probes = spark.sql(
-      """SELECT explode(sequence(timestamp'2024-01-01 00:00:00',
-        |                        timestamp'2024-01-31 00:00:00',
-        |                        interval 1 hour)) AS probe_ts""".stripMargin)
     val wSuffixMin = Window.orderBy(col("probe_ts").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wPrefixMax = Window.orderBy(col("probe_ts"))
@@ -218,9 +222,9 @@ object EventLogOps {
     * four; AT_TIMESTAMP and DURATION reuse the nearest-offset
     * semantics (forward seek, backward fallback) as conditional
     * aggregates. */
-  def startPosition(spark: SparkSession, dir: String): DataFrame = {
-    val atUs = 1705276800000000L // 2024-01-15T00:00:00Z in µs
-    val durUs = MicrosPerDay // 24h
+  def startPosition(spark: SparkSession, dir: String,
+                    atUs: Long = 1705276800000000L /* 2024-01-15T00:00:00Z */,
+                    durUs: Long = MicrosPerDay): DataFrame = {
     val ev = Tables.eventsRaw(spark, dir).select(col("event_id"), tsUs.as("us"))
     val bounds = ev.agg(max("us").as("max_us"))
     ev.crossJoin(broadcast(bounds))

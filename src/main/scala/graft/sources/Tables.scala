@@ -126,6 +126,16 @@ object Tables {
   def documents(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "embeddings")
 
+  /** Redistribute for CPU-bound narrow stages: when the scan yields
+    * fewer input splits than cores (small files), a cheap row shuffle
+    * buys full parallelism for expensive per-row work (minhash/simhash
+    * signatures). At real scale the file source already produces
+    * ≥cores splits and this is a no-op — no shuffle is added. */
+  def parallelized(spark: SparkSession, df: DataFrame): DataFrame = {
+    val target = spark.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   /** events with `ts` as raw nanos BIGINT (pushdown-friendly). */
   def eventsRaw(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "events")
 

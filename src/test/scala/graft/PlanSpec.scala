@@ -45,6 +45,26 @@ class PlanSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(plan).size >= 2, s"no partial agg:\n$plan")
   }
 
+  test("dedup candidate generation never plans a cartesian product") {
+    for (df <- Seq(
+        graft.operators.Dedup.minhashLsh(spark, sfDir),
+        graft.operators.Dedup.simhash(spark, sfDir),
+        graft.operators.Dedup.embeddingNearDup(spark, sfDir))) {
+      val plan = finalPlan(df)
+      assert(!plan.contains("CartesianProduct"), s"all-pairs join:\n$plan")
+    }
+  }
+
+  test("json extraction happens before the shuffle (partial agg on k)") {
+    val plan = finalPlan(Relational.qJsonExtract(spark, sfDir))
+    // get_json_object must be below the exchange: the partial
+    // HashAggregate already groups by the extracted key
+    val exchangeIdx = plan.indexOf("Exchange")
+    val jsonIdx = plan.indexOf("get_json_object")
+    assert(jsonIdx > exchangeIdx && exchangeIdx > 0,
+      s"extraction not map-side:\n$plan")
+  }
+
   test("native graft_cosine stays in the codegen'd plan (no UDF)") {
     val df = graft.operators.SimilaritySearch.bruteTopK(spark, sfDir)
     val plan = finalPlan(df)
