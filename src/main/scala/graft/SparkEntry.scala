@@ -48,7 +48,10 @@ object SparkEntry {
     // A9: structured streaming ingest (AvailableNow, complete mode)
     "q_stream_window_counts" -> (graft.streaming.EventStreams.windowCounts _),
     // F1: multimodal binary + metadata pipeline (stubbed decode)
-    "q_mm_binary_meta" -> (Multimodal.binaryMeta _)
+    "q_mm_binary_meta" -> (Multimodal.binaryMeta _),
+    // G. sampling / profiling
+    "q_sample_hash" -> ((s: SparkSession, d: String) => Sampling.hashSample(s, d)),
+    "q_source_profile" -> (Sampling.sourceProfile _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -87,6 +90,8 @@ object SparkEntry {
     "q_ann_brute_topk" -> SimilaritySearch.bruteTopKSql,
     "q_ann_ivf" -> SimilaritySearch.ivfTopKSql,
     "q_stream_window_counts" -> graft.streaming.EventStreams.windowCountsSql,
-    "q_mm_binary_meta" -> Multimodal.binaryMetaSql
+    "q_mm_binary_meta" -> Multimodal.binaryMetaSql,
+    "q_sample_hash" -> Sampling.hashSampleSql(),
+    "q_source_profile" -> Sampling.sourceProfileSql
   )
 }
