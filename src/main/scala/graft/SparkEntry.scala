@@ -50,6 +50,7 @@ object SparkEntry {
     // F1: multimodal binary + metadata pipeline (stubbed decode)
     "q_mm_binary_meta" -> (Multimodal.binaryMeta _),
     // G. sampling / profiling
+    "q_dedup_clusters" -> (Dedup.dupClusters _),
     "q_sample_hash" -> ((s: SparkSession, d: String) => Sampling.hashSample(s, d)),
     "q_source_profile" -> (Sampling.sourceProfile _)
   )
@@ -91,6 +92,7 @@ object SparkEntry {
     "q_ann_ivf" -> SimilaritySearch.ivfTopKSql,
     "q_stream_window_counts" -> graft.streaming.EventStreams.windowCountsSql,
     "q_mm_binary_meta" -> Multimodal.binaryMetaSql,
+    "q_dedup_clusters" -> Dedup.dupClustersSql,
     "q_sample_hash" -> Sampling.hashSampleSql(),
     "q_source_profile" -> Sampling.sourceProfileSql
   )

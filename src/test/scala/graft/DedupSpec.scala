@@ -63,6 +63,22 @@ class DedupSpec extends SparkSpec {
     assert(ivf.join(brute, Seq("query_id", "vec_id")).count() > 0)
   }
 
+  test("dup clusters: labels are transitive-closed minima") {
+    val pairs = Dedup.ngramJaccard(spark, sfDir).where(col("is_dup"))
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val clusters = Dedup.dupClusters(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every edge's endpoints share a cluster, and the label is the
+    // component min (local union-find ground truth)
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = { val p = parent.getOrElse(x, x); if (p == x) x else { val r = find(p); parent(x) = r; r } }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val truth = (pairs.flatMap(p => Seq(p._1, p._2)).distinct).map(v => v -> find(v)).toMap
+    assert(clusters == truth)
+  }
+
   test("cosine: zip_with/aggregate matches a locally computed value") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .select("vec_id", "embedding").where(col("vec_id") < 2)
