@@ -51,6 +51,7 @@ object SparkEntry {
     "q_mm_binary_meta" -> (Multimodal.binaryMeta _),
     // G. sampling / profiling
     "q_dedup_clusters" -> (Dedup.dupClusters _),
+    "q_asof_attribution" -> (AsofJoin.attribution _),
     "q_sample_hash" -> ((s: SparkSession, d: String) => Sampling.hashSample(s, d)),
     "q_source_profile" -> (Sampling.sourceProfile _)
   )
@@ -93,6 +94,7 @@ object SparkEntry {
     "q_stream_window_counts" -> graft.streaming.EventStreams.windowCountsSql,
     "q_mm_binary_meta" -> Multimodal.binaryMetaSql,
     "q_dedup_clusters" -> Dedup.dupClustersSql,
+    "q_asof_attribution" -> AsofJoin.attributionSql,
     "q_sample_hash" -> Sampling.hashSampleSql(),
     "q_source_profile" -> Sampling.sourceProfileSql
   )
