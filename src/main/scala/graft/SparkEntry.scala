@@ -32,6 +32,8 @@ object SparkEntry {
     "q_tumbling_window" -> (Relational.qTumblingWindow _),
     "q_json_extract" -> (Relational.qJsonExtract _),
     "q_above_avg" -> (Relational.qAboveAvg _),
+    "q_percentiles" -> (Relational.qPercentiles _),
+    "q_pivot_event_counts" -> (Relational.qPivotEventCounts _),
     // E. text analysis + C1 exact dedup
     "q_text_langid" -> (TextAnalysis.langId _),
     "q_text_quality" -> (TextAnalysis.quality _),
@@ -80,6 +82,8 @@ object SparkEntry {
     "q_tumbling_window" -> Relational.qTumblingWindowSql,
     "q_json_extract" -> Relational.qJsonExtractSql,
     "q_above_avg" -> Relational.qAboveAvgSql,
+    "q_percentiles" -> Relational.qPercentilesSql,
+    "q_pivot_event_counts" -> Relational.qPivotEventCountsSql,
     "q_text_langid" -> TextAnalysis.langIdSql,
     "q_text_quality" -> TextAnalysis.qualitySql,
     "q_text_tokens" -> TextAnalysis.tokenCountsSql,

@@ -360,6 +360,58 @@ object Relational {
       .orderBy(col("p_partkey"))
   }
 
+  // ---------------------------------------------------------------- B14
+  /** Exact percentiles per group. Spark's `percentile` and DuckDB's
+    * `quantile_cont` both use R-7 interpolation at (n-1)·p over the
+    * sorted values, so results agree bit-for-bit on identical doubles.
+    * Exact percentile sorts within each (small-cardinality) group; for
+    * percentile-of-everything at 100 TB swap in approx_percentile and
+    * drop the oracle to rows-only. */
+  def qPercentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.eventsRaw(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        expr("percentile(value, 0.5)").as("p50"),
+        expr("percentile(value, 0.9)").as("p90"),
+        expr("percentile(value, 0.99)").as("p99"))
+      .orderBy("event_type")
+
+  val qPercentilesSql: String =
+    """SELECT event_type, count(*) AS n,
+      |  CAST(quantile_cont(value, 0.5) AS DOUBLE) AS p50,
+      |  CAST(quantile_cont(value, 0.9) AS DOUBLE) AS p90,
+      |  CAST(quantile_cont(value, 0.99) AS DOUBLE) AS p99
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------- B15
+  /** Pivot: per-user event-type count matrix. The pivot values are
+    * pinned (known route set) so the plan is a single pass — no
+    * distinct-collect job — and the oracle's conditional aggregation
+    * is trivially identical. */
+  def qPivotEventCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables.eventsRaw(spark, dir)
+      .where(col("user_id") < 50)
+      .groupBy(col("user_id"))
+      .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy("user_id")
+
+  val qPivotEventCountsSql: String =
+    """SELECT user_id,
+      |  count(*) FILTER (event_type = 'click') AS click,
+      |  count(*) FILTER (event_type = 'view') AS view,
+      |  count(*) FILTER (event_type = 'purchase') AS purchase,
+      |  count(*) FILTER (event_type = 'signup') AS signup,
+      |  count(*) FILTER (event_type = 'error') AS error
+      |FROM events
+      |WHERE user_id < 50
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
+
   val qAboveAvgSql: String =
     """SELECT p_partkey, p_brand, p_retailprice
       |FROM part JOIN (
