@@ -15,7 +15,7 @@ object Dev {
     spark.sparkContext.setLogLevel("WARN")
     try {
       val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-        .withColumn("ts_us", timestamp_micros(col("ts") / 1000 cast "long"))
+        .withColumn("ts_us", timestamp_micros(expr("ts DIV 1000")))
       ev.printSchema()
       ev.show(3, truncate = false)
       ev.select(min("ts_us"), max("ts_us"), count(lit(1))).show(truncate = false)

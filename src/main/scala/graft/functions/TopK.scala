@@ -1,0 +1,58 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions.udaf
+
+/** Bounded top-k as a typed Aggregator: the buffer holds at most k
+  * entries at every stage, so the PARTIAL aggregation (map-side) already
+  * reduces each partition to k rows per group — only k·P rows cross the
+  * shuffle, never the scored table. This is the genuinely scalable
+  * top-k shape; a window over (group, partition) still hash-shuffles
+  * every input row.
+  *
+  * Ordering matches the engine-portable rank rule: (round(sim, 9)
+  * DESC, id ASC) — deterministic and immune to ~1e-15 cross-engine
+  * summation differences.
+  */
+object TopK {
+
+  case class Scored(id: Long, sim: Double)
+
+  /** true if a ranks strictly before b. */
+  private def before(a: Scored, b: Scored): Boolean = {
+    val ra = BigDecimal(a.sim).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    val rb = BigDecimal(b.sim).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    if (ra != rb) ra > rb else a.id < b.id
+  }
+
+  class TopKAgg(k: Int) extends Aggregator[Scored, List[Scored], Seq[Scored]] {
+    override def zero: List[Scored] = Nil
+
+    override def reduce(buf: List[Scored], in: Scored): List[Scored] =
+      insert(buf, in)
+
+    private def insert(buf: List[Scored], s: Scored): List[Scored] = {
+      val (hi, lo) = buf.span(before(_, s))
+      val merged = hi ::: s :: lo
+      if (merged.length > k) merged.take(k) else merged
+    }
+
+    override def merge(a: List[Scored], b: List[Scored]): List[Scored] =
+      b.foldLeft(a)(insert)
+
+    override def finish(buf: List[Scored]): Seq[Scored] = buf
+
+    override def bufferEncoder: Encoder[List[Scored]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[List[Scored]]()
+    override def outputEncoder: Encoder[Seq[Scored]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Scored]]()
+  }
+
+  /** Column aggregate: top-k (id, sim) structs per group. */
+  def topk(spark: SparkSession, k: Int, id: Column, sim: Column): Column = {
+    val agg = udaf(new TopKAgg(k),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Scored]())
+    agg(id, sim)
+  }
+}

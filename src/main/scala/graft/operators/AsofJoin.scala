@@ -26,28 +26,33 @@ object AsofJoin {
   def backward(left: DataFrame, right: DataFrame, key: String, ts: String,
                payload: Seq[String], tiebreak: String): DataFrame = {
     val leftCols = left.columns.toSeq
+    // the matched row's payload travels as ONE struct: last(_, ignoreNulls)
+    // then selects the whole matched row atomically, so a NULL inside a
+    // matched row's payload is preserved rather than skipped in favor of
+    // a stale older row's value
+    val payloadStruct = struct(payload.map(col): _*)
     val l = left
       .withColumn("__probe", lit(1))
       .withColumn("__tb", lit(Long.MaxValue))
-    val lAligned = payload.foldLeft(l)((df, c) =>
-      df.withColumn(s"__p_$c", lit(null).cast(right.schema(c).dataType)))
-    val r = right
-      .withColumn("__probe", lit(0))
-      .withColumn("__tb", col(tiebreak).cast("long"))
-    val rAligned = leftCols.filterNot(Set(key, ts)).foldLeft(
-      payload.foldLeft(r)((df, c) => df.withColumn(s"__p_$c", col(c))))(
+      .withColumn("__p", lit(null).cast(
+        org.apache.spark.sql.types.StructType(payload.map(c => right.schema(c)))))
+    val r = leftCols.filterNot(Set(key, ts)).foldLeft(
+      right
+        .withColumn("__probe", lit(0))
+        .withColumn("__tb", col(tiebreak).cast("long"))
+        .withColumn("__p", payloadStruct))(
       (df, c) => df.withColumn(c, lit(null).cast(left.schema(c).dataType)))
-    val cols = (leftCols ++ Seq("__probe", "__tb") ++ payload.map(c => s"__p_$c")).map(col)
-    val unioned = lAligned.select(cols: _*).unionByName(rAligned.select(cols: _*))
+    val cols = (leftCols ++ Seq("__probe", "__tb", "__p")).map(col)
+    val unioned = l.select(cols: _*).unionByName(r.select(cols: _*))
     // right rows sort before the probe at equal ts (__probe 0 < 1), so
     // "<=" matches; among right ties the largest tiebreak wins
     val w = Window.partitionBy(key)
       .orderBy(col(ts), col("__probe"), col("__tb"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = payload.foldLeft(unioned)((df, c) =>
-      df.withColumn(s"__m_$c", last(col(s"__p_$c"), ignoreNulls = true).over(w)))
-    filled.where(col("__probe") === 1)
-      .select(leftCols.map(col) ++ payload.map(c => col(s"__m_$c").as(s"asof_$c")): _*)
+    unioned
+      .withColumn("__m", last(col("__p"), ignoreNulls = true).over(w))
+      .where(col("__probe") === 1)
+      .select(leftCols.map(col) ++ payload.map(c => col(s"__m.$c").as(s"asof_$c")): _*)
   }
 
   /** Attribution query: for each purchase, the user's latest click at
@@ -58,9 +63,13 @@ object AsofJoin {
         col("event_type"))
     val purchases = ev.where(col("event_type") === "purchase")
       .select(col("event_id"), col("user_id"), col("us"))
+    // collapse same-instant clicks to the max event_id BEFORE the asof:
+    // DuckDB's ASOF JOIN has no tiebreak among equal-ts rows, so unique
+    // (user, ts) keys on the right are what keeps both engines aligned
     val clicks = ev.where(col("event_type") === "click")
-      .select(col("user_id"), col("us"), col("event_id").as("click_id"),
-        col("us").as("click_us"))
+      .groupBy(col("user_id"), col("us"))
+      .agg(max("event_id").as("click_id"))
+      .select(col("user_id"), col("us"), col("click_id"), col("us").as("click_us"))
     backward(purchases, clicks, key = "user_id", ts = "us",
       payload = Seq("click_id", "click_us"), tiebreak = "click_id")
       .orderBy("event_id")
@@ -72,9 +81,9 @@ object AsofJoin {
       |FROM (SELECT event_id, user_id, epoch_us(ts) AS us FROM events
       |      WHERE event_type = 'purchase') p
       |ASOF LEFT JOIN
-      |     (SELECT user_id, epoch_us(ts) AS us, event_id AS click_id,
+      |     (SELECT user_id, epoch_us(ts) AS us, max(event_id) AS click_id,
       |             epoch_us(ts) AS click_us FROM events
-      |      WHERE event_type = 'click') c
+      |      WHERE event_type = 'click' GROUP BY user_id, epoch_us(ts)) c
       |  ON p.user_id = c.user_id AND p.us >= c.us
       |ORDER BY p.event_id""".stripMargin
 }

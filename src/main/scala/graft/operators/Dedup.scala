@@ -47,6 +47,10 @@ object Dedup {
   private val H = 12
   private val Bands = 4
   private val R = 3
+  /** Per-bucket member cap, applied IDENTICALLY on both engines (Spark
+    * slices the sorted collect; the oracle row_numbers per bucket), so
+    * a degenerate bucket can never diverge Spark from the oracle. */
+  private val BucketCap = 1000
 
   /** doc_id + distinct 3-gram token shingles, as a per-row array (no
     * explode — the whole signature pipeline is narrow until the band
@@ -70,25 +74,41 @@ object Dedup {
       |      i -> array_to_string(toks[i:i+2], ' '))) AS sh
       |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents))""".stripMargin
 
-  /** (doc_id, band, key): md5-banded MinHash signatures. Seeded hash
-    * family = md5("j:" || shingle), computed over EXPLODED shingle rows
-    * with H codegen'd min() aggregates — higher-order array lambdas are
-    * interpreted per element, while this shape stays inside
-    * WholeStageCodegen and partial-aggregates map-side (the shuffle
-    * carries one 12-hash row per doc, not the shingles). */
-  private def minhashBands(spark: SparkSession, dir: String): DataFrame = {
-    val exploded = withShingles(spark, dir, par = true)
-      .select(col("doc_id"), explode(col("sh")).as("x"))
-    val sig = exploded.groupBy("doc_id").agg(
-      min(md5(concat(lit("0:"), col("x")))).as("mh_0"),
-      (1 until H).map(j => min(md5(concat(lit(s"$j:"), col("x")))).as(s"mh_$j")): _*)
+  /** MinHash signature per doc: seeded hash family = md5("j:" ||
+    * shingle), computed over EXPLODED shingle rows with H codegen'd
+    * min() aggregates — higher-order array lambdas are interpreted per
+    * element, while this shape stays inside WholeStageCodegen and
+    * partial-aggregates map-side (the shuffle carries one 12-hash row
+    * per doc, not the shingles). With carrySh the shingle array rides
+    * along (first(sh)) for downstream exact verification. */
+  private def minhashSig(spark: SparkSession, dir: String,
+                         carrySh: Boolean): DataFrame = {
+    val base = withShingles(spark, dir, par = true)
+    val mhAggs = (0 until H).map(j =>
+      min(md5(concat(lit(s"$j:"), col("x")))).as(s"mh_$j"))
+    if (carrySh)
+      base.select(col("doc_id"), col("sh"), explode(col("sh")).as("x"))
+        .groupBy("doc_id").agg(first(col("sh")).as("sh"), mhAggs: _*)
+    else
+      base.select(col("doc_id"), explode(col("sh")).as("x"))
+        .groupBy("doc_id").agg(mhAggs.head, mhAggs.tail: _*)
+  }
+
+  /** Explode a signature row into its (band, key) rows, carrying
+    * `extra` columns through. */
+  private def explodeBands(sig: DataFrame, extra: Seq[String]): DataFrame = {
     val bandStructs = (0 until Bands).map { b =>
       val ks = (0 until R).map(i => col(s"mh_${b * R + i}"))
       struct(lit(b).as("band"), md5(concat_ws("|", ks: _*)).as("key"))
     }
-    sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val keep = col("doc_id") +: extra.map(col)
+    sig.select(keep :+ explode(array(bandStructs: _*)).as("bk"): _*)
+      .select(keep :+ col("bk.band").as("band") :+ col("bk.key").as("key"): _*)
   }
+
+  /** (doc_id, band, key): md5-banded MinHash signatures. */
+  private def minhashBands(spark: SparkSession, dir: String): DataFrame =
+    explodeBands(minhashSig(spark, dir, carrySh = false), Nil)
 
   private val minhashBandsSqlCtes: String = {
     val mhs = (0 until H).map(j =>
@@ -101,8 +121,13 @@ object Dedup {
       |m AS (SELECT doc_id,
       |    $mhs
       |  FROM s),
+      |bands_raw AS (
+      |  $bandSelects),
       |bands AS (
-      |  $bandSelects)""".stripMargin
+      |  SELECT doc_id, band, key FROM (
+      |    SELECT doc_id, band, key,
+      |      row_number() OVER (PARTITION BY band, key ORDER BY doc_id) AS rn
+      |    FROM bands_raw) t WHERE rn <= $BucketCap)""".stripMargin
   }
 
   /** Candidate pairs = docs sharing ≥1 LSH band bucket.
@@ -119,7 +144,7 @@ object Dedup {
     minhashBands(spark, dir)
       .groupBy("band", "key").agg(collect_list("doc_id").as("ids"))
       .where(size(col("ids")) > 1)
-      .withColumn("sids", expr("slice(array_sort(ids), 1, 1000)"))
+      .withColumn("sids", expr(s"slice(array_sort(ids), 1, $BucketCap)"))
       .select(explode(expr(
         """flatten(transform(sids, (a, i) ->
           |  transform(slice(sids, i + 2, size(sids)),
@@ -150,8 +175,14 @@ object Dedup {
   // ---------------------------------------------------------------- C3
   /** SimHash (32-bit, one bit per md5 hex position over the shingle
     * set) + byte-banded candidate join + Hamming ≤ 4 filter. Bit p is
-    * the majority vote of nibble-high across shingle hashes — computed
-    * per-row via filter/size, no shuffle until the band join. */
+    * the majority vote of nibble-high across shingle hashes.
+    *
+    * Scale note: the 4×256-key banding means bucket population grows
+    * ~N/256 — fine to ~10⁵ docs; beyond that the BucketCap (applied
+    * identically in the oracle) bounds compute at the cost of recall
+    * in overfull buckets, and the standard fix is the sorted-prefix
+    * multi-permutation index (Manku et al.) rather than wider bands
+    * (which would lose the hamming-pigeonhole recall guarantee). */
   def simhash(spark: SparkSession, dir: String): DataFrame = {
     // Exploded shingles + 32 codegen'd conditional-count aggregates
     // (one per md5 hex position): the nibble-majority per position is
@@ -177,7 +208,7 @@ object Dedup {
     bands.groupBy("band", "key")
       .agg(collect_list(struct(col("doc_id"), col("simhash"))).as("ms"))
       .where(size(col("ms")) > 1)
-      .withColumn("sms", expr("slice(array_sort(ms), 1, 1000)"))
+      .withColumn("sms", expr(s"slice(array_sort(ms), 1, $BucketCap)"))
       .select(explode(expr(
         """flatten(transform(sms, (a, i) ->
           |  transform(slice(sms, i + 2, size(sms)),
@@ -199,10 +230,15 @@ object Dedup {
       |sig AS (
       |  SELECT doc_id, $bitTerms AS simhash
       |  FROM (SELECT doc_id, list_transform(sh, x -> md5(x)) AS hs FROM s) t),
-      |bands AS (
+      |bands_raw AS (
       |  SELECT doc_id, simhash, b.band,
       |    CAST((simhash // CAST(pow(256, b.band) AS BIGINT)) % 256 AS INT) AS key
-      |  FROM sig, (SELECT unnest(range(0, 4)) AS band) b)
+      |  FROM sig, (SELECT unnest(range(0, 4)) AS band) b),
+      |bands AS (
+      |  SELECT doc_id, simhash, band, key FROM (
+      |    SELECT doc_id, simhash, band, key,
+      |      row_number() OVER (PARTITION BY band, key ORDER BY doc_id) AS rn
+      |    FROM bands_raw) t WHERE rn <= $BucketCap)
       |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
       |  bit_count(xor(a.simhash, b.simhash)) AS hamming
       |FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
@@ -221,21 +257,11 @@ object Dedup {
     // shuffle, same bytes a join would move but with no second scan or
     // join), so candidate pairing and exact Jaccard happen in one
     // pipeline. Bucket arrays stay tiny (LSH-uniform keys + cap).
-    val exploded = withShingles(spark, dir, par = true)
-      .select(col("doc_id"), col("sh"), explode(col("sh")).as("x"))
-    val sig = exploded.groupBy("doc_id").agg(
-      first(col("sh")).as("sh"),
-      (0 until H).map(j => min(md5(concat(lit(s"$j:"), col("x")))).as(s"mh_$j")): _*)
-    val bandStructs = (0 until Bands).map { b =>
-      val ks = (0 until R).map(i => col(s"mh_${b * R + i}"))
-      struct(lit(b).as("band"), md5(concat_ws("|", ks: _*)).as("key"))
-    }
-    sig.select(col("doc_id"), col("sh"), explode(array(bandStructs: _*)).as("bk"))
-      .select(col("doc_id"), col("sh"), col("bk.band").as("band"), col("bk.key").as("key"))
+    explodeBands(minhashSig(spark, dir, carrySh = true), Seq("sh"))
       .groupBy("band", "key")
       .agg(collect_list(struct(col("doc_id"), col("sh"))).as("ms"))
       .where(size(col("ms")) > 1)
-      .withColumn("sms", expr("slice(array_sort(ms), 1, 1000)"))
+      .withColumn("sms", expr(s"slice(array_sort(ms), 1, $BucketCap)"))
       .select(explode(expr(
         """flatten(transform(sms, (a, i) ->
           |  transform(slice(sms, i + 2, size(sms)), b ->
@@ -287,7 +313,8 @@ object Dedup {
       .select(col("id"), col("id").as("lbl")).persist()
     var converged = false
     var iter = 0
-    while (!converged && iter < 20) {
+    val maxIter = 64 // propagation needs <= graph-diameter rounds
+    while (!converged && iter < maxIter) {
       val prop = edges.join(labels, col("dst") === col("id"))
         .groupBy(col("src")).agg(min("lbl").as("nbr_lbl"))
       val next = labels.join(prop, col("id") === col("src"), "left")
@@ -301,6 +328,12 @@ object Dedup {
       iter += 1
     }
     edges.unpersist()
+    // Never return silently-wrong labels: a dup graph with diameter >
+    // maxIter is pathological (the oracle's transitive closure would
+    // disagree) — fail loudly instead.
+    if (!converged)
+      throw new IllegalStateException(
+        s"dupClusters did not converge within $maxIter rounds")
     labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
       .withColumn("is_canonical", col("doc_id") === col("cluster_id"))
       .orderBy("doc_id")

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -54,18 +54,18 @@ object EventLogOps {
   def parse(spark: SparkSession, dir: String): DataFrame =
     Tables.eventsRaw(spark, dir)
       .select(col("event_id"), tsUs.as("ts_us"), col("props"),
-        get_json_object(col("props"), "$.k").cast(IntegerType).as("k"))
+        expr("try_cast(get_json_object(props, '$.k') AS INT)").as("k"))
       .where(col("ts_us").isNotNull && col("props").isNotNull && col("k").isNotNull)
       .select(col("event_id"), col("ts_us"), col("k"), col("props").as("detail"))
       .orderBy("event_id")
 
   val parseSql: String =
     """SELECT event_id, epoch_us(ts) AS ts_us,
-      |  CAST(json_extract_string(props, '$.k') AS INT) AS k,
+      |  TRY_CAST(json_extract_string(props, '$.k') AS INT) AS k,
       |  props AS detail
       |FROM events
       |WHERE ts IS NOT NULL AND props IS NOT NULL
-      |  AND json_extract_string(props, '$.k') IS NOT NULL
+      |  AND TRY_CAST(json_extract_string(props, '$.k') AS INT) IS NOT NULL
       |ORDER BY event_id""".stripMargin
 
   // ---------------------------------------------------------------- A2
@@ -103,22 +103,43 @@ object EventLogOps {
         |                        timestamp'2024-01-31 00:00:00',
         |                        interval 1 hour)) AS probe_ts""".stripMargin))
 
-  /** Parameterized form: answer arbitrary probe instants (column
-    * `probe_ts`, hour-aligned) against the event log. */
+  /** Parameterized form: answer HOUR-ALIGNED probe instants (column
+    * `probe_ts`; enforced by truncation) against the event log — the
+    * probe set may be arbitrary and sparse, it need not cover the
+    * event span.
+    *
+    * The hourly event aggregates are UNIONED into the window timeline
+    * (not equi-joined), so a probe inherits the nearest non-empty
+    * hour's offsets via suffix-min/prefix-max — an exact-hour match is
+    * not required. Same-instant ordering: for the forward seek the
+    * event row sorts with the probe's frame (ts >= probe includes the
+    * probe's own hour); for the backward fallback it is excluded
+    * (strictly earlier only). */
   def nearestOffsetFor(spark: SparkSession, dir: String, probes: DataFrame): DataFrame = {
     val ev = Tables.events(spark, dir)
     val hourly = ev
-      .groupBy(date_trunc("hour", col("ts_us")).as("h"))
+      .groupBy(date_trunc("hour", col("ts_us")).as("t"))
       .agg(min("event_id").as("min_id"), max("event_id").as("max_id"))
-    val wSuffixMin = Window.orderBy(col("probe_ts").desc)
+      .withColumn("is_probe", lit(0))
+    val probeRows = probes
+      .select(date_trunc("hour", col("probe_ts")).as("t"))
+      .withColumn("min_id", lit(null).cast("long"))
+      .withColumn("max_id", lit(null).cast("long"))
+      .withColumn("is_probe", lit(1))
+    val timeline = hourly.unionByName(probeRows)
+    // suffix-min over (t desc, events-before-probes at equal t): the
+    // probe's frame includes its own hour's event row
+    val wFwd = Window.orderBy(col("t").desc, col("is_probe"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wPrefixMax = Window.orderBy(col("probe_ts"))
+    // prefix-max over (t asc, probes-before-events at equal t): the
+    // probe's frame excludes its own hour (strictly earlier)
+    val wBwd = Window.orderBy(col("t"), col("is_probe").desc)
       .rowsBetween(Window.unboundedPreceding, -1)
-    probes
-      .join(hourly, col("probe_ts") === col("h"), "left")
-      .withColumn("fwd", min("min_id").over(wSuffixMin))
-      .withColumn("bwd", max("max_id").over(wPrefixMax))
-      .select(unix_micros(col("probe_ts")).as("probe_us"),
+    timeline
+      .withColumn("fwd", min("min_id").over(wFwd))
+      .withColumn("bwd", max("max_id").over(wBwd))
+      .where(col("is_probe") === 1)
+      .select(unix_micros(col("t")).as("probe_us"),
         coalesce(col("fwd"), col("bwd")).as("offset_id"))
       .orderBy("probe_us")
   }
@@ -173,17 +194,22 @@ object EventLogOps {
       |ORDER BY event_id""".stripMargin
 
   // ---------------------------------------------------------------- A6
-  /** SSE frame projection (service.go:271): `data: <json>\n\n`, where
-    * the json carries the RFC3339 time and the raw detail payload. The
-    * frame is assembled with concat (not to_json) so the bytes are
-    * engine-independent. */
+  /** SSE frame `data: {"time":"<RFC3339-µs>","detail":<json>}\n\n` —
+    * byte-compatible with service.go:271's `data: %s\n\n`. THE single
+    * source of the frame format: the batch projection, the service
+    * facade, and the streaming sink all use this column. Assembled
+    * with concat (not to_json) so the bytes are engine-independent. */
+  def sseFrameCol(tsUs: Column, detail: Column): Column =
+    concat(
+      lit("data: {\"time\":\""),
+      date_format(tsUs, "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'"),
+      lit("\",\"detail\":"), detail, lit("}\n\n"))
+
+  /** SSE frame projection (service.go:271). */
   def sseFrames(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .select(col("event_id"),
-        concat(
-          lit("data: {\"time\":\""),
-          date_format(col("ts_us"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'"),
-          lit("\",\"detail\":"), col("props"), lit("}\n\n")).as("frame"))
+        sseFrameCol(col("ts_us"), col("props")).as("frame"))
       .orderBy("event_id")
 
   val sseFramesSql: String =

@@ -32,10 +32,7 @@ object EventLogService {
     ev.crossJoin(broadcast(resolved))
       .where(col("event_id") >= col("start_offset"))
       .select(col("event_id"),
-        concat(
-          lit("data: {\"time\":\""),
-          date_format(col("ts_us"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'"),
-          lit("\",\"detail\":"), col("props"), lit("}\n\n")).as("frame"))
+        EventLogOps.sseFrameCol(col("ts_us"), col("props")).as("frame"))
       .orderBy("event_id")
   }
 }

@@ -328,7 +328,9 @@ object Relational {
     * happens before the shuffle so only (k, partials) move. */
   def qJsonExtract(spark: SparkSession, dir: String): DataFrame =
     Tables.eventsRaw(spark, dir)
-      .select(get_json_object(col("props"), "$.k").cast("int").as("k"),
+      // try_cast: a malformed $.k degrades to NULL-and-filtered on both
+      // engines instead of throwing under Spark's default ANSI mode
+      .select(expr("try_cast(get_json_object(props, '$.k') AS INT)").as("k"),
         col("value"))
       .where(col("k").isNotNull)
       .groupBy(col("k"))
@@ -337,11 +339,11 @@ object Relational {
       .orderBy(col("k"))
 
   val qJsonExtractSql: String =
-    """SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k,
+    """SELECT TRY_CAST(json_extract_string(props, '$.k') AS INT) AS k,
       |  count(*) AS n,
       |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
       |FROM events
-      |WHERE json_extract_string(props, '$.k') IS NOT NULL
+      |WHERE TRY_CAST(json_extract_string(props, '$.k') AS INT) IS NOT NULL
       |GROUP BY 1
       |ORDER BY k""".stripMargin
 

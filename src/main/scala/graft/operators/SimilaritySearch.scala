@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.Vectors
+import graft.functions.{TopK, Vectors}
 import graft.sources.Tables
 
 /** Approximate-nearest-neighbor search over the `embeddings` table
@@ -29,25 +29,24 @@ object SimilaritySearch {
         Vectors.cosineFast(spark, col("q_emb"), col("embedding")).as("cos_sim"))
   }
 
-  // ---------------------------------------------------------------- D1
-  /** Brute-force exact cosine top-k, two-stage: queries are broadcast,
-    * every partition keeps its local top-k per query (first window is
-    * partitioned by (query, input partition) — balanced across the
-    * cluster), then only k·P rows per query reach the final top-k.
-    * The full table never shuffles. */
-  def bruteTopK(spark: SparkSession, dir: String): DataFrame = {
-    val scored = scoredAgainstQueries(spark, dir)
-      .withColumn("pid", spark_partition_id())
-    val wLocal = Window.partitionBy("query_id", "pid")
-      .orderBy(round(col("cos_sim"), 9).desc, col("vec_id"))
-    val wGlobal = Window.partitionBy("query_id")
-      .orderBy(round(col("cos_sim"), 9).desc, col("vec_id"))
-    scored
-      .withColumn("lrk", row_number().over(wLocal)).where(col("lrk") <= K)
-      .withColumn("rank", row_number().over(wGlobal)).where(col("rank") <= K)
-      .select(col("query_id"), col("rank"), col("vec_id"), col("cos_sim"))
+  /** Expand a `hits` array of top-k (id, sim) structs into ranked rows. */
+  private def explodeRanked(df: DataFrame): DataFrame =
+    df.select(col("query_id"), posexplode(col("hits")).as(Seq("i", "h")))
+      .select(col("query_id"), (col("i") + 1).cast("int").as("rank"),
+        col("h.id").as("vec_id"), col("h.sim").as("cos_sim"))
       .orderBy("query_id", "rank")
-  }
+
+  // ---------------------------------------------------------------- D1
+  /** Brute-force exact cosine top-k via the bounded TopK Aggregator
+    * ([[graft.functions.TopK]]): queries are broadcast, scoring is
+    * map-side, and the PARTIAL aggregation already reduces every
+    * partition to ≤k rows per query — only k·P rows cross the shuffle;
+    * the scored table never does. */
+  def bruteTopK(spark: SparkSession, dir: String): DataFrame =
+    explodeRanked(
+      scoredAgainstQueries(spark, dir)
+        .groupBy("query_id")
+        .agg(TopK.topk(spark, K, col("vec_id"), col("cos_sim")).as("hits")))
 
   val bruteTopKSql: String =
     s"""SELECT query_id, rank, vec_id, cos_sim FROM (
@@ -88,15 +87,13 @@ object SimilaritySearch {
       .withColumn("rk", row_number().over(wVec)).where(col("rk") <= NProbe)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"), col("label"))
 
-    val wQuery = Window.partitionBy("query_id")
-      .orderBy(round(col("cos_sim"), 9).desc, col("vec_id"))
-    probes.join(assign, Seq("label"))
-      .where(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id"),
-        Vectors.cosineFast(spark, col("q_emb"), col("embedding")).as("cos_sim"))
-      .withColumn("rank", row_number().over(wQuery)).where(col("rank") <= K)
-      .select(col("query_id"), col("rank"), col("vec_id"), col("cos_sim"))
-      .orderBy("query_id", "rank")
+    explodeRanked(
+      probes.join(assign, Seq("label"))
+        .where(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"),
+          Vectors.cosineFast(spark, col("q_emb"), col("embedding")).as("cos_sim"))
+        .groupBy("query_id")
+        .agg(TopK.topk(spark, K, col("vec_id"), col("cos_sim")).as("hits")))
   }
 
   val ivfTopKSql: String =

@@ -42,13 +42,10 @@ object SseSink {
       InMemoryTransport.queue(runId).add(frame)
   }
 
-  /** SSE frame: `data: {"time":"<RFC3339-µs>","detail":<json>}\n\n` —
-    * byte-compatible with service.go:271's `data: %s\n\n`. */
+  /** SSE frame over the standard event columns; the format itself has
+    * one source of truth in [[graft.operators.EventLogOps.sseFrameCol]]. */
   def frameCol: org.apache.spark.sql.Column =
-    concat(
-      lit("data: {\"time\":\""),
-      date_format(col("ts_us"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'"),
-      lit("\",\"detail\":"), col("props"), lit("}\n\n"))
+    graft.operators.EventLogOps.sseFrameCol(col("ts_us"), col("props"))
 
   def writer(transport: SseTransport): ForeachWriter[Row] =
     new ForeachWriter[Row] {

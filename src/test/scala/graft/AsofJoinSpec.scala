@@ -20,6 +20,19 @@ class AsofJoinSpec extends SparkSpec {
     assert(res("p3") == null)   // key 2 has no right rows; key 3 isolated
   }
 
+  test("a matched row's NULL payload is preserved, not skipped backward") {
+    import spark.implicits._
+    val left = Seq((1L, 15L, "p")).toDF("k", "t", "name")
+    // the ts=10 row is the asof match and carries tag=NULL; an older
+    // row (ts=5) has a non-null tag that must NOT leak forward
+    val right = Seq((1L, 5L, Some("old"), 100L), (1L, 10L, None, 101L))
+      .toDF("k", "t", "tag", "rid")
+    val res = AsofJoin.backward(left, right, "k", "t",
+      payload = Seq("tag", "rid"), tiebreak = "rid").collect()(0)
+    assert(res.isNullAt(res.fieldIndex("asof_tag")), "stale payload leaked")
+    assert(res.getLong(res.fieldIndex("asof_rid")) == 101L)
+  }
+
   test("attribution matches a window-free per-row computation") {
     val got = AsofJoin.attribution(spark, sfDir)
       .select("event_id", "asof_click_id").collect()

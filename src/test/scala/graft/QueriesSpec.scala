@@ -35,6 +35,31 @@ class QueriesSpec extends SparkSpec {
     assert(ids.sorted.sameElements(ids), "output sorted by offset")
   }
 
+  test("nearest-offset: sparse probes resolve from neighboring hours") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.TimestampType
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+      .select(col("event_id"), expr("ts DIV 1000").as("us"))
+    val Seq(minUs, maxUs) = ev.agg(min("us"), max("us")).collect()(0)
+      .toSeq.map(_.asInstanceOf[Long])
+    // three probes: before all data, mid-range on an arbitrary hour,
+    // and after all data — none guaranteed to hit a non-empty hour
+    val hourUs = 3600L * 1000000
+    val probesUs = Seq(minUs - 5 * hourUs, (minUs + maxUs) / 2, maxUs + 5 * hourUs)
+      .map(u => u - u % hourUs)
+    val probes = probesUs.toDF("us")
+      .select(timestamp_micros(col("us")).as("probe_ts"))
+    val got = graft.operators.EventLogOps
+      .nearestOffsetFor(spark, sfDir, probes)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val evs = ev.collect().map(r => (r.getLong(0), r.getLong(1)))
+    probesUs.foreach { p =>
+      val fwd = evs.filter(_._2 >= p).map(_._1).minOption
+      val bwd = evs.filter(_._2 < p).map(_._1).maxOption
+      assert(got(p) == fwd.orElse(bwd).get, s"probe $p")
+    }
+  }
+
   test("nearest-offset: forward seek else backward fallback is total") {
     val df = graft.operators.EventLogOps.nearestOffset(spark, sfDir)
     assert(df.where(col("offset_id").isNull).count() == 0,
