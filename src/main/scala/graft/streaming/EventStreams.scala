@@ -16,24 +16,35 @@ import graft.sources.Tables
   * model), with an explicit schema (required by streaming sources) and
   * AvailableNow termination so batch oracles can verify the result.
   *
-  * At scale the file source is swapped for a real Kinesis/Kafka source
-  * with identical downstream plan: watermark → tumbling window →
-  * partial-agg shuffle on (window, route). State is bounded by the
-  * watermark; each micro-batch shuffles only its own partial
-  * aggregates.
+  * At scale the file source is swapped for a real Kinesis/Kafka
+  * source. NOTE the output-mode trade: [[EventStreams.windowCounts]]
+  * runs COMPLETE mode with no watermark so its final state equals the
+  * batch answer on finite data (the DuckDB-verifiable form) — state
+  * there grows with the number of windows, which is fine for a
+  * bounded replay but NOT for a continuous deployment. A continuous
+  * deployment uses `.withWatermark("ts_us", d).groupBy(window(...))`
+  * in APPEND mode instead — watermark-bounded state, same shuffle
+  * shape (partial aggregates on (window, route)) — accepting that
+  * each window emits only once the watermark passes it.
   */
 object EventStreams {
 
   /** Streaming events: file source with the pinned schema, ts exposed
     * both raw (nanos) and as a µs timestamp for watermarking. */
-  def readEvents(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream
-      .schema(Tables.eventsRawSchema)
-      // the file stream source watches a DIRECTORY; select just the
-      // events table out of the shared sf dir
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .withColumn("ts_us", timestamp_micros(expr("ts DIV 1000")))
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    // same nanos handling the batch path (Tables.apply) guarantees —
+    // a plain session must not fail here when batch reads succeed
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val path = Tables.path(dir, "events")
+    val reader = spark.readStream.schema(Tables.eventsRawSchema)
+    // the file stream source watches a DIRECTORY: if the table IS a
+    // directory (part-file layout) watch it directly; a single-file
+    // table is selected out of the shared sf dir by leaf-name glob
+    val stream =
+      if (new java.io.File(path).isDirectory) reader.parquet(path)
+      else reader.option("pathGlobFilter", "events.parquet").parquet(dir)
+    stream.withColumn("ts_us", timestamp_micros(expr("ts DIV 1000")))
+  }
 
   private val D = DecimalType(18, 2)
 
@@ -53,10 +64,16 @@ object EventStreams {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.table(name)
+    // cut the plan from the memory-sink view (localCheckpoint) so the
+    // view can be dropped — otherwise every invocation leaks a
+    // fully-materialized result table for the session lifetime
+    val out = spark.table(name)
       .select(unix_micros(col("window.start")).as("window_start_us"),
         col("event_type"), col("n"), col("total_value"))
       .orderBy("window_start_us", "event_type")
+      .localCheckpoint()
+    spark.catalog.dropTempView(name)
+    out
   }
 
   val windowCountsSql: String =

@@ -22,11 +22,16 @@ object RetentionState {
 
   /** Incremental top-N by offset: insert keeping the list sorted
     * descending, truncated at capacity. N is small (retention bound),
-    * so insertion is O(capacity) worst-case per event. */
+    * so insertion is O(capacity) worst-case per event. Redelivery of
+    * an already-retained offset is a no-op (offsets are unique in the
+    * log, as in memlog) — a duplicate must not evict a distinct entry. */
   private[graft] def insert(entries: List[Ev], e: Ev, capacity: Int): List[Ev] = {
     val (hi, lo) = entries.span(_.offset > e.offset)
-    val merged = hi ::: e :: lo
-    if (merged.length > capacity) merged.take(capacity) else merged
+    if (lo.headOption.exists(_.offset == e.offset)) entries
+    else {
+      val merged = hi ::: e :: lo
+      if (merged.length > capacity) merged.take(capacity) else merged
+    }
   }
 
   /** Bounded log over a (possibly streaming) Dataset[Ev]; emits the

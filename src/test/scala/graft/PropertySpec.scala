@@ -47,11 +47,12 @@ class PropertySpec extends AnyFunSuite {
     val rnd = new scala.util.Random(11)
     for (_ <- 1 to 200) {
       val cap = 1 + rnd.nextInt(10)
-      val offs = rnd.shuffle(List.tabulate(rnd.nextInt(30))(i => i.toLong))
+      // duplicates included: redelivery must not evict distinct entries
+      val offs = List.fill(rnd.nextInt(40))(rnd.nextInt(20).toLong)
       val evs = offs.map(o => Ev("r", o, o * 10))
       val log = evs.foldLeft(List.empty[Ev])((acc, e) =>
         RetentionState.insert(acc, e, cap))
-      val expected = offs.sorted(Ordering[Long].reverse).take(cap)
+      val expected = offs.distinct.sorted(Ordering[Long].reverse).take(cap)
       assert(log.map(_.offset) == expected)
     }
   }
