@@ -65,6 +65,18 @@ class PlanSpec extends SparkSpec {
       s"extraction not map-side:\n$plan")
   }
 
+  test("hash sampling is a narrow scan (no shuffle at all)") {
+    val plan = finalPlan(graft.operators.Sampling.hashSample(spark, sfDir))
+    // the only exchange allowed is the final single-partition orderBy
+    assert(!plan.contains("hashpartitioning"), s"sampling shuffles:\n$plan")
+  }
+
+  test("brute top-k partial-aggregates map-side (k rows per partition cross)") {
+    val plan = finalPlan(graft.operators.SimilaritySearch.bruteTopK(spark, sfDir))
+    assert("ObjectHashAggregate".r.findAllIn(plan).size >= 2,
+      s"no partial object agg:\n$plan")
+  }
+
   test("native graft_cosine stays in the codegen'd plan (no UDF)") {
     val df = graft.operators.SimilaritySearch.bruteTopK(spark, sfDir)
     val plan = finalPlan(df)
