@@ -37,6 +37,17 @@ object Portable {
   def bagSignatureSql(text: String): String =
     s"md5(array_to_string(list_sort(list_distinct(string_split($text, ' '))), ' '))"
 
+  /** Strict integer-string cast: only pure integer strings of ≤9
+    * digits (always fits INT32) survive; everything else is NULL.
+    * Needed because the engines' lenient casts disagree — Spark
+    * try_cast('3.5' AS INT) is NULL while DuckDB TRY_CAST rounds to 4.
+    * The shared regexp makes the kept-row set identical. */
+  val IntStrictRe = "^-?[0-9]{1,9}$"
+  def intStrict(c: Column): Column =
+    when(c.rlike(IntStrictRe), c).cast("int")
+  def intStrictSql(c: String): String =
+    s"(CASE WHEN regexp_matches($c, '$IntStrictRe') THEN CAST($c AS INT) END)"
+
   /** Sum of word-boundary hits for a stopword set over padded text. */
   def stopwordHits(p: Column, words: Seq[String]): Column =
     words.map(w => countSubstr(p, s" $w ")).reduce(_ + _)

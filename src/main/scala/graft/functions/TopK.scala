@@ -19,11 +19,19 @@ object TopK {
 
   case class Scored(id: Long, sim: Double)
 
-  /** true if a ranks strictly before b. */
+  /** true if a ranks strictly before b. Non-finite sims (a zero-
+    * magnitude embedding makes cosine 0/0 = NaN) rank LAST with the id
+    * tiebreak — deterministic instead of BigDecimal(NaN) throwing. */
   private def before(a: Scored, b: Scored): Boolean = {
-    val ra = BigDecimal(a.sim).setScale(9, BigDecimal.RoundingMode.HALF_UP)
-    val rb = BigDecimal(b.sim).setScale(9, BigDecimal.RoundingMode.HALF_UP)
-    if (ra != rb) ra > rb else a.id < b.id
+    val fa = java.lang.Double.isFinite(a.sim)
+    val fb = java.lang.Double.isFinite(b.sim)
+    if (fa != fb) fa
+    else if (!fa) a.id < b.id
+    else {
+      val ra = BigDecimal(a.sim).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+      val rb = BigDecimal(b.sim).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+      if (ra != rb) ra > rb else a.id < b.id
+    }
   }
 
   class TopKAgg(k: Int) extends Aggregator[Scored, List[Scored], Seq[Scored]] {

@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
+import graft.functions.Portable
 import graft.sources.Tables
 
 /** The reference's event-log surface, re-expressed as Spark batch
@@ -54,18 +55,18 @@ object EventLogOps {
   def parse(spark: SparkSession, dir: String): DataFrame =
     Tables.eventsRaw(spark, dir)
       .select(col("event_id"), tsUs.as("ts_us"), col("props"),
-        expr("try_cast(get_json_object(props, '$.k') AS INT)").as("k"))
+        Portable.intStrict(get_json_object(col("props"), "$.k")).as("k"))
       .where(col("ts_us").isNotNull && col("props").isNotNull && col("k").isNotNull)
       .select(col("event_id"), col("ts_us"), col("k"), col("props").as("detail"))
       .orderBy("event_id")
 
   val parseSql: String =
-    """SELECT event_id, epoch_us(ts) AS ts_us,
-      |  TRY_CAST(json_extract_string(props, '$.k') AS INT) AS k,
+    s"""SELECT event_id, epoch_us(ts) AS ts_us,
+      |  ${Portable.intStrictSql("json_extract_string(props, '$.k')")} AS k,
       |  props AS detail
       |FROM events
       |WHERE ts IS NOT NULL AND props IS NOT NULL
-      |  AND TRY_CAST(json_extract_string(props, '$.k') AS INT) IS NOT NULL
+      |  AND ${Portable.intStrictSql("json_extract_string(props, '$.k')")} IS NOT NULL
       |ORDER BY event_id""".stripMargin
 
   // ---------------------------------------------------------------- A2
@@ -199,11 +200,26 @@ object EventLogOps {
     * source of the frame format: the batch projection, the service
     * facade, and the streaming sink all use this column. Assembled
     * with concat (not to_json) so the bytes are engine-independent. */
-  def sseFrameCol(tsUs: Column, detail: Column): Column =
+  def sseFrameCol(tsUs: Column, detail: Column): Column = {
+    // Wall-clock fields derived arithmetically from µs-since-epoch, so
+    // the 'Z'-labeled rendering is correct in ANY session timezone
+    // (date_format renders in the session zone — a non-UTC caller
+    // would emit frames labeled UTC containing local time). Double
+    // division is exact here: µs values stay under 2^53 until ~2255.
+    val us = unix_micros(tsUs)
+    val day = floor(us / 86400000000L)
+    val rem = us - day * 86400000000L
+    val h = floor(rem / 3600000000L)
+    val m = floor(pmod(rem, lit(3600000000L)) / 60000000L)
+    val s = floor(pmod(rem, lit(60000000L)) / 1000000L)
+    def p2(c: Column) = lpad(c.cast("string"), 2, "0")
     concat(
       lit("data: {\"time\":\""),
-      date_format(tsUs, "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'"),
+      date_format(date_add(to_date(lit("1970-01-01")), day.cast("int")), "yyyy-MM-dd"),
+      lit("T"), p2(h), lit(":"), p2(m), lit(":"), p2(s),
+      lit("."), lpad(pmod(us, lit(1000000L)).cast("string"), 6, "0"), lit("Z"),
       lit("\",\"detail\":"), detail, lit("}\n\n"))
+  }
 
   /** SSE frame projection (service.go:271). */
   def sseFrames(spark: SparkSession, dir: String): DataFrame =

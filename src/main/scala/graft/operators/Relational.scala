@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
+import graft.functions.Portable
 import graft.sources.Tables
 
 /** Relational core: the query-engine capabilities underneath the
@@ -276,7 +277,10 @@ object Relational {
       .withColumn("prev_us", lag(col("us"), 1).over(wOrd))
       .withColumn("new_sess",
         when(col("prev_us").isNull || col("us") - col("prev_us") > gapUs, 1).otherwise(0))
-      .withColumn("session_id", sum(col("new_sess")).over(wOrd))
+      // Explicit ROWS frame: the default RANGE frame only coincidentally
+      // matches because (us, event_id) is unique per partition.
+      .withColumn("session_id", sum(col("new_sess"))
+        .over(wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy(col("user_id"), col("session_id"))
       .agg(count(lit(1)).as("n_events"),
         min(col("us")).as("start_us"), max(col("us")).as("end_us"))
@@ -290,9 +294,10 @@ object Relational {
       |  FROM events),
       |s AS (
       |  SELECT user_id, us,
-      |    sum(CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000 THEN 1 ELSE 0 END)
+      |    -- CAST: DuckDB sums to HUGEINT; Spark emits BIGINT. Pin both to BIGINT.
+      |    CAST(sum(CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000 THEN 1 ELSE 0 END)
       |      OVER (PARTITION BY user_id ORDER BY us, event_id
-      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
       |  FROM e)
       |SELECT user_id, session_id, count(*) AS n_events,
       |  min(us) AS start_us, max(us) AS end_us
@@ -328,9 +333,10 @@ object Relational {
     * happens before the shuffle so only (k, partials) move. */
   def qJsonExtract(spark: SparkSession, dir: String): DataFrame =
     Tables.eventsRaw(spark, dir)
-      // try_cast: a malformed $.k degrades to NULL-and-filtered on both
-      // engines instead of throwing under Spark's default ANSI mode
-      .select(expr("try_cast(get_json_object(props, '$.k') AS INT)").as("k"),
+      // intStrict: a malformed $.k degrades to NULL-and-filtered with
+      // IDENTICAL kept-row sets on both engines (their lenient casts
+      // disagree on e.g. '3.5' — see Portable.intStrict)
+      .select(Portable.intStrict(get_json_object(col("props"), "$.k")).as("k"),
         col("value"))
       .where(col("k").isNotNull)
       .groupBy(col("k"))
@@ -339,11 +345,11 @@ object Relational {
       .orderBy(col("k"))
 
   val qJsonExtractSql: String =
-    """SELECT TRY_CAST(json_extract_string(props, '$.k') AS INT) AS k,
+    s"""SELECT ${Portable.intStrictSql("json_extract_string(props, '$.k')")} AS k,
       |  count(*) AS n,
       |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
       |FROM events
-      |WHERE TRY_CAST(json_extract_string(props, '$.k') AS INT) IS NOT NULL
+      |WHERE ${Portable.intStrictSql("json_extract_string(props, '$.k')")} IS NOT NULL
       |GROUP BY 1
       |ORDER BY k""".stripMargin
 

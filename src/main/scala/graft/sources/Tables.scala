@@ -133,7 +133,17 @@ object Tables {
     * ≥cores splits and this is a no-op — no shuffle is added. */
   def parallelized(spark: SparkSession, df: DataFrame): DataFrame = {
     val target = spark.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    // Plan-time split estimate from relation statistics (total bytes /
+    // maxPartitionBytes) instead of df.rdd.getNumPartitions, which
+    // materialized the physical RDD lineage on the driver for every
+    // signature-pipeline query. The estimate is a lower bound on the
+    // real split count (file packing only produces MORE splits when
+    // maxSplitBytes shrinks below maxPartitionBytes), so large inputs
+    // — where estSplits >= cores — are a guaranteed no-op.
+    val maxPartitionBytes = 128L * 1024 * 1024 // spark.sql.files.maxPartitionBytes default
+    val estSplits = (df.queryExecution.optimizedPlan.stats.sizeInBytes /
+      maxPartitionBytes).toLong + 1
+    if (estSplits < target) df.repartition(target) else df
   }
 
   /** events with `ts` as raw nanos BIGINT (pushdown-friendly). */
