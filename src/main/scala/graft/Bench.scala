@@ -30,7 +30,8 @@ object Bench {
     // single shot cannot distinguish noise from regression. All runs are
     // reported ("runs") so the spread itself is visible; "queries" keeps
     // the per-query minimum and "value" their sum.
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
+    val reps = scala.util.Try(sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").trim.toInt)
+      .getOrElse(3).max(1)
     val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
     val allRuns = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
@@ -60,14 +61,21 @@ object Bench {
         case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
         case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
       } + "\""
-    val qs = timings.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
+    // Millisecond precision on the wire: the driver captures only a
+    // bounded TAIL of stdout, and r3's full-precision line (with the
+    // per-rep "runs" object) overflowed it — the driver recorded
+    // "parsed": null. The stdout line stays compact (rounded values, no
+    // runs); the file copy keeps every rep at full precision.
+    def r3(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = timings.map { case (k, v) => s"${jstr(k)}:${r3(v)}" }.mkString("{", ",", "}")
     val rs = allRuns.map { case (k, v) => s"${jstr(k)}:${v.mkString("[", ",", "]")}" }.mkString("{", ",", "}")
     val es = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     val total = timings.values.sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$rs,"reps":$reps,"errors":$es,"n_ok":${timings.size},"n_err":${errors.size},"sf":${jstr(sfDir)}}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"reps":$reps,"errors":$es,"n_ok":${timings.size},"n_err":${errors.size},"sf":${jstr(sfDir)}}"""
     println(line)
-    Files.writeString(Paths.get(out), line + "\n")
+    Files.writeString(Paths.get(out),
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$rs,"reps":$reps,"errors":$es,"n_ok":${timings.size},"n_err":${errors.size},"sf":${jstr(sfDir)}}""" + "\n")
     spark.stop()
     if (errors.nonEmpty) System.err.println(s"[bench] ${errors.size} queries failed: ${errors.keys.mkString(", ")}")
   }

@@ -41,7 +41,15 @@ object Portable {
     * digits (always fits INT32) survive; everything else is NULL.
     * Needed because the engines' lenient casts disagree — Spark
     * try_cast('3.5' AS INT) is NULL while DuckDB TRY_CAST rounds to 4.
-    * The shared regexp makes the kept-row set identical. */
+    * The shared regexp makes the kept-row set identical.
+    *
+    * KNOWN DEVIATION (deliberate): 10-digit INT32 strings such as
+    * '2000000000' and leading-zero forms like '0000000123' are
+    * rejected, where a Go-style strconv.Atoi would accept them. A
+    * width check is engine-portable; a value-range check is not
+    * (DuckDB CAST errors on overflow where Spark try_cast nulls), so
+    * the ≤9-digit rule is the widest form both engines evaluate
+    * identically. The generator's props values are ≤6 digits. */
   val IntStrictRe = "^-?[0-9]{1,9}$"
   def intStrict(c: Column): Column =
     when(c.rlike(IntStrictRe), c).cast("int")

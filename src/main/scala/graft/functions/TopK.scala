@@ -19,14 +19,24 @@ object TopK {
 
   case class Scored(id: Long, sim: Double)
 
-  /** true if a ranks strictly before b. Non-finite sims (a zero-
-    * magnitude embedding makes cosine 0/0 = NaN) rank LAST with the id
-    * tiebreak — deterministic instead of BigDecimal(NaN) throwing. */
+  /** true if a ranks strictly before b. Non-finite sims follow BOTH
+    * engines' double sort order — Spark and DuckDB sort NaN greater
+    * than everything (incl. +Inf), so a DESC rank puts NaN first, then
+    * +Inf, then finite desc, then -Inf. A zero-magnitude embedding
+    * (cosine 0/0 = NaN) therefore ranks identically here and in the
+    * oracle's row_number() OVER (ORDER BY ... DESC) instead of
+    * silently diverging. Finite values compare on round(sim, 9) so
+    * ~1e-15 cross-engine summation noise can't flip a rank. */
+  private def rankClass(sim: Double): Int =
+    if (sim.isNaN) 0
+    else if (sim == Double.PositiveInfinity) 1
+    else if (sim == Double.NegativeInfinity) 3
+    else 2
   private def before(a: Scored, b: Scored): Boolean = {
-    val fa = java.lang.Double.isFinite(a.sim)
-    val fb = java.lang.Double.isFinite(b.sim)
-    if (fa != fb) fa
-    else if (!fa) a.id < b.id
+    val ca = rankClass(a.sim)
+    val cb = rankClass(b.sim)
+    if (ca != cb) ca < cb
+    else if (ca != 2) a.id < b.id
     else {
       val ra = BigDecimal(a.sim).setScale(9, BigDecimal.RoundingMode.HALF_UP)
       val rb = BigDecimal(b.sim).setScale(9, BigDecimal.RoundingMode.HALF_UP)

@@ -173,35 +173,43 @@ object Dedup {
       |ORDER BY doc_a, doc_b""".stripMargin
 
   // ---------------------------------------------------------------- C3
-  /** SimHash (32-bit, one bit per md5 hex position over the shingle
-    * set) + byte-banded candidate join + Hamming ≤ 4 filter. Bit p is
-    * the majority vote of nibble-high across shingle hashes.
+  /** SimHash (60-bit, one bit per hex position across two md5s of each
+    * shingle) + 15-bit-banded candidate join + Hamming ≤ 4 filter. Bit
+    * p is the majority vote of nibble-high across shingle hashes.
     *
-    * Scale note: the 4×256-key banding means bucket population grows
-    * ~N/256 — fine to ~10⁵ docs; beyond that the BucketCap (applied
-    * identically in the oracle) bounds compute at the cost of recall
-    * in overfull buckets, and the standard fix is the sorted-prefix
-    * multi-permutation index (Manku et al.) rather than wider bands
-    * (which would lose the hamming-pigeonhole recall guarantee). */
+    * Scale note: 4 bands × 32768 keys puts the band-bucket population
+    * at ~N/32768 — the old 32-bit/4×256 form hit its N/256 ceiling at
+    * ~10⁵ docs, this one holds to ~10⁷; beyond that the BucketCap
+    * (applied identically in the oracle) bounds compute, and the next
+    * step is the sorted-prefix multi-permutation index (Manku et al.),
+    * which trades band count for permutation count without losing the
+    * hamming-pigeonhole recall guarantee (ham ≤ 3 pairs are certain to
+    * collide in ≥1 of the 4 bands; ham = 4 pairs collide unless every
+    * flipped bit lands in a distinct band). */
+  private val SimhashBits = 60
+  private val SimhashBandBits = 15 // 4 bands x 15 bits
   def simhash(spark: SparkSession, dir: String): DataFrame = {
-    // Exploded shingles + 32 codegen'd conditional-count aggregates
-    // (one per md5 hex position): the nibble-majority per position is
-    // computed map-side; only one 33-column row per doc shuffles.
-    val highs = (1 to 32).map { p =>
-      sum(when(substring(col("h"), p, 1)
+    // Exploded shingles + 60 codegen'd conditional-count aggregates
+    // (hex positions 1-32 of md5(x), 1-28 of md5('2:'||x)): the
+    // nibble-majority per position is computed map-side; only one
+    // 61-column row per doc shuffles.
+    val highs = (1 to SimhashBits).map { p =>
+      val (h, pos) = if (p <= 32) (col("h1"), p) else (col("h2"), p - 32)
+      sum(when(substring(h, pos, 1)
         .isin("8", "9", "a", "b", "c", "d", "e", "f"), 1).otherwise(0)).as(s"hi_$p")
     }
     val counts = withShingles(spark, dir, par = true)
       .select(col("doc_id"), explode(col("sh")).as("x"))
-      .select(col("doc_id"), md5(col("x")).as("h"))
+      .select(col("doc_id"), md5(col("x")).as("h1"),
+        md5(concat(lit("2:"), col("x"))).as("h2"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("nsh"), highs: _*)
-    val bitTerms = (1 to 32).map { p =>
+    val bitTerms = (1 to SimhashBits).map { p =>
       s"(CASE WHEN 2 * hi_$p > nsh THEN ${1L << (p - 1)}L ELSE 0L END)"
     }.mkString(" + ")
     val sigs = counts.select(col("doc_id"), expr(bitTerms).as("simhash"))
     val bands = sigs.select(col("doc_id"), col("simhash"),
-      explode(expr("transform(sequence(0, 3), b -> named_struct('band', b, 'key', CAST(simhash DIV CAST(pow(256, b) AS BIGINT) % 256 AS INT)))")).as("bk"))
+      explode(expr(s"transform(sequence(0, 3), b -> named_struct('band', b, 'key', CAST(simhash DIV CAST(pow(${1 << SimhashBandBits}, b) AS BIGINT) % ${1 << SimhashBandBits} AS INT)))")).as("bk"))
       .select(col("doc_id"), col("simhash"), col("bk.band"), col("bk.key"))
     // bucket-collect pair generation: signatures computed once (see
     // lshPairs for the shape rationale and cap)
@@ -223,16 +231,18 @@ object Dedup {
 
   val simhashSql: String = {
     val hexHigh = "('8','9','a','b','c','d','e','f')"
-    val bitTerms = (1 to 32).map { p =>
-      s"(CASE WHEN 2 * len(list_filter(hs, h -> substring(h, $p, 1) IN $hexHigh)) > len(hs) THEN ${1L << (p - 1)} ELSE 0 END)"
+    val bitTerms = (1 to SimhashBits).map { p =>
+      val (hs, pos) = if (p <= 32) ("hs1", p) else ("hs2", p - 32)
+      s"(CASE WHEN 2 * len(list_filter($hs, h -> substring(h, $pos, 1) IN $hexHigh)) > len($hs) THEN ${1L << (p - 1)} ELSE 0 END)"
     }.mkString(" + ")
     s"""WITH $shinglesSqlCte,
       |sig AS (
       |  SELECT doc_id, $bitTerms AS simhash
-      |  FROM (SELECT doc_id, list_transform(sh, x -> md5(x)) AS hs FROM s) t),
+      |  FROM (SELECT doc_id, list_transform(sh, x -> md5(x)) AS hs1,
+      |               list_transform(sh, x -> md5('2:' || x)) AS hs2 FROM s) t),
       |bands_raw AS (
       |  SELECT doc_id, simhash, b.band,
-      |    CAST((simhash // CAST(pow(256, b.band) AS BIGINT)) % 256 AS INT) AS key
+      |    CAST((simhash // CAST(pow(${1 << SimhashBandBits}, b.band) AS BIGINT)) % ${1 << SimhashBandBits} AS INT) AS key
       |  FROM sig, (SELECT unnest(range(0, 4)) AS band) b),
       |bands AS (
       |  SELECT doc_id, simhash, band, key FROM (
@@ -317,13 +327,19 @@ object Dedup {
     while (!converged && iter < maxIter) {
       val prop = edges.join(labels, col("dst") === col("id"))
         .groupBy(col("src")).agg(min("lbl").as("nbr_lbl"))
+      // convergence detection is FUSED into the propagation pass: the
+      // checkpointed round output carries a per-row `chg` flag, so the
+      // change count is a cheap scan of the materialized round — no
+      // second labels-vs-labels join per iteration (it used to double
+      // every round's cost on the suite's most expensive query)
       val next = labels.join(prop, col("id") === col("src"), "left")
-        .select(col("id"), least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))).as("lbl"))
+        .select(col("id"),
+          least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))).as("lbl"),
+          (coalesce(col("nbr_lbl"), col("lbl")) < col("lbl")).as("chg"))
         .localCheckpoint()
-      val changed = next.as("n").join(labels.as("o"), col("n.id") === col("o.id"))
-        .where(col("n.lbl") =!= col("o.lbl")).count()
+      val changed = next.where(col("chg")).count()
       labels.unpersist()
-      labels = next
+      labels = next.select("id", "lbl")
       converged = changed == 0
       iter += 1
     }
@@ -358,12 +374,33 @@ object Dedup {
       |ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------- C5
-  /** Embedding-cosine near-dup via signed-random-projection LSH: a
-    * 4-bit sign sketch (deterministic ±1 hyperplanes from md5 parity)
-    * buckets vectors; cosine is evaluated only within buckets (~6% of
-    * all pairs at sf0.01), pairs ≥ 0.35 survive. More sketch bits (or
-    * multi-probe) tighten the prune at larger corpus sizes. */
-  val srpBits = 4
+  /** Embedding-cosine near-dup via signed-random-projection LSH whose
+    * bucket count GROWS WITH THE CORPUS: a full srpMaxBits-bit sign
+    * sketch (deterministic ±1 hyperplanes from md5 parity) is computed
+    * per vector, and the number of bits actually used for bucketing is
+    * derived from count(*) inside the query — smallest `ub` with
+    * 2^ub ≥ n / srpTargetPop, so the expected bucket population stays
+    * ≤ srpTargetPop and the within-bucket self-join is ~O(n ·
+    * srpTargetPop), never the old O(n²/16) of a fixed 4-bit sketch.
+    * Recall lost to the extra bits is bought back with 1-bit
+    * multi-probe: each vector also probes the `ub` buckets at Hamming
+    * distance 1 from its own. The bit-width ladder is exact integer
+    * CASE arithmetic (no float log2 whose ceil could disagree across
+    * engines), generated once in Scala for both dialects. */
+  val srpMaxBits = 16
+  val srpTargetPop = 16
+
+  /** Scala mirror of the SQL bit-width ladder: smallest b in
+    * [1, srpMaxBits] with 2^b >= ceil(n / srpTargetPop). */
+  def srpUsedBits(n: Long): Int = {
+    val x = (n + srpTargetPop - 1) / srpTargetPop
+    (1 to srpMaxBits).find(b => (1L << b) >= x).getOrElse(srpMaxBits)
+  }
+
+  private def usedBitsCaseSql(x: String): String =
+    (1 to srpMaxBits).map(b => s"WHEN $x <= ${1L << b} THEN $b")
+      .mkString("(CASE ", " ", s" ELSE $srpMaxBits END)")
+
   /** Deterministic hyperplane sign: md5("j:i") first-nibble parity. */
   def srpSign(j: Int, i: Int): Double = {
     val hex = java.security.MessageDigest.getInstance("MD5")
@@ -378,28 +415,62 @@ object Dedup {
     (0 until 64).map(i =>
       s"CAST($emb[${i + 1}] AS DOUBLE) * ${srpSign(j, i)}").mkString(" + ")
 
+  private def sketchExpr(dot: Int => String): String =
+    (0 until srpMaxBits).map(j =>
+      s"(CASE WHEN ${dot(j)} > 0 THEN ${1L << j} ELSE 0 END)")
+      .mkString("CAST(", " + ", " AS BIGINT)")
+
   def embeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
-    val bucketExpr = (0 until srpBits).map(j =>
-      s"(CASE WHEN ${srpDotExpr(j, "embedding")} > 0 THEN ${1 << j} ELSE 0 END)").mkString(" + ")
-    val sk = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("embedding"), expr(bucketExpr).as("bucket"))
-    sk.as("a").join(sk.as("b"),
-        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        Vectors.cosineFast(spark, col("a.embedding"), col("b.embedding")).as("cos_sim"))
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"),
+        expr(sketchExpr(srpDotExpr(_, "embedding"))).as("sk16"))
+    // 1-row broadcast: the bit width is data-derived inside the plan —
+    // no driver-side count job, and the oracle computes the identical
+    // scalar from its own count(*)
+    val ub = broadcast(emb.agg(count(lit(1)).as("n_vec"))
+      .select(expr(usedBitsCaseSql(
+        s"((n_vec + ${srpTargetPop - 1}) DIV $srpTargetPop)")).as("ub")))
+    val sk = emb.crossJoin(ub)
+      .withColumn("bucket", expr("sk16 % CAST(pow(2, ub) AS BIGINT)"))
+      .select(col("vec_id"), col("embedding"), col("bucket"), col("ub"))
+    // probe rows are (vec_id, bucket') only — 16 bytes each, never the
+    // 64-float payload, so multi-probe does not multiply vector bytes
+    // through the shuffle; b's embedding is fetched by a second
+    // equi-join only for the surviving candidates
+    val probes = sk.select(col("vec_id").as("vec_b"), explode(expr(
+      "concat(array(bucket), transform(sequence(0, ub - 1), i -> bucket ^ CAST(pow(2, i) AS BIGINT)))")).as("probe"))
+    val cands = sk.as("a")
+      .join(probes, col("a.bucket") === col("probe") && col("a.vec_id") < col("vec_b"))
+      .select(col("a.vec_id").as("vec_a"), col("a.embedding").as("emb_a"), col("vec_b"))
+    cands
+      .join(Tables.embeddings(spark, dir)
+        .select(col("vec_id").as("vec_b"), col("embedding").as("emb_b")), "vec_b")
+      .select(col("vec_a"), col("vec_b"),
+        Vectors.cosineFast(spark, col("emb_a"), col("emb_b")).as("cos_sim"))
       .where(round(col("cos_sim"), 9) >= 0.35)
       .orderBy("vec_a", "vec_b")
   }
 
-  val embeddingNearDupSql: String = {
-    val bucketExpr = (0 until srpBits).map(j =>
-      s"(CASE WHEN ${srpDotSqlExpr(j, "embedding")} > 0 THEN ${1 << j} ELSE 0 END)").mkString(" + ")
-    s"""WITH sk AS (
-      |  SELECT vec_id, embedding, $bucketExpr AS bucket FROM embeddings)
-      |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+  val embeddingNearDupSql: String =
+    s"""WITH e AS (
+      |  SELECT vec_id, embedding, ${sketchExpr(srpDotSqlExpr(_, "embedding"))} AS sk16
+      |  FROM embeddings),
+      |u AS (
+      |  SELECT ${usedBitsCaseSql(s"((count(*) + ${srpTargetPop - 1}) // $srpTargetPop)")} AS ub
+      |  FROM e),
+      |sk AS (
+      |  SELECT vec_id, embedding, sk16 % CAST(pow(2, ub) AS BIGINT) AS bucket, ub
+      |  FROM e, u),
+      |probes AS (
+      |  SELECT vec_id AS vec_b,
+      |    unnest(list_prepend(bucket,
+      |      list_transform(range(ub), i -> xor(bucket, CAST(pow(2, i) AS BIGINT))))) AS probe
+      |  FROM sk)
+      |SELECT a.vec_id AS vec_a, p.vec_b AS vec_b,
       |  ${Vectors.cosineSql("a.embedding", "b.embedding")} AS cos_sim
-      |FROM sk a JOIN sk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+      |FROM sk a
+      |JOIN probes p ON a.bucket = p.probe AND a.vec_id < p.vec_b
+      |JOIN embeddings b ON b.vec_id = p.vec_b
       |WHERE round(${Vectors.cosineSql("a.embedding", "b.embedding")}, 9) >= 0.35
       |ORDER BY vec_a, vec_b""".stripMargin
-  }
 }

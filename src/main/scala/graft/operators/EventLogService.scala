@@ -18,6 +18,54 @@ import graft.sources.Tables
   */
 object EventLogService {
 
+  private val UnitNs: Map[String, Long] = Map(
+    "ns" -> 1L, "us" -> 1000L, "µs" -> 1000L, "μs" -> 1000L,
+    "ms" -> 1000000L, "s" -> 1000000000L,
+    "m" -> 60L * 1000000000L, "h" -> 3600L * 1000000000L)
+
+  private val DurTermRe = """(\d+(?:\.\d+)?)(ns|us|µs|μs|ms|s|m|h)""".r
+
+  /** Go-style duration string → nanos ("300ms", "1h", "2h45m",
+    * "1.5h"; time.ParseDuration's grammar, positive terms only —
+    * a negative `since` duration has no meaning for a resume). */
+  def parseGoDurationNs(s: String): Option[Long] = {
+    val body = if (s.startsWith("+")) s.drop(1) else s
+    if (body == "0") Some(0L)
+    else {
+      val terms = DurTermRe.findAllMatchIn(body).toSeq
+      if (terms.isEmpty || terms.map(_.matched).mkString != body) None
+      else Some(terms.map(m => (m.group(1).toDouble * UnitNs(m.group(2))).toLong).sum)
+    }
+  }
+
+  /** `?since=` request-value parsing, the reference's two accepted
+    * forms (service.go:228-242): an RFC3339 instant
+    * ("2024-01-15T00:00:00Z") taken literally, or a Go duration
+    * ("1h") meaning that-long-ago relative to `nowNs`. Left is the
+    * reference's HTTP 400 path. */
+  def parseSinceNs(s: String, nowNs: Long): Either[String, Long] =
+    parseGoDurationNs(s) match {
+      case Some(agoNs) => Right(nowNs - agoNs)
+      case None =>
+        try {
+          val odt = java.time.OffsetDateTime.parse(
+            s, java.time.format.DateTimeFormatter.ISO_OFFSET_DATE_TIME)
+          val inst = odt.toInstant
+          Right(Math.addExact(
+            Math.multiplyExact(inst.getEpochSecond, 1000000000L), inst.getNano.toLong))
+        } catch {
+          case _: java.time.format.DateTimeParseException | _: ArithmeticException =>
+            Left(s"invalid since value (want RFC3339 or duration): $s")
+        }
+    }
+
+  /** Request-shaped entry: parse `since` (either form), then resolve +
+    * frame. Left is the 400 path — malformed input never reaches the
+    * query. */
+  def framesSinceRequest(spark: SparkSession, dir: String, route: String,
+                         since: String, nowNs: Long): Either[String, DataFrame] =
+    parseSinceNs(since, nowNs).map(framesSince(spark, dir, route, _))
+
   /** Frames a client resuming at `sinceNs` on `route` would receive,
     * in offset order. Route + time predicates are pushed to the scan. */
   def framesSince(spark: SparkSession, dir: String, route: String,

@@ -140,9 +140,12 @@ object Tables {
     // real split count (file packing only produces MORE splits when
     // maxSplitBytes shrinks below maxPartitionBytes), so large inputs
     // — where estSplits >= cores — are a guaranteed no-op.
-    val maxPartitionBytes = 128L * 1024 * 1024 // spark.sql.files.maxPartitionBytes default
+    val maxPartitionBytes = spark.sessionState.conf.filesMaxPartitionBytes.max(1L)
+    // stats.sizeInBytes is a BigInt that join estimates can inflate
+    // past Long range — min with Long.MaxValue before converting so the
+    // estimate can't overflow negative and inject a spurious shuffle
     val estSplits = (df.queryExecution.optimizedPlan.stats.sizeInBytes /
-      maxPartitionBytes).toLong + 1
+      maxPartitionBytes).min(BigInt(Long.MaxValue) - 1).toLong + 1
     if (estSplits < target) df.repartition(target) else df
   }
 

@@ -76,6 +76,39 @@ object EventStreams {
     out
   }
 
+  /** The continuous-deployment form of [[windowCounts]]: watermarked,
+    * APPEND output — state is bounded by the watermark (closed windows
+    * are evicted after emission), so this is the variant that runs
+    * forever on an unbounded stream. Same shuffle shape (partial
+    * aggregates on (window, event_type)). The trade documented on the
+    * object Scaladoc applies: a window is emitted exactly once, after
+    * the event-time watermark (max seen ts − `delay`) passes its end —
+    * so on a finite replay the trailing windows still open at
+    * end-of-input are NOT in the output (the test asserts exactly
+    * this boundary against the complete-mode answer). */
+  def windowCountsAppend(spark: SparkSession, dir: String,
+                         delay: String = "1 hour"): DataFrame = {
+    val name = "wca_" + UUID.randomUUID().toString.replace("-", "")
+    val agg = readEvents(spark, dir)
+      .withWatermark("ts_us", delay)
+      .groupBy(window(col("ts_us"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(D)).cast("double").as("total_value"))
+    val q = agg.writeStream
+      .format("memory").queryName(name)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val out = spark.table(name)
+      .select(unix_micros(col("window.start")).as("window_start_us"),
+        col("event_type"), col("n"), col("total_value"))
+      .orderBy("window_start_us", "event_type")
+      .localCheckpoint()
+    spark.catalog.dropTempView(name)
+    out
+  }
+
   val windowCountsSql: String =
     """SELECT epoch_us(ts) - epoch_us(ts) % 3600000000 AS window_start_us,
       |  event_type, count(*) AS n,

@@ -59,12 +59,31 @@ object SseSink {
     * data is served; returns after termination. */
   def serve(spark: org.apache.spark.sql.SparkSession, dir: String,
             transport: SseTransport): Unit = {
-    val frames: DataFrame = EventStreams.readEvents(spark, dir)
-      .select(col("event_type"), frameCol.as("frame"))
-    val q = frames.writeStream
+    val q = framesStream(spark, dir).writeStream
       .foreach(writer(transport))
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
   }
+
+  /** Catch-up-then-follow, the reference handler's actual serving mode
+    * (service.go:252-283: replay from the resolved offset, then stay
+    * attached and flush each new event as it lands): a CONTINUOUS
+    * ProcessingTime query that drains everything available and keeps
+    * polling the source for new files/records, pushing frames to the
+    * transport as they arrive. Returns the live query — the caller
+    * owns its lifecycle (the reference side of this is the client
+    * hanging up). */
+  def serveLive(spark: org.apache.spark.sql.SparkSession, dir: String,
+                transport: SseTransport,
+                pollIntervalMs: Long = 100L): org.apache.spark.sql.streaming.StreamingQuery =
+    framesStream(spark, dir).writeStream
+      .foreach(writer(transport))
+      .trigger(Trigger.ProcessingTime(pollIntervalMs))
+      .start()
+
+  private def framesStream(spark: org.apache.spark.sql.SparkSession,
+                           dir: String): DataFrame =
+    EventStreams.readEvents(spark, dir)
+      .select(col("event_type"), frameCol.as("frame"))
 }
