@@ -47,6 +47,11 @@ object SparkEntry {
     "q_dedup_embedding" -> (Dedup.embeddingNearDup _),
     "q_ann_brute_topk" -> (SimilaritySearch.bruteTopK _),
     "q_ann_ivf" -> (SimilaritySearch.ivfTopK _),
+    // unsupervised IVF (k-means-trained centroids): iterative training
+    // is not SQL-expressible -> no oracle entry, rows-only check;
+    // recall is gated by AnnRecallSpec on a clustered fixture
+    "q_ann_ivf_trained" -> ((s: SparkSession, d: String) =>
+      SimilaritySearch.ivfTopKTrained(s, d)),
     // A9: structured streaming ingest (AvailableNow, complete mode)
     "q_stream_window_counts" -> (graft.streaming.EventStreams.windowCounts _),
     // F1: multimodal binary + metadata pipeline (stubbed decode)

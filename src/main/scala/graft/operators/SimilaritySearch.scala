@@ -60,40 +60,133 @@ object SimilaritySearch {
       |WHERE rank <= $K
       |ORDER BY query_id, rank""".stripMargin
 
-  // ---------------------------------------------------------------- D2
-  /** IVF-style ANN: coarse centroids (per-label means — a stand-in for
-    * trained k-means, deterministic), every vector assigned to its
-    * nearest centroid; a query probes only its NProbe nearest
-    * centroids' buckets, touching ~NProbe/C of the corpus. Centroids
-    * are tiny and broadcast; the per-dimension mean is a (label, pos)
-    * partial aggregation — fully distributed, no collect. */
-  def ivfTopK(spark: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.embeddings(spark, dir)
-    val cents = broadcast(emb
-      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
-      .groupBy("label", "pos").agg(avg(col("v").cast("double")).as("c"))
-      .groupBy("label")
-      .agg(expr("transform(array_sort(collect_list(struct(pos, c))), s -> s.c)").as("c_emb")))
-
-    val centScore = emb.select("vec_id", "embedding").join(cents)
-      .select(col("vec_id"), col("embedding"), col("label"),
+  /** IVF search body, generic over the coarse-centroid table `cents`
+    * (`cid`, `c_emb`): every vector is assigned to its nearest
+    * centroid; a query probes only its NProbe nearest centroids'
+    * buckets, touching ~NProbe/C of the corpus. Centroids are tiny and
+    * broadcast — the centroid-scoring pass is a map-side broadcast
+    * join, never a shuffle of the corpus. */
+  private def ivfSearchOn(spark: SparkSession, emb: DataFrame,
+                          cents: DataFrame): DataFrame = {
+    val centScore = emb.select("vec_id", "embedding").join(broadcast(cents))
+      .select(col("vec_id"), col("embedding"), col("cid"),
         Vectors.cosineFast(spark, col("embedding"), col("c_emb")).as("c_cos"))
     val wVec = Window.partitionBy("vec_id")
-      .orderBy(round(col("c_cos"), 9).desc, col("label"))
+      .orderBy(round(col("c_cos"), 9).desc, col("cid"))
     val assign = centScore.withColumn("rk", row_number().over(wVec))
-      .where(col("rk") === 1).select(col("vec_id"), col("embedding"), col("label"))
+      .where(col("rk") === 1).select(col("vec_id"), col("embedding"), col("cid"))
 
     val probes = centScore.where(col("vec_id") < NQueries)
       .withColumn("rk", row_number().over(wVec)).where(col("rk") <= NProbe)
-      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"), col("label"))
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"), col("cid"))
 
     explodeRanked(
-      probes.join(assign, Seq("label"))
+      probes.join(assign, Seq("cid"))
         .where(col("vec_id") =!= col("query_id"))
         .select(col("query_id"), col("vec_id"),
           Vectors.cosineFast(spark, col("q_emb"), col("embedding")).as("cos_sim"))
         .groupBy("query_id")
         .agg(TopK.topk(spark, K, col("vec_id"), col("cos_sim")).as("hits")))
+  }
+
+  // ---------------------------------------------------------------- D2
+  /** IVF-style ANN with labeled centroids (per-label means —
+    * deterministic and SQL-expressible, so this variant carries the
+    * DuckDB oracle; [[ivfTopKTrained]] is the unsupervised path real
+    * corpora need). The per-dimension mean is a (label, pos) partial
+    * aggregation — fully distributed, no collect. */
+  def ivfTopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val cents = emb
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy("label", "pos").agg(avg(col("v").cast("double")).as("c"))
+      .groupBy("label")
+      .agg(expr("transform(array_sort(collect_list(struct(pos, c))), s -> s.c)").as("c_emb"))
+      .select(col("label").as("cid"), col("c_emb"))
+    ivfSearchOn(spark, emb, cents)
+  }
+
+  // ------------------------------------------------------- D2 (trained)
+  /** Unsupervised coarse-centroid training — the path real corpora
+    * need (no `label` column): deterministic k-means with scalable
+    * seeding, entirely in DataFrames, no `.collect()`.
+    *
+    * 1. **Oversample** `8·k` candidates by md5(vec_id) order — a
+    *    TakeOrdered over one full pass; hash order is a uniform
+    *    "random" sample that is identical across runs and engines.
+    * 2. **Farthest-point selection** (Gonzalez' 2-approx k-center — the
+    *    deterministic argmax form of k-means++ seeding) down to `k`
+    *    seeds, run only over the tiny candidate frame: k-1
+    *    driver-coordinated jobs on ≤8·k rows, no corpus pass. Spread
+    *    seeds can't collapse onto one dense cluster the way a uniform
+    *    k-sample can (with 4 clusters and k=4 a uniform sample covers
+    *    all clusters only ~9% of the time).
+    * 3. **Lloyd's rounds** over the full corpus: assignment is a
+    *    broadcast join + map-side `max(struct)` argmax (partial
+    *    aggregation reduces k·n scored rows to n before the shuffle);
+    *    the new means are a (cid, pos) partial aggregation. Each round
+    *    is one pass; centroids (k rows) are localCheckpointed so
+    *    lineage stays flat. Cosine is scale-invariant in the centroid,
+    *    so the un-normalized mean is a valid spherical-k-means update.
+    *
+    * Total corpus passes: 1 (sample) + `iters` (Lloyd's). A cluster
+    * that loses all members drops out (k shrinks) rather than being
+    * re-seeded — acceptable for ANN bucketing, where fewer, fuller
+    * buckets only increase recall. */
+  def trainCentroids(spark: SparkSession, emb: DataFrame, k: Int,
+                     iters: Int = 3): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val cands = emb.select(col("vec_id"), col("embedding"))
+      .orderBy(md5(col("vec_id").cast("string"))).limit(8 * k)
+      .localCheckpoint()
+
+    var seeds = cands.orderBy(md5(col("vec_id").cast("string"))).limit(1)
+      .select(col("vec_id").as("s_id"), col("embedding").as("s_emb"))
+      .localCheckpoint()
+    for (_ <- 1 until k) {
+      // farthest candidate = argmin over candidates of max cosine to
+      // any current seed (rounded, vec_id tiebreak — deterministic)
+      val next = cands.crossJoin(broadcast(seeds))
+        .groupBy(col("vec_id"))
+        .agg(first(col("embedding")).as("embedding"),
+          max(round(Vectors.cosineFast(spark, col("embedding"), col("s_emb")), 9))
+            .as("near"))
+        .orderBy(col("near").asc, col("vec_id").asc).limit(1)
+        .select(col("vec_id").as("s_id"), col("embedding").as("s_emb"))
+      seeds = seeds.union(next).localCheckpoint()
+    }
+    var cents = seeds
+      .withColumn("cid", row_number().over(Window.orderBy("s_id")) - 1)
+      .select(col("cid"), col("s_emb").as("c_emb"))
+      .localCheckpoint()
+
+    for (_ <- 1 to iters) {
+      // argmax via max(struct): max cosine, ties to the smallest cid
+      // (-cid maximized) — one n-row shuffle, k·n rows never move
+      val assigned = emb.select("vec_id", "embedding").join(broadcast(cents))
+        .select(col("vec_id"), col("embedding"), col("cid"),
+          round(Vectors.cosineFast(spark, col("embedding"), col("c_emb")), 9).as("cc"))
+        .groupBy("vec_id")
+        .agg(first(col("embedding")).as("embedding"),
+          max(struct(col("cc"), (-col("cid")).as("ncid"))).as("best"))
+        .select(col("embedding"), (-col("best.ncid")).as("cid"))
+      cents = assigned
+        .select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy("cid", "pos").agg(avg(col("v").cast("double")).as("c"))
+        .groupBy("cid")
+        .agg(expr("transform(array_sort(collect_list(struct(pos, c))), s -> s.c)").as("c_emb"))
+        .localCheckpoint()
+    }
+    cents
+  }
+
+  /** IVF ANN over UNLABELED embeddings: [[trainCentroids]] +
+    * [[ivfSearchOn]]. Not SQL-expressible (iterative training), so it
+    * carries a rows-only check; recall is gated by AnnRecallSpec's
+    * clustered fixture, which never touches `label`. */
+  def ivfTopKTrained(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    ivfSearchOn(spark, emb, trainCentroids(spark, emb.select("vec_id", "embedding"), k))
   }
 
   val ivfTopKSql: String =

@@ -17,8 +17,22 @@ class AnnRecallSpec extends SparkSpec {
   /** 4 tight clusters × 50 vectors, 64 dims, deterministic seed; the
     * operator's query set (vec_id < 8) covers every cluster via
     * vec_id % 4 label assignment. */
+  private var fixtureCreated: Option[java.io.File] = None
+
+  override def afterAll(): Unit = {
+    try fixtureCreated.foreach(deleteTree)
+    finally super.afterAll()
+  }
+
+  private def deleteTree(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(deleteTree)
+    f.delete()
+  }
+
   private lazy val fixtureDir: String = {
-    val dir = Files.createTempDirectory("graft_ann").toFile.getPath
+    val root = Files.createTempDirectory("graft_ann").toFile
+    fixtureCreated = Some(root)
+    val dir = root.getPath
     val rnd = new scala.util.Random(42)
     val centers = Array.fill(4)(Array.fill(64)(rnd.nextGaussian()))
     import spark.implicits._
@@ -42,6 +56,39 @@ class AnnRecallSpec extends SparkSpec {
     assert(nTrue > 0)
     val recall = hit.toDouble / nTrue
     assert(recall >= 0.9, s"IVF recall collapsed: $recall ($hit/$nTrue)")
+  }
+
+  test("trained (unsupervised) IVF recall@5 >= 0.9 without touching label") {
+    // the fixture's label column exists but must be IGNORED: training
+    // sees only (vec_id, embedding), as a real unlabeled corpus would
+    val brute = SimilaritySearch.bruteTopK(spark, fixtureDir)
+      .select("query_id", "vec_id")
+    val ivf = SimilaritySearch.ivfTopKTrained(spark, fixtureDir, k = 4)
+      .select("query_id", "vec_id")
+    val nTrue = brute.count()
+    val hit = ivf.join(brute, Seq("query_id", "vec_id")).count()
+    assert(nTrue > 0)
+    val recall = hit.toDouble / nTrue
+    assert(recall >= 0.9, s"trained IVF recall collapsed: $recall ($hit/$nTrue)")
+  }
+
+  test("trained centroids separate the planted clusters") {
+    import spark.implicits._
+    // every trained centroid should sit in exactly one planted cluster:
+    // max cosine to one cluster center high, and the 4 centroids should
+    // map onto 4 distinct clusters (farthest-point seeding's job)
+    val cents = SimilaritySearch.trainCentroids(spark,
+      spark.read.parquet(s"$fixtureDir/embeddings.parquet")
+        .select("vec_id", "embedding"), k = 4)
+    assert(cents.count() == 4)
+    val emb = spark.read.parquet(s"$fixtureDir/embeddings.parquet")
+    val best = emb.join(cents)
+      .select(col("label"), col("cid"),
+        graft.functions.Vectors.cosine(col("embedding"), col("c_emb")).as("cos"))
+      .groupBy("cid").agg(max(struct(round(col("cos"), 9), col("label"))).as("b"))
+      .select($"b".getField("label").as("label"))
+    assert(best.distinct().count() == 4,
+      "two trained centroids collapsed onto the same planted cluster")
   }
 
   test("SRP bucket count grows with corpus size (bounded expected population)") {
