@@ -35,7 +35,13 @@ object Bench {
     val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
     val allRuns = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    // Optional subset (comma-separated names) for local iteration; the
+    // driver leaves it unset and gets the full suite.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
       val runs = scala.collection.mutable.ArrayBuffer[Double]()
       var failed = false
       var r = 0

@@ -37,4 +37,13 @@ object Vectors {
     graft.plans.GraftFunctions.register(spark)
     call_function("graft_cosine", a, b)
   }
+
+  /** Native codegen'd SRP sign sketch ([[graft.plans.SrpSketch]]) for
+    * hyperplane family `s` — bit-identical to the spelled-out SQL twin
+    * (same accumulation order), but a fused loop over a precompiled
+    * sign matrix instead of a ~2000-term generated projection. */
+  def srpSketchFast(spark: org.apache.spark.sql.SparkSession, emb: Column, s: Int): Column = {
+    graft.plans.GraftFunctions.register(spark)
+    call_function("graft_srp_sketch", emb, lit(s))
+  }
 }

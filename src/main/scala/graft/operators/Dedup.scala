@@ -375,20 +375,29 @@ object Dedup {
 
   // ---------------------------------------------------------------- C5
   /** Embedding-cosine near-dup via signed-random-projection LSH whose
-    * bucket count GROWS WITH THE CORPUS: a full srpMaxBits-bit sign
-    * sketch (deterministic ±1 hyperplanes from md5 parity) is computed
-    * per vector, and the number of bits actually used for bucketing is
-    * derived from count(*) inside the query — smallest `ub` with
-    * 2^ub ≥ n / srpTargetPop, so the expected bucket population stays
-    * ≤ srpTargetPop and the within-bucket self-join is ~O(n ·
-    * srpTargetPop), never the old O(n²/16) of a fixed 4-bit sketch.
-    * Recall lost to the extra bits is bought back with 1-bit
-    * multi-probe: each vector also probes the `ub` buckets at Hamming
-    * distance 1 from its own. The bit-width ladder is exact integer
-    * CASE arithmetic (no float log2 whose ceil could disagree across
-    * engines), generated once in Scala for both dialects. */
+    * bucket count GROWS WITH THE CORPUS: per vector, TWO independent
+    * srpMaxBits-bit sign sketches (deterministic ±1 hyperplanes from
+    * md5 parity; disjoint hyperplane families), and the number of bits
+    * actually used for bucketing is derived from count(*) inside the
+    * query — smallest `ub` with 2^ub ≥ n / srpTargetPop, so the
+    * expected bucket population stays ≤ srpTargetPop and in-bucket
+    * pairing is ~O(n · srpTargetPop), never all-pairs.
+    *
+    * Recall lost to the extra bits is bought back by OR-amplification
+    * across the two sketches (a pair is a candidate if EITHER sketch
+    * buckets it together: p → 1-(1-p)²) — a CONSTANT 2 probe rows per
+    * vector, vs the ub+1 one-bit-flip probes this replaces, whose
+    * fan-out grew with the corpus (ub ≈ log2(n/pop)) and cost 4.4× on
+    * the local bench. Pairs are generated by bucket-collect (the same
+    * shape as [[lshPairs]] — the sketch pipeline runs once, embeddings
+    * ride the collect so no separate embeddings join is needed), with
+    * the cap applied identically in the oracle. The bit-width ladder is
+    * exact integer CASE arithmetic (no float log2 whose ceil could
+    * disagree across engines), generated once in Scala for both
+    * dialects. */
   val srpMaxBits = 16
   val srpTargetPop = 16
+  val srpSketches = 2
 
   /** Scala mirror of the SQL bit-width ladder: smallest b in
     * [1, srpMaxBits] with 2^b >= ceil(n / srpTargetPop). */
@@ -401,76 +410,89 @@ object Dedup {
     (1 to srpMaxBits).map(b => s"WHEN $x <= ${1L << b} THEN $b")
       .mkString("(CASE ", " ", s" ELSE $srpMaxBits END)")
 
-  /** Deterministic hyperplane sign: md5("j:i") first-nibble parity. */
-  def srpSign(j: Int, i: Int): Double = {
-    val hex = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$j:$i".getBytes("UTF-8"))
-    if (((hex(0) >> 4) & 0xF) >= 8) 1.0 else -1.0
-  }
+  /** Deterministic hyperplane sign — single source of truth lives with
+    * the native expression ([[graft.plans.SrpSketch.sign]]); this alias
+    * keeps the SQL-twin generation and tests on the same constants. */
+  def srpSign(j: Int, i: Int): Double = graft.plans.SrpSketch.sign(j, i)
 
-  private def srpDotExpr(j: Int, emb: String): String =
-    (0 until 64).map(i =>
-      s"CAST($emb[$i] AS DOUBLE) * ${srpSign(j, i)}").mkString(" + ")
   private def srpDotSqlExpr(j: Int, emb: String): String =
     (0 until 64).map(i =>
       s"CAST($emb[${i + 1}] AS DOUBLE) * ${srpSign(j, i)}").mkString(" + ")
 
-  private def sketchExpr(dot: Int => String): String =
+  /** srpMaxBits-bit sign sketch for hyperplane family `s` (family s
+    * uses hyperplanes j = s·srpMaxBits .. s·srpMaxBits+15 — disjoint,
+    * so the two sketches are independent). */
+  private def sketchExpr(dot: Int => String, s: Int): String =
     (0 until srpMaxBits).map(j =>
-      s"(CASE WHEN ${dot(j)} > 0 THEN ${1L << j} ELSE 0 END)")
+      s"(CASE WHEN ${dot(s * srpMaxBits + j)} > 0 THEN ${1L << j} ELSE 0 END)")
       .mkString("CAST(", " + ", " AS BIGINT)")
 
   def embeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("embedding"),
-        expr(sketchExpr(srpDotExpr(_, "embedding"))).as("sk16"))
+      .select(col("vec_id") +: col("embedding") +: (0 until srpSketches).map(s =>
+        Vectors.srpSketchFast(spark, col("embedding"), s).as(s"sk$s")): _*)
     // 1-row broadcast: the bit width is data-derived inside the plan —
     // no driver-side count job, and the oracle computes the identical
     // scalar from its own count(*)
     val ub = broadcast(emb.agg(count(lit(1)).as("n_vec"))
       .select(expr(usedBitsCaseSql(
         s"((n_vec + ${srpTargetPop - 1}) DIV $srpTargetPop)")).as("ub")))
+    val sketchStructs = (0 until srpSketches).map(s =>
+      s"named_struct('s', $s, 'bucket', sk$s % CAST(pow(2, ub) AS BIGINT))")
+      .mkString("array(", ", ", ")")
     val sk = emb.crossJoin(ub)
-      .withColumn("bucket", expr("sk16 % CAST(pow(2, ub) AS BIGINT)"))
-      .select(col("vec_id"), col("embedding"), col("bucket"), col("ub"))
-    // probe rows are (vec_id, bucket') only — 16 bytes each, never the
-    // 64-float payload, so multi-probe does not multiply vector bytes
-    // through the shuffle; b's embedding is fetched by a second
-    // equi-join only for the surviving candidates
-    val probes = sk.select(col("vec_id").as("vec_b"), explode(expr(
-      "concat(array(bucket), transform(sequence(0, ub - 1), i -> bucket ^ CAST(pow(2, i) AS BIGINT)))")).as("probe"))
-    val cands = sk.as("a")
-      .join(probes, col("a.bucket") === col("probe") && col("a.vec_id") < col("vec_b"))
-      .select(col("a.vec_id").as("vec_a"), col("a.embedding").as("emb_a"), col("vec_b"))
-    cands
-      .join(Tables.embeddings(spark, dir)
-        .select(col("vec_id").as("vec_b"), col("embedding").as("emb_b")), "vec_b")
-      .select(col("vec_a"), col("vec_b"),
-        Vectors.cosineFast(spark, col("emb_a"), col("emb_b")).as("cos_sim"))
+      .select(col("vec_id"), col("embedding"),
+        explode(expr(sketchStructs)).as("sb"))
+      .select(col("vec_id"), col("embedding"),
+        col("sb.s").as("s"), col("sb.bucket").as("bucket"))
+    // bucket-collect pair generation (see lshPairs): embeddings ride
+    // the collect (~srpTargetPop · 256 B per bucket), so pairing needs
+    // no self-join and no second embeddings fetch; a pair bucketed
+    // together by BOTH sketches yields two identical (vec_a, vec_b,
+    // cos_sim) rows, collapsed by the distinct
+    sk.groupBy("s", "bucket")
+      .agg(collect_list(struct(col("vec_id"), col("embedding"))).as("ms"))
+      .where(size(col("ms")) > 1)
+      .withColumn("sms", expr(s"slice(array_sort(ms), 1, $BucketCap)"))
+      .select(explode(expr(
+        """flatten(transform(sms, (a, i) ->
+          |  transform(slice(sms, i + 2, size(sms)),
+          |            b -> named_struct('vec_a', a.vec_id, 'emb_a', a.embedding,
+          |                              'vec_b', b.vec_id, 'emb_b', b.embedding))))""".stripMargin)).as("p"))
+      .select(col("p.vec_a").as("vec_a"), col("p.vec_b").as("vec_b"),
+        Vectors.cosineFast(spark, col("p.emb_a"), col("p.emb_b")).as("cos_sim"))
+      .distinct()
       .where(round(col("cos_sim"), 9) >= 0.35)
       .orderBy("vec_a", "vec_b")
   }
 
-  val embeddingNearDupSql: String =
+  val embeddingNearDupSql: String = {
+    val sketchCols = (0 until srpSketches).map(s =>
+      s"${sketchExpr(srpDotSqlExpr(_, "embedding"), s)} AS sk$s").mkString(",\n    ")
+    val sketchRows = (0 until srpSketches).map(s =>
+      s"SELECT vec_id, $s AS s, sk$s % CAST(pow(2, ub) AS BIGINT) AS bucket FROM e, u")
+      .mkString("\n  UNION ALL ")
     s"""WITH e AS (
-      |  SELECT vec_id, embedding, ${sketchExpr(srpDotSqlExpr(_, "embedding"))} AS sk16
+      |  SELECT vec_id, embedding,
+      |    $sketchCols
       |  FROM embeddings),
       |u AS (
       |  SELECT ${usedBitsCaseSql(s"((count(*) + ${srpTargetPop - 1}) // $srpTargetPop)")} AS ub
       |  FROM e),
+      |sk_raw AS (
+      |  $sketchRows),
       |sk AS (
-      |  SELECT vec_id, embedding, sk16 % CAST(pow(2, ub) AS BIGINT) AS bucket, ub
-      |  FROM e, u),
-      |probes AS (
-      |  SELECT vec_id AS vec_b,
-      |    unnest(list_prepend(bucket,
-      |      list_transform(range(ub), i -> xor(bucket, CAST(pow(2, i) AS BIGINT))))) AS probe
-      |  FROM sk)
-      |SELECT a.vec_id AS vec_a, p.vec_b AS vec_b,
-      |  ${Vectors.cosineSql("a.embedding", "b.embedding")} AS cos_sim
-      |FROM sk a
-      |JOIN probes p ON a.bucket = p.probe AND a.vec_id < p.vec_b
-      |JOIN embeddings b ON b.vec_id = p.vec_b
-      |WHERE round(${Vectors.cosineSql("a.embedding", "b.embedding")}, 9) >= 0.35
+      |  SELECT vec_id, s, bucket FROM (
+      |    SELECT vec_id, s, bucket,
+      |      row_number() OVER (PARTITION BY s, bucket ORDER BY vec_id) AS rn
+      |    FROM sk_raw) t WHERE rn <= $BucketCap)
+      |SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
+      |  ${Vectors.cosineSql("ea.embedding", "eb.embedding")} AS cos_sim
+      |FROM sk a JOIN sk b ON a.s = b.s AND a.bucket = b.bucket
+      |  AND a.vec_id < b.vec_id
+      |JOIN embeddings ea ON ea.vec_id = a.vec_id
+      |JOIN embeddings eb ON eb.vec_id = b.vec_id
+      |WHERE round(${Vectors.cosineSql("ea.embedding", "eb.embedding")}, 9) >= 0.35
       |ORDER BY vec_a, vec_b""".stripMargin
+  }
 }

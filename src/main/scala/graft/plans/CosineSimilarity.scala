@@ -84,14 +84,33 @@ object GraftFunctions {
     new ExpressionInfo(classOf[CosineSimilarity].getName, null, "graft_cosine"),
     (children: Seq[Expression]) => CosineSimilarity(children(0), children(1)): Expression)
 
+  private val srpDesc = (
+    FunctionIdentifier("graft_srp_sketch"),
+    new ExpressionInfo(classOf[SrpSketch].getName, null, "graft_srp_sketch"),
+    (children: Seq[Expression]) => {
+      // family must be a foldable int literal — it selects a
+      // precompiled hyperplane matrix, not per-row data
+      val fam = children(1) match {
+        case e if e.foldable => e.eval().asInstanceOf[Number].intValue()
+        case e => throw new IllegalArgumentException(
+          s"graft_srp_sketch family must be a literal, got $e")
+      }
+      SrpSketch(children(0), fam): Expression
+    })
+
   /** Idempotent per-session registration (for sessions built without
     * the extensions config). */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
       cosineDesc._1, cosineDesc._2, cosineDesc._3)
+    spark.sessionState.functionRegistry.registerFunction(
+      srpDesc._1, srpDesc._2, srpDesc._3)
+  }
 
-  private[plans] def inject(ext: SparkSessionExtensions): Unit =
+  private[plans] def inject(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(cosineDesc)
+    ext.injectFunction(srpDesc)
+  }
 }
 
 /** `spark.sql.extensions=graft.plans.GraftExtensions` injects the

@@ -79,6 +79,26 @@ class DedupSpec extends SparkSpec {
     assert(clusters == truth)
   }
 
+  test("native SRP sketch is bit-identical to the spelled-out SQL expression") {
+    // the oracle evaluates the giant per-term expression; the Spark
+    // side runs the fused native loop — the `> 0` sign decisions must
+    // agree bit-for-bit on every vector and both hyperplane families
+    def dotExpr(j: Int) = (0 until 64).map(i =>
+      s"CAST(embedding[$i] AS DOUBLE) * ${Dedup.srpSign(j, i)}").mkString(" + ")
+    def sketchExpr(s: Int) = (0 until 16).map(j =>
+      s"(CASE WHEN ${dotExpr(s * 16 + j)} > 0 THEN ${1L << j} ELSE 0 END)")
+      .mkString("CAST(", " + ", " AS BIGINT)")
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val mismatches = emb.select(
+      col("vec_id"),
+      Vectors.srpSketchFast(spark, col("embedding"), 0).as("n0"),
+      Vectors.srpSketchFast(spark, col("embedding"), 1).as("n1"),
+      expr(sketchExpr(0)).as("e0"), expr(sketchExpr(1)).as("e1"))
+      .where(col("n0") =!= col("e0") || col("n1") =!= col("e1"))
+      .count()
+    assert(mismatches == 0)
+  }
+
   test("cosine: zip_with/aggregate matches a locally computed value") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .select("vec_id", "embedding").where(col("vec_id") < 2)
