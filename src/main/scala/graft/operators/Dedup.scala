@@ -319,8 +319,13 @@ object Dedup {
         struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .persist()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("lbl")).persist()
+    // seed labels with min(id, min neighbor) — one free propagation
+    // round folded into the vertex-set build (same groupBy that would
+    // otherwise just distinct the ids); near-clique dup clusters are
+    // already converged after this and pay a single verification round
+    var labels = edges.groupBy(col("src").as("id"))
+      .agg(min("dst").as("min_nbr"))
+      .select(col("id"), least(col("id"), col("min_nbr")).as("lbl")).persist()
     var converged = false
     var iter = 0
     val maxIter = 64 // propagation needs <= graph-diameter rounds
