@@ -174,25 +174,36 @@ object Dedup {
 
   // ---------------------------------------------------------------- C3
   /** SimHash (60-bit, one bit per hex position across two md5s of each
-    * shingle) + 15-bit-banded candidate join + Hamming ≤ 4 filter. Bit
-    * p is the majority vote of nibble-high across shingle hashes.
+    * shingle) + a multi-permutation block-pair index (Manku/Jain/Das
+    * Sarma's sorted-prefix tables, batch form) + Hamming ≤ 4 filter.
+    * Bit p is the majority vote of nibble-high across shingle hashes.
     *
-    * Scale note: 4 bands × 32768 keys puts the band-bucket population
-    * at ~N/32768 — the old 32-bit/4×256 form hit its N/256 ceiling at
-    * ~10⁵ docs, this one holds to ~10⁷; beyond that the BucketCap
-    * (applied identically in the oracle) bounds compute, and the next
-    * step is the sorted-prefix multi-permutation index (Manku et al.),
-    * which trades band count for permutation count without losing the
-    * hamming-pigeonhole recall guarantee (ham ≤ 3 pairs are certain to
-    * collide in ≥1 of the 4 bands; ham = 4 pairs collide unless every
-    * flipped bit lands in a distinct band). */
+    * The fingerprint is split into 6 blocks of 10 bits; each of the
+    * C(6,2) = 15 tables keys on one PAIR of blocks (20 bits). A pair
+    * within Hamming ≤ 4 differs in at most 4 blocks, so by pigeonhole
+    * at least one block pair is untouched and the two docs share that
+    * table's key — recall at the ham ≤ 4 output threshold is CERTAIN,
+    * where the old 4×15-bit contiguous bands could miss ham = 4 pairs
+    * whose flips landed in 4 distinct bands.
+    *
+    * Scale: table-bucket population is ~N/2²⁰ (vs ~N/32768 before), so
+    * candidate generation stays sub-quadratic to ~10⁹ docs before the
+    * BucketCap (applied identically in the oracle) starts bounding
+    * enumeration — the previous design's ~10⁷ ceiling is gone. Cost is
+    * 15 index rows per doc instead of 4; rows are 4 small columns and
+    * the signature pipeline (the actual expense) still runs once. */
   private val SimhashBits = 60
-  private val SimhashBandBits = 15 // 4 bands x 15 bits
-  def simhash(spark: SparkSession, dir: String): DataFrame = {
-    // Exploded shingles + 60 codegen'd conditional-count aggregates
-    // (hex positions 1-32 of md5(x), 1-28 of md5('2:'||x)): the
-    // nibble-majority per position is computed map-side; only one
-    // 61-column row per doc shuffles.
+  private val SimhashBlockBits = 10 // 6 blocks x 10 bits
+  private val SimhashBlocks = 6
+  /** (table id, lo block, hi block) for every block pair. */
+  private val simhashTables: Seq[(Int, Int, Int)] =
+    (for (b1 <- 0 until SimhashBlocks; b2 <- b1 + 1 until SimhashBlocks)
+      yield (b1, b2)).zipWithIndex.map { case ((b1, b2), t) => (t, b1, b2) }
+  /** (doc_id, simhash): exploded shingles + 60 codegen'd
+    * conditional-count aggregates (hex positions 1-32 of md5(x), 1-28
+    * of md5('2:'||x)): the nibble-majority per position is computed
+    * map-side; only one 61-column row per doc shuffles. */
+  private[graft] def simhashSigs(spark: SparkSession, dir: String): DataFrame = {
     val highs = (1 to SimhashBits).map { p =>
       val (h, pos) = if (p <= 32) (col("h1"), p) else (col("h2"), p - 32)
       sum(when(substring(h, pos, 1)
@@ -207,9 +218,19 @@ object Dedup {
     val bitTerms = (1 to SimhashBits).map { p =>
       s"(CASE WHEN 2 * hi_$p > nsh THEN ${1L << (p - 1)}L ELSE 0L END)"
     }.mkString(" + ")
-    val sigs = counts.select(col("doc_id"), expr(bitTerms).as("simhash"))
+    counts.select(col("doc_id"), expr(bitTerms).as("simhash"))
+  }
+
+  def simhash(spark: SparkSession, dir: String): DataFrame = {
+    val sigs = simhashSigs(spark, dir)
+    val blockMask = (1 << SimhashBlockBits) - 1
+    val tableStructs = simhashTables.map { case (t, b1, b2) =>
+      s"""named_struct('band', $t, 'key',
+         | CAST((simhash DIV ${1L << (SimhashBlockBits * b1)}) % ${blockMask + 1} * ${blockMask + 1}
+         |     + (simhash DIV ${1L << (SimhashBlockBits * b2)}) % ${blockMask + 1} AS INT))""".stripMargin
+    }.mkString("array(", ", ", ")")
     val bands = sigs.select(col("doc_id"), col("simhash"),
-      explode(expr(s"transform(sequence(0, 3), b -> named_struct('band', b, 'key', CAST(simhash DIV CAST(pow(${1 << SimhashBandBits}, b) AS BIGINT) % ${1 << SimhashBandBits} AS INT)))")).as("bk"))
+      explode(expr(tableStructs)).as("bk"))
       .select(col("doc_id"), col("simhash"), col("bk.band"), col("bk.key"))
     // bucket-collect pair generation: signatures computed once (see
     // lshPairs for the shape rationale and cap)
@@ -235,15 +256,20 @@ object Dedup {
       val (hs, pos) = if (p <= 32) ("hs1", p) else ("hs2", p - 32)
       s"(CASE WHEN 2 * len(list_filter($hs, h -> substring(h, $pos, 1) IN $hexHigh)) > len($hs) THEN ${1L << (p - 1)} ELSE 0 END)"
     }.mkString(" + ")
+    val blockMask = (1 << SimhashBlockBits) - 1
+    val tableSelects = simhashTables.map { case (t, b1, b2) =>
+      s"""SELECT doc_id, simhash, $t AS band,
+         |    CAST((simhash // ${1L << (SimhashBlockBits * b1)}) % ${blockMask + 1} * ${blockMask + 1}
+         |       + (simhash // ${1L << (SimhashBlockBits * b2)}) % ${blockMask + 1} AS INT) AS key
+         |  FROM sig""".stripMargin
+    }.mkString("\n  UNION ALL ")
     s"""WITH $shinglesSqlCte,
       |sig AS (
       |  SELECT doc_id, $bitTerms AS simhash
       |  FROM (SELECT doc_id, list_transform(sh, x -> md5(x)) AS hs1,
       |               list_transform(sh, x -> md5('2:' || x)) AS hs2 FROM s) t),
       |bands_raw AS (
-      |  SELECT doc_id, simhash, b.band,
-      |    CAST((simhash // CAST(pow(${1 << SimhashBandBits}, b.band) AS BIGINT)) % ${1 << SimhashBandBits} AS INT) AS key
-      |  FROM sig, (SELECT unnest(range(0, 4)) AS band) b),
+      |  $tableSelects),
       |bands AS (
       |  SELECT doc_id, simhash, band, key FROM (
       |    SELECT doc_id, simhash, band, key,

@@ -79,6 +79,23 @@ class DedupSpec extends SparkSpec {
     assert(clusters == truth)
   }
 
+  test("simhash block-pair index finds EVERY ham<=4 pair (pigeonhole recall)") {
+    // brute-force ground truth over all signature pairs (500 docs at
+    // sf0.001 -> 125k pairs, fine in a test), then assert the indexed
+    // operator missed none — the Manku block-pair guarantee
+    val sigs = Dedup.simhashSigs(spark, sfDir)
+    val truth = sigs.as("a").crossJoin(sigs.as("b"))
+      .where(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        expr("bit_count(a.simhash ^ b.simhash)").cast("int").as("hamming"))
+      .where(col("hamming") <= 4)
+    val found = Dedup.simhash(spark, sfDir).select("doc_a", "doc_b")
+    val nTruth = truth.count()
+    val nMissed = truth.join(found, Seq("doc_a", "doc_b"), "left_anti").count()
+    assert(nTruth > 0, "fixture has no ham<=4 pairs — test is vacuous")
+    assert(nMissed == 0, s"index missed $nMissed of $nTruth ham<=4 pairs")
+  }
+
   test("native SRP sketch is bit-identical to the spelled-out SQL expression") {
     // the oracle evaluates the giant per-term expression; the Spark
     // side runs the fused native loop — the `> 0` sign decisions must
