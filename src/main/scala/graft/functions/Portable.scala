@@ -56,6 +56,15 @@ object Portable {
   def intStrictSql(c: String): String =
     s"(CASE WHEN regexp_matches($c, '$IntStrictRe') THEN CAST($c AS INT) END)"
 
+  /** Two hex digits at 1-based position p of a lowercase hex string,
+    * as an INT in 0..255. Spark has conv(); DuckDB has no base
+    * conversion, so the twin uses positional strpos arithmetic. */
+  def hexPairToInt(c: Column, p: Int): Column =
+    conv(substring(c, p, 2), 16, 10).cast("int")
+  def hexPairToIntSql(c: String, p: Int): String =
+    s"CAST((strpos('0123456789abcdef', substring($c, $p, 1)) - 1) * 16" +
+      s" + strpos('0123456789abcdef', substring($c, ${p + 1}, 1)) - 1 AS INT)"
+
   /** Sum of word-boundary hits for a stopword set over padded text. */
   def stopwordHits(p: Column, words: Seq[String]): Column =
     words.map(w => countSubstr(p, s" $w ")).reduce(_ + _)
