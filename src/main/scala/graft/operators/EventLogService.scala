@@ -23,18 +23,30 @@ object EventLogService {
     "ms" -> 1000000L, "s" -> 1000000000L,
     "m" -> 60L * 1000000000L, "h" -> 3600L * 1000000000L)
 
-  private val DurTermRe = """(\d+(?:\.\d+)?)(ns|us|µs|μs|ms|s|m|h)""".r
+  // Go's fractional grammar: "1h", "1.5h", "1.h", ".5h" are all valid
+  // time.ParseDuration inputs (service.go:234)
+  private val DurTermRe = """(\d+\.?\d*|\.\d+)(ns|us|µs|μs|ms|s|m|h)""".r
 
   /** Go-style duration string → nanos ("300ms", "1h", "2h45m",
     * "1.5h"; time.ParseDuration's grammar, positive terms only —
-    * a negative `since` duration has no meaning for a resume). */
+    * a negative `since` duration has no meaning for a resume).
+    * Overflow (per-term past Long nanos, or across summed terms)
+    * returns None, matching Go's ParseDuration overflow error — a
+    * saturating cast would let two clamped terms wrap negative and
+    * silently resolve a future `since`. */
   def parseGoDurationNs(s: String): Option[Long] = {
     val body = if (s.startsWith("+")) s.drop(1) else s
     if (body == "0") Some(0L)
     else {
       val terms = DurTermRe.findAllMatchIn(body).toSeq
       if (terms.isEmpty || terms.map(_.matched).mkString != body) None
-      else Some(terms.map(m => (m.group(1).toDouble * UnitNs(m.group(2))).toLong).sum)
+      else try {
+        Some(terms.foldLeft(0L) { (acc, m) =>
+          val v = m.group(1).toDouble * UnitNs(m.group(2))
+          if (!(v < Long.MaxValue.toDouble)) throw new ArithmeticException("overflow")
+          Math.addExact(acc, v.toLong)
+        })
+      } catch { case _: ArithmeticException => None }
     }
   }
 

@@ -73,17 +73,28 @@ object SseSink {
     * polling the source for new files/records, pushing frames to the
     * transport as they arrive. Returns the live query — the caller
     * owns its lifecycle (the reference side of this is the client
-    * hanging up). */
+    * hanging up).
+    *
+    * `sinceNs` is the PER-CLIENT resume position (the reference runs
+    * one independent memlog seek per connected handler,
+    * service.go:244-262): each subscription is its own continuous
+    * query whose `ts >= since` filter is pushed to the scan, so two
+    * concurrent clients with different positions each replay exactly
+    * their own window and then share the live tail. */
   def serveLive(spark: org.apache.spark.sql.SparkSession, dir: String,
                 transport: SseTransport,
-                pollIntervalMs: Long = 100L): org.apache.spark.sql.streaming.StreamingQuery =
-    framesStream(spark, dir).writeStream
+                pollIntervalMs: Long = 100L,
+                sinceNs: Option[Long] = None): org.apache.spark.sql.streaming.StreamingQuery =
+    framesStream(spark, dir, sinceNs).writeStream
       .foreach(writer(transport))
       .trigger(Trigger.ProcessingTime(pollIntervalMs))
       .start()
 
   private def framesStream(spark: org.apache.spark.sql.SparkSession,
-                           dir: String): DataFrame =
-    EventStreams.readEvents(spark, dir)
+                           dir: String,
+                           sinceNs: Option[Long] = None): DataFrame = {
+    val ev = EventStreams.readEvents(spark, dir)
+    sinceNs.fold(ev)(n => ev.where(col("ts") >= n))
       .select(col("event_type"), frameCol.as("frame"))
+  }
 }

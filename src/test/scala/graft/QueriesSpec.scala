@@ -16,9 +16,14 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
-  test("every query has matching oracle SQL") {
-    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+  test("every query has matching oracle SQL (or is an allowlisted rows-only op)") {
+    // ops whose iterative/trained nature is not SQL-expressible get the
+    // driver's weaker rows-only check; each needs its own value-level
+    // gate elsewhere (ivf_trained: AnnRecallSpec recall fixtures)
+    val rowsOnly = Set("q_ann_ivf_trained")
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly
     assert(missing.isEmpty, s"queries without oracle: $missing")
+    assert((rowsOnly -- SparkEntry.queries.keySet).isEmpty, "stale allowlist entry")
   }
 
   test("entry() flagship returns rows") {

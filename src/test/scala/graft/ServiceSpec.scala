@@ -47,10 +47,18 @@ class ServiceSpec extends SparkSpec {
       == Right(nowNs - (2L * 3600 + 45 * 60) * 1000000000L))
     assert(EventLogService.parseSinceNs("300ms", nowNs) == Right(nowNs - 300000000L))
     assert(EventLogService.parseSinceNs("1.5h", nowNs) == Right(nowNs - 5400000000000L))
+    // Go's fractional grammar corner forms (time.ParseDuration accepts
+    // a bare trailing or leading dot)
+    assert(EventLogService.parseSinceNs(".5h", nowNs) == Right(nowNs - 1800000000000L))
+    assert(EventLogService.parseSinceNs("1.h", nowNs) == Right(nowNs - 3600000000000L))
     assert(EventLogService.parseSinceNs("0", nowNs) == Right(nowNs))
     // the reference's 400 path: malformed input never reaches the query
-    for (bad <- Seq("yesterday", "12x", "h1", "", "2024-01-15", "1h2x"))
+    for (bad <- Seq("yesterday", "12x", "h1", "", "2024-01-15", "1h2x", ".h"))
       assert(EventLogService.parseSinceNs(bad, nowNs).isLeft, s"accepted: $bad")
+    // overflow is an error, as in Go — two saturated terms must not
+    // wrap around into a future instant
+    for (over <- Seq("9999999999h9999999999h", "99999999999999999999h", "9223372037s"))
+      assert(EventLogService.parseSinceNs(over, nowNs).isLeft, s"accepted: $over")
   }
 
   test("framesSinceRequest: duration form equals the equivalent instant form") {

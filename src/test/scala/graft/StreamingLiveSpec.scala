@@ -67,6 +67,49 @@ class StreamingLiveSpec extends SparkSpec {
     SseSink.InMemoryTransport.clear(runId2)
   }
 
+  test("concurrent live-tail clients each replay exactly their own since window") {
+    val base = Files.createTempDirectory("graft_multi").toFile
+    val evDir = new File(base, "events.parquet")
+    writeEvents(evDir, 1 to 10, append = false)
+    val t0 = 1705276800000000000L
+    def has(frames: Seq[String], i: Int): Boolean =
+      frames.exists(_.contains(s""""k":"$i""""))
+    val idA = "cliA_" + System.nanoTime()
+    val idB = "cliB_" + System.nanoTime()
+    // client A resumes from the beginning; client B from event 6 — the
+    // reference's per-handler seek (service.go:244-262), realized as
+    // one continuous query per subscription with its own pushed filter
+    val qA = SseSink.serveLive(spark, base.getPath, new SseSink.InMemory(idA),
+      sinceNs = Some(t0))
+    val qB = SseSink.serveLive(spark, base.getPath, new SseSink.InMemory(idB),
+      sinceNs = Some(t0 + 6L * 1000000000L))
+    try {
+      assert(eventually()(SseSink.InMemoryTransport.frames(idA).size >= 10),
+        "client A catch-up incomplete")
+      assert(eventually()(SseSink.InMemoryTransport.frames(idB).size >= 5),
+        "client B catch-up incomplete")
+      // both clients share the live tail
+      writeEvents(evDir, 11 to 12, append = true)
+      assert(eventually()(SseSink.InMemoryTransport.frames(idA).size >= 12),
+        "client A tail frames never arrived")
+      assert(eventually()(SseSink.InMemoryTransport.frames(idB).size >= 7),
+        "client B tail frames never arrived")
+      val fA = SseSink.InMemoryTransport.frames(idA)
+      val fB = SseSink.InMemoryTransport.frames(idB)
+      // exact windows: A = 1..12, B = 6..12 — and B must NOT have
+      // replayed anything before its own seek position
+      (1 to 12).foreach(i => assert(has(fA, i), s"client A missing event $i"))
+      (6 to 12).foreach(i => assert(has(fB, i), s"client B missing event $i"))
+      (1 to 5).foreach(i => assert(!has(fB, i),
+        s"client B replayed event $i from before its since position"))
+      assert(fA.size == 12 && fB.size == 7, s"duplicate frames: A=${fA.size} B=${fB.size}")
+    } finally {
+      qA.stop(); qB.stop()
+      SseSink.InMemoryTransport.clear(idA)
+      SseSink.InMemoryTransport.clear(idB)
+    }
+  }
+
   test("explicit checkpoint: restart resumes without reprocessing or duplicates") {
     val base = Files.createTempDirectory("graft_resume").toFile
     val evDir = new File(base, "events.parquet")
@@ -96,6 +139,11 @@ class StreamingLiveSpec extends SparkSpec {
   }
 
   test("append-mode windowCounts emits exactly the watermark-closed windows") {
+    // the closed-window assertion depends on Spark running a no-data
+    // micro-batch after the last data batch to finalize the watermark;
+    // pin the conf (default true) so the test encodes only semantics
+    // it controls
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
     val complete = EventStreams.windowCounts(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
     val emitted = EventStreams.windowCountsAppend(spark, sfDir).collect()
