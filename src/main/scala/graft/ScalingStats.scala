@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.functions.Vectors
+import graft.operators.Dedup
+
+/** Evidence tool for SURVEY §5's sub-quadratic claims: measures, per
+  * scale factor, the candidate-generation geometry of every dedup
+  * operator — bucket counts, max bucket population, and candidate-pair
+  * counts vs the all-pairs count a naive O(n²) design would touch.
+  * Results are recorded in BASELINE.md ("Scaling evidence").
+  *
+  * Run: sbt "runMain graft.ScalingStats" (optionally
+  * SPARK_GRAFT_SF_DIRS=dir1,dir2,...).
+  */
+object ScalingStats {
+  def main(args: Array[String]): Unit = {
+    val dirs = sys.env.getOrElse("SPARK_GRAFT_SF_DIRS",
+      "/root/testdata/sf0.001,/root/testdata/sf0.01,/root/testdata/sf0.1")
+      .split(",").map(_.trim).filter(_.nonEmpty)
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    println(f"${"sf_dir"}%-28s ${"op"}%-10s ${"n"}%8s ${"all_pairs"}%12s ${"cand_pairs"}%11s ${"buckets>1"}%10s ${"max_pop"}%8s")
+    for (dir <- dirs) {
+      // ---- MinHash LSH over documents: candidates = operator output
+      val nDocs = spark.read.parquet(s"$dir/documents.parquet").count()
+      val mh = Dedup.minhashLsh(spark, dir)
+        .agg(count(lit(1)).as("pairs")).head().getLong(0)
+      row(dir, "minhash", nDocs, mh, -1, -1)
+
+      // ---- SimHash block-pair index: rebuild the table keys from the
+      // signatures (same arithmetic as the operator) for bucket stats
+      val sigs = Dedup.simhashSigs(spark, dir)
+      val tables = (for (b1 <- 0 until 6; b2 <- b1 + 1 until 6) yield (b1, b2))
+      val tableRows = sigs.select(col("doc_id"), explode(expr(
+        tables.zipWithIndex.map { case ((b1, b2), t) =>
+          s"named_struct('band', $t, 'key', CAST((simhash DIV ${1L << (10 * b1)}) % 1024 * 1024 + (simhash DIV ${1L << (10 * b2)}) % 1024 AS INT))"
+        }.mkString("array(", ", ", ")"))).as("bk"))
+        .select(col("doc_id"), col("bk.band"), col("bk.key"))
+      val shStats = tableRows.groupBy("band", "key").agg(count(lit(1)).as("pop"))
+        .agg(sum(when(col("pop") > 1, expr("pop * (pop - 1) DIV 2"))).as("cand"),
+          sum(when(col("pop") > 1, 1).otherwise(0)).as("bkts"),
+          max("pop").as("maxpop")).head()
+      row(dir, "simhash", nDocs, if (shStats.isNullAt(0)) 0 else shStats.getLong(0),
+        shStats.getLong(1), shStats.getLong(2))
+
+      // ---- SRP embedding sketches: data-derived bit width
+      val nVec = spark.read.parquet(s"$dir/embeddings.parquet").count()
+      val ub = Dedup.srpUsedBits(nVec)
+      val sk = spark.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id") +: (0 until 2).map(s =>
+          (Vectors.srpSketchFast(spark, col("embedding"), s) % (1L << ub)).as(s"b$s")): _*)
+      val skRows = sk.select(col("vec_id"), explode(expr(
+        "array(named_struct('s', 0, 'bucket', b0), named_struct('s', 1, 'bucket', b1))")).as("sb"))
+        .select(col("sb.s"), col("sb.bucket"))
+      val srp = skRows.groupBy("s", "bucket").agg(count(lit(1)).as("pop"))
+        .agg(sum(when(col("pop") > 1, expr("pop * (pop - 1) DIV 2"))).as("cand"),
+          sum(when(col("pop") > 1, 1).otherwise(0)).as("bkts"),
+          max("pop").as("maxpop")).head()
+      row(dir, s"srp(ub=$ub)", nVec, if (srp.isNullAt(0)) 0 else srp.getLong(0),
+        srp.getLong(1), srp.getLong(2))
+    }
+    spark.stop()
+  }
+
+  private def row(dir: String, op: String, n: Long, cand: Long,
+                  bkts: Long, maxPop: Long): Unit = {
+    val allPairs = n * (n - 1) / 2
+    println(f"$dir%-28s $op%-10s $n%8d $allPairs%12d $cand%11d " +
+      (if (bkts >= 0) f"$bkts%10d $maxPop%8d" else f"${"-"}%10s ${"-"}%8s"))
+  }
+}
