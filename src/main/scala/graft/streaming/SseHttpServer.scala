@@ -1,0 +1,177 @@
+package graft.streaming
+
+import java.io.{IOException, OutputStream}
+import java.net.{InetSocketAddress, URLDecoder}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.concurrent.{ConcurrentLinkedQueue, Executors}
+import java.util.concurrent.atomic.AtomicLong
+
+import scala.collection.concurrent.TrieMap
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.{col, max => maxCol}
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.operators.EventLogService
+
+/** The literal HTTP transport: serves live SSE tails to real HTTP
+  * clients, mirroring the reference's net/http service
+  * (/root/reference/internal/kinesis2sse/service.go):
+  *
+  *  - `GET /health` → 200 (service.go:88-90);
+  *  - `GET /routes/{route}?since=...` → `Access-Control-Allow-Origin:
+  *    *` + `Content-Type: text/event-stream`, an initial `:ok`
+  *    comment frame, then `data: <json>\n\n` frames flushed as they
+  *    arrive (service.go:245-283);
+  *  - `since` optional: absent resumes at the LATEST offset — a pure
+  *    live tail (service.go:254-258); present it is RFC3339 or a Go
+  *    duration, with malformed input answered 400 before any query
+  *    runs (service.go:228-242);
+  *  - per-client disconnect: a failed frame write tears down that
+  *    client's query only (service.go:272-274 breaks on write error);
+  *    idle connections are detected via SSE comment heartbeats;
+  *  - graceful shutdown: [[stop]] stops every client query, then the
+  *    listener (service.go:193-215).
+  *
+  * Each connection runs its own continuous query with its own route +
+  * since filters pushed to the scan (the reference's per-handler
+  * memlog seek, service.go:244-262). Executors push frames into a
+  * per-connection queue; the handler thread drains it to the socket —
+  * so a slow client back-pressures only its own connection, never a
+  * Spark task. Built on the JDK's com.sun.net.httpserver — no
+  * dependency beyond the JRE.
+  */
+class SseHttpServer(spark: SparkSession, dir: String,
+                    port: Int = 0,
+                    pollIntervalMs: Long = 100L,
+                    heartbeatMs: Long = 500L,
+                    nowNs: () => Long = () => System.currentTimeMillis() * 1000000L) {
+
+  private val server = HttpServer.create(new InetSocketAddress(port), 0)
+  private val connIds = new AtomicLong(0L)
+  private val active = TrieMap.empty[Long, StreamingQuery]
+  @volatile private var closed = false
+
+  server.createContext("/health", (ex: HttpExchange) => {
+    ex.getResponseHeaders.add("Access-Control-Allow-Origin", "*")
+    ex.sendResponseHeaders(200, -1)
+    ex.close()
+  })
+  server.createContext("/routes/", (ex: HttpExchange) => handleRoute(ex))
+  server.setExecutor(Executors.newCachedThreadPool())
+
+  def start(): Int = { server.start(); boundPort }
+  def boundPort: Int = server.getAddress.getPort
+  def activeClients: Int = active.size
+
+  /** Graceful shutdown: new writes stop, every per-client query is
+    * stopped, then the listener closes. */
+  def stop(): Unit = {
+    closed = true
+    active.values.foreach(q => try q.stop() catch { case _: Exception => () })
+    server.stop(0)
+  }
+
+  private def queryParam(ex: HttpExchange, name: String): Option[String] =
+    Option(ex.getRequestURI.getRawQuery).toSeq
+      .flatMap(_.split("&").toSeq)
+      .map(_.split("=", 2))
+      .collectFirst { case Array(k, v) if k == name => URLDecoder.decode(v, "UTF-8") }
+
+  private def respond(ex: HttpExchange, code: Int, body: String): Unit = {
+    val bytes = body.getBytes(UTF_8)
+    ex.sendResponseHeaders(code, bytes.length)
+    ex.getResponseBody.write(bytes)
+    ex.close()
+  }
+
+  private def handleRoute(ex: HttpExchange): Unit = {
+    ex.getResponseHeaders.add("Access-Control-Allow-Origin", "*")
+    val route = ex.getRequestURI.getPath.stripPrefix("/routes/")
+    if (route.isEmpty || route.contains("/")) { respond(ex, 404, "Not Found\n"); return }
+    // absent since = latest offset (pure live tail): resolve the
+    // current high-water mark once, batch, then filter past it
+    val sinceNs: Either[String, Long] = queryParam(ex, "since") match {
+      case Some(s) => EventLogService.parseSinceNs(s, nowNs())
+      case None => Right(
+        graft.sources.Tables.eventsRaw(spark, dir)
+          .where(col("event_type") === route)
+          .agg(maxCol("ts")).head() match {
+            case r if r.isNullAt(0) => Long.MinValue // empty log: everything is new
+            case r => r.getLong(0) + 1
+          })
+    }
+    sinceNs match {
+      case Left(_) => respond(ex, 400, "Bad Request\n") // service.go:237
+      case Right(ns) => streamTo(ex, route, ns)
+    }
+  }
+
+  private def streamTo(ex: HttpExchange, route: String, sinceNs: Long): Unit = {
+    ex.getResponseHeaders.add("Content-Type", "text/event-stream")
+    ex.getResponseHeaders.add("Cache-Control", "no-cache")
+    ex.sendResponseHeaders(200, 0) // chunked: the stream has no length
+    val os = ex.getResponseBody
+    os.write(":ok\n\n".getBytes(UTF_8)) // service.go:248-252
+    os.flush()
+
+    val id = connIds.incrementAndGet()
+    val queue = SseHttpServer.register(id)
+    val q = SseSink.serveLive(spark, dir, new SseHttpServer.QueueTransport(id),
+      pollIntervalMs, Some(sinceNs), Some(route))
+    active.put(id, q)
+    try drainLoop(os, queue)
+    catch { case _: IOException => () } // client hung up: this query only
+    finally {
+      active.remove(id)
+      SseHttpServer.unregister(id)
+      try q.stop() catch { case _: Exception => () }
+      try ex.close() catch { case _: Exception => () }
+    }
+  }
+
+  /** Pump queued frames to the socket; between frames, send SSE
+    * comment heartbeats so a dead client is noticed even when the
+    * route is idle (the write to a closed socket is what throws). */
+  private def drainLoop(os: OutputStream, queue: ConcurrentLinkedQueue[String]): Unit = {
+    var lastWrite = System.currentTimeMillis()
+    while (!closed) {
+      val frame = queue.poll()
+      if (frame != null) {
+        os.write(frame.getBytes(UTF_8))
+        os.flush()
+        lastWrite = System.currentTimeMillis()
+      } else if (System.currentTimeMillis() - lastWrite >= heartbeatMs) {
+        os.write(":\n\n".getBytes(UTF_8))
+        os.flush()
+        lastWrite = System.currentTimeMillis()
+      } else {
+        Thread.sleep(20)
+      }
+    }
+  }
+}
+
+object SseHttpServer {
+  // Per-connection frame queues live in a STATIC registry (like
+  // SseSink.InMemoryTransport): the ForeachWriter is serialized per
+  // task, so a transport must carry only the connection id and look
+  // the shared queue up JVM-side — a captured queue reference would
+  // deserialize into a private copy and frames would vanish.
+  private val queues = TrieMap.empty[Long, ConcurrentLinkedQueue[String]]
+  private def register(id: Long): ConcurrentLinkedQueue[String] = {
+    val q = new ConcurrentLinkedQueue[String]()
+    queues.put(id, q)
+    q
+  }
+  private def unregister(id: Long): Unit = queues.remove(id)
+
+  /** Executor-side transport: frames land in the per-connection queue
+    * the handler thread drains (dropped if the client already left). */
+  final class QueueTransport(connId: Long) extends SseSink.SseTransport {
+    def send(route: String, frame: String): Unit =
+      queues.get(connId).foreach(_.add(frame))
+  }
+}

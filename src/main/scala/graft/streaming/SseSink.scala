@@ -84,17 +84,20 @@ object SseSink {
   def serveLive(spark: org.apache.spark.sql.SparkSession, dir: String,
                 transport: SseTransport,
                 pollIntervalMs: Long = 100L,
-                sinceNs: Option[Long] = None): org.apache.spark.sql.streaming.StreamingQuery =
-    framesStream(spark, dir, sinceNs).writeStream
+                sinceNs: Option[Long] = None,
+                route: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery =
+    framesStream(spark, dir, sinceNs, route).writeStream
       .foreach(writer(transport))
       .trigger(Trigger.ProcessingTime(pollIntervalMs))
       .start()
 
   private def framesStream(spark: org.apache.spark.sql.SparkSession,
                            dir: String,
-                           sinceNs: Option[Long] = None): DataFrame = {
+                           sinceNs: Option[Long] = None,
+                           route: Option[String] = None): DataFrame = {
     val ev = EventStreams.readEvents(spark, dir)
-    sinceNs.fold(ev)(n => ev.where(col("ts") >= n))
+    val routed = route.fold(ev)(rt => ev.where(col("event_type") === rt))
+    sinceNs.fold(routed)(n => routed.where(col("ts") >= n))
       .select(col("event_type"), frameCol.as("frame"))
   }
 }
