@@ -83,4 +83,26 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("graft_cosine"), s"native expression missing:\n$plan")
     assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"))
   }
+
+  test("embedding dedup evaluates the native SRP sketch, not a generated term chain") {
+    val plan = finalPlan(graft.operators.Dedup.embeddingNearDup(spark, sfDir))
+    assert(plan.contains("graft_srp_sketch"), s"native sketch missing:\n$plan")
+    // the interpreted giant-projection regression: thousands of
+    // GetArrayItem terms would reappear as spelled-out array accesses
+    assert(!plan.contains("embedding[63]"), s"spelled-out projection returned:\n$plan")
+  }
+
+  test("trained IVF scores centroids via broadcast (corpus never shuffles to score)") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val cents = graft.operators.SimilaritySearch.trainCentroids(spark, emb, k = 4, iters = 1)
+    // the assignment pass inside training is the plan shape every
+    // Lloyd's round and the search itself reuse: centroids broadcast,
+    // corpus side stays where it is
+    val assigned = emb.join(
+      org.apache.spark.sql.functions.broadcast(cents))
+    val plan = finalPlan(assigned)
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"centroids not broadcast:\n$plan")
+  }
 }
