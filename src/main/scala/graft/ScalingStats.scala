@@ -37,14 +37,12 @@ object ScalingStats {
         .agg(count(lit(1)).as("pairs")).head().getLong(0)
       row(dir, "minhash", nDocs, mh, -1, -1)
 
-      // ---- SimHash block-pair index: rebuild the table keys from the
-      // signatures (same arithmetic as the operator) for bucket stats
+      // ---- SimHash block-pair index: the operator's OWN table-key
+      // expression (Dedup.simhashTableStructsExpr), so the measured
+      // geometry can never drift from what the operator builds
       val sigs = Dedup.simhashSigs(spark, dir)
-      val tables = (for (b1 <- 0 until 6; b2 <- b1 + 1 until 6) yield (b1, b2))
-      val tableRows = sigs.select(col("doc_id"), explode(expr(
-        tables.zipWithIndex.map { case ((b1, b2), t) =>
-          s"named_struct('band', $t, 'key', CAST((simhash DIV ${1L << (10 * b1)}) % 1024 * 1024 + (simhash DIV ${1L << (10 * b2)}) % 1024 AS INT))"
-        }.mkString("array(", ", ", ")"))).as("bk"))
+      val tableRows = sigs
+        .select(col("doc_id"), explode(expr(Dedup.simhashTableStructsExpr)).as("bk"))
         .select(col("doc_id"), col("bk.band"), col("bk.key"))
       val shStats = tableRows.groupBy("band", "key").agg(count(lit(1)).as("pop"))
         .agg(sum(when(col("pop") > 1, expr("pop * (pop - 1) DIV 2"))).as("cand"),

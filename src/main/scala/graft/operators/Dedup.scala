@@ -196,9 +196,22 @@ object Dedup {
   private val SimhashBlockBits = 10 // 6 blocks x 10 bits
   private val SimhashBlocks = 6
   /** (table id, lo block, hi block) for every block pair. */
-  private val simhashTables: Seq[(Int, Int, Int)] =
+  private[graft] val simhashTables: Seq[(Int, Int, Int)] =
     (for (b1 <- 0 until SimhashBlocks; b2 <- b1 + 1 until SimhashBlocks)
       yield (b1, b2)).zipWithIndex.map { case ((b1, b2), t) => (t, b1, b2) }
+
+  /** Spark-dialect `array(named_struct('band',…,'key',…))` expression
+    * for the block-pair index — the ONE definition of the table-key
+    * arithmetic, reused by the evidence tool (graft.ScalingStats) so
+    * its measured geometry can't drift from the operator's. */
+  private[graft] def simhashTableStructsExpr: String = {
+    val m = (1 << SimhashBlockBits)
+    simhashTables.map { case (t, b1, b2) =>
+      s"""named_struct('band', $t, 'key',
+         | CAST((simhash DIV ${1L << (SimhashBlockBits * b1)}) % $m * $m
+         |     + (simhash DIV ${1L << (SimhashBlockBits * b2)}) % $m AS INT))""".stripMargin
+    }.mkString("array(", ", ", ")")
+  }
   /** (doc_id, simhash): exploded shingles + 60 codegen'd
     * conditional-count aggregates (hex positions 1-32 of md5(x), 1-28
     * of md5('2:'||x)): the nibble-majority per position is computed
@@ -223,14 +236,8 @@ object Dedup {
 
   def simhash(spark: SparkSession, dir: String): DataFrame = {
     val sigs = simhashSigs(spark, dir)
-    val blockMask = (1 << SimhashBlockBits) - 1
-    val tableStructs = simhashTables.map { case (t, b1, b2) =>
-      s"""named_struct('band', $t, 'key',
-         | CAST((simhash DIV ${1L << (SimhashBlockBits * b1)}) % ${blockMask + 1} * ${blockMask + 1}
-         |     + (simhash DIV ${1L << (SimhashBlockBits * b2)}) % ${blockMask + 1} AS INT))""".stripMargin
-    }.mkString("array(", ", ", ")")
     val bands = sigs.select(col("doc_id"), col("simhash"),
-      explode(expr(tableStructs)).as("bk"))
+      explode(expr(simhashTableStructsExpr)).as("bk"))
       .select(col("doc_id"), col("simhash"), col("bk.band"), col("bk.key"))
     // bucket-collect pair generation: signatures computed once (see
     // lshPairs for the shape rationale and cap)

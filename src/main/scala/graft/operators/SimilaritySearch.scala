@@ -143,17 +143,23 @@ object SimilaritySearch {
     var seeds = cands.orderBy(md5(col("vec_id").cast("string"))).limit(1)
       .select(col("vec_id").as("s_id"), col("embedding").as("s_emb"))
       .localCheckpoint()
-    for (_ <- 1 until k) {
+    var exhausted = false
+    for (_ <- 1 until k if !exhausted) {
       // farthest candidate = argmin over candidates of max cosine to
-      // any current seed (rounded, vec_id tiebreak — deterministic)
-      val next = cands.crossJoin(broadcast(seeds))
+      // any current seed (rounded, vec_id tiebreak — deterministic);
+      // already-selected seeds are anti-joined out so k > |candidates|
+      // stops early instead of minting duplicate centroids
+      val next = cands
+        .join(seeds, col("vec_id") === col("s_id"), "left_anti")
+        .crossJoin(broadcast(seeds))
         .groupBy(col("vec_id"))
         .agg(first(col("embedding")).as("embedding"),
           max(round(Vectors.cosineFast(spark, col("embedding"), col("s_emb")), 9))
             .as("near"))
         .orderBy(col("near").asc, col("vec_id").asc).limit(1)
         .select(col("vec_id").as("s_id"), col("embedding").as("s_emb"))
-      seeds = seeds.union(next).localCheckpoint()
+      if (next.isEmpty) exhausted = true
+      else seeds = seeds.union(next).localCheckpoint()
     }
     var cents = seeds
       .withColumn("cid", row_number().over(Window.orderBy("s_id")) - 1)

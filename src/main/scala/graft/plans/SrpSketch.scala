@@ -77,15 +77,25 @@ object SrpSketch {
   private val signs: Array[Array[Double]] =
     Array.tabulate(MaxFamilies * Bits, Dims)(sign)
 
+  /** Short arrays fail fast: the SQL twin's out-of-range index yields
+    * NULL (bit unset) where a partial native dot could set it — a
+    * silent cross-engine divergence far from the bad row. Arrays
+    * LONGER than Dims are fine: both engines read exactly the first
+    * Dims elements. */
+  private def checkDims(arr: ArrayData): Unit =
+    if (arr.numElements() < Dims)
+      throw new IllegalArgumentException(
+        s"graft_srp_sketch needs >= $Dims elements, got ${arr.numElements()}")
+
   def computeF(arr: ArrayData, family: Int): Long = {
-    val n = math.min(arr.numElements(), Dims)
+    checkDims(arr)
     var sk = 0L
     var j = 0
     while (j < Bits) {
       val row = signs(family * Bits + j)
       var dot = 0.0
       var i = 0
-      while (i < n) { dot += arr.getFloat(i).toDouble * row(i); i += 1 }
+      while (i < Dims) { dot += arr.getFloat(i).toDouble * row(i); i += 1 }
       if (dot > 0) sk |= 1L << j
       j += 1
     }
@@ -93,14 +103,14 @@ object SrpSketch {
   }
 
   def computeD(arr: ArrayData, family: Int): Long = {
-    val n = math.min(arr.numElements(), Dims)
+    checkDims(arr)
     var sk = 0L
     var j = 0
     while (j < Bits) {
       val row = signs(family * Bits + j)
       var dot = 0.0
       var i = 0
-      while (i < n) { dot += arr.getDouble(i) * row(i); i += 1 }
+      while (i < Dims) { dot += arr.getDouble(i) * row(i); i += 1 }
       if (dot > 0) sk |= 1L << j
       j += 1
     }

@@ -3,7 +3,7 @@ package graft.streaming
 import java.io.{IOException, OutputStream}
 import java.net.{InetSocketAddress, URLDecoder}
 import java.nio.charset.StandardCharsets.UTF_8
-import java.util.concurrent.{ConcurrentLinkedQueue, Executors}
+import java.util.concurrent.Executors
 import java.util.concurrent.atomic.AtomicLong
 
 import scala.collection.concurrent.TrieMap
@@ -25,32 +25,36 @@ import graft.operators.EventLogService
   *    *` + `Content-Type: text/event-stream`, an initial `:ok`
   *    comment frame, then `data: <json>\n\n` frames flushed as they
   *    arrive (service.go:245-283);
-  *  - `since` optional: absent resumes at the LATEST offset — a pure
-  *    live tail (service.go:254-258); present it is RFC3339 or a Go
-  *    duration, with malformed input answered 400 before any query
-  *    runs (service.go:228-242);
+  *  - `since` optional: absent resumes at the LATEST log offset — a
+  *    pure live tail, seeked by offset exactly as the reference does
+  *    (service.go:254-258), so timestamp ties can't drop events;
+  *    present it is RFC3339 or a Go duration, with malformed input
+  *    answered 400 before any query runs (service.go:228-242);
   *  - per-client disconnect: a failed frame write tears down that
   *    client's query only (service.go:272-274 breaks on write error);
-  *    idle connections are detected via SSE comment heartbeats;
+  *    idle connections are detected via SSE comment heartbeats; a
+  *    client that stalls reading until its bounded frame queue fills
+  *    is disconnected rather than buffered without limit;
   *  - graceful shutdown: [[stop]] stops every client query, then the
-  *    listener (service.go:193-215).
+  *    listener and its handler pool (service.go:193-215).
   *
   * Each connection runs its own continuous query with its own route +
   * since filters pushed to the scan (the reference's per-handler
   * memlog seek, service.go:244-262). Executors push frames into a
-  * per-connection queue; the handler thread drains it to the socket —
-  * so a slow client back-pressures only its own connection, never a
-  * Spark task. Built on the JDK's com.sun.net.httpserver — no
-  * dependency beyond the JRE.
+  * per-connection bounded queue; the handler thread drains it to the
+  * socket — so a slow client back-pressures (and, at the bound,
+  * disconnects) only its own connection, never a Spark task. Built on
+  * the JDK's com.sun.net.httpserver — no dependency beyond the JRE.
   */
 class SseHttpServer(spark: SparkSession, dir: String,
                     port: Int = 0,
                     pollIntervalMs: Long = 100L,
                     heartbeatMs: Long = 500L,
+                    maxQueuedFrames: Int = 10000,
                     nowNs: () => Long = () => System.currentTimeMillis() * 1000000L) {
 
   private val server = HttpServer.create(new InetSocketAddress(port), 0)
-  private val connIds = new AtomicLong(0L)
+  private val pool = Executors.newCachedThreadPool()
   private val active = TrieMap.empty[Long, StreamingQuery]
   @volatile private var closed = false
 
@@ -60,18 +64,19 @@ class SseHttpServer(spark: SparkSession, dir: String,
     ex.close()
   })
   server.createContext("/routes/", (ex: HttpExchange) => handleRoute(ex))
-  server.setExecutor(Executors.newCachedThreadPool())
+  server.setExecutor(pool)
 
   def start(): Int = { server.start(); boundPort }
   def boundPort: Int = server.getAddress.getPort
   def activeClients: Int = active.size
 
   /** Graceful shutdown: new writes stop, every per-client query is
-    * stopped, then the listener closes. */
+    * stopped, then the listener and handler pool close. */
   def stop(): Unit = {
     closed = true
     active.values.foreach(q => try q.stop() catch { case _: Exception => () })
     server.stop(0)
+    pool.shutdown()
   }
 
   private def queryParam(ex: HttpExchange, name: String): Option[String] =
@@ -91,25 +96,28 @@ class SseHttpServer(spark: SparkSession, dir: String,
     ex.getResponseHeaders.add("Access-Control-Allow-Origin", "*")
     val route = ex.getRequestURI.getPath.stripPrefix("/routes/")
     if (route.isEmpty || route.contains("/")) { respond(ex, 404, "Not Found\n"); return }
-    // absent since = latest offset (pure live tail): resolve the
-    // current high-water mark once, batch, then filter past it
-    val sinceNs: Either[String, Long] = queryParam(ex, "since") match {
-      case Some(s) => EventLogService.parseSinceNs(s, nowNs())
-      case None => Right(
-        graft.sources.Tables.eventsRaw(spark, dir)
+    queryParam(ex, "since") match {
+      case Some(s) => EventLogService.parseSinceNs(s, nowNs()) match {
+        case Left(_) => respond(ex, 400, "Bad Request\n") // service.go:237
+        case Right(ns) => streamTo(ex, route, sinceNs = Some(ns), afterOffset = None)
+      }
+      case None =>
+        // absent since = latest OFFSET (service.go:254-258): resolve
+        // the route's high-water event_id once, batch, and tail
+        // strictly after it — an offset seek, so a late event sharing
+        // the current max timestamp is still delivered
+        val hwm = graft.sources.Tables.eventsRaw(spark, dir)
           .where(col("event_type") === route)
-          .agg(maxCol("ts")).head() match {
+          .agg(maxCol("event_id")).head() match {
             case r if r.isNullAt(0) => Long.MinValue // empty log: everything is new
-            case r => r.getLong(0) + 1
-          })
-    }
-    sinceNs match {
-      case Left(_) => respond(ex, 400, "Bad Request\n") // service.go:237
-      case Right(ns) => streamTo(ex, route, ns)
+            case r => r.getLong(0)
+          }
+        streamTo(ex, route, sinceNs = None, afterOffset = Some(hwm))
     }
   }
 
-  private def streamTo(ex: HttpExchange, route: String, sinceNs: Long): Unit = {
+  private def streamTo(ex: HttpExchange, route: String,
+                       sinceNs: Option[Long], afterOffset: Option[Long]): Unit = {
     ex.getResponseHeaders.add("Content-Type", "text/event-stream")
     ex.getResponseHeaders.add("Cache-Control", "no-cache")
     ex.sendResponseHeaders(200, 0) // chunked: the stream has no length
@@ -117,27 +125,35 @@ class SseHttpServer(spark: SparkSession, dir: String,
     os.write(":ok\n\n".getBytes(UTF_8)) // service.go:248-252
     os.flush()
 
-    val id = connIds.incrementAndGet()
-    val queue = SseHttpServer.register(id)
-    val q = SseSink.serveLive(spark, dir, new SseHttpServer.QueueTransport(id),
-      pollIntervalMs, Some(sinceNs), Some(route))
-    active.put(id, q)
-    try drainLoop(os, queue)
+    val id = SseHttpServer.nextConnId()
+    var q: StreamingQuery = null
+    try {
+      val queue = SseHttpServer.register(id, maxQueuedFrames)
+      q = SseSink.serveLive(spark, dir, new SseHttpServer.QueueTransport(id),
+        pollIntervalMs, sinceNs, Some(route), afterOffset)
+      active.put(id, q)
+      drainLoop(os, queue)
+    }
     catch { case _: IOException => () } // client hung up: this query only
     finally {
       active.remove(id)
       SseHttpServer.unregister(id)
-      try q.stop() catch { case _: Exception => () }
+      if (q != null) { try q.stop() catch { case _: Exception => () } }
       try ex.close() catch { case _: Exception => () }
     }
   }
 
   /** Pump queued frames to the socket; between frames, send SSE
     * comment heartbeats so a dead client is noticed even when the
-    * route is idle (the write to a closed socket is what throws). */
-  private def drainLoop(os: OutputStream, queue: ConcurrentLinkedQueue[String]): Unit = {
+    * route is idle (the write to a closed socket is what throws). A
+    * queue that hit its bound means the client stalled while frames
+    * kept arriving — disconnect it, as the reference does on a failed
+    * write, instead of buffering without limit. */
+  private def drainLoop(os: OutputStream, queue: SseHttpServer.ConnQueue): Unit = {
     var lastWrite = System.currentTimeMillis()
     while (!closed) {
+      if (queue.overflowed)
+        throw new IOException("client too slow: frame queue overflow")
       val frame = queue.poll()
       if (frame != null) {
         os.write(frame.getBytes(UTF_8))
@@ -159,10 +175,24 @@ object SseHttpServer {
   // SseSink.InMemoryTransport): the ForeachWriter is serialized per
   // task, so a transport must carry only the connection id and look
   // the shared queue up JVM-side — a captured queue reference would
-  // deserialize into a private copy and frames would vanish.
-  private val queues = TrieMap.empty[Long, ConcurrentLinkedQueue[String]]
-  private def register(id: Long): ConcurrentLinkedQueue[String] = {
-    val q = new ConcurrentLinkedQueue[String]()
+  // deserialize into a private copy and frames would vanish. The id
+  // counter is static too, so several server instances in one JVM
+  // can never collide on a connection id.
+  private val connIds = new AtomicLong(0L)
+  private def nextConnId(): Long = connIds.incrementAndGet()
+
+  /** Bounded frame buffer: producers set `overflowed` instead of
+    * growing past the cap; the handler turns that into a disconnect. */
+  final class ConnQueue(cap: Int) {
+    private val q = new java.util.concurrent.LinkedBlockingQueue[String](cap)
+    @volatile var overflowed = false
+    def add(frame: String): Unit = if (!q.offer(frame)) overflowed = true
+    def poll(): String = q.poll()
+  }
+
+  private val queues = TrieMap.empty[Long, ConnQueue]
+  private def register(id: Long, cap: Int): ConnQueue = {
+    val q = new ConnQueue(cap)
     queues.put(id, q)
     q
   }

@@ -85,19 +85,26 @@ object SseSink {
                 transport: SseTransport,
                 pollIntervalMs: Long = 100L,
                 sinceNs: Option[Long] = None,
-                route: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery =
-    framesStream(spark, dir, sinceNs, route).writeStream
+                route: Option[String] = None,
+                afterOffset: Option[Long] = None): org.apache.spark.sql.streaming.StreamingQuery =
+    framesStream(spark, dir, sinceNs, route, afterOffset).writeStream
       .foreach(writer(transport))
       .trigger(Trigger.ProcessingTime(pollIntervalMs))
       .start()
 
+  /** `sinceNs` is the timestamp seek; `afterOffset` is the OFFSET seek
+    * (strictly-after event_id) — the reference's no-since default
+    * resumes at the latest log offset, not the latest timestamp
+    * (service.go:254-258), so timestamp ties never drop events. */
   private def framesStream(spark: org.apache.spark.sql.SparkSession,
                            dir: String,
                            sinceNs: Option[Long] = None,
-                           route: Option[String] = None): DataFrame = {
+                           route: Option[String] = None,
+                           afterOffset: Option[Long] = None): DataFrame = {
     val ev = EventStreams.readEvents(spark, dir)
     val routed = route.fold(ev)(rt => ev.where(col("event_type") === rt))
-    sinceNs.fold(routed)(n => routed.where(col("ts") >= n))
+    val timed = sinceNs.fold(routed)(n => routed.where(col("ts") >= n))
+    afterOffset.fold(timed)(o => timed.where(col("event_id") > o))
       .select(col("event_type"), frameCol.as("frame"))
   }
 }
