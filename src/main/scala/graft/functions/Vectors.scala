@@ -46,4 +46,19 @@ object Vectors {
     graft.plans.GraftFunctions.register(spark)
     call_function("graft_srp_sketch", emb, lit(s))
   }
+
+  /** Native per-row minhash signature ([[graft.plans.MinhashSig]]):
+    * element j = min(md5("j:"||x)) over the shingle array — the fused
+    * replacement for explode + H min() aggregates. */
+  def minhashFast(spark: org.apache.spark.sql.SparkSession, sh: Column, h: Int): Column = {
+    graft.plans.GraftFunctions.register(spark)
+    call_function("graft_minhash", sh, lit(h))
+  }
+
+  /** Native per-row 60-bit simhash ([[graft.plans.SimhashSig]]) — the
+    * fused replacement for explode + 60 conditional-count aggregates. */
+  def simhashFast(spark: org.apache.spark.sql.SparkSession, sh: Column): Column = {
+    graft.plans.GraftFunctions.register(spark)
+    call_function("graft_simhash", sh)
+  }
 }

@@ -75,23 +75,20 @@ object Dedup {
       |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents))""".stripMargin
 
   /** MinHash signature per doc: seeded hash family = md5("j:" ||
-    * shingle), computed over EXPLODED shingle rows with H codegen'd
-    * min() aggregates — higher-order array lambdas are interpreted per
-    * element, while this shape stays inside WholeStageCodegen and
-    * partial-aggregates map-side (the shuffle carries one 12-hash row
-    * per doc, not the shingles). With carrySh the shingle array rides
-    * along (first(sh)) for downstream exact verification. */
+    * shingle), computed per ROW by the native `graft_minhash`
+    * expression ([[graft.plans.MinhashSig]]) — the whole signature
+    * stage is narrow (no explode, no aggregation shuffle; the r2
+    * explode + H min()-aggregate shape this replaces moved ~|shingles|
+    * rows per doc into partial aggregation). With carrySh the shingle
+    * array rides along for downstream exact verification. */
   private def minhashSig(spark: SparkSession, dir: String,
                          carrySh: Boolean): DataFrame = {
     val base = withShingles(spark, dir, par = true)
-    val mhAggs = (0 until H).map(j =>
-      min(md5(concat(lit(s"$j:"), col("x")))).as(s"mh_$j"))
-    if (carrySh)
-      base.select(col("doc_id"), col("sh"), explode(col("sh")).as("x"))
-        .groupBy("doc_id").agg(first(col("sh")).as("sh"), mhAggs: _*)
-    else
-      base.select(col("doc_id"), explode(col("sh")).as("x"))
-        .groupBy("doc_id").agg(mhAggs.head, mhAggs.tail: _*)
+    val keep = if (carrySh) Seq(col("doc_id"), col("sh")) else Seq(col("doc_id"))
+    val mhCols = (0 until H).map(j =>
+      element_at(col("mhs"), j + 1).as(s"mh_$j"))
+    base.select(keep :+ Vectors.minhashFast(spark, col("sh"), H).as("mhs"): _*)
+      .select(keep ++ mhCols: _*)
   }
 
   /** Explode a signature row into its (band, key) rows, carrying
@@ -212,27 +209,13 @@ object Dedup {
          |     + (simhash DIV ${1L << (SimhashBlockBits * b2)}) % $m AS INT))""".stripMargin
     }.mkString("array(", ", ", ")")
   }
-  /** (doc_id, simhash): exploded shingles + 60 codegen'd
-    * conditional-count aggregates (hex positions 1-32 of md5(x), 1-28
-    * of md5('2:'||x)): the nibble-majority per position is computed
-    * map-side; only one 61-column row per doc shuffles. */
-  private[graft] def simhashSigs(spark: SparkSession, dir: String): DataFrame = {
-    val highs = (1 to SimhashBits).map { p =>
-      val (h, pos) = if (p <= 32) (col("h1"), p) else (col("h2"), p - 32)
-      sum(when(substring(h, pos, 1)
-        .isin("8", "9", "a", "b", "c", "d", "e", "f"), 1).otherwise(0)).as(s"hi_$p")
-    }
-    val counts = withShingles(spark, dir, par = true)
-      .select(col("doc_id"), explode(col("sh")).as("x"))
-      .select(col("doc_id"), md5(col("x")).as("h1"),
-        md5(concat(lit("2:"), col("x"))).as("h2"))
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("nsh"), highs: _*)
-    val bitTerms = (1 to SimhashBits).map { p =>
-      s"(CASE WHEN 2 * hi_$p > nsh THEN ${1L << (p - 1)}L ELSE 0L END)"
-    }.mkString(" + ")
-    counts.select(col("doc_id"), expr(bitTerms).as("simhash"))
-  }
+  /** (doc_id, simhash): per-row native `graft_simhash` expression
+    * ([[graft.plans.SimhashSig]]: hex-nibble majority vote over
+    * positions 1-32 of md5(x) and 1-28 of md5('2:'||x)) — narrow, no
+    * explode, no 60-aggregate shuffle (the r2 shape this replaces). */
+  private[graft] def simhashSigs(spark: SparkSession, dir: String): DataFrame =
+    withShingles(spark, dir, par = true)
+      .select(col("doc_id"), Vectors.simhashFast(spark, col("sh")).as("simhash"))
 
   def simhash(spark: SparkSession, dir: String): DataFrame = {
     val sigs = simhashSigs(spark, dir)

@@ -98,19 +98,33 @@ object GraftFunctions {
       SrpSketch(children(0), fam): Expression
     })
 
-  /** Idempotent per-session registration (for sessions built without
-    * the extensions config). */
-  def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.registerFunction(
-      cosineDesc._1, cosineDesc._2, cosineDesc._3)
-    spark.sessionState.functionRegistry.registerFunction(
-      srpDesc._1, srpDesc._2, srpDesc._3)
+  private def litInt(e: Expression, what: String): Int = e match {
+    case x if x.foldable => x.eval().asInstanceOf[Number].intValue()
+    case x => throw new IllegalArgumentException(s"$what must be a literal, got $x")
   }
 
-  private[plans] def inject(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction(cosineDesc)
-    ext.injectFunction(srpDesc)
-  }
+  private val minhashDesc = (
+    FunctionIdentifier("graft_minhash"),
+    new ExpressionInfo(classOf[MinhashSig].getName, null, "graft_minhash"),
+    (children: Seq[Expression]) =>
+      MinhashSig(children(0), litInt(children(1), "graft_minhash H")): Expression)
+
+  private val simhashDesc = (
+    FunctionIdentifier("graft_simhash"),
+    new ExpressionInfo(classOf[SimhashSig].getName, null, "graft_simhash"),
+    (children: Seq[Expression]) => SimhashSig(children(0)): Expression)
+
+  private val all = Seq(cosineDesc, srpDesc, minhashDesc, simhashDesc)
+
+  /** Idempotent per-session registration (for sessions built without
+    * the extensions config). */
+  def register(spark: SparkSession): Unit =
+    all.foreach { d =>
+      spark.sessionState.functionRegistry.registerFunction(d._1, d._2, d._3)
+    }
+
+  private[plans] def inject(ext: SparkSessionExtensions): Unit =
+    all.foreach(ext.injectFunction)
 }
 
 /** `spark.sql.extensions=graft.plans.GraftExtensions` injects the

@@ -96,6 +96,41 @@ class DedupSpec extends SparkSpec {
     assert(nMissed == 0, s"index missed $nMissed of $nTruth ham<=4 pairs")
   }
 
+  test("native minhash/simhash signatures match the aggregate formulation bit-for-bit") {
+    // the r2 explode+aggregate shape, rebuilt here as ground truth for
+    // the fused per-row expressions that replaced it
+    val sh = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .withColumn("sh", expr(
+        "array_distinct(transform(sequence(1, greatest(size(toks)-2, 1)), i -> concat_ws(' ', slice(toks, i, 3))))"))
+    val mhAggs = (0 until 12).map(j =>
+      min(md5(concat(lit(s"$j:"), col("x")))).as(s"omh_$j"))
+    val oldMinhash = sh.select(col("doc_id"), explode(col("sh")).as("x"))
+      .groupBy("doc_id").agg(mhAggs.head, mhAggs.tail: _*)
+    val newMinhash = sh.select(col("doc_id"),
+      Vectors.minhashFast(spark, col("sh"), 12).as("mhs"))
+    val mhCond = (0 until 12).map(j =>
+      col(s"omh_$j") =!= expr(s"element_at(mhs, ${j + 1})")).reduce(_ || _)
+    assert(newMinhash.join(oldMinhash, "doc_id").where(mhCond).count() == 0)
+
+    val highs = (1 to 60).map { p =>
+      val (h, pos) = if (p <= 32) (col("h1"), p) else (col("h2"), p - 32)
+      sum(when(substring(h, pos, 1)
+        .isin("8", "9", "a", "b", "c", "d", "e", "f"), 1).otherwise(0)).as(s"hi_$p")
+    }
+    val bitTerms = (1 to 60).map { p =>
+      s"(CASE WHEN 2 * hi_$p > nsh THEN ${1L << (p - 1)}L ELSE 0L END)"
+    }.mkString(" + ")
+    val oldSimhash = sh.select(col("doc_id"), explode(col("sh")).as("x"))
+      .select(col("doc_id"), md5(col("x")).as("h1"), md5(concat(lit("2:"), col("x"))).as("h2"))
+      .groupBy("doc_id").agg(count(lit(1)).as("nsh"), highs: _*)
+      .select(col("doc_id"), expr(bitTerms).as("osim"))
+    val newSimhash = sh.select(col("doc_id"),
+      Vectors.simhashFast(spark, col("sh")).as("nsim"))
+    assert(newSimhash.join(oldSimhash, "doc_id")
+      .where(col("nsim") =!= col("osim")).count() == 0)
+  }
+
   test("native SRP sketch is bit-identical to the spelled-out SQL expression") {
     // the oracle evaluates the giant per-term expression; the Spark
     // side runs the fused native loop — the `> 0` sign decisions must
