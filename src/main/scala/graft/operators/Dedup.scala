@@ -318,13 +318,22 @@ object Dedup {
     * the Jaccard-verified near-dup pairs, each doc labeled with its
     * cluster's min doc_id ("keep the canonical, drop the rest").
     *
-    * Min-label propagation: each round every vertex takes the min of
-    * its own and its neighbors' labels — converges in O(diameter)
-    * rounds (dup clusters are near-cliques, so 2-3 rounds in
-    * practice; the loop is capped and checks a convergence count).
-    * Labels are cached + localCheckpointed per round to cut lineage.
-    * At web scale this is the standard alternating-star CC shape; the
-    * join is on doc_id keys, shuffle-partitioned, never all-pairs. */
+    * Min-label propagation seeded with min(id, min neighbor):
+    * converges in O(diameter) rounds, with a convergence flag fused
+    * into the propagation join and labels localCheckpointed per round
+    * to cut lineage. The join is on doc_id keys, shuffle-partitioned,
+    * never all-pairs.
+    *
+    * Round-count judgment for 100 TB: alternating large-star/
+    * small-star (Kiveris et al.) would bound rounds at O(log n)
+    * regardless of graph shape, at the cost of materializing a
+    * rewritten edge set every round. Jaccard-verified dup groups are
+    * near-cliques BY CONSTRUCTION (every member pair passed the ≥0.8
+    * similarity gate), so diameters are 1-3 and seeded min-label wins
+    * — it ships one label per vertex per round, not an edge set. The
+    * pathological path-graph case still converges correctly, just in
+    * diameter rounds (DedupSpec's CHAIN test proves it), and the
+    * capped loop throws rather than returning wrong labels. */
   def dupClusters(spark: SparkSession, dir: String): DataFrame = {
     // both edge directions from ONE pass over the (expensive) verified
     // pairs — a union of pairs with its mirror would run the whole

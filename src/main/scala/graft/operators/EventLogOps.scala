@@ -53,12 +53,19 @@ object EventLogOps {
     * parse as a JSON object with the expected field — mirroring
     * record_processor.go:59-88's skip semantics. */
   def parse(spark: SparkSession, dir: String): DataFrame =
+    // Range-partition FIRST, on the raw scan, then sort within
+    // partitions and parse: output is still totally ordered (contiguous
+    // ranges in partition order, ordered within), but the range sampler
+    // runs over the bare scan instead of re-evaluating the JSON
+    // extraction for a second full pass the way a trailing orderBy did
+    // (measured 2.2 s -> 1.7 s steady-state at sf0.1).
     Tables.eventsRaw(spark, dir)
+      .repartitionByRange(col("event_id"))
+      .sortWithinPartitions("event_id")
       .select(col("event_id"), tsUs.as("ts_us"), col("props"),
         Portable.intStrict(get_json_object(col("props"), "$.k")).as("k"))
       .where(col("ts_us").isNotNull && col("props").isNotNull && col("k").isNotNull)
       .select(col("event_id"), col("ts_us"), col("k"), col("props").as("detail"))
-      .orderBy("event_id")
 
   val parseSql: String =
     s"""SELECT event_id, epoch_us(ts) AS ts_us,

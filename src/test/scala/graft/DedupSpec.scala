@@ -96,6 +96,35 @@ class DedupSpec extends SparkSpec {
     assert(nMissed == 0, s"index missed $nMissed of $nTruth ham<=4 pairs")
   }
 
+  test("dup clusters converge on a CHAIN (worst-case diameter), one cluster, min label") {
+    // sliding-window docs: adjacent pairs share 16 of 20 distinct
+    // 3-gram shingles (jaccard exactly 0.8 — an edge), skip-pairs
+    // 14/22 (~0.64 — no edge): a PATH graph, the worst convergence
+    // shape for min-label propagation (diameter = n-1), unlike the
+    // near-cliques real dup groups form
+    val dir = java.nio.file.Files.createTempDirectory("graft_chain").toFile
+    try {
+      import spark.implicits._
+      val docs = (0 until 8).map { i =>
+        val toks = (2 * i until 2 * i + 20).map(t => s"w$t")
+        (i.toLong, toks.mkString(" "), "en", "chain", toks.mkString(" ").length.toLong)
+      }
+      docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.parquet(s"$dir/documents.parquet")
+      val got = Dedup.dupClusters(spark, dir.getPath)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got.keySet == (0L until 8L).toSet,
+        s"chain nodes missing from clusters: $got")
+      assert(got.values.forall(_ == 0L),
+        s"chain did not converge to the single min label: $got")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+      }
+      rm(dir)
+    }
+  }
+
   test("native minhash/simhash signatures match the aggregate formulation bit-for-bit") {
     // the r2 explode+aggregate shape, rebuilt here as ground truth for
     // the fused per-row expressions that replaced it
