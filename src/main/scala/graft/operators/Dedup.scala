@@ -146,6 +146,10 @@ object Dedup {
         """flatten(transform(sids, (a, i) ->
           |  transform(slice(sids, i + 2, size(sids)),
           |            b -> named_struct('doc_a', a, 'doc_b', b))))""".stripMargin)).as("p"))
+      // strict <: positional pairing over the sorted bucket would emit
+      // an (x, x) self-pair if a doc_id ever appeared twice, which the
+      // oracle's a.doc_id < b.doc_id join can never produce
+      .where(col("p.doc_a") < col("p.doc_b"))
       .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .agg(count(lit(1)).as("n_shared_bands"))
 
@@ -233,6 +237,7 @@ object Dedup {
           |  transform(slice(sms, i + 2, size(sms)),
           |            b -> named_struct('doc_a', a.doc_id, 'doc_b', b.doc_id,
           |                              'hamming', bit_count(a.simhash ^ b.simhash)))))""".stripMargin)).as("p"))
+      .where(col("p.doc_a") < col("p.doc_b")) // no self-pairs on dup doc_ids
       .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
         col("p.hamming").cast("int").as("hamming"))
       .distinct()
@@ -294,6 +299,7 @@ object Dedup {
           |    named_struct('doc_a', a.doc_id, 'doc_b', b.doc_id,
           |      'inter', size(array_intersect(a.sh, b.sh)),
           |      'na', size(a.sh), 'nb', size(b.sh)))))""".stripMargin)).as("p"))
+      .where(col("p.doc_a") < col("p.doc_b")) // no self-pairs on dup doc_ids
       .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
         (col("p.inter").cast("double") /
           (col("p.na") + col("p.nb") - col("p.inter"))).as("jaccard"))
@@ -489,6 +495,7 @@ object Dedup {
           |  transform(slice(sms, i + 2, size(sms)),
           |            b -> named_struct('vec_a', a.vec_id, 'emb_a', a.embedding,
           |                              'vec_b', b.vec_id, 'emb_b', b.embedding))))""".stripMargin)).as("p"))
+      .where(col("p.vec_a") < col("p.vec_b")) // no self-pairs on dup vec_ids
       .select(col("p.vec_a").as("vec_a"), col("p.vec_b").as("vec_b"),
         Vectors.cosineFast(spark, col("p.emb_a"), col("p.emb_b")).as("cos_sim"))
       .distinct()

@@ -84,24 +84,23 @@ object GraftFunctions {
     new ExpressionInfo(classOf[CosineSimilarity].getName, null, "graft_cosine"),
     (children: Seq[Expression]) => CosineSimilarity(children(0), children(1)): Expression)
 
+  /** Foldable-non-null-int extraction for parameters that select
+    * precompiled state (hyperplane matrices, hash-family width) —
+    * never per-row data. */
+  private def litInt(e: Expression, what: String): Int = e match {
+    case x if x.foldable => x.eval() match {
+      case n: Number => n.intValue()
+      case other => throw new IllegalArgumentException(
+        s"$what must be a non-null integer literal, got $other")
+    }
+    case x => throw new IllegalArgumentException(s"$what must be a literal, got $x")
+  }
+
   private val srpDesc = (
     FunctionIdentifier("graft_srp_sketch"),
     new ExpressionInfo(classOf[SrpSketch].getName, null, "graft_srp_sketch"),
-    (children: Seq[Expression]) => {
-      // family must be a foldable int literal — it selects a
-      // precompiled hyperplane matrix, not per-row data
-      val fam = children(1) match {
-        case e if e.foldable => e.eval().asInstanceOf[Number].intValue()
-        case e => throw new IllegalArgumentException(
-          s"graft_srp_sketch family must be a literal, got $e")
-      }
-      SrpSketch(children(0), fam): Expression
-    })
-
-  private def litInt(e: Expression, what: String): Int = e match {
-    case x if x.foldable => x.eval().asInstanceOf[Number].intValue()
-    case x => throw new IllegalArgumentException(s"$what must be a literal, got $x")
-  }
+    (children: Seq[Expression]) =>
+      SrpSketch(children(0), litInt(children(1), "graft_srp_sketch family")): Expression)
 
   private val minhashDesc = (
     FunctionIdentifier("graft_minhash"),

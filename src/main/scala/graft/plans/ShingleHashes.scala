@@ -58,23 +58,34 @@ object ShingleHashes {
     false
   }
 
+  /** Per-function digest prefixes "0:".."127:", precomputed — the
+    * inner loop must not allocate per (shingle, j) pair. */
+  private val prefixes: Array[Array[Byte]] =
+    Array.tabulate(128)(j => s"$j:".getBytes("UTF-8"))
+  private val prefix2: Array[Byte] = "2:".getBytes("UTF-8")
+
   /** H per-function minima of md5("j:"||shingle), as lowercase hex —
-    * element j equals min(md5(concat('j:', x))) over the array. */
+    * element j equals min(md5(concat('j:', x))) over the array. Null
+    * elements are skipped, exactly as the aggregate min over
+    * md5('j:'||NULL) = NULL rows ignored them. */
   def minhash(arr: ArrayData, h: Int): ArrayData = {
+    require(h <= prefixes.length, s"graft_minhash H capped at ${prefixes.length}")
     val md = tl.get()
     val n = arr.numElements()
     val mins = new Array[Array[Byte]](h)
     var i = 0
     while (i < n) {
-      val x = arr.getUTF8String(i).getBytes
-      var j = 0
-      while (j < h) {
-        md.reset()
-        md.update(s"$j:".getBytes("UTF-8"))
-        md.update(x)
-        val d = md.digest()
-        if (mins(j) == null || ltUnsigned(d, mins(j))) mins(j) = d
-        j += 1
+      if (!arr.isNullAt(i)) {
+        val x = arr.getUTF8String(i).getBytes
+        var j = 0
+        while (j < h) {
+          md.reset()
+          md.update(prefixes(j))
+          md.update(x)
+          val d = md.digest()
+          if (mins(j) == null || ltUnsigned(d, mins(j))) mins(j) = d
+          j += 1
+        }
       }
       i += 1
     }
@@ -82,28 +93,33 @@ object ShingleHashes {
   }
 
   /** 60-bit simhash: bit p-1 is the majority vote of hex-nibble-high
-    * at position p of md5(x) (p ≤ 32) / md5("2:"||x) (p > 32). */
+    * at position p of md5(x) (p ≤ 32) / md5("2:"||x) (p > 32). Null
+    * elements count toward the vote denominator but contribute no
+    * highs — exactly the aggregate shape's behavior (count(1) over
+    * exploded rows kept nulls; the CASE over md5(NULL) added 0). */
   def simhash(arr: ArrayData): Long = {
     val md = tl.get()
     val n = arr.numElements()
     val hi = new Array[Int](60)
     var i = 0
     while (i < n) {
-      val x = arr.getUTF8String(i).getBytes
-      md.reset()
-      md.update(x)
-      val d1 = md.digest()
-      md.reset()
-      md.update("2:".getBytes("UTF-8"))
-      md.update(x)
-      val d2 = md.digest()
-      var p = 0
-      while (p < 60) {
-        val (d, pos) = if (p < 32) (d1, p) else (d2, p - 32)
-        val b = d(pos / 2) & 0xFF
-        val nib = if (pos % 2 == 0) (b >> 4) & 0xF else b & 0xF
-        if (nib >= 8) hi(p) += 1
-        p += 1
+      if (!arr.isNullAt(i)) {
+        val x = arr.getUTF8String(i).getBytes
+        md.reset()
+        md.update(x)
+        val d1 = md.digest()
+        md.reset()
+        md.update(prefix2)
+        md.update(x)
+        val d2 = md.digest()
+        var p = 0
+        while (p < 60) {
+          val (d, pos) = if (p < 32) (d1, p) else (d2, p - 32)
+          val b = d(pos / 2) & 0xFF
+          val nib = if (pos % 2 == 0) (b >> 4) & 0xF else b & 0xF
+          if (nib >= 8) hi(p) += 1
+          p += 1
+        }
       }
       i += 1
     }

@@ -138,9 +138,16 @@ class DedupSpec extends SparkSpec {
       .groupBy("doc_id").agg(mhAggs.head, mhAggs.tail: _*)
     val newMinhash = sh.select(col("doc_id"),
       Vectors.minhashFast(spark, col("sh"), 12).as("mhs"))
-    val mhCond = (0 until 12).map(j =>
-      col(s"omh_$j") =!= expr(s"element_at(mhs, ${j + 1})")).reduce(_ || _)
-    assert(newMinhash.join(oldMinhash, "doc_id").where(mhCond).count() == 0)
+    val nDocs = sh.count()
+    assert(nDocs > 0)
+    // null-safe equality (<=>) so a regression to null can't slip
+    // through a null-propagating =!= filter; joined count pinned so an
+    // empty side can't pass vacuously
+    val mhMatch = (0 until 12).map(j =>
+      col(s"omh_$j") <=> expr(s"element_at(mhs, ${j + 1})")).reduce(_ && _)
+    val mhJoined = newMinhash.join(oldMinhash, "doc_id")
+    assert(mhJoined.count() == nDocs)
+    assert(mhJoined.where(!mhMatch).count() == 0)
 
     val highs = (1 to 60).map { p =>
       val (h, pos) = if (p <= 32) (col("h1"), p) else (col("h2"), p - 32)
@@ -156,8 +163,9 @@ class DedupSpec extends SparkSpec {
       .select(col("doc_id"), expr(bitTerms).as("osim"))
     val newSimhash = sh.select(col("doc_id"),
       Vectors.simhashFast(spark, col("sh")).as("nsim"))
-    assert(newSimhash.join(oldSimhash, "doc_id")
-      .where(col("nsim") =!= col("osim")).count() == 0)
+    val shJoined = newSimhash.join(oldSimhash, "doc_id")
+    assert(shJoined.count() == nDocs)
+    assert(shJoined.where(!(col("nsim") <=> col("osim"))).count() == 0)
   }
 
   test("native SRP sketch is bit-identical to the spelled-out SQL expression") {
