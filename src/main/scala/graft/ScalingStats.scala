@@ -20,6 +20,13 @@ object ScalingStats {
     val dirs = sys.env.getOrElse("SPARK_GRAFT_SF_DIRS",
       "/root/testdata/sf0.001,/root/testdata/sf0.01,/root/testdata/sf0.1")
       .split(",").map(_.trim).filter(_.nonEmpty)
+    // Optional synthetic blow-up factor: no sf1 tables exist, so the
+    // curve's 4th point comes from a measurement-only corpus built by
+    // unioning shifted+perturbed copies of the largest sf (each copy
+    // gets distinct ids and a distinguishing token so its shingles and
+    // signatures differ). Used for geometry measurement ONLY — the
+    // correctness gate never sees it.
+    val blowup = sys.env.get("SPARK_GRAFT_SCALE_X").map(_.toInt).filter(_ > 1)
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -29,8 +36,39 @@ object ScalingStats {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
+    val allDirs = dirs ++ blowup.map { x =>
+      val base = dirs.last
+      val tmp = java.nio.file.Files.createTempDirectory("graft_scale").toFile.getPath
+      val docs = spark.read.parquet(s"$base/documents.parquet")
+      (0 until x).map { i =>
+        // prefix EVERY token with the copy id: all shingles differ
+        // across copies, so the blow-up adds corpus mass without
+        // planting cross-copy near-dups that would (correctly, but
+        // unhelpfully for geometry measurement) flood the candidates
+        docs.select(
+          (col("doc_id") + lit(i.toLong * 10000000L)).as("doc_id"),
+          regexp_replace(col("text"), "(\\S+)", s"c$i$$1").as("text"),
+          col("lang"), col("source"), col("n_chars"))
+      }.reduce(_ union _).write.parquet(s"$tmp/documents.parquet")
+      val emb = spark.read.parquet(s"$base/embeddings.parquet")
+      (0 until x).map { i =>
+        // perturb: rotate the embedding by i positions so copies land
+        // in different SRP buckets while keeping the distribution
+        emb.select(
+          (col("vec_id") + lit(i.toLong * 10000000L)).as("vec_id"),
+          expr(s"concat(slice(embedding, ${i % 64 + 1}, 64), slice(embedding, 1, ${i % 64}))").as("embedding"),
+          col("label"))
+      }.reduce(_ union _).write.parquet(s"$tmp/embeddings.parquet")
+      println(s"[scale] built ${x}x blow-up of $base at $tmp (measurement only)")
+      tmp
+    }
+    def rmTree(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmTree)
+      f.delete()
+    }
+
     println(f"${"sf_dir"}%-28s ${"op"}%-10s ${"n"}%8s ${"all_pairs"}%12s ${"cand_pairs"}%11s ${"buckets>1"}%10s ${"max_pop"}%8s")
-    for (dir <- dirs) {
+    for (dir <- allDirs) {
       // ---- MinHash LSH over documents: candidates = operator output
       val nDocs = spark.read.parquet(s"$dir/documents.parquet").count()
       val mh = Dedup.minhashLsh(spark, dir)
@@ -67,6 +105,7 @@ object ScalingStats {
       row(dir, s"srp(ub=$ub)", nVec, if (srp.isNullAt(0)) 0 else srp.getLong(0),
         srp.getLong(1), srp.getLong(2))
     }
+    allDirs.drop(dirs.length).foreach(d => rmTree(new java.io.File(d)))
     spark.stop()
   }
 
