@@ -43,6 +43,54 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("native minhash/simhash match an independent reference on random inputs") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val rnd = new scala.util.Random(13)
+    for (_ <- 1 to 200) {
+      val toks = List.fill(1 + rnd.nextInt(30))(
+        rnd.alphanumeric.take(1 + rnd.nextInt(12)).mkString).distinct
+      val arr = new GenericArrayData(toks.map(UTF8String.fromString).toArray)
+      // reference minhash: plain string min over hex digests
+      val expectMh = (0 until 12).map(j => toks.map(x => md5hex(s"$j:$x")).min)
+      val gotMh = graft.plans.ShingleHashes.minhash(arr, 12)
+      assert((0 until 12).forall(j => gotMh.getUTF8String(j).toString == expectMh(j)),
+        s"minhash mismatch on $toks")
+      // reference simhash: hex-char majority votes
+      val hexes = toks.map(x => (md5hex(x), md5hex(s"2:$x")))
+      val expectSim = (1 to 60).map { p =>
+        val hi = hexes.count { case (h1, h2) =>
+          val c = if (p <= 32) h1.charAt(p - 1) else h2.charAt(p - 33)
+          c >= '8' // lowercase hex: '8'..'9','a'..'f' are the high nibbles
+        }
+        if (2 * hi > toks.length) 1L << (p - 1) else 0L
+      }.sum
+      assert(graft.plans.ShingleHashes.simhash(arr) == expectSim,
+        s"simhash mismatch on $toks")
+    }
+  }
+
+  test("native SRP sketch matches an independent double-sum reference on random vectors") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val rnd = new scala.util.Random(17)
+    for (_ <- 1 to 200) {
+      val v = Array.fill(64)((rnd.nextGaussian() * 2).toFloat)
+      val arr = new GenericArrayData(v)
+      for (fam <- 0 until 2) {
+        val expect = (0 until 16).map { j =>
+          var dot = 0.0
+          for (i <- 0 until 64)
+            dot += v(i).toDouble * graft.plans.SrpSketch.sign(fam * 16 + j, i)
+          if (dot > 0) 1L << j else 0L
+        }.sum
+        assert(graft.plans.SrpSketch.computeF(arr, fam) == expect)
+      }
+    }
+  }
+
   test("RetentionState.insert: keeps exactly the newest-N distinct offsets") {
     val rnd = new scala.util.Random(11)
     for (_ <- 1 to 200) {
