@@ -1,0 +1,103 @@
+package graft
+
+import java.io.File
+import java.nio.file.Files
+
+import graft.streaming.SseHub
+
+/** Shared-query serving: one continuous Spark query feeds a bounded
+  * ring log; N clients replay from their own seek positions and share
+  * the live tail (the reference's memlog + per-handler stream
+  * architecture, service.go:100-106, 244-262).
+  */
+class SseHubSpec extends SparkSpec {
+
+  private val T0 = 1705276800000000000L
+
+  private def writeEvents(dst: File, ids: Range, append: Boolean): Unit = {
+    import spark.implicits._
+    val rows = ids.map { i =>
+      (i.toLong, T0 + i.toLong * 1000000000L, i.toLong % 7,
+        if (i % 2 == 0) "click" else "view", i * 1.5, s"""{"k":"$i"}""")
+    }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1)
+      .write.mode(if (append) "append" else "overwrite").parquet(dst.getPath)
+  }
+
+  private def eventually(timeoutMs: Long = 60000L)(cond: => Boolean): Boolean = {
+    val deadline = System.currentTimeMillis() + timeoutMs
+    while (System.currentTimeMillis() < deadline) {
+      if (cond) return true
+      Thread.sleep(100)
+    }
+    cond
+  }
+
+  private def has(frames: Seq[String], i: Int): Boolean =
+    frames.exists(_.contains(s""""k":"$i""""))
+
+  test("N subscribers share ONE query, each replaying exactly its own window") {
+    val base = Files.createTempDirectory("graft_hub").toFile
+    val evDir = new File(base, "events.parquet")
+    writeEvents(evDir, 1 to 10, append = false)
+    val hub = new graft.streaming.SseHub(spark, base.getPath)
+    val before = spark.streams.active.length
+    hub.start()
+    try {
+      assert(spark.streams.active.length == before + 1)
+      // wait for the ingest to reach the ring
+      assert(eventually()(hub.retainedRange.exists(_._2 >= 10L)), "ingest never landed")
+
+      val subA = hub.subscribe("click") // from the beginning
+      val subB = hub.subscribe("click", afterOffset = 6L) // personal seek
+      val subV = hub.subscribe("view")
+      // STILL one query — that's the point
+      assert(spark.streams.active.length == before + 1)
+      assert(hub.activeSubscribers == 3)
+
+      var fA = subA.queue.drain()
+      var fB = subB.queue.drain()
+      (2 to 10 by 2).foreach(i => assert(has(fA, i), s"A missing click $i"))
+      assert(fA.size == 5)
+      assert(has(fB, 8) && has(fB, 10) && fB.size == 2,
+        s"B must replay only after its seek: $fB")
+
+      // live tail fans out to matching subscribers from the one query
+      writeEvents(evDir, 11 to 12, append = true)
+      assert(eventually()(subA.queue.size >= 1 && subB.queue.size >= 1
+        && subV.queue.size > 0), "live tail not fanned out")
+      fA = subA.queue.drain(); fB = subB.queue.drain()
+      assert(has(fA, 12) && has(fB, 12))
+      val fV = subV.queue.drain()
+      assert(has(fV, 11) && !has(fV, 12), s"route filter leaked: $fV")
+
+      // closed subscription receives nothing further
+      subA.close()
+      assert(hub.activeSubscribers == 2)
+      writeEvents(evDir, 13 to 14, append = true)
+      assert(eventually()(subB.queue.size >= 1))
+      assert(subA.queue.size == 0, "closed subscription still receiving")
+    } finally hub.stop()
+    assert(spark.streams.active.length == before, "hub query survived stop()")
+  }
+
+  test("ring capacity bounds replay like the reference memlog") {
+    val base = Files.createTempDirectory("graft_hub_cap").toFile
+    val evDir = new File(base, "events.parquet")
+    writeEvents(evDir, 1 to 20, append = false)
+    val hub = new graft.streaming.SseHub(spark, base.getPath, capacity = 6)
+    hub.start()
+    try {
+      assert(eventually()(hub.retainedRange.exists(_._2 >= 20L)))
+      // only the newest 6 offsets are retained; a from-the-beginning
+      // seek replays what capacity kept (15..20), not history
+      val (lo, hi) = hub.retainedRange.get
+      assert(hi == 20L && lo == 15L, s"retained [$lo,$hi]")
+      val sub = hub.subscribe("click")
+      val f = sub.queue.drain()
+      assert(has(f, 16) && has(f, 18) && has(f, 20) && f.size == 3,
+        s"capacity replay wrong: $f")
+    } finally hub.stop()
+  }
+}
