@@ -11,7 +11,7 @@ import scala.collection.concurrent.TrieMap
 import com.sun.net.httpserver.{HttpExchange, HttpServer}
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions.{col, max => maxCol}
+import org.apache.spark.sql.functions.{col, when, max => maxCol, min => minCol}
 import org.apache.spark.sql.streaming.StreamingQuery
 
 import graft.operators.EventLogService
@@ -51,12 +51,23 @@ class SseHttpServer(spark: SparkSession, dir: String,
                     pollIntervalMs: Long = 100L,
                     heartbeatMs: Long = 500L,
                     maxQueuedFrames: Int = 10000,
+                    shared: Boolean = false,
                     nowNs: () => Long = () => System.currentTimeMillis() * 1000000L) {
 
   private val server = HttpServer.create(new InetSocketAddress(port), 0)
   private val pool = Executors.newCachedThreadPool()
   private val active = TrieMap.empty[Long, StreamingQuery]
+  private val activeSubs = TrieMap.empty[Long, SseHub.Subscription]
   @volatile private var closed = false
+  // shared mode: ONE hub query serves every client (the reference's
+  // memlog architecture via SseHub); started on the first subscriber
+  private lazy val hub: SseHub = {
+    val h = new SseHub(spark, dir, pollIntervalMs = pollIntervalMs,
+      maxQueuedFrames = maxQueuedFrames)
+    h.start()
+    h
+  }
+  @volatile private var hubStarted = false
 
   server.createContext("/health", (ex: HttpExchange) => {
     ex.getResponseHeaders.add("Access-Control-Allow-Origin", "*")
@@ -68,13 +79,15 @@ class SseHttpServer(spark: SparkSession, dir: String,
 
   def start(): Int = { server.start(); boundPort }
   def boundPort: Int = server.getAddress.getPort
-  def activeClients: Int = active.size
+  def activeClients: Int = active.size + activeSubs.size
 
   /** Graceful shutdown: new writes stop, every per-client query is
     * stopped, then the listener and handler pool close. */
   def stop(): Unit = {
     closed = true
     active.values.foreach(q => try q.stop() catch { case _: Exception => () })
+    activeSubs.values.foreach(s => try s.close() catch { case _: Exception => () })
+    if (hubStarted) hub.stop()
     server.stop(0)
     pool.shutdown()
   }
@@ -99,6 +112,18 @@ class SseHttpServer(spark: SparkSession, dir: String,
     queryParam(ex, "since") match {
       case Some(s) => EventLogService.parseSinceNs(s, nowNs()) match {
         case Left(_) => respond(ex, 400, "Bad Request\n") // service.go:237
+        case Right(ns) if shared =>
+          // hub seeks are offsets: resolve the instant to the nearest
+          // offset (forward seek, backward fallback — the reference's
+          // t2o.NearestOffset, timestamp2offset.go:60-80), inclusive
+          val r = graft.sources.Tables.eventsRaw(spark, dir)
+            .where(col("event_type") === route)
+            .agg(minCol(when(col("ts") >= ns, col("event_id"))).as("fwd"),
+              maxCol(when(col("ts") < ns, col("event_id"))).as("bwd")).head()
+          val resolved =
+            if (!r.isNullAt(0)) r.getLong(0) else if (!r.isNullAt(1)) r.getLong(1)
+            else Long.MinValue + 1 // empty route: everything is new
+          streamTo(ex, route, sinceNs = None, afterOffset = Some(resolved - 1))
         case Right(ns) => streamTo(ex, route, sinceNs = Some(ns), afterOffset = None)
       }
       case None =>
@@ -126,20 +151,38 @@ class SseHttpServer(spark: SparkSession, dir: String,
     os.flush()
 
     val id = SseHttpServer.nextConnId()
-    var q: StreamingQuery = null
-    try {
-      val queue = SseHttpServer.register(id, maxQueuedFrames)
-      q = SseSink.serveLive(spark, dir, new SseHttpServer.QueueTransport(id),
-        pollIntervalMs, sinceNs, Some(route), afterOffset)
-      active.put(id, q)
-      drainLoop(os, queue)
-    }
-    catch { case _: IOException => () } // client hung up: this query only
-    finally {
-      active.remove(id)
-      SseHttpServer.unregister(id)
-      if (q != null) { try q.stop() catch { case _: Exception => () } }
-      try ex.close() catch { case _: Exception => () }
+    if (shared) {
+      // subscribe on the one hub query; the since instant was already
+      // resolved to an offset seek by handleRoute
+      var sub: SseHub.Subscription = null
+      try {
+        hubStarted = true
+        sub = hub.subscribe(route, afterOffset.getOrElse(Long.MinValue))
+        activeSubs.put(id, sub)
+        drainLoop(os, sub.queue)
+      }
+      catch { case _: IOException => () } // client hung up: this sub only
+      finally {
+        activeSubs.remove(id)
+        if (sub != null) sub.close()
+        try ex.close() catch { case _: Exception => () }
+      }
+    } else {
+      var q: StreamingQuery = null
+      try {
+        val queue = SseHttpServer.register(id, maxQueuedFrames)
+        q = SseSink.serveLive(spark, dir, new SseHttpServer.QueueTransport(id),
+          pollIntervalMs, sinceNs, Some(route), afterOffset)
+        active.put(id, q)
+        drainLoop(os, queue)
+      }
+      catch { case _: IOException => () } // client hung up: this query only
+      finally {
+        active.remove(id)
+        SseHttpServer.unregister(id)
+        if (q != null) { try q.stop() catch { case _: Exception => () } }
+        try ex.close() catch { case _: Exception => () }
+      }
     }
   }
 
@@ -149,7 +192,7 @@ class SseHttpServer(spark: SparkSession, dir: String,
     * queue that hit its bound means the client stalled while frames
     * kept arriving — disconnect it, as the reference does on a failed
     * write, instead of buffering without limit. */
-  private def drainLoop(os: OutputStream, queue: SseHttpServer.ConnQueue): Unit = {
+  private def drainLoop(os: OutputStream, queue: SseHub.BoundedQueue): Unit = {
     var lastWrite = System.currentTimeMillis()
     while (!closed) {
       if (queue.overflowed)
@@ -181,18 +224,9 @@ object SseHttpServer {
   private val connIds = new AtomicLong(0L)
   private def nextConnId(): Long = connIds.incrementAndGet()
 
-  /** Bounded frame buffer: producers set `overflowed` instead of
-    * growing past the cap; the handler turns that into a disconnect. */
-  final class ConnQueue(cap: Int) {
-    private val q = new java.util.concurrent.LinkedBlockingQueue[String](cap)
-    @volatile var overflowed = false
-    def add(frame: String): Unit = if (!q.offer(frame)) overflowed = true
-    def poll(): String = q.poll()
-  }
-
-  private val queues = TrieMap.empty[Long, ConnQueue]
-  private def register(id: Long, cap: Int): ConnQueue = {
-    val q = new ConnQueue(cap)
+  private val queues = TrieMap.empty[Long, SseHub.BoundedQueue]
+  private def register(id: Long, cap: Int): SseHub.BoundedQueue = {
+    val q = new SseHub.BoundedQueue(cap)
     queues.put(id, q)
     q
   }

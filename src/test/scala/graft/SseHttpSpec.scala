@@ -140,6 +140,34 @@ class SseHttpSpec extends SparkSpec {
     }
   }
 
+  test("shared mode: many HTTP clients ride ONE hub query, seeks resolved to offsets") {
+    val base = Files.createTempDirectory("graft_http_hub").toFile
+    writeEvents(new File(base, "events.parquet"), 1 to 10, append = false)
+    val srv = new graft.streaming.SseHttpServer(spark, base.getPath,
+      heartbeatMs = 200L, shared = true)
+    srv.start()
+    try {
+      val before = spark.streams.active.length
+      val cA = get(srv.boundPort, "/routes/click?since=2024-01-15T00:00:00Z")
+      val linesA = readLines(cA)
+      val cB = get(srv.boundPort, "/routes/click?since=2024-01-15T00:00:07Z")
+      val linesB = readLines(cB)
+      assert(eventually()(srv.activeClients == 2), "clients never attached")
+      // the whole point: one streaming query for any number of clients
+      assert(spark.streams.active.length <= before + 1,
+        s"shared mode started ${spark.streams.active.length - before} queries")
+      assert(eventually()(has(linesA, 2) && has(linesA, 4) && has(linesA, 10)),
+        "client A window incomplete")
+      // B's instant resolves to the nearest offset at/after 07s: clicks 8, 10
+      assert(eventually()(has(linesB, 8) && has(linesB, 10)), "client B window incomplete")
+      assert(!has(linesB, 6), "client B replayed before its seek")
+      writeEvents(new File(base, "events.parquet"), 11 to 12, append = true)
+      assert(eventually()(has(linesA, 12) && has(linesB, 12)), "shared tail not fanned out")
+      cA.disconnect(); cB.disconnect()
+      assert(eventually()(srv.activeClients == 0), "disconnects not reaped")
+    } finally srv.stop()
+  }
+
   test("stop() is graceful: client queries stopped, listener closed") {
     val base = Files.createTempDirectory("graft_http2").toFile
     writeEvents(new File(base, "events.parquet"), 1 to 5, append = false)
