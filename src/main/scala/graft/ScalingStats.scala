@@ -27,6 +27,9 @@ object ScalingStats {
     // signatures differ). Used for geometry measurement ONLY — the
     // correctness gate never sees it.
     val blowup = sys.env.get("SPARK_GRAFT_SCALE_X").map(_.toInt).filter(_ > 1)
+    // embeddings are perturbed by rotation (64 dims) and the doc token
+    // prefix must stay collision-free, so the factor is bounded
+    blowup.foreach(x => require(x <= 64, s"SPARK_GRAFT_SCALE_X capped at 64, got $x"))
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -47,7 +50,9 @@ object ScalingStats {
         // unhelpfully for geometry measurement) flood the candidates
         docs.select(
           (col("doc_id") + lit(i.toLong * 10000000L)).as("doc_id"),
-          regexp_replace(col("text"), "(\\S+)", s"c$i$$1").as("text"),
+          // 'c<i>x' separator: 'c1x' can never equal a prefix of 'c12x',
+          // so no cross-copy shingle can collide even for 2-digit copies
+          regexp_replace(col("text"), "(\\S+)", s"c${i}x$$1").as("text"),
           col("lang"), col("source"), col("n_chars"))
       }.reduce(_ union _).write.parquet(s"$tmp/documents.parquet")
       val emb = spark.read.parquet(s"$base/embeddings.parquet")
@@ -68,7 +73,7 @@ object ScalingStats {
     }
 
     println(f"${"sf_dir"}%-28s ${"op"}%-10s ${"n"}%8s ${"all_pairs"}%12s ${"cand_pairs"}%11s ${"buckets>1"}%10s ${"max_pop"}%8s")
-    for (dir <- allDirs) {
+    try for (dir <- allDirs) {
       // ---- MinHash LSH over documents: candidates = operator output
       val nDocs = spark.read.parquet(s"$dir/documents.parquet").count()
       val mh = Dedup.minhashLsh(spark, dir)
@@ -105,7 +110,7 @@ object ScalingStats {
       row(dir, s"srp(ub=$ub)", nVec, if (srp.isNullAt(0)) 0 else srp.getLong(0),
         srp.getLong(1), srp.getLong(2))
     }
-    allDirs.drop(dirs.length).foreach(d => rmTree(new java.io.File(d)))
+    finally allDirs.drop(dirs.length).foreach(d => rmTree(new java.io.File(d)))
     spark.stop()
   }
 

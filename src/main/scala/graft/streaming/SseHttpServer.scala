@@ -11,7 +11,7 @@ import scala.collection.concurrent.TrieMap
 import com.sun.net.httpserver.{HttpExchange, HttpServer}
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions.{col, when, max => maxCol, min => minCol}
+import org.apache.spark.sql.functions.{col, max => maxCol}
 import org.apache.spark.sql.streaming.StreamingQuery
 
 import graft.operators.EventLogService
@@ -60,14 +60,19 @@ class SseHttpServer(spark: SparkSession, dir: String,
   private val activeSubs = TrieMap.empty[Long, SseHub.Subscription]
   @volatile private var closed = false
   // shared mode: ONE hub query serves every client (the reference's
-  // memlog architecture via SseHub); started on the first subscriber
-  private lazy val hub: SseHub = {
-    val h = new SseHub(spark, dir, pollIntervalMs = pollIntervalMs,
-      maxQueuedFrames = maxQueuedFrames)
-    h.start()
-    h
+  // memlog architecture via SseHub); started on the first subscriber.
+  // Explicit state, not a lazy val: a failed start must not be
+  // retried by stop() (lazy initializers re-run after throwing).
+  private var hubRef: Option[SseHub] = None
+  private def hubOrStart(): SseHub = synchronized {
+    hubRef.getOrElse {
+      val h = new SseHub(spark, dir, pollIntervalMs = pollIntervalMs,
+        maxQueuedFrames = maxQueuedFrames)
+      hubRef = Some(h)
+      h.start()
+      h
+    }
   }
-  @volatile private var hubStarted = false
 
   server.createContext("/health", (ex: HttpExchange) => {
     ex.getResponseHeaders.add("Access-Control-Allow-Origin", "*")
@@ -87,7 +92,7 @@ class SseHttpServer(spark: SparkSession, dir: String,
     closed = true
     active.values.foreach(q => try q.stop() catch { case _: Exception => () })
     activeSubs.values.foreach(s => try s.close() catch { case _: Exception => () })
-    if (hubStarted) hub.stop()
+    hubRef.foreach(h => try h.stop() catch { case _: Exception => () })
     server.stop(0)
     pool.shutdown()
   }
@@ -113,19 +118,21 @@ class SseHttpServer(spark: SparkSession, dir: String,
       case Some(s) => EventLogService.parseSinceNs(s, nowNs()) match {
         case Left(_) => respond(ex, 400, "Bad Request\n") // service.go:237
         case Right(ns) if shared =>
-          // hub seeks are offsets: resolve the instant to the nearest
-          // offset (forward seek, backward fallback — the reference's
-          // t2o.NearestOffset, timestamp2offset.go:60-80), inclusive
-          val r = graft.sources.Tables.eventsRaw(spark, dir)
-            .where(col("event_type") === route)
-            .agg(minCol(when(col("ts") >= ns, col("event_id"))).as("fwd"),
-              maxCol(when(col("ts") < ns, col("event_id"))).as("bwd")).head()
-          val resolved =
-            if (!r.isNullAt(0)) r.getLong(0) else if (!r.isNullAt(1)) r.getLong(1)
-            else Long.MinValue + 1 // empty route: everything is new
-          streamTo(ex, route, sinceNs = None, afterOffset = Some(resolved - 1))
+          // hub seeks are offsets: the hub's in-memory ts->offset index
+          // resolves the instant (the reference's t2o role) with the
+          // same forward-only `ts >= since` semantics as the
+          // per-client path, so both server modes return identical
+          // windows; no Spark job runs on connect
+          streamTo(ex, route, sinceNs = None,
+            afterOffset = Some(hubOrStart().resolveSinceOffset(route, ns)))
         case Right(ns) => streamTo(ex, route, sinceNs = Some(ns), afterOffset = None)
       }
+      case None if shared =>
+        // absent since = latest retained offset, straight from the
+        // hub's ring (service.go:254-258: seek to the log's current
+        // end; an empty log streams everything)
+        streamTo(ex, route, sinceNs = None,
+          afterOffset = Some(hubOrStart().latestOffset(route)))
       case None =>
         // absent since = latest OFFSET (service.go:254-258): resolve
         // the route's high-water event_id once, batch, and tail
@@ -156,10 +163,9 @@ class SseHttpServer(spark: SparkSession, dir: String,
       // resolved to an offset seek by handleRoute
       var sub: SseHub.Subscription = null
       try {
-        hubStarted = true
-        sub = hub.subscribe(route, afterOffset.getOrElse(Long.MinValue))
+        sub = hubOrStart().subscribe(route, afterOffset.getOrElse(Long.MinValue))
         activeSubs.put(id, sub)
-        drainLoop(os, sub.queue)
+        drainLoop(os, () => sub.poll(), () => sub.overflowed || sub.isClosed)
       }
       catch { case _: IOException => () } // client hung up: this sub only
       finally {
@@ -174,7 +180,7 @@ class SseHttpServer(spark: SparkSession, dir: String,
         q = SseSink.serveLive(spark, dir, new SseHttpServer.QueueTransport(id),
           pollIntervalMs, sinceNs, Some(route), afterOffset)
         active.put(id, q)
-        drainLoop(os, queue)
+        drainLoop(os, () => queue.poll(), () => queue.overflowed)
       }
       catch { case _: IOException => () } // client hung up: this query only
       finally {
@@ -192,12 +198,13 @@ class SseHttpServer(spark: SparkSession, dir: String,
     * queue that hit its bound means the client stalled while frames
     * kept arriving — disconnect it, as the reference does on a failed
     * write, instead of buffering without limit. */
-  private def drainLoop(os: OutputStream, queue: SseHub.BoundedQueue): Unit = {
+  private def drainLoop(os: OutputStream, poll: () => String,
+                        dead: () => Boolean): Unit = {
     var lastWrite = System.currentTimeMillis()
     while (!closed) {
-      if (queue.overflowed)
-        throw new IOException("client too slow: frame queue overflow")
-      val frame = queue.poll()
+      if (dead())
+        throw new IOException("client too slow or feed closed")
+      val frame = poll()
       if (frame != null) {
         os.write(frame.getBytes(UTF_8))
         os.flush()

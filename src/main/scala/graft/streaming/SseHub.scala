@@ -15,7 +15,8 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * rides the live feed — the reference's actual architecture (one KCL
   * ingest into a capacity-bounded memlog, service.go:100-106, with an
   * independent `ml.Stream(ctx, off)` seek per connected handler,
-  * service.go:244-262).
+  * service.go:244-262), including the in-memory timestamp→offset
+  * index (timestamp2offset.go) so connects never run a Spark job.
   *
   * This is the scale path for many concurrent clients: N subscribers
   * cost ONE streaming query + N bounded queues, where
@@ -29,7 +30,11 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * across partitions interleaving can occur, exactly as the
   * reference's per-shard consumers interleave into one log. The ring
   * itself is offset-sorted, so replays are always ordered; only the
-  * live tail can interleave.
+  * live tail can interleave. Delivery is at-least-once end to end:
+  * the live fan-out dedups on first ring insertion, so a task retry
+  * re-appending an offset the ring still retains is suppressed; a
+  * retry arriving after eviction (requires a failure outliving
+  * `capacity` newer events) would re-deliver.
   */
 class SseHub(spark: SparkSession, dir: String,
              capacity: Int = 100000,
@@ -40,84 +45,172 @@ class SseHub(spark: SparkSession, dir: String,
 
   private val hubId = hubIds.incrementAndGet()
   private val ring = new ConcurrentSkipListMap[Long, Entry]()
-  private val subs = TrieMap.empty[Long, Sub]
+  private var ringSize = 0 // maintained under `lock`: skip-list size() is O(n)
+  private val subs = TrieMap.empty[Long, Subscription]
   private var query: Option[StreamingQuery] = None
 
-  /** Start the single shared ingest query (idempotent). */
+  /** Start the single shared ingest query (idempotent) and wait for
+    * its initial catch-up micro-batch, so connect-time seeks resolve
+    * against a populated ring — the reference's handlers likewise only
+    * ever see a memlog its boot-time ingest already filled
+    * (service.go:100-106). Events still mid-ingest at a later connect
+    * are missed by seeks exactly as in-flight Kinesis records are. */
   def start(): StreamingQuery = synchronized {
     query.getOrElse {
       hubs.put(hubId, this)
       val q = EventStreams.readEvents(spark, dir)
-        .select(col("event_id"), col("event_type"),
+        .select(col("event_id"), col("event_type"), col("ts"),
           SseSink.frameCol.as("frame"))
         .writeStream
         .foreach(new HubWriter(hubId))
         .trigger(Trigger.ProcessingTime(pollIntervalMs))
         .start()
+      val deadline = System.currentTimeMillis() + 30000L
+      while (q.recentProgress.isEmpty && q.isActive &&
+             System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
       query = Some(q)
       q
     }
   }
 
+  /** Stop the ingest and CLOSE every subscription — a polling
+    * consumer observes `closed` instead of an indefinitely quiet
+    * queue. */
   def stop(): Unit = synchronized {
     query.foreach(q => try q.stop() catch { case _: Exception => () })
     query = None
     hubs.remove(hubId)
-    subs.clear()
+    lock.synchronized {
+      subs.values.foreach(_.markClosed())
+      subs.clear()
+    }
   }
 
   def activeSubscribers: Int = subs.size
   def retainedRange: Option[(Long, Long)] =
     if (ring.isEmpty) None else Some((ring.firstKey(), ring.lastKey()))
 
+  /** In-memory timestamp→offset seek over the retained ring (the
+    * reference's t2o.NearestOffset role, but with [[SseSink]]'s
+    * forward-only `ts >= since` semantics so shared and per-client
+    * serving return the same windows): smallest retained offset whose
+    * ts is at/after the instant, minus one (strictly-after
+    * subscription); no such event → the latest retained offset (pure
+    * live tail); empty ring → everything (the reference's empty-log
+    * path, service.go:254-258). No Spark job runs. */
+  def resolveSinceOffset(route: String, sinceNs: Long): Long = lock.synchronized {
+    var fwd = Long.MinValue
+    var last = Long.MinValue
+    val it = ring.values().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.route == route) {
+        last = e.offset
+        if (fwd == Long.MinValue && e.ts >= sinceNs) fwd = e.offset
+      }
+    }
+    if (fwd != Long.MinValue) fwd - 1
+    else if (last != Long.MinValue) last
+    else Long.MinValue
+  }
+
+  /** Latest retained offset for `route` (absent-`since` live tails);
+    * empty ring → everything is new. */
+  def latestOffset(route: String): Long = lock.synchronized {
+    var last = Long.MinValue
+    val it = ring.values().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.route == route) last = e.offset
+    }
+    last
+  }
+
   /** Subscribe a client at its own seek position: frames with offset
     * strictly after `afterOffset` on `route`. Retained history is
-    * replayed into the returned queue immediately (offset order);
-    * later arrivals follow live. The subscription and replay are
-    * atomic with respect to appends, so no frame is lost or doubled
-    * at the hand-over point. */
+    * SNAPSHOTTED (not pushed into the live queue, whose bound exists
+    * for slow LIVE consumers — a replay bigger than the bound must
+    * not kill the client before it reads a byte) and served first by
+    * [[Subscription.poll]]; later arrivals follow live. Snapshot and
+    * registration happen under the append lock, so no frame is lost
+    * or doubled at the hand-over point. */
   def subscribe(route: String, afterOffset: Long = Long.MinValue): Subscription =
     lock.synchronized {
       val id = subIds.incrementAndGet()
-      val queue = new BoundedQueue(maxQueuedFrames)
-      val sub = Sub(route, afterOffset, queue)
-      // replay BEFORE registering would drop frames appended between;
-      // registering before replay would double them. Under the append
-      // lock, replay-then-register is exact.
+      val replay = Vector.newBuilder[String]
       val it = ring.tailMap(afterOffset, false).values.iterator()
       while (it.hasNext) {
         val e = it.next()
-        if (e.route == route) queue.add(e.frame)
+        if (e.route == route) replay += e.frame
       }
+      val sub = new Subscription(id, this, route, afterOffset,
+        replay.result(), new BoundedQueue(maxQueuedFrames))
       subs.put(id, sub)
-      Subscription(id, this, queue)
+      sub
     }
 
   private[streaming] def unsubscribe(id: Long): Unit = subs.remove(id)
 
-  private[streaming] def append(offset: Long, route: String, frame: String): Unit =
+  private[streaming] def append(offset: Long, route: String, ts: Long,
+                                frame: String): Unit =
     lock.synchronized {
-      ring.put(offset, Entry(offset, route, frame))
-      while (ring.size() > capacity) ring.pollFirstEntry() // memlog-style eviction
-      subs.values.foreach { s =>
-        if (s.route == route && offset > s.afterOffset) s.queue.add(frame)
+      val first = ring.put(offset, Entry(offset, route, ts, frame)) == null
+      if (first) {
+        ringSize += 1
+        while (ringSize > capacity) { ring.pollFirstEntry(); ringSize -= 1 }
+        // fan out only first-time offsets: the foreach sink is
+        // at-least-once, and a retried batch must not double-deliver
+        subs.values.foreach { s =>
+          if (s.route == route && offset > s.afterOffset) s.queue.add(frame)
+        }
       }
     }
 
-  // One lock serializes append/subscribe for exact replay hand-over.
-  // Appends arrive per micro-batch (not per network packet), so the
-  // critical section is cold; a production hub would shard it by route.
+  // One lock serializes append/subscribe/seek for exact replay
+  // hand-over. Appends arrive per micro-batch (not per network
+  // packet), so the critical section is cold; a production hub would
+  // shard it by route.
   private val lock = new Object
 }
 
 object SseHub {
-  private[streaming] case class Entry(offset: Long, route: String, frame: String)
-  private case class Sub(route: String, afterOffset: Long, queue: BoundedQueue)
+  private[streaming] case class Entry(offset: Long, route: String, ts: Long,
+                                      frame: String)
 
-  /** Handle a client holds: its frame queue + unsubscribe. */
-  final case class Subscription(id: Long, private val hub: SseHub,
-                                queue: BoundedQueue) {
-    def close(): Unit = hub.unsubscribe(id)
+  /** Handle a client holds: replay-then-live frame source + close.
+    * `poll` drains the replay snapshot first (unbounded by the live
+    * queue's cap — it is already bounded by ring capacity), then the
+    * live queue. */
+  final class Subscription private[streaming] (
+      val id: Long, hub: SseHub,
+      private[streaming] val route: String,
+      private[streaming] val afterOffset: Long,
+      replaySnapshot: Vector[String],
+      private[streaming] val queue: BoundedQueue) {
+    private var replayAt = 0 // handler-thread-confined
+    @volatile private var closedFlag = false
+
+    /** Next frame, or null if none pending. */
+    def poll(): String =
+      if (replayAt < replaySnapshot.length) {
+        val f = replaySnapshot(replayAt); replayAt += 1; f
+      } else queue.poll()
+
+    def drain(): Seq[String] = {
+      val out = Vector.newBuilder[String]
+      var f = poll()
+      while (f != null) { out += f; f = poll() }
+      out.result()
+    }
+
+    def pending: Int = (replaySnapshot.length - replayAt) + queue.size
+    /** The live queue overflowed: this consumer fell too far behind. */
+    def overflowed: Boolean = queue.overflowed
+    /** The hub was stopped; no further frames will ever arrive. */
+    def isClosed: Boolean = closedFlag
+    private[streaming] def markClosed(): Unit = closedFlag = true
+    def close(): Unit = { closedFlag = true; hub.unsubscribe(id) }
   }
 
   /** Bounded frame buffer: overflow marks the subscriber dead rather
@@ -147,7 +240,8 @@ object SseHub {
   private final class HubWriter(hubId: Long) extends ForeachWriter[Row] {
     override def open(partitionId: Long, epochId: Long): Boolean = true
     override def process(r: Row): Unit =
-      hubs.get(hubId).foreach(_.append(r.getLong(0), r.getString(1), r.getString(2)))
+      hubs.get(hubId).foreach(
+        _.append(r.getLong(0), r.getString(1), r.getLong(2), r.getString(3)))
     override def close(errorOrNull: Throwable): Unit = ()
   }
 }

@@ -56,8 +56,8 @@ class SseHubSpec extends SparkSpec {
       assert(spark.streams.active.length == before + 1)
       assert(hub.activeSubscribers == 3)
 
-      var fA = subA.queue.drain()
-      var fB = subB.queue.drain()
+      var fA = subA.drain()
+      var fB = subB.drain()
       (2 to 10 by 2).foreach(i => assert(has(fA, i), s"A missing click $i"))
       assert(fA.size == 5)
       assert(has(fB, 8) && has(fB, 10) && fB.size == 2,
@@ -65,19 +65,19 @@ class SseHubSpec extends SparkSpec {
 
       // live tail fans out to matching subscribers from the one query
       writeEvents(evDir, 11 to 12, append = true)
-      assert(eventually()(subA.queue.size >= 1 && subB.queue.size >= 1
-        && subV.queue.size > 0), "live tail not fanned out")
-      fA = subA.queue.drain(); fB = subB.queue.drain()
+      assert(eventually()(subA.pending >= 1 && subB.pending >= 1
+        && subV.pending > 0), "live tail not fanned out")
+      fA = subA.drain(); fB = subB.drain()
       assert(has(fA, 12) && has(fB, 12))
-      val fV = subV.queue.drain()
+      val fV = subV.drain()
       assert(has(fV, 11) && !has(fV, 12), s"route filter leaked: $fV")
 
       // closed subscription receives nothing further
       subA.close()
       assert(hub.activeSubscribers == 2)
       writeEvents(evDir, 13 to 14, append = true)
-      assert(eventually()(subB.queue.size >= 1))
-      assert(subA.queue.size == 0, "closed subscription still receiving")
+      assert(eventually()(subB.pending >= 1))
+      assert(subA.pending == 0, "closed subscription still receiving")
     } finally hub.stop()
     assert(spark.streams.active.length == before, "hub query survived stop()")
   }
@@ -95,7 +95,7 @@ class SseHubSpec extends SparkSpec {
       val (lo, hi) = hub.retainedRange.get
       assert(hi == 20L && lo == 15L, s"retained [$lo,$hi]")
       val sub = hub.subscribe("click")
-      val f = sub.queue.drain()
+      val f = sub.drain()
       assert(has(f, 16) && has(f, 18) && has(f, 20) && f.size == 3,
         s"capacity replay wrong: $f")
     } finally hub.stop()
