@@ -71,11 +71,22 @@ object SimilaritySearch {
     val centScore = emb.select("vec_id", "embedding").join(broadcast(cents))
       .select(col("vec_id"), col("embedding"), col("cid"),
         Vectors.cosineFast(spark, col("embedding"), col("c_emb")).as("c_cos"))
+    // corpus-side assignment is a map-side max(struct) argmax — the
+    // partial aggregation reduces the C·n scored rows to n before any
+    // shuffle, where a vec_id window would shuffle all C·n. Ties pick
+    // the smallest cid (max of -cid), identical to the oracle's
+    // `ORDER BY round(cos,9) DESC, cid` rank — cids are non-negative
+    // (labels or trained indices), so -cid ordering is exact.
+    val assign = centScore
+      .groupBy("vec_id")
+      .agg(first(col("embedding")).as("embedding"),
+        max(struct(round(col("c_cos"), 9).as("cc"), (-col("cid")).as("ncid"))).as("best"))
+      .select(col("vec_id"), col("embedding"), (-col("best.ncid")).as("cid"))
+
+    // the probe side is only the NQueries query vectors — the window
+    // is over C rows per query, trivially small at any corpus size
     val wVec = Window.partitionBy("vec_id")
       .orderBy(round(col("c_cos"), 9).desc, col("cid"))
-    val assign = centScore.withColumn("rk", row_number().over(wVec))
-      .where(col("rk") === 1).select(col("vec_id"), col("embedding"), col("cid"))
-
     val probes = centScore.where(col("vec_id") < NQueries)
       .withColumn("rk", row_number().over(wVec)).where(col("rk") <= NProbe)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"), col("cid"))
