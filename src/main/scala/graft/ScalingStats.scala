@@ -43,13 +43,21 @@ object ScalingStats {
       val base = dirs.last
       val tmp = java.nio.file.Files.createTempDirectory("graft_scale").toFile.getPath
       val docs = spark.read.parquet(s"$base/documents.parquet")
+      // id stride between copies: ids collide (silently corrupting the
+      // measured geometry) if the base corpus outgrows the stride
+      val stride = 10000000L
+      Seq("documents" -> "doc_id", "embeddings" -> "vec_id").foreach { case (t, k) =>
+        val mx = spark.read.parquet(s"$base/$t.parquet")
+          .agg(max(col(k))).head().getLong(0)
+        require(mx < stride, s"$t.$k max $mx >= blow-up stride $stride; raise the stride")
+      }
       (0 until x).map { i =>
         // prefix EVERY token with the copy id: all shingles differ
         // across copies, so the blow-up adds corpus mass without
         // planting cross-copy near-dups that would (correctly, but
         // unhelpfully for geometry measurement) flood the candidates
         docs.select(
-          (col("doc_id") + lit(i.toLong * 10000000L)).as("doc_id"),
+          (col("doc_id") + lit(i.toLong * stride)).as("doc_id"),
           // 'c<i>x' separator: 'c1x' can never equal a prefix of 'c12x',
           // so no cross-copy shingle can collide even for 2-digit copies
           regexp_replace(col("text"), "(\\S+)", s"c${i}x$$1").as("text"),
@@ -60,7 +68,7 @@ object ScalingStats {
         // perturb: rotate the embedding by i positions so copies land
         // in different SRP buckets while keeping the distribution
         emb.select(
-          (col("vec_id") + lit(i.toLong * 10000000L)).as("vec_id"),
+          (col("vec_id") + lit(i.toLong * stride)).as("vec_id"),
           expr(s"concat(slice(embedding, ${i % 64 + 1}, 64), slice(embedding, 1, ${i % 64}))").as("embedding"),
           col("label"))
       }.reduce(_ union _).write.parquet(s"$tmp/embeddings.parquet")

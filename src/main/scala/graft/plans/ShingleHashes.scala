@@ -137,9 +137,13 @@ object ShingleHashes {
   * minimum digests. */
 case class MinhashSig(child: Expression, h: Int) extends UnaryExpression {
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(StringType, _) if h >= 1 => TypeCheckResult.TypeCheckSuccess
+    // mirror the execution-time bound (ShingleHashes.minhash requires
+    // h <= 128) so an oversized H fails at analysis, not in a task
+    case ArrayType(StringType, _) if h >= 1 && h <= 128 =>
+      TypeCheckResult.TypeCheckSuccess
     case ArrayType(StringType, _) =>
-      TypeCheckResult.TypeCheckFailure(s"graft_minhash H must be >= 1, got $h")
+      TypeCheckResult.TypeCheckFailure(
+        s"graft_minhash H must be in [1, 128], got $h")
     case dt => TypeCheckResult.TypeCheckFailure(
       s"graft_minhash expects array<string>, got $dt")
   }

@@ -65,6 +65,7 @@ class SseHttpServer(spark: SparkSession, dir: String,
   // retried by stop() (lazy initializers re-run after throwing).
   private var hubRef: Option[SseHub] = None
   private def hubOrStart(): SseHub = synchronized {
+    if (closed) throw new IllegalStateException("server stopped")
     hubRef.getOrElse {
       val h = new SseHub(spark, dir, pollIntervalMs = pollIntervalMs,
         maxQueuedFrames = maxQueuedFrames)
@@ -87,8 +88,13 @@ class SseHttpServer(spark: SparkSession, dir: String,
   def activeClients: Int = active.size + activeSubs.size
 
   /** Graceful shutdown: new writes stop, every per-client query is
-    * stopped, then the listener and handler pool close. */
-  def stop(): Unit = {
+    * stopped, then the listener and handler pool close. Runs under the
+    * same monitor as [[hubOrStart]], so a connect racing shutdown
+    * either starts its hub/query before the sweep (and is swept) or
+    * observes `closed` and refuses; late registrations that slip past
+    * the sweep re-check `closed` after registering and tear themselves
+    * down (see [[streamTo]]). */
+  def stop(): Unit = synchronized {
     closed = true
     active.values.foreach(q => try q.stop() catch { case _: Exception => () })
     activeSubs.values.foreach(s => try s.close() catch { case _: Exception => () })
@@ -114,15 +120,19 @@ class SseHttpServer(spark: SparkSession, dir: String,
     ex.getResponseHeaders.add("Access-Control-Allow-Origin", "*")
     val route = ex.getRequestURI.getPath.stripPrefix("/routes/")
     if (route.isEmpty || route.contains("/")) { respond(ex, 404, "Not Found\n"); return }
-    queryParam(ex, "since") match {
+    try queryParam(ex, "since") match {
       case Some(s) => EventLogService.parseSinceNs(s, nowNs()) match {
         case Left(_) => respond(ex, 400, "Bad Request\n") // service.go:237
         case Right(ns) if shared =>
           // hub seeks are offsets: the hub's in-memory ts->offset index
           // resolves the instant (the reference's t2o role) with the
           // same forward-only `ts >= since` semantics as the
-          // per-client path, so both server modes return identical
-          // windows; no Spark job runs on connect
+          // per-client path. The two modes return the same window when
+          // timestamps are offset-monotone and the seek is within the
+          // hub's ring retention (the SseHub class doc's standing
+          // assumptions); a late event with ts >= since but an offset
+          // before the resolved one is replayed only by the per-client
+          // path, which filters the full persistent log by ts
           streamTo(ex, route, sinceNs = None,
             afterOffset = Some(hubOrStart().resolveSinceOffset(route, ns)))
         case Right(ns) => streamTo(ex, route, sinceNs = Some(ns), afterOffset = None)
@@ -146,6 +156,9 @@ class SseHttpServer(spark: SparkSession, dir: String,
           }
         streamTo(ex, route, sinceNs = None, afterOffset = Some(hwm))
     }
+    catch { // hubOrStart observed `closed` before any stream bytes went out
+      case _: IllegalStateException => respond(ex, 503, "Service Unavailable\n")
+    }
   }
 
   private def streamTo(ex: HttpExchange, route: String,
@@ -165,9 +178,14 @@ class SseHttpServer(spark: SparkSession, dir: String,
       try {
         sub = hubOrStart().subscribe(route, afterOffset.getOrElse(Long.MinValue))
         activeSubs.put(id, sub)
+        // late registration may have slipped past stop()'s sweep
+        if (closed) throw new IOException("server shutting down")
         drainLoop(os, () => sub.poll(), () => sub.overflowed || sub.isClosed)
       }
-      catch { case _: IOException => () } // client hung up: this sub only
+      catch {
+        case _: IOException => () // client hung up: this sub only
+        case _: IllegalStateException => () // raced shutdown; finally cleans up
+      }
       finally {
         activeSubs.remove(id)
         if (sub != null) sub.close()
@@ -180,7 +198,13 @@ class SseHttpServer(spark: SparkSession, dir: String,
         q = SseSink.serveLive(spark, dir, new SseHttpServer.QueueTransport(id),
           pollIntervalMs, sinceNs, Some(route), afterOffset)
         active.put(id, q)
-        drainLoop(os, () => queue.poll(), () => queue.overflowed)
+        // late registration may have slipped past stop()'s sweep
+        if (closed) throw new IOException("server shutting down")
+        // a terminated query can never deliver another frame: treat it
+        // as dead instead of heartbeating the client forever
+        val query = q
+        drainLoop(os, () => queue.poll(),
+          () => queue.overflowed || !query.isActive)
       }
       catch { case _: IOException => () } // client hung up: this query only
       finally {
