@@ -9,6 +9,13 @@ import java.nio.file.{Files, Paths}
   * masquerading as a fast timing. */
 object Bench {
   def main(args: Array[String]): Unit = {
+    // Host load before/after the run: the shared host shows up-to-2×
+    // variance, and a skewed run is only interpretable next to the
+    // loadavg it ran under (1/5/15-min averages from the OS).
+    def loadavg: String =
+      scala.util.Try(Files.readString(Paths.get("/proc/loadavg"))
+        .split("\\s+").take(3).mkString("[", ",", "]")).getOrElse("null")
+    val loadStart = loadavg
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")
@@ -78,15 +85,16 @@ object Bench {
     // "parsed": null. The stdout line stays compact (rounded values, no
     // runs); the file copy keeps every rep at full precision.
     def r3(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val loadEnd = loadavg
     val qs = timings.map { case (k, v) => s"${jstr(k)}:${r3(v)}" }.mkString("{", ",", "}")
     val rs = allRuns.map { case (k, v) => s"${jstr(k)}:${v.mkString("[", ",", "]")}" }.mkString("{", ",", "}")
     val es = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     val total = timings.values.sum
     val line =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"reps":$reps,"errors":$es,"n_ok":${timings.size},"n_err":${errors.size},"sf":${jstr(sfDir)}}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"reps":$reps,"errors":$es,"n_ok":${timings.size},"n_err":${errors.size},"load_start":$loadStart,"load_end":$loadEnd,"sf":${jstr(sfDir)}}"""
     println(line)
     Files.writeString(Paths.get(out),
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$rs,"reps":$reps,"errors":$es,"n_ok":${timings.size},"n_err":${errors.size},"sf":${jstr(sfDir)}}""" + "\n")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$rs,"reps":$reps,"errors":$es,"n_ok":${timings.size},"n_err":${errors.size},"load_start":$loadStart,"load_end":$loadEnd,"sf":${jstr(sfDir)}}""" + "\n")
     spark.stop()
     if (errors.nonEmpty) System.err.println(s"[bench] ${errors.size} queries failed: ${errors.keys.mkString(", ")}")
   }

@@ -124,14 +124,19 @@ object SimilaritySearch {
     *
     * 1. **Oversample** `8·k` candidates by md5(vec_id) order — a
     *    TakeOrdered over one full pass; hash order is a uniform
-    *    "random" sample that is identical across runs and engines.
+    *    "random" sample that is identical across runs and engines. The
+    *    sample is COLLECTED: 8·k rows × d floats is driver-trivial at
+    *    any corpus size (k=256, d=64 → 0.5 MB), the k-means‖ pattern
+    *    of reclustering a bounded oversample locally.
     * 2. **Farthest-point selection** (Gonzalez' 2-approx k-center — the
     *    deterministic argmax form of k-means++ seeding) down to `k`
-    *    seeds, run only over the tiny candidate frame: k-1
-    *    driver-coordinated jobs on ≤8·k rows, no corpus pass. Spread
-    *    seeds can't collapse onto one dense cluster the way a uniform
-    *    k-sample can (with 4 clusters and k=4 a uniform sample covers
-    *    all clusters only ~9% of the time).
+    *    seeds, run as a driver-local loop over the tiny sample. This
+    *    used to be k-1 serial Spark jobs; on a loaded host the
+    *    per-job scheduling latency dominated the whole query, so the
+    *    O(k²·8k·d) float work moved to where it takes microseconds.
+    *    Spread seeds can't collapse onto one dense cluster the way a
+    *    uniform k-sample can (with 4 clusters and k=4 a uniform sample
+    *    covers all clusters only ~9% of the time).
     * 3. **Lloyd's rounds** over the full corpus: assignment is a
     *    broadcast join + map-side `max(struct)` argmax (partial
     *    aggregation reduces k·n scored rows to n before the shuffle);
@@ -140,42 +145,69 @@ object SimilaritySearch {
     *    lineage stays flat. Cosine is scale-invariant in the centroid,
     *    so the un-normalized mean is a valid spherical-k-means update.
     *
-    * Total corpus passes: 1 (sample) + `iters` (Lloyd's). A cluster
-    * that loses all members drops out (k shrinks) rather than being
-    * re-seeded — acceptable for ANN bucketing, where fewer, fuller
-    * buckets only increase recall. */
+    * Total corpus passes: 1 (sample) + `iters` (Lloyd's); total Spark
+    * jobs: 1 + iters, independent of k. A cluster that loses all
+    * members drops out (k shrinks) rather than being re-seeded —
+    * acceptable for ANN bucketing, where fewer, fuller buckets only
+    * increase recall. */
   def trainCentroids(spark: SparkSession, emb: DataFrame, k: Int,
                      iters: Int = 3): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    val cands = emb.select(col("vec_id"), col("embedding"))
+    // one corpus pass; TakeOrdered keeps md5 order in the result
+    val cands: Array[(Long, Array[Float])] = emb
+      .select(col("vec_id"), col("embedding"))
       .orderBy(md5(col("vec_id").cast("string"))).limit(8 * k)
-      .localCheckpoint()
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
 
-    var seeds = cands.orderBy(md5(col("vec_id").cast("string"))).limit(1)
-      .select(col("vec_id").as("s_id"), col("embedding").as("s_emb"))
-      .localCheckpoint()
-    var exhausted = false
-    for (_ <- 1 until k if !exhausted) {
-      // farthest candidate = argmin over candidates of max cosine to
-      // any current seed (rounded, vec_id tiebreak — deterministic);
-      // already-selected seeds are anti-joined out so k > |candidates|
-      // stops early instead of minting duplicate centroids
-      val next = cands
-        .join(seeds, col("vec_id") === col("s_id"), "left_anti")
-        .crossJoin(broadcast(seeds))
-        .groupBy(col("vec_id"))
-        .agg(first(col("embedding")).as("embedding"),
-          max(round(Vectors.cosineFast(spark, col("embedding"), col("s_emb")), 9))
-            .as("near"))
-        .orderBy(col("near").asc, col("vec_id").asc).limit(1)
-        .select(col("vec_id").as("s_id"), col("embedding").as("s_emb"))
-      if (next.isEmpty) exhausted = true
-      else seeds = seeds.union(next).localCheckpoint()
+    // Driver-local cosine, same arithmetic as graft_cosine
+    // (CosineSimilarity.nullSafeEval: sequential double accumulation,
+    // 0/0 → NaN) and the same round(_, 9) HALF_UP the DataFrame
+    // seeding used, so seed choice is unchanged.
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y
+        i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
     }
-    var cents = seeds
-      .withColumn("cid", row_number().over(Window.orderBy("s_id")) - 1)
-      .select(col("cid"), col("s_emb").as("c_emb"))
-      .localCheckpoint()
+    def round9(v: Double): Double =
+      if (v.isNaN || v.isInfinite) v
+      else BigDecimal(v).setScale(9, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
+
+    val chosen = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Float])]
+    if (cands.nonEmpty) {
+      chosen += cands.head // first seed: smallest md5, as before
+      while (chosen.size < math.min(k, cands.length)) {
+        // farthest candidate = argmin over candidates of max cosine to
+        // any current seed (rounded, vec_id tiebreak — deterministic);
+        // java.lang.Double.compare places NaN greatest, matching
+        // Spark's double ordering in the old max()/orderBy form
+        var bestId = -1L; var bestEmb: Array[Float] = null
+        var bestNear = Double.NaN // "not set"
+        val seen = chosen.map(_._1).toSet
+        for ((id, e) <- cands if !seen.contains(id)) {
+          var near = Double.NegativeInfinity
+          for ((_, s) <- chosen) {
+            val c = round9(cos(e, s))
+            if (java.lang.Double.compare(c, near) > 0) near = c
+          }
+          val better = bestEmb == null ||
+            java.lang.Double.compare(near, bestNear) < 0 ||
+            (java.lang.Double.compare(near, bestNear) == 0 && id < bestId)
+          if (better) { bestNear = near; bestId = id; bestEmb = e }
+        }
+        chosen += ((bestId, bestEmb))
+      }
+    }
+    // cid by seed vec_id order, exactly the old row_number(Window) rule
+    val seedRows = chosen.sortBy(_._1).zipWithIndex
+      .map { case ((_, e), i) => (i, e.toSeq) }.toSeq
+    var cents = spark.createDataFrame(seedRows).toDF("cid", "c_emb")
+      .select(col("cid"), col("c_emb").cast("array<float>").as("c_emb"))
 
     for (_ <- 1 to iters) {
       // argmax via max(struct): max cosine, ties to the smallest cid
