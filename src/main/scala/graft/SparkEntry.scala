@@ -60,7 +60,17 @@ object SparkEntry {
     "q_dedup_clusters" -> (Dedup.dupClusters _),
     "q_asof_attribution" -> (AsofJoin.attribution _),
     "q_sample_hash" -> ((s: SparkSession, d: String) => Sampling.hashSample(s, d)),
-    "q_source_profile" -> (Sampling.sourceProfile _)
+    "q_source_profile" -> (Sampling.sourceProfile _),
+    // H. training-data pipeline extensions
+    "q_decontaminate" -> (Dedup.decontaminate _),
+    "q_dedup_incremental" -> (Dedup.incrementalDedup _),
+    "q_fuzzy_pairs" -> (Dedup.fuzzyPairs _),
+    "q_text_repetition" -> (TextAnalysis.repetition _),
+    "q_pii_scrub" -> (TextAnalysis.scrub _),
+    "q_ann_quantized" -> (SimilaritySearch.quantizedTopK _),
+    // sketch profiling: HLL/GK internals are engine-specific -> no
+    // oracle; accuracy gated by ApproxProfileSpec against exact
+    "q_profile_approx" -> (Sampling.approxProfile _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -105,6 +115,12 @@ object SparkEntry {
     "q_dedup_clusters" -> Dedup.dupClustersSql,
     "q_asof_attribution" -> AsofJoin.attributionSql,
     "q_sample_hash" -> Sampling.hashSampleSql(),
-    "q_source_profile" -> Sampling.sourceProfileSql
+    "q_source_profile" -> Sampling.sourceProfileSql,
+    "q_decontaminate" -> Dedup.decontaminateSql,
+    "q_dedup_incremental" -> Dedup.incrementalDedupSql,
+    "q_fuzzy_pairs" -> Dedup.fuzzyPairsSql,
+    "q_text_repetition" -> TextAnalysis.repetitionSql,
+    "q_pii_scrub" -> TextAnalysis.scrubSql,
+    "q_ann_quantized" -> SimilaritySearch.quantizedTopKSql
   )
 }

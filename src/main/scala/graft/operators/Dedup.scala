@@ -532,4 +532,183 @@ object Dedup {
       |WHERE round(${Vectors.cosineSql("ea.embedding", "eb.embedding")}, 9) >= 0.35
       |ORDER BY vec_a, vec_b""".stripMargin
   }
+
+  // ---------------------------------------------------------------- H1
+  /** Benchmark decontamination: finds corpus documents sharing ≥
+    * [[MinSharedShingles]] distinct 3-token shingles with any document
+    * of a benchmark probe set — the n-gram-overlap check run before
+    * training so eval data isn't memorized from the corpus. The probe
+    * set here is a deterministic ~5% hash sample (salt "bench"); in
+    * production it is the eval suite's own shingle index, which is
+    * ALWAYS small relative to the corpus.
+    *
+    * Scale shape: the benchmark shingle index is broadcast; the corpus
+    * side is a single narrow scan + explode probed map-side against
+    * it — no corpus shuffle, no self-join, linear in corpus size. The
+    * only shuffle is the (doc, bench) hit aggregation, whose input is
+    * already filtered to actual shingle collisions. `containment` =
+    * shared / |bench shingles| (int-derived double — engine-exact). */
+  private val BenchSalt = "bench"
+  private val BenchPct = 5
+  private val MinSharedShingles = 3
+  private val ContaminationBar = 0.5
+
+  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val sh = withShingles(spark, dir, par = true)
+    val benchPred =
+      Sampling.hashBucket(col("doc_id"), BenchSalt) < Sampling.pctThreshold(BenchPct)
+    val bench = sh.where(benchPred)
+      .select(col("doc_id").as("bench_id"), size(col("sh")).as("n_bench"),
+        explode(col("sh")).as("g"))
+    val corpus = sh.select(col("doc_id"), explode(col("sh")).as("g"))
+    corpus.join(broadcast(bench), "g")
+      .where(col("doc_id") =!= col("bench_id"))
+      .groupBy("doc_id", "bench_id")
+      .agg(count(lit(1)).as("n_shared"), min("n_bench").as("n_bench"))
+      .where(col("n_shared") >= MinSharedShingles)
+      .select(col("doc_id"), col("bench_id"), col("n_shared"),
+        (col("n_shared").cast("double") / col("n_bench").cast("double"))
+          .as("containment"))
+      .withColumn("contaminated", col("containment") >= ContaminationBar)
+      .orderBy("doc_id", "bench_id")
+  }
+
+  val decontaminateSql: String = {
+    val cont = "CAST(n_shared AS DOUBLE) / CAST(n_bench AS DOUBLE)"
+    s"""WITH $shinglesSqlCte,
+      |bench AS (
+      |  SELECT doc_id AS bench_id, len(sh) AS n_bench, unnest(sh) AS g
+      |  FROM s WHERE ${Sampling.hashBucketSql("doc_id", BenchSalt)}
+      |    < ${Sampling.pctThreshold(BenchPct)}),
+      |cg AS (SELECT doc_id, unnest(sh) AS g FROM s),
+      |hits AS (
+      |  SELECT cg.doc_id, bench.bench_id,
+      |    count(*) AS n_shared, min(bench.n_bench) AS n_bench
+      |  FROM cg JOIN bench ON cg.g = bench.g AND cg.doc_id <> bench.bench_id
+      |  GROUP BY 1, 2)
+      |SELECT doc_id, bench_id, n_shared, $cont AS containment,
+      |  $cont >= $ContaminationBar AS contaminated
+      |FROM hits WHERE n_shared >= $MinSharedShingles
+      |ORDER BY doc_id, bench_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- H4
+  /** Incremental dedup: dedups a NEW batch (deterministic ~20% hash
+    * split, salt "batch" — in production, today's crawl) against the
+    * EXISTING corpus without ever pairing existing docs with each
+    * other. Each new doc reports whether it LSH-collides with any old
+    * doc, with how many, and the smallest matching old doc_id as its
+    * canonical. New×new duplicates are intentionally NOT paired here —
+    * that is the batch's own C2 pass; this operator is the
+    * index-lookup half of the incremental pipeline (at scale the old
+    * corpus' band index is computed once and persisted, so a daily
+    * batch costs one signature pass over the batch + one bucketed
+    * join).
+    *
+    * Single signature pass: buckets collect (doc_id, is_new) members
+    * once; the sorted member list is capped at [[BucketCap]] BEFORE
+    * the new/old split (identical rule in the oracle), then each new
+    * member pairs only with the bucket's old members. */
+  private val BatchSalt = "batch"
+  private val BatchPct = 20
+
+  def incrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    def isNew(c: Column): Column =
+      Sampling.hashBucket(c, BatchSalt) < Sampling.pctThreshold(BatchPct)
+    val bands = minhashBands(spark, dir).withColumn("is_new", isNew(col("doc_id")))
+    val matches = bands
+      .groupBy("band", "key")
+      .agg(collect_list(struct(col("doc_id"), col("is_new"))).as("ms"))
+      .withColumn("sms", expr(s"slice(array_sort(ms), 1, $BucketCap)"))
+      .select(explode(expr("filter(sms, m -> m.is_new)")).as("nm"), col("sms"))
+      .select(col("nm.doc_id").as("doc_id"),
+        explode(expr("filter(sms, m -> NOT m.is_new)")).as("om"))
+      .select(col("doc_id"), col("om.doc_id").as("old_id"))
+      .groupBy("doc_id")
+      .agg(countDistinct(col("old_id")).as("n_old_matches"),
+        min(col("old_id")).as("first_old_match"))
+    Tables.documents(spark, dir)
+      .where(isNew(col("doc_id")))
+      .select(col("doc_id"))
+      .join(matches, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_old_matches"), lit(0L)).as("n_old_matches"),
+        col("first_old_match"),
+        (coalesce(col("n_old_matches"), lit(0L)) > 0).as("is_dup"))
+      .orderBy("doc_id")
+  }
+
+  val incrementalDedupSql: String = {
+    val isNew = (c: String) =>
+      s"${Sampling.hashBucketSql(c, BatchSalt)} < ${Sampling.pctThreshold(BatchPct)}"
+    s"""WITH $minhashBandsSqlCtes,
+      |nb AS (SELECT doc_id, band, key FROM bands WHERE ${isNew("doc_id")}),
+      |ob AS (SELECT doc_id, band, key FROM bands WHERE NOT (${isNew("doc_id")})),
+      |mt AS (
+      |  SELECT nb.doc_id AS doc_id, count(DISTINCT ob.doc_id) AS n_old_matches,
+      |    min(ob.doc_id) AS first_old_match
+      |  FROM nb JOIN ob ON nb.band = ob.band AND nb.key = ob.key
+      |  GROUP BY 1)
+      |SELECT d.doc_id AS doc_id,
+      |  coalesce(mt.n_old_matches, 0) AS n_old_matches,
+      |  mt.first_old_match AS first_old_match,
+      |  coalesce(mt.n_old_matches, 0) > 0 AS is_dup
+      |FROM documents d LEFT JOIN mt ON d.doc_id = mt.doc_id
+      |WHERE ${isNew("d.doc_id")}
+      |ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- H6
+  /** Blocked fuzzy matching: edit-distance pairs without an all-pairs
+    * scan. Docs are blocked on (first two tokens, length(text) DIV
+    * 20); within a block, the sorted-capped member list explodes into
+    * pairs (the [[lshPairs]] shape — the block pass runs once, no
+    * self-join) and pairs within levenshtein ≤ [[FuzzyMaxDist]] on the
+    * first [[FuzzyPrefixLen]] chars survive. Blocking is the standard
+    * record-linkage trade: recall is bounded by the block key (a
+    * first-token edit breaks it), cost is bounded by block size. */
+  private val FuzzyPrefixLen = 40
+  private val FuzzyMaxDist = 8
+  private val FuzzyLenBucket = 20
+
+  def fuzzyPairs(spark: SparkSession, dir: String): DataFrame = {
+    val blocked = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        substring(col("text"), 1, FuzzyPrefixLen).as("pfx"),
+        concat_ws(" ", expr("slice(split(text, ' '), 1, 2)")).as("blk_tok"),
+        expr(s"CAST(length(text) AS BIGINT) DIV $FuzzyLenBucket").as("blk_len"))
+    blocked.groupBy("blk_tok", "blk_len")
+      .agg(collect_list(struct(col("doc_id"), col("pfx"))).as("ms"))
+      .where(size(col("ms")) > 1)
+      .withColumn("sms", expr(s"slice(array_sort(ms), 1, $BucketCap)"))
+      .select(explode(expr(
+        """flatten(transform(sms, (a, i) ->
+          |  transform(slice(sms, i + 2, size(sms)),
+          |            b -> named_struct('doc_a', a.doc_id, 'pfx_a', a.pfx,
+          |                              'doc_b', b.doc_id, 'pfx_b', b.pfx))))""".stripMargin))
+        .as("p"))
+      .where(col("p.doc_a") < col("p.doc_b"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
+        levenshtein(col("p.pfx_a"), col("p.pfx_b")).cast("long").as("edit_dist"))
+      .where(col("edit_dist") <= FuzzyMaxDist)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val fuzzyPairsSql: String =
+    s"""WITH b AS (
+      |  SELECT doc_id, substring(text, 1, $FuzzyPrefixLen) AS pfx,
+      |    array_to_string(string_split(text, ' ')[1:2], ' ') AS blk_tok,
+      |    CAST(length(text) AS BIGINT) // $FuzzyLenBucket AS blk_len
+      |  FROM documents),
+      |bc AS (
+      |  SELECT doc_id, pfx, blk_tok, blk_len,
+      |    row_number() OVER (PARTITION BY blk_tok, blk_len ORDER BY doc_id) AS rn
+      |  FROM b)
+      |SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+      |  CAST(levenshtein(a.pfx, b2.pfx) AS BIGINT) AS edit_dist
+      |FROM bc a JOIN bc b2 ON a.blk_tok = b2.blk_tok AND a.blk_len = b2.blk_len
+      |  AND a.doc_id < b2.doc_id
+      |WHERE a.rn <= $BucketCap AND b2.rn <= $BucketCap
+      |  AND levenshtein(a.pfx, b2.pfx) <= $FuzzyMaxDist
+      |ORDER BY doc_a, doc_b""".stripMargin
 }

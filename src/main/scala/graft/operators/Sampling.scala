@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -17,34 +17,48 @@ import graft.sources.Tables
   */
 object Sampling {
 
+  /** Salted 16-bit hash bucket of a key column: first 4 hex digits of
+    * md5(key || ":" || salt) as a long in [0, 65536). The primitive
+    * under every deterministic split in the pipeline (sampling,
+    * benchmark probe sets, incremental batches) — value-hash based, so
+    * membership is stable under repartitioning and identical on any
+    * engine with md5. */
+  def hashBucket(key: Column, salt: String): Column =
+    conv(substring(md5(concat(key.cast("string"), lit(":" + salt))), 1, 4), 16, 10)
+      .cast("long")
+
+  /** DuckDB twin of [[hashBucket]]; no base-conv there, so the 4
+    * nibbles are decoded positionally. `key` must be a column name or
+    * parenthesized expression. */
+  def hashBucketSql(key: String, salt: String): String = {
+    val h = s"md5($key || ':$salt')"
+    val nib = (i: Int) =>
+      s"(strpos('0123456789abcdef', substring($h, $i, 1)) - 1)"
+    s"CAST(${nib(1)} * 4096 + ${nib(2)} * 256 + ${nib(3)} * 16 + ${nib(4)} AS BIGINT)"
+  }
+
+  /** Bucket threshold for a ~pct% sample. */
+  def pctThreshold(pct: Int): Int = 65536 * pct / 100
+
   /** G1: ~`pct`% per language (stratified): keep docs whose salted
     * md5's first 4 hex digits fall under pct% of 16^4. Being
     * value-hash based, the sample is stable under repartitioning and
     * identical on any engine with md5. */
   def hashSample(spark: SparkSession, dir: String, pct: Int = 10,
-                 salt: String = "graft"): DataFrame = {
-    val threshold = 65536 * pct / 100
+                 salt: String = "graft"): DataFrame =
     Tables.documents(spark, dir)
-      .withColumn("bucket",
-        conv(substring(md5(concat(col("doc_id").cast("string"), lit(":" + salt))), 1, 4), 16, 10)
-          .cast("long"))
-      .where(col("bucket") < threshold)
+      .withColumn("bucket", hashBucket(col("doc_id"), salt))
+      .where(col("bucket") < pctThreshold(pct))
       .select(col("doc_id"), col("lang"), col("source"), col("bucket"))
       .orderBy("doc_id")
-  }
 
-  def hashSampleSql(pct: Int = 10, salt: String = "graft"): String = {
-    val threshold = 65536 * pct / 100
-    // DuckDB has no base-conv; 4 nibbles via strpos arithmetic
-    val nib = (i: Int) =>
-      s"(strpos('0123456789abcdef', substring(h, $i, 1)) - 1)"
+  def hashSampleSql(pct: Int = 10, salt: String = "graft"): String =
     s"""SELECT doc_id, lang, source, bucket FROM (
       |  SELECT doc_id, lang, source,
-      |    CAST(${nib(1)} * 4096 + ${nib(2)} * 256 + ${nib(3)} * 16 + ${nib(4)} AS BIGINT) AS bucket
-      |  FROM (SELECT *, md5(doc_id || ':$salt') AS h FROM documents) t) s
-      |WHERE bucket < $threshold
+      |    ${hashBucketSql("doc_id", salt)} AS bucket
+      |  FROM documents) s
+      |WHERE bucket < ${pctThreshold(pct)}
       |ORDER BY doc_id""".stripMargin
-  }
 
   /** G2: per-source corpus profile — the triage table a pipeline
     * operator reads before deciding what to keep. One shuffle on the
@@ -70,4 +84,23 @@ object Sampling {
       |FROM documents
       |GROUP BY source
       |ORDER BY source""".stripMargin
+
+  /** H7: sketch-based profiling — approximate distinct users (HLL++)
+    * and approximate value quantiles (Greenwald-Khanna) per event
+    * route. At 100 TB this is the only affordable shape: both sketches
+    * are constant-memory, merge in partial aggregation, and never
+    * shuffle raw values the way exact count-distinct / percentile
+    * must. Sketch internals are engine-specific by design, so there is
+    * no DuckDB oracle — the rows-only gate covers shape, and
+    * ApproxProfileSpec asserts each estimate against the exact answer
+    * (±2% distinct, ±5% quantile rank). */
+  def approxProfile(spark: SparkSession, dir: String): DataFrame =
+    Tables.eventsRaw(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+        percentile_approx(col("value"), lit(0.5), lit(10000)).as("p50_value"),
+        percentile_approx(col("value"), lit(0.99), lit(10000)).as("p99_value"))
+      .orderBy("event_type")
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.Portable
@@ -128,4 +128,113 @@ object TextAnalysis {
       |  md5(array_to_string(string_split(text, ' ')[1:8], ' ')) AS fp_prefix8,
       |  ${Portable.bagSignatureSql("text")} AS fp_bag
       |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- H2
+  /** Internal-repetition quality signal (the Gopher/RefinedWeb-style
+    * repetition filters): per doc, the fraction of duplicate 2-grams
+    * and 3-grams — `1 - distinct/total`, computed as int-derived
+    * double division so both engines produce identical bits. A doc
+    * whose 3-gram duplicate fraction exceeds 0.2 is flagged. Narrow
+    * per-row built-ins, zero shuffle — 100 TB is just more
+    * partitions. */
+  private val RepFlagThreshold = 0.2
+
+  /** All (non-distinct) n-gram strings of the space-split tokens; same
+    * window rule as the dedup shingles (docs shorter than n tokens
+    * yield one truncated gram). */
+  private def grams(n: Int): Column = expr(
+    s"transform(sequence(1, greatest(size(split(text, ' ')) - ${n - 1}, 1)), " +
+      s"i -> concat_ws(' ', slice(split(text, ' '), i, $n)))")
+
+  private def gramsSql(n: Int): String =
+    s"list_transform(range(1, greatest(len(string_split(text, ' ')) - ${n - 1}, 1) + 1), " +
+      s"i -> array_to_string(string_split(text, ' ')[i:i+${n - 1}], ' '))"
+
+  def repetition(spark: SparkSession, dir: String): DataFrame = {
+    // two-stage select: each gram array is BUILT once and the counts
+    // read the materialized column (6 inline copies of the transform
+    // were ~6x the per-row work)
+    def repCols(n: Int): Seq[Column] = {
+      val total = size(col(s"g$n")).cast("long")
+      val dist = size(array_distinct(col(s"g$n"))).cast("long")
+      Seq(total.as(s"n${n}_total"), dist.as(s"n${n}_distinct"),
+        ((total - dist).cast("double") / total.cast("double")).as(s"rep$n"))
+    }
+    val rep3 = (size(col("g3")).cast("long") - size(array_distinct(col("g3"))).cast("long"))
+      .cast("double") / size(col("g3")).cast("double")
+    // parallelized: the gram builds are interpreted HOF lambdas — the
+    // expensive per-row path — and the sf parquet can be a single
+    // split; the round-robin exchange moves only (doc_id, text)
+    Tables.parallelized(spark, Tables.documents(spark, dir))
+      .select(col("doc_id"), grams(2).as("g2"), grams(3).as("g3"))
+      .select(col("doc_id") +: (repCols(2) ++ repCols(3))
+        :+ (rep3 > RepFlagThreshold).as("is_repetitive"): _*)
+      .orderBy("doc_id")
+  }
+
+  val repetitionSql: String = {
+    def repCols(n: Int): String = {
+      val total = s"CAST(len(${gramsSql(n)}) AS BIGINT)"
+      val dist = s"CAST(len(list_distinct(${gramsSql(n)})) AS BIGINT)"
+      s"""$total AS n${n}_total, $dist AS n${n}_distinct,
+        |  CAST($total - $dist AS DOUBLE) / CAST($total AS DOUBLE) AS rep$n""".stripMargin
+    }
+    val total3 = s"CAST(len(${gramsSql(3)}) AS BIGINT)"
+    val dist3 = s"CAST(len(list_distinct(${gramsSql(3)})) AS BIGINT)"
+    s"""SELECT doc_id, ${repCols(2)}, ${repCols(3)},
+      |  CAST($total3 - $dist3 AS DOUBLE) / CAST($total3 AS DOUBLE)
+      |    > $RepFlagThreshold AS is_repetitive
+      |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- H3
+  /** Content scrubbing: PII regex redaction (emails, dashed phone
+    * numbers) plus term-blocklist masking — the cleaning pass a
+    * training corpus gets before tokenization. Patterns use only
+    * RE2-safe syntax (character classes, no lookaround) so Spark's
+    * java.util.regex and DuckDB's RE2 agree; blocklist masking is
+    * token-level (split → CASE → re-join), which, unlike a substring
+    * replace over padded text, handles ADJACENT blocked tokens and is
+    * expressible identically in both engines. Narrow, zero shuffle. */
+  val blockTerms: Seq[String] = Seq("slow", "big")
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val PhoneRe = "[0-9]{3}-[0-9]{3,4}-[0-9]{4}"
+
+  def scrub(spark: SparkSession, dir: String): DataFrame = {
+    // patterns go through the Column API as literals — never through a
+    // SQL string literal, whose backslash-escape handling differs
+    // between engines
+    val redacted = regexp_replace(
+      regexp_replace(col("text"), lit(EmailRe), lit("<EMAIL>")),
+      lit(PhoneRe), lit("<PHONE>"))
+    val masked = concat_ws(" ",
+      transform(split(redacted, " "),
+        t => when(t.isInCollection(blockTerms), "<TERM>").otherwise(t)))
+    Tables.parallelized(spark, Tables.documents(spark, dir))
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("text"), lit(EmailRe), lit(0))).cast("long")
+          .as("n_emails"),
+        size(regexp_extract_all(col("text"), lit(PhoneRe), lit(0))).cast("long")
+          .as("n_phones"),
+        size(filter(split(col("text"), " "), t => t.isInCollection(blockTerms)))
+          .cast("long").as("n_blocked"),
+        masked.as("clean_text"),
+        (masked =!= col("text")).as("changed"))
+      .orderBy("doc_id")
+  }
+
+  val scrubSql: String = {
+    val termList = blockTerms.map(t => s"'$t'").mkString(", ")
+    val red = s"regexp_replace(regexp_replace(text, '$EmailRe', '<EMAIL>', 'g'), '$PhoneRe', '<PHONE>', 'g')"
+    s"""SELECT doc_id,
+      |  CAST(len(regexp_extract_all(text, '$EmailRe')) AS BIGINT) AS n_emails,
+      |  CAST(len(regexp_extract_all(text, '$PhoneRe')) AS BIGINT) AS n_phones,
+      |  CAST(len(list_filter(string_split(text, ' '), t -> t IN ($termList))) AS BIGINT)
+      |    AS n_blocked,
+      |  array_to_string(list_transform(string_split($red, ' '),
+      |    t -> CASE WHEN t IN ($termList) THEN '<TERM>' ELSE t END), ' ') AS clean_text,
+      |  array_to_string(list_transform(string_split($red, ' '),
+      |    t -> CASE WHEN t IN ($termList) THEN '<TERM>' ELSE t END), ' ') <> text AS changed
+      |FROM documents ORDER BY doc_id""".stripMargin
+  }
 }

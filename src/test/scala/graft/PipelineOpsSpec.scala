@@ -1,0 +1,162 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Sampling, TextAnalysis}
+
+/** Behavioral tests for the H-series training-pipeline operators
+  * (decontamination, incremental dedup, fuzzy matching, repetition,
+  * scrubbing, sketch profiling) on planted fixtures — the oracle gate
+  * proves engine parity on the shared corpus; these prove the
+  * operators actually catch what they claim to catch. */
+class PipelineOpsSpec extends SparkSpec {
+
+  /** Test-side mirror of Sampling.hashBucket: first 2 md5 bytes of
+    * "<id>:<salt>" — used to PLANT docs on chosen sides of the
+    * deterministic hash splits. */
+  private def bucket(id: Long, salt: String): Int = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$id:$salt".getBytes("UTF-8"))
+    ((d(0) & 0xFF) << 8) | (d(1) & 0xFF)
+  }
+  private def findId(from: Long, pred: Long => Boolean): Long =
+    Iterator.iterate(from)(_ + 1).find(pred).get
+
+  private def withDocs[A](docs: Seq[(Long, String)])(f: String => A): A = {
+    val dir = Files.createTempDirectory("graft_pipe").toFile
+    try {
+      import spark.implicits._
+      docs.map { case (id, text) => (id, text, "en", "fix", text.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.parquet(s"$dir/documents.parquet")
+      f(dir.getPath)
+    } finally {
+      def rm(g: java.io.File): Unit = {
+        if (g.isDirectory) g.listFiles().foreach(rm); g.delete()
+      }
+      rm(dir)
+    }
+  }
+
+  test("sampling bucket test-mirror matches the operator's bucket") {
+    val got = Sampling.hashSample(spark, sfDir, pct = 100)
+      .select("doc_id", "bucket").collect()
+    assert(got.nonEmpty)
+    got.foreach(r =>
+      assert(r.getLong(1) == bucket(r.getLong(0), "graft").toLong))
+  }
+
+  test("decontaminate flags a corpus copy of a benchmark doc") {
+    val benchId = findId(0, bucket(_, "bench") < Sampling.pctThreshold(5))
+    val cleanId = findId(benchId + 1, id =>
+      bucket(id, "bench") >= Sampling.pctThreshold(5))
+    val copyId = findId(cleanId + 1, id =>
+      bucket(id, "bench") >= Sampling.pctThreshold(5))
+    val benchText = (0 until 12).map(t => s"b$t").mkString(" ")
+    val otherText = (0 until 12).map(t => s"z$t").mkString(" ")
+    withDocs(Seq(benchId -> benchText, copyId -> benchText,
+      cleanId -> otherText)) { dir =>
+      val hits = Dedup.decontaminate(spark, dir).collect()
+      assert(hits.length == 1, s"expected exactly the planted hit, got ${hits.toSeq}")
+      val h = hits.head
+      assert(h.getLong(0) == copyId && h.getLong(1) == benchId)
+      assert(h.getDouble(3) == 1.0, "full copy must have containment 1.0")
+      assert(h.getBoolean(4), "full copy must be flagged contaminated")
+    }
+  }
+
+  test("incremental dedup matches new docs against old corpus only") {
+    val thr = Sampling.pctThreshold(20)
+    val newDup = findId(0, bucket(_, "batch") < thr)
+    val newFresh = findId(newDup + 1, bucket(_, "batch") < thr)
+    val newPairA = findId(newFresh + 1, bucket(_, "batch") < thr)
+    val newPairB = findId(newPairA + 1, bucket(_, "batch") < thr)
+    val oldSrc = findId(newPairB + 1, bucket(_, "batch") >= thr)
+    val dupText = (0 until 12).map(t => s"d$t").mkString(" ")
+    val pairText = (0 until 12).map(t => s"p$t").mkString(" ")
+    val freshText = (0 until 12).map(t => s"f$t").mkString(" ")
+    withDocs(Seq(
+      newDup -> dupText, oldSrc -> dupText, // new copies old -> dup
+      newPairA -> pairText, newPairB -> pairText, // new x new: NOT a corpus dup
+      newFresh -> freshText)) { dir =>
+      val rows = Dedup.incrementalDedup(spark, dir).collect()
+        .map(r => r.getLong(0) -> r).toMap
+      assert(rows.keySet == Set(newDup, newFresh, newPairA, newPairB),
+        s"every batch doc must appear exactly once: ${rows.keySet}")
+      assert(rows(newDup).getBoolean(3), "copy of an old doc must be flagged")
+      assert(rows(newDup).getLong(2) == oldSrc, "canonical must be the old source")
+      assert(!rows(newFresh).getBoolean(3), "fresh doc must not be flagged")
+      assert(!rows(newPairA).getBoolean(3) && !rows(newPairB).getBoolean(3),
+        "new x new duplicates are the batch's own C2 pass, not corpus dups")
+    }
+  }
+
+  test("fuzzy pairs finds near-identical prefixes within a block") {
+    // same first-2-token block key, same length bucket, 2 edits apart
+    // (all 28 chars — inside the 40-char comparison prefix)
+    val a = "alpha beta gamma delta epsXY"
+    val b = "alpha beta gamma delta epsZW"
+    val c = "omega beta gamma delta epsXY" // different block
+    withDocs(Seq(1L -> a, 2L -> b, 3L -> c)) { dir =>
+      val pairs = Dedup.fuzzyPairs(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(pairs.toSeq == Seq((1L, 2L, 2L)),
+        s"expected exactly the planted in-block pair at distance 2, got ${pairs.toSeq}")
+    }
+  }
+
+  test("repetition flags loops, passes distinct text") {
+    val loopy = Seq.fill(10)("spam ham").mkString(" ") // 2-gram/3-gram loops
+    val clean = (0 until 20).map(t => s"u$t").mkString(" ")
+    withDocs(Seq(1L -> loopy, 2L -> clean)) { dir =>
+      val byId = TextAnalysis.repetition(spark, dir).collect()
+        .map(r => r.getLong(0) -> r).toMap
+      assert(byId(1L).getBoolean(7), "looping text must be flagged repetitive")
+      assert(!byId(2L).getBoolean(7), "all-distinct text must pass")
+      assert(byId(2L).getDouble(3) == 0.0 && byId(2L).getDouble(6) == 0.0)
+      // 20 tokens of a 2-word loop: 19 bigrams, 2 distinct
+      assert(byId(1L).getLong(1) == 19 && byId(1L).getLong(2) == 2)
+    }
+  }
+
+  test("scrub redacts planted PII and masks blocklist terms") {
+    val t1 = "contact me at alice.smith+x@example.org or 555-123-4567 now"
+    val t2 = "the big dog ran slow big uphill"
+    withDocs(Seq(1L -> t1, 2L -> t2)) { dir =>
+      val byId = TextAnalysis.scrub(spark, dir).collect()
+        .map(r => r.getLong(0) -> r).toMap
+      assert(byId(1L).getLong(1) == 1 && byId(1L).getLong(2) == 1)
+      assert(byId(1L).getString(4) ==
+        "contact me at <EMAIL> or <PHONE> now")
+      assert(byId(1L).getBoolean(5))
+      // adjacent blocked terms both masked (the token-level pass's
+      // whole reason to exist over a padded substring replace)
+      assert(byId(2L).getLong(3) == 3)
+      assert(byId(2L).getString(4) == "the <TERM> dog ran <TERM> <TERM> uphill")
+    }
+  }
+
+  test("approx profile tracks exact distinct counts and quantiles") {
+    val approx = Sampling.approxProfile(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val exact = graft.sources.Tables.eventsRaw(spark, sfDir)
+      .groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("u"),
+        expr("percentile(value, 0.5)").as("p50"),
+        expr("percentile(value, 0.4)").as("p40"),
+        expr("percentile(value, 0.6)").as("p60"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(approx.keySet == exact.keySet && approx.nonEmpty)
+    for ((k, a) <- approx) {
+      val e = exact(k)
+      val exactU = e.getLong(1).toDouble
+      assert(math.abs(a.getLong(2) - exactU) / exactU <= 0.05,
+        s"$k: approx distinct ${a.getLong(2)} vs exact $exactU")
+      // p50 estimate must land within the exact p40..p60 value band
+      assert(a.getDouble(3) >= e.getDouble(3) && a.getDouble(3) <= e.getDouble(4),
+        s"$k: approx p50 ${a.getDouble(3)} outside [${e.getDouble(3)}, ${e.getDouble(4)}]")
+    }
+  }
+}
