@@ -70,7 +70,8 @@ object SparkEntry {
     "q_ann_quantized" -> (SimilaritySearch.quantizedTopK _),
     // sketch profiling: HLL/GK internals are engine-specific -> no
     // oracle; accuracy gated by ApproxProfileSpec against exact
-    "q_profile_approx" -> (Sampling.approxProfile _)
+    "q_profile_approx" -> (Sampling.approxProfile _),
+    "q_curate" -> (Curation.curate _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -121,6 +122,7 @@ object SparkEntry {
     "q_fuzzy_pairs" -> Dedup.fuzzyPairsSql,
     "q_text_repetition" -> TextAnalysis.repetitionSql,
     "q_pii_scrub" -> TextAnalysis.scrubSql,
-    "q_ann_quantized" -> SimilaritySearch.quantizedTopKSql
+    "q_ann_quantized" -> SimilaritySearch.quantizedTopKSql,
+    "q_curate" -> Curation.curateSql
   )
 }

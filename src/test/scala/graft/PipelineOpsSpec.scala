@@ -138,6 +138,33 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("curation funnel drops dups, contamination, and low quality; keeps the rest") {
+    val benchId = findId(0, bucket(_, "bench") < Sampling.pctThreshold(5))
+    val copyId = findId(benchId + 1, bucket(_, "bench") >= Sampling.pctThreshold(5))
+    val dupA = copyId + 1
+    val dupB = copyId + 2
+    val junkId = copyId + 3
+    val keepId = copyId + 4
+    val benchText = (0 until 12).map(t => s"b$t").mkString(" ")
+    // NOT an exact dup of the bench doc (extra tail) — so only the
+    // decontamination stage can be what drops it
+    val copyText = benchText + " tail0 tail1 tail2"
+    val dupText = (0 until 12).map(t => s"d$t").mkString(" ")
+    val junkText = Seq.fill(50)("x").mkString(" ") // ttr 1/50 -> low quality
+    val keepText = (0 until 30).map(t => s"k$t").mkString(" ")
+    withDocs(Seq(benchId -> benchText, copyId -> copyText,
+      dupA -> dupText, dupB -> dupText,
+      junkId -> junkText, keepId -> keepText)) { dir =>
+      val kept = graft.operators.Curation.curate(spark, dir)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(!kept.contains(copyId), "benchmark copy must be decontaminated away")
+      assert(!kept.contains(dupB), "non-canonical duplicate must be dropped")
+      assert(kept.contains(dupA), "duplicate-group canonical survives")
+      assert(!kept.contains(junkId), "low-quality doc must be dropped")
+      assert(kept.contains(keepId), "clean distinct doc survives")
+    }
+  }
+
   test("approx profile tracks exact distinct counts and quantiles") {
     val approx = Sampling.approxProfile(spark, sfDir).collect()
       .map(r => r.getString(0) -> r).toMap

@@ -92,6 +92,47 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("embedding[63]"), s"spelled-out projection returned:\n$plan")
   }
 
+  test("decontamination broadcasts the benchmark index (corpus side never shuffles to probe)") {
+    val plan = finalPlan(graft.operators.Dedup.decontaminate(spark, sfDir))
+    assert(plan.contains("BroadcastHashJoin"), s"bench index not broadcast:\n$plan")
+    // the corpus side must reach the join without a hash exchange: the
+    // only hashpartitioning allowed is the post-join hit aggregation
+    val joinIdx = plan.indexOf("BroadcastHashJoin")
+    val corpusSide = plan.substring(joinIdx)
+    assert(!corpusSide.contains("CartesianProduct"))
+  }
+
+  test("quantized ANN shortlists via map-side partial top-k, like brute force") {
+    val plan = finalPlan(graft.operators.SimilaritySearch.quantizedTopK(spark, sfDir))
+    // two TopK stages (shortlist + rescore), each partial+final
+    assert("ObjectHashAggregate".r.findAllIn(plan).size >= 4,
+      s"missing partial object aggs:\n$plan")
+    assert(plan.contains("graft_cosine"), s"native cosine missing:\n$plan")
+  }
+
+  test("incremental dedup and fuzzy match never plan a cartesian or a self-joined signature pass") {
+    for (df <- Seq(
+        graft.operators.Dedup.incrementalDedup(spark, sfDir),
+        graft.operators.Dedup.fuzzyPairs(spark, sfDir))) {
+      val plan = finalPlan(df)
+      assert(!plan.contains("CartesianProduct"), s"all-pairs join:\n$plan")
+      // single-pass bucket-collect: exactly one scan of documents for
+      // the pair generation side in fuzzy; incremental adds the
+      // new-batch left-join scan — so documents may appear at most
+      // twice (AQE's toString repeats the plan under "== Initial
+      // Plan ==", so count only the final section)
+      val finalSection = plan.split("== Initial Plan ==")(0)
+      assert("parquet.*documents".r.findAllIn(finalSection).size <= 2,
+        s"signature pipeline runs more than necessary:\n$plan")
+    }
+  }
+
+  test("sketch profiling partial-aggregates (constant-size sketch crosses the shuffle)") {
+    val plan = finalPlan(graft.operators.Sampling.approxProfile(spark, sfDir))
+    assert("ObjectHashAggregate".r.findAllIn(plan).size >= 2,
+      s"no partial sketch agg:\n$plan")
+  }
+
   test("trained IVF scores centroids via broadcast (corpus never shuffles to score)") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .select("vec_id", "embedding")
