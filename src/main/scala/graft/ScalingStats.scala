@@ -117,6 +117,34 @@ object ScalingStats {
           max("pop").as("maxpop")).head()
       row(dir, s"srp(ub=$ub)", nVec, if (srp.isNullAt(0)) 0 else srp.getLong(0),
         srp.getLong(1), srp.getLong(2))
+
+      // ---- Decontamination: comparisons actually performed = shingle
+      // collisions between corpus and the broadcast bench index (the
+      // all-pairs equivalent would be n_corpus x n_bench doc pairs)
+      val deconHits = Dedup.decontaminate(spark, dir)
+        .agg(count(lit(1))).head().getLong(0)
+      row(dir, "decon", nDocs, deconHits, -1, -1)
+
+      // ---- Incremental dedup: emitted new->old match rows
+      val incMatches = Dedup.incrementalDedup(spark, dir)
+        .agg(sum(col("n_old_matches"))).head().getLong(0)
+      row(dir, "incr", nDocs, incMatches, -1, -1)
+
+      // ---- Fuzzy blocking geometry: in-block pair count BEFORE the
+      // edit-distance filter — the honest cost number. Block keys are
+      // content-derived (first two tokens x length bucket), so their
+      // cardinality is corpus-dependent: watch max_pop for quadratic
+      // creep on low-diversity corpora.
+      val fz = spark.read.parquet(s"$dir/documents.parquet")
+        .select(
+          expr("concat_ws(' ', slice(split(text, ' '), 1, 2))").as("blk_tok"),
+          expr("CAST(length(text) AS BIGINT) DIV 20").as("blk_len"))
+        .groupBy("blk_tok", "blk_len").agg(count(lit(1)).as("pop"))
+        .agg(sum(when(col("pop") > 1, expr("pop * (pop - 1) DIV 2"))).as("cand"),
+          sum(when(col("pop") > 1, 1).otherwise(0)).as("bkts"),
+          max("pop").as("maxpop")).head()
+      row(dir, "fuzzy", nDocs, if (fz.isNullAt(0)) 0 else fz.getLong(0),
+        fz.getLong(1), fz.getLong(2))
     }
     finally allDirs.drop(dirs.length).foreach(d => rmTree(new java.io.File(d)))
     spark.stop()

@@ -55,16 +55,21 @@ object Dedup {
   /** doc_id + distinct 3-gram token shingles, as a per-row array (no
     * explode — the whole signature pipeline is narrow until the band
     * groupBy). */
+  /** Shingle columns over an arbitrary (doc_id, text) frame — every
+    * step narrow, so it applies to batch AND streaming inputs. */
+  private def shingled(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .withColumn("sh", expr(
+        "array_distinct(transform(sequence(1, greatest(size(toks)-2, 1)), i -> concat_ws(' ', slice(toks, i, 3))))"))
+
   private def withShingles(spark: SparkSession, dir: String,
                            par: Boolean = false): DataFrame = {
     val docs = Tables.documents(spark, dir)
     // par=true for the CPU-bound signature pipelines (hash-per-shingle
     // work dominates); join-probe consumers keep the plain scan so the
     // extra exchange doesn't perturb their join planning.
-    (if (par) Tables.parallelized(spark, docs) else docs)
-      .select(col("doc_id"), split(col("text"), " ").as("toks"))
-      .withColumn("sh", expr(
-        "array_distinct(transform(sequence(1, greatest(size(toks)-2, 1)), i -> concat_ws(' ', slice(toks, i, 3))))"))
+    shingled(if (par) Tables.parallelized(spark, docs) else docs)
   }
 
   private val shinglesSqlCte =
@@ -81,15 +86,26 @@ object Dedup {
     * explode + H min()-aggregate shape this replaces moved ~|shingles|
     * rows per doc into partial aggregation). With carrySh the shingle
     * array rides along for downstream exact verification. */
-  private def minhashSig(spark: SparkSession, dir: String,
-                         carrySh: Boolean): DataFrame = {
-    val base = withShingles(spark, dir, par = true)
+  private def minhashSigOf(spark: SparkSession, base: DataFrame,
+                           carrySh: Boolean): DataFrame = {
     val keep = if (carrySh) Seq(col("doc_id"), col("sh")) else Seq(col("doc_id"))
     val mhCols = (0 until H).map(j =>
       element_at(col("mhs"), j + 1).as(s"mh_$j"))
     base.select(keep :+ Vectors.minhashFast(spark, col("sh"), H).as("mhs"): _*)
       .select(keep ++ mhCols: _*)
   }
+
+  private def minhashSig(spark: SparkSession, dir: String,
+                         carrySh: Boolean): DataFrame =
+    minhashSigOf(spark, withShingles(spark, dir, par = true), carrySh)
+
+  /** (doc_id, band, key) index rows of an arbitrary (doc_id, text)
+    * frame. Narrow end to end (split → native signature → explode), so
+    * it works on a STREAMING frame too — the per-micro-batch half of
+    * the stream-static incremental dedup
+    * ([[graft.streaming.DocStreams.incrementalMatches]]). */
+  def bandsOf(spark: SparkSession, docs: DataFrame): DataFrame =
+    explodeBands(minhashSigOf(spark, shingled(docs), carrySh = false), Nil)
 
   /** Explode a signature row into its (band, key) rows, carrying
     * `extra` columns through. */
