@@ -125,20 +125,23 @@ object ScalingStats {
         .agg(count(lit(1))).head().getLong(0)
       row(dir, "decon", nDocs, deconHits, -1, -1)
 
-      // ---- Incremental dedup: emitted new->old match rows
-      val incMatches = Dedup.incrementalDedup(spark, dir)
-        .agg(sum(col("n_old_matches"))).head().getLong(0)
-      row(dir, "incr", nDocs, incMatches, -1, -1)
+      // ---- Incremental dedup: emitted new->old match rows (sum over
+      // an empty batch split is null, not 0)
+      val incRow = Dedup.incrementalDedup(spark, dir)
+        .agg(sum(col("n_old_matches"))).head()
+      row(dir, "incr", nDocs,
+        if (incRow.isNullAt(0)) 0 else incRow.getLong(0), -1, -1)
 
       // ---- Fuzzy blocking geometry: in-block pair count BEFORE the
-      // edit-distance filter — the honest cost number. Block keys are
+      // edit-distance filter — the honest cost number, keyed by the
+      // operator's OWN block expressions. Block keys are
       // content-derived (first two tokens x length bucket), so their
       // cardinality is corpus-dependent: watch max_pop for quadratic
       // creep on low-diversity corpora.
       val fz = spark.read.parquet(s"$dir/documents.parquet")
         .select(
-          expr("concat_ws(' ', slice(split(text, ' '), 1, 2))").as("blk_tok"),
-          expr("CAST(length(text) AS BIGINT) DIV 20").as("blk_len"))
+          expr(Dedup.fuzzyBlockTokExpr).as("blk_tok"),
+          expr(Dedup.fuzzyBlockLenExpr).as("blk_len"))
         .groupBy("blk_tok", "blk_len").agg(count(lit(1)).as("pop"))
         .agg(sum(when(col("pop") > 1, expr("pop * (pop - 1) DIV 2"))).as("cand"),
           sum(when(col("pop") > 1, 1).otherwise(0)).as("bkts"),

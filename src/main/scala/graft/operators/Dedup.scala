@@ -686,13 +686,18 @@ object Dedup {
   private val FuzzyPrefixLen = 40
   private val FuzzyMaxDist = 8
   private val FuzzyLenBucket = 20
+  /** Block-key expressions, shared with ScalingStats (the
+    * simhashTableStructsExpr precedent): the measured blocking
+    * geometry can never drift from what the operator builds. */
+  private[graft] val fuzzyBlockTokExpr = "concat_ws(' ', slice(split(text, ' '), 1, 2))"
+  private[graft] val fuzzyBlockLenExpr = s"CAST(length(text) AS BIGINT) DIV $FuzzyLenBucket"
 
   def fuzzyPairs(spark: SparkSession, dir: String): DataFrame = {
     val blocked = Tables.documents(spark, dir)
       .select(col("doc_id"),
         substring(col("text"), 1, FuzzyPrefixLen).as("pfx"),
-        concat_ws(" ", expr("slice(split(text, ' '), 1, 2)")).as("blk_tok"),
-        expr(s"CAST(length(text) AS BIGINT) DIV $FuzzyLenBucket").as("blk_len"))
+        expr(fuzzyBlockTokExpr).as("blk_tok"),
+        expr(fuzzyBlockLenExpr).as("blk_len"))
     blocked.groupBy("blk_tok", "blk_len")
       .agg(collect_list(struct(col("doc_id"), col("pfx"))).as("ms"))
       .where(size(col("ms")) > 1)

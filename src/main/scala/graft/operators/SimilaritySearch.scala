@@ -181,26 +181,33 @@ object SimilaritySearch {
     val chosen = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Float])]
     if (cands.nonEmpty) {
       chosen += cands.head // first seed: smallest md5, as before
+      // per-candidate running max cosine to the chosen seeds — each
+      // round compares only against the seed added LAST round, which
+      // is bit-identical to rescoring all seeds (max over rounded
+      // values is order-insensitive) and k× cheaper.
+      // java.lang.Double.compare places NaN greatest, matching Spark's
+      // double ordering in the old max()/orderBy form.
+      val near = Array.fill(cands.length)(Double.NegativeInfinity)
+      val taken = Array.fill(cands.length)(false)
+      taken(0) = true
       while (chosen.size < math.min(k, cands.length)) {
-        // farthest candidate = argmin over candidates of max cosine to
-        // any current seed (rounded, vec_id tiebreak — deterministic);
-        // java.lang.Double.compare places NaN greatest, matching
-        // Spark's double ordering in the old max()/orderBy form
-        var bestId = -1L; var bestEmb: Array[Float] = null
-        var bestNear = Double.NaN // "not set"
-        val seen = chosen.map(_._1).toSet
-        for ((id, e) <- cands if !seen.contains(id)) {
-          var near = Double.NegativeInfinity
-          for ((_, s) <- chosen) {
-            val c = round9(cos(e, s))
-            if (java.lang.Double.compare(c, near) > 0) near = c
+        val (_, latest) = chosen.last
+        var bestIdx = -1
+        var i = 0
+        while (i < cands.length) {
+          if (!taken(i)) {
+            val c = round9(cos(cands(i)._2, latest))
+            if (java.lang.Double.compare(c, near(i)) > 0) near(i) = c
+            val better = bestIdx < 0 ||
+              java.lang.Double.compare(near(i), near(bestIdx)) < 0 ||
+              (java.lang.Double.compare(near(i), near(bestIdx)) == 0 &&
+                cands(i)._1 < cands(bestIdx)._1)
+            if (better) bestIdx = i
           }
-          val better = bestEmb == null ||
-            java.lang.Double.compare(near, bestNear) < 0 ||
-            (java.lang.Double.compare(near, bestNear) == 0 && id < bestId)
-          if (better) { bestNear = near; bestId = id; bestEmb = e }
+          i += 1
         }
-        chosen += ((bestId, bestEmb))
+        taken(bestIdx) = true
+        chosen += cands(bestIdx)
       }
     }
     // cid by seed vec_id order, exactly the old row_number(Window) rule

@@ -31,10 +31,8 @@ object DocStreams {
 
   /** Streaming documents: file source over a directory of parquet
     * files with the pinned schema. */
-  def readDocs(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  def readDocs(spark: SparkSession, dir: String): DataFrame =
     spark.readStream.schema(Tables.documentsSchema).parquet(dir)
-  }
 
   /** Matches of streaming docs against the corpus band index:
     * (doc_id, old_id, band, key) per collision. */

@@ -226,13 +226,16 @@ class SseHttpServer(spark: SparkSession, dir: String,
                         dead: () => Boolean): Unit = {
     var lastWrite = System.currentTimeMillis()
     while (!closed) {
-      if (dead())
-        throw new IOException("client too slow or feed closed")
       val frame = poll()
       if (frame != null) {
         os.write(frame.getBytes(UTF_8))
         os.flush()
         lastWrite = System.currentTimeMillis()
+      } else if (dead()) {
+        // checked only once the queue is DRAINED: a terminated query's
+        // already-buffered tail frames are still delivered before the
+        // disconnect (a dead()-first loop would drop them)
+        throw new IOException("client too slow or feed closed")
       } else if (System.currentTimeMillis() - lastWrite >= heartbeatMs) {
         os.write(":\n\n".getBytes(UTF_8))
         os.flush()

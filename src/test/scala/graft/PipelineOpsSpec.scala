@@ -139,12 +139,16 @@ class PipelineOpsSpec extends SparkSpec {
   }
 
   test("curation funnel drops dups, contamination, and low quality; keeps the rest") {
+    // every non-bench id is pinned OUTSIDE the 5% bench sample, so no
+    // accidental bench membership can make an unrelated doc
+    // "contaminated" and fail an assertion for the wrong reason
+    val notBench = (id: Long) => bucket(id, "bench") >= Sampling.pctThreshold(5)
     val benchId = findId(0, bucket(_, "bench") < Sampling.pctThreshold(5))
-    val copyId = findId(benchId + 1, bucket(_, "bench") >= Sampling.pctThreshold(5))
-    val dupA = copyId + 1
-    val dupB = copyId + 2
-    val junkId = copyId + 3
-    val keepId = copyId + 4
+    val copyId = findId(benchId + 1, notBench)
+    val dupA = findId(copyId + 1, notBench)
+    val dupB = findId(dupA + 1, notBench)
+    val junkId = findId(dupB + 1, notBench)
+    val keepId = findId(junkId + 1, notBench)
     val benchText = (0 until 12).map(t => s"b$t").mkString(" ")
     // NOT an exact dup of the bench doc (extra tail) — so only the
     // decontamination stage can be what drops it

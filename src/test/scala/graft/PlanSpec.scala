@@ -94,12 +94,16 @@ class PlanSpec extends SparkSpec {
 
   test("decontamination broadcasts the benchmark index (corpus side never shuffles to probe)") {
     val plan = finalPlan(graft.operators.Dedup.decontaminate(spark, sfDir))
-    assert(plan.contains("BroadcastHashJoin"), s"bench index not broadcast:\n$plan")
+    val finalSection = plan.split("== Initial Plan ==")(0)
+    assert(finalSection.contains("BroadcastHashJoin"),
+      s"bench index not broadcast:\n$plan")
+    assert(!finalSection.contains("CartesianProduct"))
     // the corpus side must reach the join without a hash exchange: the
-    // only hashpartitioning allowed is the post-join hit aggregation
-    val joinIdx = plan.indexOf("BroadcastHashJoin")
-    val corpusSide = plan.substring(joinIdx)
-    assert(!corpusSide.contains("CartesianProduct"))
+    // ONLY hashpartitioning allowed anywhere is the post-join
+    // (doc, bench) hit aggregation (the parallelizing exchange is
+    // round-robin, the final sort is range)
+    assert("hashpartitioning".r.findAllIn(finalSection).size <= 1,
+      s"corpus side shuffles before the probe:\n$plan")
   }
 
   test("quantized ANN shortlists via map-side partial top-k, like brute force") {
