@@ -18,6 +18,7 @@ object SparkEntry {
     "q_evt_sse_frames" -> (EventLogOps.sseFrames _),
     "q_evt_routes" -> (EventLogOps.routes _),
     "q_evt_start_position" -> ((s: SparkSession, d: String) => EventLogOps.startPosition(s, d)),
+    "q_evt_skip_audit" -> (EventLogOps.skipAudit _),
     // B. relational core
     "q1_pricing_summary" -> (Relational.q1PricingSummary _),
     "q3_shipping_priority" -> (Relational.q3ShippingPriority _),
@@ -85,6 +86,7 @@ object SparkEntry {
     "q_evt_sse_frames" -> EventLogOps.sseFramesSql,
     "q_evt_routes" -> EventLogOps.routesSql,
     "q_evt_start_position" -> EventLogOps.startPositionSql,
+    "q_evt_skip_audit" -> EventLogOps.skipAuditSql,
     "q1_pricing_summary" -> Relational.q1PricingSummarySql,
     "q3_shipping_priority" -> Relational.q3ShippingPrioritySql,
     "q5_local_supplier" -> Relational.q5LocalSupplierSql,

@@ -76,6 +76,42 @@ object EventLogOps {
       |  AND ${Portable.intStrictSql("json_extract_string(props, '$.k')")} IS NOT NULL
       |ORDER BY event_id""".stripMargin
 
+  // ---------------------------------------------------------------- A12
+  /** Skip-reason audit — the observability counterpart of [[parse]]:
+    * counts records per skip reason with the same check ORDER as the
+    * reference's processor (time first, then detail presence, then
+    * detail parse — record_processor.go:59-88), so `ok` + skipped
+    * reasons partition the raw count exactly. One partial-aggregated
+    * shuffle on a ≤4-value key; the reason CASE is a narrow map-side
+    * expression. */
+  def skipAudit(spark: SparkSession, dir: String): DataFrame =
+    Tables.eventsRaw(spark, dir)
+      .select(col("event_id"), tsUs.as("ts_us"), col("props"),
+        Portable.intStrict(get_json_object(col("props"), "$.k")).as("k"))
+      .withColumn("reason",
+        when(col("ts_us").isNull, "missing_time")
+          .when(col("props").isNull, "missing_detail")
+          .when(col("k").isNull, "bad_detail")
+          .otherwise("ok"))
+      .groupBy("reason")
+      .agg(count(lit(1)).as("n"),
+        min("event_id").as("first_id"), max("event_id").as("last_id"))
+      .orderBy("reason")
+
+  val skipAuditSql: String =
+    s"""SELECT reason, count(*) AS n,
+      |  min(event_id) AS first_id, max(event_id) AS last_id
+      |FROM (
+      |  SELECT event_id,
+      |    CASE WHEN ts IS NULL THEN 'missing_time'
+      |         WHEN props IS NULL THEN 'missing_detail'
+      |         WHEN ${Portable.intStrictSql("json_extract_string(props, '$.k')")} IS NULL
+      |           THEN 'bad_detail'
+      |         ELSE 'ok' END AS reason
+      |  FROM events) t
+      |GROUP BY reason
+      |ORDER BY reason""".stripMargin
+
   // ---------------------------------------------------------------- A2
   /** `?since=` resume filter (service.go:226-242): events at or after a
     * client-supplied instant. The predicate compares raw nanos against

@@ -116,4 +116,37 @@ object EventStreams {
       |FROM events
       |GROUP BY 1, 2
       |ORDER BY window_start_us, event_type""".stripMargin
+
+  // -------------------------------------------------------------- A13
+  /** Streaming sessionization over any events frame: merging
+    * `session_window(gap)` per user, watermarked for APPEND mode — a
+    * session emits exactly once, after the watermark passes its close;
+    * state holds only open sessions. This is the continuous form of
+    * the batch gap-rule sessionization (B10, `q_sessionize`).
+    *
+    * Boundary semantics: `session_window` starts a NEW session at
+    * inter-event delta ≥ gap, where B10's lag-rule splits at delta >
+    * gap — identical answers whenever no delta is EXACTLY the gap
+    * (`StreamingSessionSpec` asserts that precondition on its data
+    * before asserting equality). */
+  def sessionWindowsOf(events: DataFrame, gap: String = "30 minutes",
+                       delay: String = "1 minute"): DataFrame =
+    events
+      .withWatermark("ts_us", delay)
+      .groupBy(session_window(col("ts_us"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(unix_micros(col("session_window.start")).as("start_us"),
+        unix_micros(col("session_window.end")).as("end_us"),
+        col("user_id"), col("n_events"))
+
+  def sessionWindows(spark: SparkSession, dir: String): DataFrame =
+    sessionWindowsOf(readEvents(spark, dir))
+
+  /** Batch twin (session_window evaluates on batch frames too): the
+    * spec proves it equals B10's lag+cumsum rule on the shared data. */
+  def sessionWindowsBatch(spark: SparkSession, dir: String): DataFrame =
+    sessionWindowsOf(
+      Tables.eventsRaw(spark, dir)
+        .select(col("user_id"),
+          timestamp_micros(expr("ts DIV 1000")).as("ts_us")))
 }

@@ -169,6 +169,32 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("skip audit categorizes planted bad envelopes by reference reason order") {
+    val dir = Files.createTempDirectory("graft_skip").toFile
+    try {
+      import spark.implicits._
+      val t = 1705276800000000000L
+      Seq(
+        (1L, Option(t), Option("""{"k": 5}""")), // ok
+        (2L, Option(t), None), // missing_detail
+        (3L, Option(t), Option("""{"x": 1}""")), // bad_detail: no k
+        (4L, Option(t), Option("""{"k": "abc"}""")), // bad_detail: k not int
+        (5L, None, Option("""{"k": 5}"""))) // missing_time (checked FIRST)
+        .map { case (id, ts, props) => (id, ts, 7L, "r", 1.0, props) }
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.parquet(s"$dir/events.parquet")
+      val got = graft.operators.EventLogOps.skipAudit(spark, dir.getPath)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got == Map("ok" -> 1L, "missing_detail" -> 1L,
+        "bad_detail" -> 2L, "missing_time" -> 1L), s"got $got")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+      }
+      rm(dir)
+    }
+  }
+
   test("approx profile tracks exact distinct counts and quantiles") {
     val approx = Sampling.approxProfile(spark, sfDir).collect()
       .map(r => r.getString(0) -> r).toMap
