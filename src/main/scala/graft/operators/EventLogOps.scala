@@ -112,6 +112,34 @@ object EventLogOps {
       |GROUP BY reason
       |ORDER BY reason""".stripMargin
 
+  // ---------------------------------------------------------------- A14
+  /** Raw JSON-envelope ingest — the reference's ACTUAL input format
+    * (record_processor.go:61-88): each line is `{"time": RFC3339,
+    * "detail": {...}, ...}`; skip when the JSON doesn't parse, `time`
+    * is missing or not RFC3339, or `detail` is missing. Takes any
+    * frame with a string `value` column (batch `spark.read.text` or
+    * `readStream.text` — the SAME code serves both, which is the point
+    * of declaring the transform), so the Kinesis consumer is a source
+    * swap, not a rewrite. Narrow per-line expressions end to end.
+    *
+    * `to_timestamp` returns null on non-conforming input (legacy
+    * parser policy not required: try_to_timestamp semantics via
+    * null-safe CASE), which IS the skip rule. The offset column is
+    * left to the caller (file sources have no global order; the
+    * memlog's sequential offset is the streaming sink's concern). */
+  def parseEnvelopes(lines: DataFrame): DataFrame =
+    lines
+      .select(col("value"),
+        get_json_object(col("value"), "$.time").as("time_str"),
+        get_json_object(col("value"), "$.detail").as("detail"))
+      // default ISO-8601 parser: accepts offsets, 'Z', and optional
+      // fractional seconds — the RFC3339 shapes Go's time.RFC3339
+      // accepts; anything else (or a non-string time) parses to null,
+      // which IS the skip rule
+      .withColumn("ts_us", unix_micros(expr("try_to_timestamp(time_str)")))
+      .where(col("ts_us").isNotNull && col("detail").isNotNull)
+      .select(col("ts_us"), col("detail"))
+
   // ---------------------------------------------------------------- A2
   /** `?since=` resume filter (service.go:226-242): events at or after a
     * client-supplied instant. The predicate compares raw nanos against

@@ -195,6 +195,50 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("raw JSON-envelope ingest: reference skip rules, batch and streaming agree") {
+    val dir = Files.createTempDirectory("graft_env").toFile
+    try {
+      val lines = Seq(
+        """{"time": "2024-01-15T00:00:00Z", "detail": {"k": 1}}""", // ok
+        """{"time": "2024-01-15T00:00:01.500+02:00", "detail": 7}""", // ok: offset+fraction
+        """not json at all""", // skip: unparseable
+        """{"detail": {"k": 2}}""", // skip: missing time
+        """{"time": 5, "detail": {"k": 3}}""", // skip: non-string time
+        """{"time": "not-a-time", "detail": {"k": 4}}""", // skip: bad RFC3339
+        """{"time": "2024-01-15T00:00:02Z"}""") // skip: missing detail
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$dir/envelopes.jsonl"),
+        lines.mkString("\n").getBytes("UTF-8"))
+
+      val batch = graft.operators.EventLogOps
+        .parseEnvelopes(spark.read.text(dir.getPath))
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      // 2024-01-15T00:00:00Z = 1705276800s; +02:00 offset line is
+      // 2024-01-14T22:00:01.5Z
+      assert(batch.map(_._1) == Set(1705276800000000L, 1705269601500000L),
+        s"batch envelope parse: $batch")
+      assert(batch.map(_._2) == Set("""{"k":1}""", "7"),
+        s"detail payloads: $batch")
+
+      // streaming: same transform over readStream.text
+      val name = "env_" + System.nanoTime()
+      val q = graft.operators.EventLogOps
+        .parseEnvelopes(spark.readStream.text(dir.getPath))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val streamed = spark.table(name)
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(streamed == batch, "streaming and batch envelope parse diverge")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+      }
+      rm(dir)
+    }
+  }
+
   test("approx profile tracks exact distinct counts and quantiles") {
     val approx = Sampling.approxProfile(spark, sfDir).collect()
       .map(r => r.getString(0) -> r).toMap
