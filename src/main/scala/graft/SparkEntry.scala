@@ -53,6 +53,9 @@ object SparkEntry {
     // recall is gated by AnnRecallSpec on a clustered fixture
     "q_ann_ivf_trained" -> ((s: SparkSession, d: String) =>
       SimilaritySearch.ivfTopKTrained(s, d)),
+    // product quantization + ADC + exact rescore: trained model state
+    // is not SQL-expressible -> rows-only; recall gated by AnnRecallSpec
+    "q_ann_pq" -> (SimilaritySearch.pqTopK _),
     // A9: structured streaming ingest (AvailableNow, complete mode)
     "q_stream_window_counts" -> (graft.streaming.EventStreams.windowCounts _),
     // F1: multimodal binary + metadata pipeline (stubbed decode)

@@ -61,4 +61,13 @@ object Vectors {
     graft.plans.GraftFunctions.register(spark)
     call_function("graft_simhash", sh)
   }
+
+  /** Native PQ encode ([[graft.plans.PqEncode]]): argmin code per
+    * subvector against the trained codebook, passed as a foldable
+    * array literal and unpacked once at resolution. */
+  def pqEncodeFast(spark: org.apache.spark.sql.SparkSession, emb: Column,
+                   cb: IndexedSeq[Float], m: Int, k: Int, d: Int): Column = {
+    graft.plans.GraftFunctions.register(spark)
+    call_function("graft_pq_encode", emb, lit(cb.toArray), lit(m), lit(k), lit(d))
+  }
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -353,4 +353,154 @@ object SimilaritySearch {
       |  JOIN embeddings qe ON qe.vec_id = sh.query_id) t
       |WHERE rank <= $K
       |ORDER BY query_id, rank""".stripMargin
+
+  // ---------------------------------------------------------------- D5
+  /** Product quantization with ADC scoring — the production ANN shape
+    * when even int8-per-dimension (D4) reads too many bytes: each
+    * vector is stored as [[PqM]] byte codes (m·log₂k = 64 bits here vs
+    * 256 B of floats, a 32× compression), and scoring a query against
+    * the whole corpus touches only the code column plus a per-query
+    * m·k-entry lookup table.
+    *
+    * - **Train** (driver-local, bounded): per subspace, k-means over
+    *   the md5-ordered [[PqSampleN]]-row sample — farthest-point
+    *   seeding with cached nearest (the D3 pattern) + Lloyd's rounds.
+    * - **Encode** (one narrow pass): native `graft_pq_encode`
+    *   expression; the codebook rides the expression as a codegen
+    *   reference object — no registry, cluster-safe.
+    * - **Score**: approximate cosine from the codes alone:
+    *   dot ≈ Σₘ dotLUT[m][code], ‖v‖² ≈ Σₘ normLUT[m][code] (both
+    *   exact for the RECONSTRUCTED vector). The scoring expression is
+    *   8 array lookups — tiny, codegen-friendly, no giant term chain.
+    * - **Rescore** the [[PqShortlist]] survivors against exact floats,
+    *   keep top-[[K]] (same two-stage TopK shape as D1/D4).
+    *
+    * Not SQL-expressible (trained model state) → rows-only check;
+    * recall gated by AnnRecallSpec against brute force. Compose with
+    * IVF (D3) when a full code scan is still too much: same codes,
+    * probed buckets only. */
+  private val PqM = 8
+  private val PqK = 256 // the standard 8-bit-per-subvector codebook
+  private val PqSampleN = 2048
+  private val PqShortlist = 50
+  private val PqIters = 5
+
+  /** Flat codebook (centroid (m, j) at [((m·k)+j)·d, +d)) and the
+    * subvector width d. Deterministic: md5 sample order, smallest-id
+    * ties, fixed iteration count; empty clusters keep their previous
+    * centroid. */
+  def trainPqCodebook(emb: DataFrame, m: Int = PqM, k: Int = PqK,
+                      iters: Int = PqIters): (IndexedSeq[Float], Int) = {
+    val sample: Array[Array[Float]] = emb
+      .select(col("vec_id"), col("embedding"))
+      .orderBy(md5(col("vec_id").cast("string"))).limit(PqSampleN)
+      .collect().map(_.getSeq[Float](1).toArray)
+    require(sample.nonEmpty, "cannot train a PQ codebook on an empty corpus")
+    val dim = sample.head.length
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val d = dim / m
+    val cb = new Array[Float](m * k * d)
+    def l2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val t = a(i) - b(i); s += t * t; i += 1 }
+      s
+    }
+    for (mi <- 0 until m) {
+      val subs: Array[Array[Double]] =
+        sample.map(v => v.slice(mi * d, mi * d + d).map(_.toDouble))
+      // farthest-point seeding with cached nearest distance (L2)
+      val cents = scala.collection.mutable.ArrayBuffer(subs(0))
+      val near = Array.fill(subs.length)(Double.MaxValue)
+      val taken = Array.fill(subs.length)(false)
+      taken(0) = true
+      while (cents.size < math.min(k, subs.length)) {
+        val latest = cents.last
+        var bestIdx = -1
+        var i = 0
+        while (i < subs.length) {
+          if (!taken(i)) {
+            val dd = l2(subs(i), latest)
+            if (dd < near(i)) near(i) = dd
+            if (bestIdx < 0 || near(i) > near(bestIdx)) bestIdx = i
+          }
+          i += 1
+        }
+        taken(bestIdx) = true
+        cents += subs(bestIdx)
+      }
+      while (cents.size < k) cents += cents.head // degenerate tiny corpus
+      // Lloyd's rounds: argmin assign (ties -> smallest code), mean update
+      for (_ <- 1 to iters) {
+        val sums = Array.fill(k)(new Array[Double](d))
+        val counts = new Array[Int](k)
+        for (s <- subs) {
+          var best = 0; var bestDist = Double.MaxValue
+          var j = 0
+          while (j < k) {
+            val dd = l2(s, cents(j))
+            if (dd < bestDist) { bestDist = dd; best = j }
+            j += 1
+          }
+          counts(best) += 1
+          var i = 0
+          while (i < d) { sums(best)(i) += s(i); i += 1 }
+        }
+        for (j <- 0 until k if counts(j) > 0)
+          cents(j) = sums(j).map(_ / counts(j))
+      }
+      for (j <- 0 until k; i <- 0 until d)
+        cb((mi * k + j) * d + i) = cents(j)(i).toFloat
+    }
+    (cb.toIndexedSeq, d)
+  }
+
+  def pqTopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    val (cb, d) = trainPqCodebook(emb)
+    val codes = emb.select(col("vec_id"),
+      Vectors.pqEncodeFast(spark, col("embedding"), cb, PqM, PqK, d).as("code"))
+    // bounded collect: the NQueries query vectors -> per-query dot LUT
+    // + exact norm; the centroid-norm LUT is codebook state (one
+    // literal, query-independent)
+    val qVecs = emb.where(col("vec_id") < NQueries)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val normLut = Array.tabulate(PqM * PqK) { idx =>
+      var s = 0.0; var i = 0
+      while (i < d) { val c = cb(idx * d + i).toDouble; s += c * c; i += 1 }
+      s
+    }
+    val qRows = qVecs.map { case (id, v) =>
+      val dotLut = Array.tabulate(PqM * PqK) { idx =>
+        val mi = idx / PqK
+        var s = 0.0; var i = 0
+        while (i < d) { s += v(mi * d + i).toDouble * cb(idx * d + i).toDouble; i += 1 }
+        s
+      }
+      val qn = math.sqrt(v.map(x => x.toDouble * x.toDouble).sum)
+      (id, dotLut.toSeq, qn)
+    }.toSeq
+    val queries = broadcast(
+      emb.sparkSession.createDataFrame(qRows).toDF("query_id", "dot_lut", "q_norm"))
+    val normLutCol = lit(normLut)
+    def lutAt(lut: Column, mi: Int): Column =
+      element_at(lut, lit(mi * PqK + 1) + element_at(col("code"), mi + 1))
+    val dotSum = (0 until PqM).map(mi => lutAt(col("dot_lut"), mi)).reduce(_ + _)
+    val normSum = (0 until PqM).map(mi => lutAt(normLutCol, mi)).reduce(_ + _)
+    val cands = codes.join(queries, col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        (dotSum / (col("q_norm") * sqrt(normSum))).as("adc"))
+      .groupBy("query_id")
+      .agg(TopK.topk(spark, PqShortlist, col("vec_id"), col("adc")).as("hits"))
+      .select(col("query_id"), explode(col("hits")).as("h"))
+      .select(col("query_id"), col("h.id").as("vec_id"))
+    val qEmb = broadcast(emb.where(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb")))
+    explodeRanked(
+      broadcast(cands).join(emb, "vec_id")
+        .join(qEmb, "query_id")
+        .select(col("query_id"), col("vec_id"),
+          Vectors.cosineFast(spark, col("q_emb"), col("embedding")).as("cos_sim"))
+        .groupBy("query_id")
+        .agg(TopK.topk(spark, K, col("vec_id"), col("cos_sim")).as("hits")))
+  }
 }

@@ -113,7 +113,37 @@ object GraftFunctions {
     new ExpressionInfo(classOf[SimhashSig].getName, null, "graft_simhash"),
     (children: Seq[Expression]) => SimhashSig(children(0)): Expression)
 
-  private val all = Seq(cosineDesc, srpDesc, minhashDesc, simhashDesc)
+  /** Foldable float-array extraction: precomputed model state
+    * (codebooks) arrives as an array literal and is unpacked ONCE at
+    * resolution, never per row. */
+  private def litFloatArray(e: Expression, what: String): IndexedSeq[Float] =
+    e match {
+      case x if x.foldable => x.eval() match {
+        case a: org.apache.spark.sql.catalyst.util.ArrayData =>
+          x.dataType match {
+            case ArrayType(FloatType, _) => a.toFloatArray().toIndexedSeq
+            case ArrayType(DoubleType, _) =>
+              a.toDoubleArray().map(_.toFloat).toIndexedSeq
+            case dt => throw new IllegalArgumentException(
+              s"$what must be array<float|double>, got $dt")
+          }
+        case other => throw new IllegalArgumentException(
+          s"$what must be a non-null array literal, got $other")
+      }
+      case x => throw new IllegalArgumentException(s"$what must be a literal, got $x")
+    }
+
+  private val pqEncodeDesc = (
+    FunctionIdentifier("graft_pq_encode"),
+    new ExpressionInfo(classOf[PqEncode].getName, null, "graft_pq_encode"),
+    (children: Seq[Expression]) => PqEncode(
+      children(0),
+      litFloatArray(children(1), "graft_pq_encode codebook"),
+      litInt(children(2), "graft_pq_encode m"),
+      litInt(children(3), "graft_pq_encode k"),
+      litInt(children(4), "graft_pq_encode d")): Expression)
+
+  private val all = Seq(cosineDesc, srpDesc, minhashDesc, simhashDesc, pqEncodeDesc)
 
   /** Idempotent per-session registration (for sessions built without
     * the extensions config). */

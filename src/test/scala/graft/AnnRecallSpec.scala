@@ -58,6 +58,20 @@ class AnnRecallSpec extends SparkSpec {
     assert(recall >= 0.9, s"IVF recall collapsed: $recall ($hit/$nTrue)")
   }
 
+  test("PQ-ADC recall@5 >= 0.9 vs brute force, on fixture and real embeddings") {
+    for (dir <- Seq(fixtureDir, sfDir)) {
+      val brute = SimilaritySearch.bruteTopK(spark, dir)
+        .select("query_id", "vec_id")
+      val pq = SimilaritySearch.pqTopK(spark, dir)
+        .select("query_id", "vec_id")
+      val nTrue = brute.count()
+      val hit = pq.join(brute, Seq("query_id", "vec_id")).count()
+      assert(nTrue > 0)
+      val recall = hit.toDouble / nTrue
+      assert(recall >= 0.9, s"PQ recall collapsed on $dir: $recall ($hit/$nTrue)")
+    }
+  }
+
   test("trained (unsupervised) IVF recall@5 >= 0.9 without touching label") {
     // the fixture's label column exists but must be IGNORED: training
     // sees only (vec_id, embedding), as a real unlabeled corpus would

@@ -19,10 +19,10 @@ class QueriesSpec extends SparkSpec {
   test("every query has matching oracle SQL (or is an allowlisted rows-only op)") {
     // ops whose iterative/trained/sketch nature is not SQL-expressible
     // get the driver's weaker rows-only check; each needs its own
-    // value-level gate elsewhere (ivf_trained: AnnRecallSpec recall
-    // fixtures; profile_approx: ApproxProfileSpec-in-PipelineOpsSpec
-    // error bounds vs exact)
-    val rowsOnly = Set("q_ann_ivf_trained", "q_profile_approx")
+    // value-level gate elsewhere (ivf_trained + ann_pq: AnnRecallSpec
+    // recall vs brute force; profile_approx: PipelineOpsSpec error
+    // bounds vs exact)
+    val rowsOnly = Set("q_ann_ivf_trained", "q_profile_approx", "q_ann_pq")
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly
     assert(missing.isEmpty, s"queries without oracle: $missing")
     assert((rowsOnly -- SparkEntry.queries.keySet).isEmpty, "stale allowlist entry")
