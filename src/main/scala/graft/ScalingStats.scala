@@ -118,9 +118,9 @@ object ScalingStats {
       row(dir, s"srp(ub=$ub)", nVec, if (srp.isNullAt(0)) 0 else srp.getLong(0),
         srp.getLong(1), srp.getLong(2))
 
-      // ---- Decontamination: comparisons actually performed = shingle
-      // collisions between corpus and the broadcast bench index (the
-      // all-pairs equivalent would be n_corpus x n_bench doc pairs)
+      // ---- Decontamination: HIT pairs at the operator's threshold
+      // (n_shared >= MinSharedShingles) — the operator's OUTPUT
+      // volume, not the raw join-collision count, which is larger
       val deconHits = Dedup.decontaminate(spark, dir)
         .agg(count(lit(1))).head().getLong(0)
       row(dir, "decon", nDocs, deconHits, -1, -1)
@@ -143,7 +143,12 @@ object ScalingStats {
           expr(Dedup.fuzzyBlockTokExpr).as("blk_tok"),
           expr(Dedup.fuzzyBlockLenExpr).as("blk_len"))
         .groupBy("blk_tok", "blk_len").agg(count(lit(1)).as("pop"))
-        .agg(sum(when(col("pop") > 1, expr("pop * (pop - 1) DIV 2"))).as("cand"),
+        // least(pop, cap): the operator slices members to BucketCap
+        // before pairing, so the honest work number caps too — without
+        // this, a degenerate block would overstate operator cost by
+        // (pop/cap)^2 exactly when max_pop creep appears
+        .withColumn("cpop", least(col("pop"), lit(Dedup.BucketCap)))
+        .agg(sum(when(col("cpop") > 1, expr("cpop * (cpop - 1) DIV 2"))).as("cand"),
           sum(when(col("pop") > 1, 1).otherwise(0)).as("bkts"),
           max("pop").as("maxpop")).head()
       row(dir, "fuzzy", nDocs, if (fz.isNullAt(0)) 0 else fz.getLong(0),

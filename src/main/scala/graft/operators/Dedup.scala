@@ -49,14 +49,16 @@ object Dedup {
   private val R = 3
   /** Per-bucket member cap, applied IDENTICALLY on both engines (Spark
     * slices the sorted collect; the oracle row_numbers per bucket), so
-    * a degenerate bucket can never diverge Spark from the oracle. */
-  private val BucketCap = 1000
+    * a degenerate bucket can never diverge Spark from the oracle.
+    * private[graft]: ScalingStats applies the same cap when estimating
+    * operator work, and the streaming band index bounds its fan-out
+    * with it. */
+  private[graft] val BucketCap = 1000
 
   /** doc_id + distinct 3-gram token shingles, as a per-row array (no
     * explode — the whole signature pipeline is narrow until the band
-    * groupBy). */
-  /** Shingle columns over an arbitrary (doc_id, text) frame — every
-    * step narrow, so it applies to batch AND streaming inputs. */
+    * groupBy), over an arbitrary (doc_id, text) frame: every step is
+    * narrow, so it applies to batch AND streaming inputs. */
   private def shingled(docs: DataFrame): DataFrame =
     docs
       .select(col("doc_id"), split(col("text"), " ").as("toks"))

@@ -127,16 +127,24 @@ object EventLogOps {
     * null-safe CASE), which IS the skip rule. The offset column is
     * left to the caller (file sources have no global order; the
     * memlog's sequential offset is the streaming sink's concern). */
+  /** The exact shape Go's `time.Parse(time.RFC3339)` accepts: full
+    * date, 'T', full time, optional fraction, 'Z' or ±HH:MM offset.
+    * Spark's default ISO parser is MORE lenient (date-only, space
+    * separator, missing offset — interpreted in the session timezone),
+    * so the shape is gated by regex BEFORE parsing: an envelope the
+    * reference skips must be skipped here too, never silently ingested
+    * with a timezone-dependent timestamp. */
+  private val Rfc3339Re =
+    "^[0-9]{4}-[0-9]{2}-[0-9]{2}T[0-9]{2}:[0-9]{2}:[0-9]{2}([.][0-9]+)?(Z|[+-][0-9]{2}:[0-9]{2})$"
+
   def parseEnvelopes(lines: DataFrame): DataFrame =
     lines
       .select(col("value"),
         get_json_object(col("value"), "$.time").as("time_str"),
         get_json_object(col("value"), "$.detail").as("detail"))
-      // default ISO-8601 parser: accepts offsets, 'Z', and optional
-      // fractional seconds — the RFC3339 shapes Go's time.RFC3339
-      // accepts; anything else (or a non-string time) parses to null,
-      // which IS the skip rule
-      .withColumn("ts_us", unix_micros(expr("try_to_timestamp(time_str)")))
+      .withColumn("ts_us",
+        when(col("time_str").rlike(Rfc3339Re),
+          unix_micros(expr("try_to_timestamp(time_str)"))))
       .where(col("ts_us").isNotNull && col("detail").isNotNull)
       .select(col("ts_us"), col("detail"))
 

@@ -39,8 +39,16 @@ object DocStreams {
   def incrementalMatches(spark: SparkSession, streamDir: String,
                          corpusDir: String): DataFrame = {
     val streamBands = Dedup.bandsOf(spark, readDocs(spark, streamDir))
+    // the static index caps each (band, key) bucket at BucketCap
+    // members (smallest doc_ids — the batch operators' identical
+    // rule), so one degenerate boilerplate bucket can't multiply every
+    // matching arrival by an unbounded corpus population
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("band", "key").orderBy("doc_id")
     val corpusBands = Dedup
       .bandsOf(spark, Tables.documents(spark, corpusDir))
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
+      .where(col("rn") <= Dedup.BucketCap)
       .select(col("doc_id").as("old_id"), col("band"), col("key"))
     streamBands.join(corpusBands, Seq("band", "key"))
       .select("doc_id", "old_id", "band", "key")

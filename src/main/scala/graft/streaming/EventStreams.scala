@@ -139,9 +139,6 @@ object EventStreams {
         unix_micros(col("session_window.end")).as("end_us"),
         col("user_id"), col("n_events"))
 
-  def sessionWindows(spark: SparkSession, dir: String): DataFrame =
-    sessionWindowsOf(readEvents(spark, dir))
-
   /** Batch twin (session_window evaluates on batch frames too): the
     * spec proves it equals B10's lag+cumsum rule on the shared data. */
   def sessionWindowsBatch(spark: SparkSession, dir: String): DataFrame =

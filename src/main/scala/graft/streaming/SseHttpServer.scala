@@ -180,7 +180,8 @@ class SseHttpServer(spark: SparkSession, dir: String,
         activeSubs.put(id, sub)
         // late registration may have slipped past stop()'s sweep
         if (closed) throw new IOException("server shutting down")
-        drainLoop(os, () => sub.poll(), () => sub.overflowed || sub.isClosed)
+        drainLoop(os, () => sub.poll(),
+          fatalNow = () => sub.overflowed, ended = () => sub.isClosed)
       }
       catch {
         case _: IOException => () // client hung up: this sub only
@@ -201,10 +202,10 @@ class SseHttpServer(spark: SparkSession, dir: String,
         // late registration may have slipped past stop()'s sweep
         if (closed) throw new IOException("server shutting down")
         // a terminated query can never deliver another frame: treat it
-        // as dead instead of heartbeating the client forever
+        // as ended instead of heartbeating the client forever
         val query = q
         drainLoop(os, () => queue.poll(),
-          () => queue.overflowed || !query.isActive)
+          fatalNow = () => queue.overflowed, ended = () => !query.isActive)
       }
       catch { case _: IOException => () } // client hung up: this query only
       finally {
@@ -223,19 +224,25 @@ class SseHttpServer(spark: SparkSession, dir: String,
     * kept arriving — disconnect it, as the reference does on a failed
     * write, instead of buffering without limit. */
   private def drainLoop(os: OutputStream, poll: () => String,
-                        dead: () => Boolean): Unit = {
+                        fatalNow: () => Boolean, ended: () => Boolean): Unit = {
     var lastWrite = System.currentTimeMillis()
     while (!closed) {
+      // overflow disconnects IMMEDIATELY (the stream already has a
+      // gap — frames were dropped at the add end; a busy feed could
+      // keep the queue non-empty forever, so this cannot wait for a
+      // drain), per the reference's failed-write teardown
+      if (fatalNow())
+        throw new IOException("client too slow")
       val frame = poll()
       if (frame != null) {
         os.write(frame.getBytes(UTF_8))
         os.flush()
         lastWrite = System.currentTimeMillis()
-      } else if (dead()) {
+      } else if (ended()) {
         // checked only once the queue is DRAINED: a terminated query's
         // already-buffered tail frames are still delivered before the
-        // disconnect (a dead()-first loop would drop them)
-        throw new IOException("client too slow or feed closed")
+        // disconnect (an ended()-first loop would drop them)
+        throw new IOException("feed closed")
       } else if (System.currentTimeMillis() - lastWrite >= heartbeatMs) {
         os.write(":\n\n".getBytes(UTF_8))
         os.flush()

@@ -205,6 +205,12 @@ class PipelineOpsSpec extends SparkSpec {
         """{"detail": {"k": 2}}""", // skip: missing time
         """{"time": 5, "detail": {"k": 3}}""", // skip: non-string time
         """{"time": "not-a-time", "detail": {"k": 4}}""", // skip: bad RFC3339
+        // lenient-but-non-RFC3339 shapes Spark's default parser would
+        // ACCEPT (in session TZ) but Go's time.RFC3339 rejects — the
+        // regex gate must skip them
+        """{"time": "2024-01-15 00:00:03", "detail": {"k": 5}}""", // no 'T'/offset
+        """{"time": "2024-01-15", "detail": {"k": 6}}""", // date-only
+        """{"time": "2024-01-15T00:00:04", "detail": {"k": 7}}""", // no offset
         """{"time": "2024-01-15T00:00:02Z"}""") // skip: missing detail
       java.nio.file.Files.write(
         java.nio.file.Paths.get(s"$dir/envelopes.jsonl"),
