@@ -56,6 +56,9 @@ object SparkEntry {
     // product quantization + ADC + exact rescore: trained model state
     // is not SQL-expressible -> rows-only; recall gated by AnnRecallSpec
     "q_ann_pq" -> (SimilaritySearch.pqTopK _),
+    // IVF-PQ composition (coarse probe + ADC codes): rows-only, same gate
+    "q_ann_ivfpq" -> ((s: SparkSession, d: String) =>
+      SimilaritySearch.ivfPqTopK(s, d)),
     // A9: structured streaming ingest (AvailableNow, complete mode)
     "q_stream_window_counts" -> (graft.streaming.EventStreams.windowCounts _),
     // F1: multimodal binary + metadata pipeline (stubbed decode)

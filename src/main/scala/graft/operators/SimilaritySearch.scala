@@ -503,4 +503,82 @@ object SimilaritySearch {
         .groupBy("query_id")
         .agg(TopK.topk(spark, K, col("vec_id"), col("cos_sim")).as("hits")))
   }
+
+  // ---------------------------------------------------------------- D6
+  /** IVF-PQ — the standard billion-scale index, composed from the two
+    * trained structures this module already has: D3's unsupervised
+    * coarse centroids prune the scan to the query's NProbe buckets
+    * (touching ~NProbe/C of the corpus), and inside those buckets D5's
+    * ADC codes are scored instead of floats (8 B/vector). Shortlist →
+    * exact rescore as everywhere else. At 100 TB this is the only
+    * shape that both bounds bytes-read per query AND avoids a full
+    * scan; the two models train independently on the same bounded
+    * sample budget. Rows-only (trained state); recall-gated on the
+    * clustered fixture like D3. */
+  def ivfPqTopK(spark: SparkSession, dir: String, c: Int = 10): DataFrame = {
+    val emb = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    val cents = trainCentroids(spark, emb, c)
+    val (cb, d) = trainPqCodebook(emb)
+
+    // one pass: coarse-assign (broadcast centroids, map-side argmax)
+    // AND pq-encode each vector; only (vec_id, cid, code) persists
+    val centScore = emb.join(broadcast(cents))
+      .select(col("vec_id"), col("embedding"), col("cid"),
+        round(Vectors.cosineFast(spark, col("embedding"), col("c_emb")), 9).as("cc"))
+    val assigned = centScore
+      .groupBy("vec_id")
+      .agg(first(col("embedding")).as("embedding"),
+        max(struct(col("cc"), (-col("cid")).as("ncid"))).as("best"))
+      .select(col("vec_id"),
+        Vectors.pqEncodeFast(spark, col("embedding"), cb, PqM, PqK, d).as("code"),
+        (-col("best.ncid")).as("cid"))
+
+    // query side: NProbe nearest centroids per query + the ADC LUTs
+    val wVec = Window.partitionBy("vec_id")
+      .orderBy(col("cc").desc, col("cid"))
+    val probes = centScore.where(col("vec_id") < NQueries)
+      .withColumn("rk", row_number().over(wVec)).where(col("rk") <= NProbe)
+      .select(col("vec_id").as("query_id"), col("cid"))
+    val qVecs = emb.where(col("vec_id") < NQueries)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val normLut = Array.tabulate(PqM * PqK) { idx =>
+      var s = 0.0; var i = 0
+      while (i < d) { val cv = cb(idx * d + i).toDouble; s += cv * cv; i += 1 }
+      s
+    }
+    val qRows = qVecs.map { case (id, v) =>
+      val dotLut = Array.tabulate(PqM * PqK) { idx =>
+        val mi = idx / PqK
+        var s = 0.0; var i = 0
+        while (i < d) { s += v(mi * d + i).toDouble * cb(idx * d + i).toDouble; i += 1 }
+        s
+      }
+      (id, dotLut.toSeq, math.sqrt(v.map(x => x.toDouble * x.toDouble).sum))
+    }.toSeq
+    val queries = broadcast(spark.createDataFrame(qRows)
+      .toDF("query_id", "dot_lut", "q_norm")
+      .join(probes, "query_id")) // (query, probed cid, luts) — ≤ NProbe·|q| rows
+    val normLutCol = lit(normLut)
+    def lutAt(lut: Column, mi: Int): Column =
+      element_at(lut, lit(mi * PqK + 1) + element_at(col("code"), mi + 1))
+    val dotSum = (0 until PqM).map(mi => lutAt(col("dot_lut"), mi)).reduce(_ + _)
+    val normSum = (0 until PqM).map(mi => lutAt(normLutCol, mi)).reduce(_ + _)
+    val cands = assigned.join(queries, Seq("cid"))
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        (dotSum / (col("q_norm") * sqrt(normSum))).as("adc"))
+      .groupBy("query_id")
+      .agg(TopK.topk(spark, PqShortlist, col("vec_id"), col("adc")).as("hits"))
+      .select(col("query_id"), explode(col("hits")).as("h"))
+      .select(col("query_id"), col("h.id").as("vec_id"))
+    val qEmbExact = broadcast(emb.where(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb")))
+    explodeRanked(
+      broadcast(cands).join(emb, "vec_id")
+        .join(qEmbExact, "query_id")
+        .select(col("query_id"), col("vec_id"),
+          Vectors.cosineFast(spark, col("q_emb"), col("embedding")).as("cos_sim"))
+        .groupBy("query_id")
+        .agg(TopK.topk(spark, K, col("vec_id"), col("cos_sim")).as("hits")))
+  }
 }

@@ -72,6 +72,18 @@ class AnnRecallSpec extends SparkSpec {
     }
   }
 
+  test("IVF-PQ recall@5 >= 0.9 on clustered vectors (coarse probe + ADC codes)") {
+    val brute = SimilaritySearch.bruteTopK(spark, fixtureDir)
+      .select("query_id", "vec_id")
+    val ivfpq = SimilaritySearch.ivfPqTopK(spark, fixtureDir, c = 4)
+      .select("query_id", "vec_id")
+    val nTrue = brute.count()
+    val hit = ivfpq.join(brute, Seq("query_id", "vec_id")).count()
+    assert(nTrue > 0)
+    val recall = hit.toDouble / nTrue
+    assert(recall >= 0.9, s"IVF-PQ recall collapsed: $recall ($hit/$nTrue)")
+  }
+
   test("trained (unsupervised) IVF recall@5 >= 0.9 without touching label") {
     // the fixture's label column exists but must be IGNORED: training
     // sees only (vec_id, embedding), as a real unlabeled corpus would

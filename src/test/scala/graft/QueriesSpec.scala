@@ -22,7 +22,8 @@ class QueriesSpec extends SparkSpec {
     // value-level gate elsewhere (ivf_trained + ann_pq: AnnRecallSpec
     // recall vs brute force; profile_approx: PipelineOpsSpec error
     // bounds vs exact)
-    val rowsOnly = Set("q_ann_ivf_trained", "q_profile_approx", "q_ann_pq")
+    val rowsOnly =
+      Set("q_ann_ivf_trained", "q_profile_approx", "q_ann_pq", "q_ann_ivfpq")
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly
     assert(missing.isEmpty, s"queries without oracle: $missing")
     assert((rowsOnly -- SparkEntry.queries.keySet).isEmpty, "stale allowlist entry")
