@@ -78,7 +78,9 @@ object SparkEntry {
     // sketch profiling: HLL/GK internals are engine-specific -> no
     // oracle; accuracy gated by ApproxProfileSpec against exact
     "q_profile_approx" -> (Sampling.approxProfile _),
-    "q_curate" -> (Curation.curate _)
+    "q_curate" -> (Curation.curate _),
+    "q_mix_resample" -> ((s: SparkSession, d: String) => Sampling.mixResample(s, d)),
+    "q_token_budget" -> ((s: SparkSession, d: String) => Sampling.tokenBudget(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -131,6 +133,8 @@ object SparkEntry {
     "q_text_repetition" -> TextAnalysis.repetitionSql,
     "q_pii_scrub" -> TextAnalysis.scrubSql,
     "q_ann_quantized" -> SimilaritySearch.quantizedTopKSql,
-    "q_curate" -> Curation.curateSql
+    "q_curate" -> Curation.curateSql,
+    "q_mix_resample" -> Sampling.mixResampleSql(),
+    "q_token_budget" -> Sampling.tokenBudgetSql()
   )
 }

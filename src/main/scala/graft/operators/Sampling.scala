@@ -85,6 +85,87 @@ object Sampling {
       |GROUP BY source
       |ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------- H10
+  /** Source-mix resampling — the data-mixing step of a training
+    * pipeline: bring every source to (at most) the uniform target
+    * share by deterministic hash thresholding. Each source's keep-rate
+    * is `min(1, (N/S)/n_s)` (over-represented sources downsample,
+    * small ones pass through); membership is the salted hash bucket,
+    * so the mix is reproducible under repartitioning and identical on
+    * both engines. Threshold arithmetic is int-derived double math —
+    * same operation order in the oracle. Scale shape: one count
+    * aggregation on the low-cardinality source key, the per-source
+    * thresholds broadcast back, then a narrow filter. */
+  def mixResample(spark: SparkSession, dir: String,
+                  salt: String = "mix"): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val perSource = docs.groupBy("source").agg(count(lit(1)).as("n_s"))
+    val totals = docs.agg(count(lit(1)).as("n_total"),
+      countDistinct(col("source")).as("n_sources"))
+    val thr = perSource.crossJoin(broadcast(totals))
+      .select(col("source"),
+        expr("CAST(floor(least(1.0, (CAST(n_total AS DOUBLE) / n_sources) / n_s)" +
+          " * 65536) AS BIGINT)").as("thr"))
+    docs.select(col("doc_id"), col("source"),
+      hashBucket(col("doc_id"), salt).as("bucket"))
+      .join(broadcast(thr), "source")
+      .where(col("bucket") < col("thr"))
+      .select(col("doc_id"), col("source"), col("bucket"), col("thr"))
+      .orderBy("doc_id")
+  }
+
+  def mixResampleSql(salt: String = "mix"): String =
+    s"""WITH t AS (
+      |  SELECT count(*) AS n_total, count(DISTINCT source) AS n_sources
+      |  FROM documents),
+      |thr AS (
+      |  SELECT source,
+      |    CAST(floor(least(1.0, (CAST(n_total AS DOUBLE) / n_sources) / n_s)
+      |      * 65536) AS BIGINT) AS thr
+      |  FROM (SELECT source, count(*) AS n_s FROM documents GROUP BY 1) p, t)
+      |SELECT d.doc_id, d.source, ${hashBucketSql("d.doc_id", salt)} AS bucket, thr.thr
+      |FROM documents d JOIN thr ON d.source = thr.source
+      |WHERE ${hashBucketSql("d.doc_id", salt)} < thr.thr
+      |ORDER BY d.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- H11
+  /** Per-source token-budget packing — "give me ≤B estimated tokens
+    * per source": docs are ordered by salted hash (a reproducible
+    * shuffle), token counts accumulate per source, and the running sum
+    * is cut at the budget. The cumulative window is partitioned by
+    * source — each partition sorts independently, no global sort — and
+    * the token estimate is the E3 ceil(chars/4) rule, integer-exact on
+    * both engines. */
+  def tokenBudget(spark: SparkSession, dir: String,
+                  budget: Long = 1000L, salt: String = "budget"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source")
+      .orderBy(col("h"), col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        ceil(length(col("text")) / lit(4.0)).cast("long").as("est_tokens"),
+        md5(concat(col("doc_id").cast("string"), lit(":" + salt))).as("h"))
+      .withColumn("cum_tokens", sum(col("est_tokens")).over(w))
+      .where(col("cum_tokens") <= budget)
+      .select(col("doc_id"), col("source"), col("est_tokens"), col("cum_tokens"))
+      .orderBy("doc_id")
+  }
+
+  def tokenBudgetSql(budget: Long = 1000L, salt: String = "budget"): String =
+    s"""SELECT doc_id, source, est_tokens, cum_tokens FROM (
+      |  SELECT doc_id, source, est_tokens,
+      |    CAST(sum(est_tokens) OVER (PARTITION BY source
+      |      ORDER BY md5(doc_id || ':$salt'), doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS cum_tokens
+      |  FROM (SELECT doc_id, source,
+      |          CAST(ceil(length(text) / 4.0) AS BIGINT) AS est_tokens
+      |        FROM documents) e) c
+      |WHERE cum_tokens <= $budget
+      |ORDER BY doc_id""".stripMargin
+
   /** H7: sketch-based profiling — approximate distinct users (HLL++)
     * and approximate value quantiles (Greenwald-Khanna) per event
     * route. At 100 TB this is the only affordable shape: both sketches

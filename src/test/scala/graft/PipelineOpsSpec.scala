@@ -245,6 +245,50 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("mix resample downsamples over-represented sources toward the uniform share") {
+    // 3 sources: 60 / 30 / 10 docs over 100 total, uniform target 33.3
+    val docs = (0 until 60).map(i => (i.toLong, s"t$i word salad")) ++
+      (60 until 90).map(i => (i.toLong, s"u$i word salad")) ++
+      (90 until 100).map(i => (i.toLong, s"v$i word salad"))
+    val dir = Files.createTempDirectory("graft_mix").toFile
+    try {
+      import spark.implicits._
+      docs.map { case (id, t) =>
+        val src = if (id < 60) "big" else if (id < 90) "mid" else "small"
+        (id, t, "en", src, t.length.toLong)
+      }.toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.parquet(s"$dir/documents.parquet")
+      val kept = Sampling.mixResample(spark, dir.getPath)
+        .groupBy("source").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      // 'small' (10 < 33.3 target) passes through entirely; 'big' must
+      // shed docs (rate 33.3/60 = 0.56); hash noise allows slack
+      assert(kept("small") == 10, s"under-target source must keep all: $kept")
+      assert(kept("big") < 60 && kept("big") > 10, s"over-target must downsample: $kept")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+      }
+      rm(dir)
+    }
+  }
+
+  test("token budget keeps a hash-ordered prefix per source, never exceeding the budget") {
+    val out = Sampling.tokenBudget(spark, sfDir, budget = 500L)
+    val bySource = out.collect().groupBy(_.getString(1))
+    assert(bySource.nonEmpty)
+    for ((_, rows) <- bySource) {
+      assert(rows.map(_.getLong(3)).max <= 500L, "budget exceeded")
+      // cum really is the running sum of the kept rows' est_tokens
+      assert(rows.map(_.getLong(2)).sum == rows.map(_.getLong(3)).max,
+        "kept rows must be the exact running-sum prefix")
+    }
+    // and something was actually cut (sf data has more than 500
+    // tokens per source)
+    val total = graft.sources.Tables.documents(spark, sfDir).count()
+    assert(out.count() < total, "budget did not bind on the fixture data")
+  }
+
   test("approx profile tracks exact distinct counts and quantiles") {
     val approx = Sampling.approxProfile(spark, sfDir).collect()
       .map(r => r.getString(0) -> r).toMap
