@@ -135,7 +135,10 @@ object EventLogOps {
     * reference skips must be skipped here too, never silently ingested
     * with a timezone-dependent timestamp. */
   private val Rfc3339Re =
-    "^[0-9]{4}-[0-9]{2}-[0-9]{2}T[0-9]{2}:[0-9]{2}:[0-9]{2}([.][0-9]+)?(Z|[+-][0-9]{2}:[0-9]{2})$"
+    // \z, not $: Java's $ matches before a trailing line terminator, so
+    // "...Z\n" would pass the gate (and try_to_timestamp trims it) even
+    // though Go's parser rejects the trailing byte
+    "^[0-9]{4}-[0-9]{2}-[0-9]{2}T[0-9]{2}:[0-9]{2}:[0-9]{2}([.][0-9]+)?(Z|[+-][0-9]{2}:[0-9]{2})\\z"
 
   def parseEnvelopes(lines: DataFrame): DataFrame =
     lines

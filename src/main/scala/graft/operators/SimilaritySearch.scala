@@ -316,13 +316,7 @@ object SimilaritySearch {
       .agg(TopK.topk(spark, ShortM, col("vec_id"), col("q_cos")).as("hits"))
       .select(col("query_id"), explode(col("hits")).as("h"))
       .select(col("query_id"), col("h.id").as("vec_id"))
-    explodeRanked(
-      broadcast(cands).join(emb, "vec_id")
-        .join(queries.select(col("query_id"), col("q_emb")), "query_id")
-        .select(col("query_id"), col("vec_id"),
-          Vectors.cosineFast(spark, col("q_emb"), col("embedding")).as("cos_sim"))
-        .groupBy("query_id")
-        .agg(TopK.topk(spark, K, col("vec_id"), col("cos_sim")).as("hits")))
+    exactRescore(spark, emb, cands)
   }
 
   val quantizedTopKSql: String =
@@ -454,14 +448,17 @@ object SimilaritySearch {
     (cb.toIndexedSeq, d)
   }
 
-  def pqTopK(spark: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.embeddings(spark, dir).select("vec_id", "embedding")
-    val (cb, d) = trainPqCodebook(emb)
-    val codes = emb.select(col("vec_id"),
-      Vectors.pqEncodeFast(spark, col("embedding"), cb, PqM, PqK, d).as("code"))
-    // bounded collect: the NQueries query vectors -> per-query dot LUT
-    // + exact norm; the centroid-norm LUT is codebook state (one
-    // literal, query-independent)
+  /** The shared ADC machinery (single source of truth for the
+    * numerically-sensitive parts, used by [[pqTopK]] AND
+    * [[ivfPqTopK]]):
+    * - broadcastable (query_id, dot_lut, q_norm) frame from a bounded
+    *   collect of the NQueries query vectors (per-query dot LUT
+    *   against every centroid, exact query norm);
+    * - the codebook-constant norm² LUT as one literal column;
+    * - the 8-lookup score expression over a `code` column:
+    *   dotLUT-sum / (q_norm · sqrt(normLUT-sum)). */
+  private def adcQueries(spark: SparkSession, emb: DataFrame,
+                         cb: IndexedSeq[Float], d: Int): (DataFrame, Column) = {
     val qVecs = emb.where(col("vec_id") < NQueries)
       .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
     val normLut = Array.tabulate(PqM * PqK) { idx =>
@@ -479,20 +476,23 @@ object SimilaritySearch {
       val qn = math.sqrt(v.map(x => x.toDouble * x.toDouble).sum)
       (id, dotLut.toSeq, qn)
     }.toSeq
-    val queries = broadcast(
-      emb.sparkSession.createDataFrame(qRows).toDF("query_id", "dot_lut", "q_norm"))
-    val normLutCol = lit(normLut)
+    (spark.createDataFrame(qRows).toDF("query_id", "dot_lut", "q_norm"),
+      lit(normLut))
+  }
+
+  /** ADC score column; requires `code`, `dot_lut`, `q_norm` in scope. */
+  private def adcScore(normLutCol: Column): Column = {
     def lutAt(lut: Column, mi: Int): Column =
       element_at(lut, lit(mi * PqK + 1) + element_at(col("code"), mi + 1))
     val dotSum = (0 until PqM).map(mi => lutAt(col("dot_lut"), mi)).reduce(_ + _)
     val normSum = (0 until PqM).map(mi => lutAt(normLutCol, mi)).reduce(_ + _)
-    val cands = codes.join(queries, col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id"),
-        (dotSum / (col("q_norm") * sqrt(normSum))).as("adc"))
-      .groupBy("query_id")
-      .agg(TopK.topk(spark, PqShortlist, col("vec_id"), col("adc")).as("hits"))
-      .select(col("query_id"), explode(col("hits")).as("h"))
-      .select(col("query_id"), col("h.id").as("vec_id"))
+    dotSum / (col("q_norm") * sqrt(normSum))
+  }
+
+  /** Exact-cosine rescore of a (query_id, vec_id) shortlist → ranked
+    * top-[[K]] (shared tail of D4/D5/D6). */
+  private def exactRescore(spark: SparkSession, emb: DataFrame,
+                           cands: DataFrame): DataFrame = {
     val qEmb = broadcast(emb.where(col("vec_id") < NQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb")))
     explodeRanked(
@@ -502,6 +502,21 @@ object SimilaritySearch {
           Vectors.cosineFast(spark, col("q_emb"), col("embedding")).as("cos_sim"))
         .groupBy("query_id")
         .agg(TopK.topk(spark, K, col("vec_id"), col("cos_sim")).as("hits")))
+  }
+
+  def pqTopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    val (cb, d) = trainPqCodebook(emb)
+    val codes = emb.select(col("vec_id"),
+      Vectors.pqEncodeFast(spark, col("embedding"), cb, PqM, PqK, d).as("code"))
+    val (queries, normLutCol) = adcQueries(spark, emb, cb, d)
+    val cands = codes.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), adcScore(normLutCol).as("adc"))
+      .groupBy("query_id")
+      .agg(TopK.topk(spark, PqShortlist, col("vec_id"), col("adc")).as("hits"))
+      .select(col("query_id"), explode(col("hits")).as("h"))
+      .select(col("query_id"), col("h.id").as("vec_id"))
+    exactRescore(spark, emb, cands)
   }
 
   // ---------------------------------------------------------------- D6
@@ -533,52 +548,22 @@ object SimilaritySearch {
         Vectors.pqEncodeFast(spark, col("embedding"), cb, PqM, PqK, d).as("code"),
         (-col("best.ncid")).as("cid"))
 
-    // query side: NProbe nearest centroids per query + the ADC LUTs
+    // query side: NProbe nearest centroids per query, joined with the
+    // shared ADC LUT frame — ≤ NProbe·|queries| broadcast rows
     val wVec = Window.partitionBy("vec_id")
       .orderBy(col("cc").desc, col("cid"))
     val probes = centScore.where(col("vec_id") < NQueries)
       .withColumn("rk", row_number().over(wVec)).where(col("rk") <= NProbe)
       .select(col("vec_id").as("query_id"), col("cid"))
-    val qVecs = emb.where(col("vec_id") < NQueries)
-      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
-    val normLut = Array.tabulate(PqM * PqK) { idx =>
-      var s = 0.0; var i = 0
-      while (i < d) { val cv = cb(idx * d + i).toDouble; s += cv * cv; i += 1 }
-      s
-    }
-    val qRows = qVecs.map { case (id, v) =>
-      val dotLut = Array.tabulate(PqM * PqK) { idx =>
-        val mi = idx / PqK
-        var s = 0.0; var i = 0
-        while (i < d) { s += v(mi * d + i).toDouble * cb(idx * d + i).toDouble; i += 1 }
-        s
-      }
-      (id, dotLut.toSeq, math.sqrt(v.map(x => x.toDouble * x.toDouble).sum))
-    }.toSeq
-    val queries = broadcast(spark.createDataFrame(qRows)
-      .toDF("query_id", "dot_lut", "q_norm")
-      .join(probes, "query_id")) // (query, probed cid, luts) — ≤ NProbe·|q| rows
-    val normLutCol = lit(normLut)
-    def lutAt(lut: Column, mi: Int): Column =
-      element_at(lut, lit(mi * PqK + 1) + element_at(col("code"), mi + 1))
-    val dotSum = (0 until PqM).map(mi => lutAt(col("dot_lut"), mi)).reduce(_ + _)
-    val normSum = (0 until PqM).map(mi => lutAt(normLutCol, mi)).reduce(_ + _)
+    val (queryLuts, normLutCol) = adcQueries(spark, emb, cb, d)
+    val queries = broadcast(queryLuts.join(probes, "query_id"))
     val cands = assigned.join(queries, Seq("cid"))
       .where(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id"),
-        (dotSum / (col("q_norm") * sqrt(normSum))).as("adc"))
+      .select(col("query_id"), col("vec_id"), adcScore(normLutCol).as("adc"))
       .groupBy("query_id")
       .agg(TopK.topk(spark, PqShortlist, col("vec_id"), col("adc")).as("hits"))
       .select(col("query_id"), explode(col("hits")).as("h"))
       .select(col("query_id"), col("h.id").as("vec_id"))
-    val qEmbExact = broadcast(emb.where(col("vec_id") < NQueries)
-      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb")))
-    explodeRanked(
-      broadcast(cands).join(emb, "vec_id")
-        .join(qEmbExact, "query_id")
-        .select(col("query_id"), col("vec_id"),
-          Vectors.cosineFast(spark, col("q_emb"), col("embedding")).as("cos_sim"))
-        .groupBy("query_id")
-        .agg(TopK.topk(spark, K, col("vec_id"), col("cos_sim")).as("hits")))
+    exactRescore(spark, emb, cands)
   }
 }

@@ -36,21 +36,33 @@ object DocStreams {
 
   /** Matches of streaming docs against the corpus band index:
     * (doc_id, old_id, band, key) per collision. */
+  /** BucketCap-capped (band, key, old_id) index of the existing
+    * corpus. Capping uses the batch operators' collect-and-slice rule
+    * (smallest doc_ids win) in ONE aggregation — no per-bucket window
+    * sort — and bounds the join fan-out a degenerate boilerplate
+    * bucket could otherwise cause. At scale this index is WRITTEN once
+    * (bucketed on (band, key)) and reused across batches. */
+  def corpusBandIndex(spark: SparkSession, corpusDir: String): DataFrame =
+    Dedup.bandsOf(spark, Tables.documents(spark, corpusDir))
+      .groupBy("band", "key")
+      .agg(expr(s"slice(array_sort(collect_list(doc_id)), 1, ${Dedup.BucketCap})")
+        .as("ids"))
+      .select(col("band"), col("key"), explode(col("ids")).as("old_id"))
+
+  /** Matches of streaming docs against a pre-built corpus band index
+    * (pass a persisted/written [[corpusBandIndex]] so micro-batches
+    * don't recompute the static side). */
   def incrementalMatches(spark: SparkSession, streamDir: String,
-                         corpusDir: String): DataFrame = {
-    val streamBands = Dedup.bandsOf(spark, readDocs(spark, streamDir))
-    // the static index caps each (band, key) bucket at BucketCap
-    // members (smallest doc_ids — the batch operators' identical
-    // rule), so one degenerate boilerplate bucket can't multiply every
-    // matching arrival by an unbounded corpus population
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("band", "key").orderBy("doc_id")
-    val corpusBands = Dedup
-      .bandsOf(spark, Tables.documents(spark, corpusDir))
-      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
-      .where(col("rn") <= Dedup.BucketCap)
-      .select(col("doc_id").as("old_id"), col("band"), col("key"))
-    streamBands.join(corpusBands, Seq("band", "key"))
+                         corpusIndex: DataFrame): DataFrame =
+    Dedup.bandsOf(spark, readDocs(spark, streamDir))
+      .join(corpusIndex, Seq("band", "key"))
       .select("doc_id", "old_id", "band", "key")
-  }
+
+  /** Convenience form: builds and PERSISTS the index so every
+    * micro-batch after the first reads it from cache instead of
+    * re-running the corpus signature pipeline + aggregation. */
+  def incrementalMatches(spark: SparkSession, streamDir: String,
+                         corpusDir: String): DataFrame =
+    incrementalMatches(spark, streamDir,
+      corpusBandIndex(spark, corpusDir).persist())
 }

@@ -211,6 +211,7 @@ class PipelineOpsSpec extends SparkSpec {
         """{"time": "2024-01-15 00:00:03", "detail": {"k": 5}}""", // no 'T'/offset
         """{"time": "2024-01-15", "detail": {"k": 6}}""", // date-only
         """{"time": "2024-01-15T00:00:04", "detail": {"k": 7}}""", // no offset
+        """{"time": "2024-01-15T00:00:05Z\n", "detail": {"k": 8}}""", // trailing newline
         """{"time": "2024-01-15T00:00:02Z"}""") // skip: missing detail
       java.nio.file.Files.write(
         java.nio.file.Paths.get(s"$dir/envelopes.jsonl"),
