@@ -137,6 +137,22 @@ class PlanSpec extends SparkSpec {
       s"no partial sketch agg:\n$plan")
   }
 
+  test("PQ search encodes via the native expression and never plans a cartesian") {
+    for (df <- Seq(
+        graft.operators.SimilaritySearch.pqTopK(spark, sfDir),
+        graft.operators.SimilaritySearch.ivfPqTopK(spark, sfDir, c = 4))) {
+      // the executed plan's toString truncates long field lists, which
+      // can hide the encode projection — assert the expression on the
+      // ANALYZED tree, the physical properties on the executed one
+      val analyzed = df.queryExecution.analyzed.toString
+      assert(analyzed.contains("graft_pq_encode"),
+        s"native PQ encoder missing:\n$analyzed")
+      val plan = finalPlan(df)
+      assert(!plan.contains("CartesianProduct"), s"all-pairs join:\n$plan")
+      assert(!plan.contains("BatchEvalPython"))
+    }
+  }
+
   test("trained IVF scores centroids via broadcast (corpus never shuffles to score)") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .select("vec_id", "embedding")
