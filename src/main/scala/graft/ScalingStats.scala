@@ -132,6 +132,20 @@ object ScalingStats {
       row(dir, "incr", nDocs,
         if (incRow.isNullAt(0)) 0 else incRow.getLong(0), -1, -1)
 
+      // ---- Token budget: rows the final cumulative window actually
+      // sorts (candidates in surviving buckets after the offset prune)
+      // vs the per-source single-window design, which would sort every
+      // row of the dominant source in ONE task. cand is the window
+      // input; max_pop is the largest (source, bucket) group = the
+      // largest single task.
+      val tbCand = graft.operators.Sampling
+        .tokenBudgetCandidates(spark, dir, 1000L, "budget")
+      val tb = tbCand.groupBy("source", "bkt").agg(count(lit(1)).as("pop"))
+        .agg(coalesce(sum("pop"), lit(0L)).as("cand"),
+          count(lit(1)).as("bkts"),
+          coalesce(max("pop"), lit(0L)).as("maxpop")).head()
+      row(dir, "tokbudget", nDocs, tb.getLong(0), tb.getLong(1), tb.getLong(2))
+
       // ---- Fuzzy blocking geometry: in-block pair count BEFORE the
       // edit-distance filter — the honest cost number, keyed by the
       // operator's OWN block expressions. Block keys are

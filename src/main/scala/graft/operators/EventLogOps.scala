@@ -303,12 +303,21 @@ object EventLogOps {
       lit("\",\"detail\":"), detail, lit("}\n\n"))
   }
 
-  /** SSE frame projection (service.go:271). */
+  /** SSE frame projection (service.go:271).
+    *
+    * Same shape as [[parse]]: range-partition the RAW scan first, sort
+    * within partitions, then project — output is still totally ordered
+    * (contiguous ranges in partition order), but the heavy per-row
+    * frame concat runs on every core instead of serializing behind a
+    * single-split scan + trailing sort (the documented local
+    * single-split narrow-op pattern; a trailing orderBy also made the
+    * range sampler re-evaluate the concat for a second pass). */
   def sseFrames(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
+      .repartitionByRange(col("event_id"))
+      .sortWithinPartitions("event_id")
       .select(col("event_id"),
         sseFrameCol(col("ts_us"), col("props")).as("frame"))
-      .orderBy("event_id")
 
   val sseFramesSql: String =
     """SELECT event_id,

@@ -132,22 +132,66 @@ object Sampling {
   /** Per-source token-budget packing — "give me ≤B estimated tokens
     * per source": docs are ordered by salted hash (a reproducible
     * shuffle), token counts accumulate per source, and the running sum
-    * is cut at the budget. The cumulative window is partitioned by
-    * source — each partition sorts independently, no global sort — and
-    * the token estimate is the E3 ceil(chars/4) rule, integer-exact on
-    * both engines. */
-  def tokenBudget(spark: SparkSession, dir: String,
-                  budget: Long = 1000L, salt: String = "budget"): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("source")
-      .orderBy(col("h"), col("doc_id"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.currentRow)
-    Tables.documents(spark, dir)
+    * is cut at the budget. The token estimate is the E3 ceil(chars/4)
+    * rule, integer-exact on both engines.
+    *
+    * Scale shape: a TWO-LEVEL prefix sum, not one window per source —
+    * `Window.partitionBy(source)` would put EVERY row of a source into
+    * a single task, and at 100 TB one crawl is often more than half
+    * the corpus. Instead:
+    *
+    *  1. bucket each doc by the first two hex digits of its salted
+    *     hash ([[TokenBudgetBuckets]] ordered ranges of the sort key —
+    *     the bucket id is a PREFIX of `h`, so (bkt, h, doc_id) order
+    *     IS (h, doc_id) order);
+    *  2. aggregate per-(source, bucket) token sums (bounded output:
+    *     sources × 256 rows) and turn them into per-bucket cumulative
+    *     offsets with a window over that tiny frame;
+    *  3. broadcast the offsets back, PRUNING buckets whose offset
+    *     already exceeds the budget — the intra-bucket running sum
+    *     then runs per (source, bucket), 256-way parallel per source,
+    *     and only over buckets that can still emit rows (~B/avg_tokens
+    *     docs per source survive the prune regardless of corpus size).
+    *
+    * `cum_tokens = offset + intra-bucket running sum` is exactly the
+    * global per-source running sum, so the output (and the oracle) is
+    * unchanged from the single-window form. */
+  val TokenBudgetBuckets = 256
+
+  /** The pre-window candidate frame of [[tokenBudget]]: docs in
+    * buckets whose cumulative offset can still emit rows, each row
+    * carrying its bucket's `offset`. Exposed for ScalingStats — its
+    * row count is exactly what the final window sorts. */
+  private[graft] def tokenBudgetCandidates(spark: SparkSession, dir: String,
+                                           budget: Long, salt: String): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val base = Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"),
         ceil(length(col("text")) / lit(4.0)).cast("long").as("est_tokens"),
         md5(concat(col("doc_id").cast("string"), lit(":" + salt))).as("h"))
-      .withColumn("cum_tokens", sum(col("est_tokens")).over(w))
+      .withColumn("bkt", conv(substring(col("h"), 1, 2), 16, 10).cast("int"))
+    // per-(source, bucket) partial sums -> cumulative offset of all
+    // EARLIER buckets; this window runs over <= sources x 256 rows
+    val wOff = W.partitionBy("source").orderBy("bkt")
+      .rowsBetween(W.unboundedPreceding, -1)
+    val offsets = base.groupBy("source", "bkt")
+      .agg(sum("est_tokens").as("bkt_tokens"))
+      .withColumn("offset", coalesce(sum("bkt_tokens").over(wOff), lit(0L)))
+      // offset > budget -> every row in the bucket has cum > budget
+      // (est_tokens >= 0): prune before the join, so the final window
+      // sorts only the few head buckets that can still emit
+      .where(col("offset") <= budget)
+      .select(col("source"), col("bkt"), col("offset"))
+    base.join(broadcast(offsets), Seq("source", "bkt"))
+  }
+
+  def tokenBudget(spark: SparkSession, dir: String,
+                  budget: Long = 1000L, salt: String = "budget"): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val wCum = W.partitionBy("source", "bkt").orderBy(col("h"), col("doc_id"))
+      .rowsBetween(W.unboundedPreceding, W.currentRow)
+    tokenBudgetCandidates(spark, dir, budget, salt)
+      .withColumn("cum_tokens", col("offset") + sum(col("est_tokens")).over(wCum))
       .where(col("cum_tokens") <= budget)
       .select(col("doc_id"), col("source"), col("est_tokens"), col("cum_tokens"))
       .orderBy("doc_id")

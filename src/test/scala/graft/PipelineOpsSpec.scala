@@ -290,6 +290,56 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out.count() < total, "budget did not bind on the fixture data")
   }
 
+  test("token budget two-level prefix sum matches the single-window form on a skewed corpus") {
+    // the 100 TB shape: one dominant source (~95% of docs). The
+    // two-level form must (a) produce EXACTLY the single-window
+    // result and (b) sort only the pruned head buckets, not the
+    // whole dominant source.
+    val dir = java.nio.file.Files.createTempDirectory("graft_tb").toFile
+    try {
+      import spark.implicits._
+      val docs = (0 until 4000).map { i =>
+        val src = if (i % 20 == 0) "small" else "big"
+        val text = "x" * (i % 37 + 1)
+        (i.toLong, text, "en", src, text.length.toLong)
+      }.toDF("doc_id", "text", "lang", "source", "n_chars")
+      docs.coalesce(2).write.parquet(s"$dir/documents.parquet")
+      val budget = 300L
+      val got = Sampling.tokenBudget(spark, dir.getPath, budget = budget)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      // driver-side single-window reference: per source, order by
+      // (md5(doc_id || ":budget"), doc_id), prefix-sum, cut at budget
+      def md5hex(s: String): String =
+        java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+      val want = (0 until 4000).map { i =>
+        val src = if (i % 20 == 0) "small" else "big"
+        val est = math.ceil((i % 37 + 1) / 4.0).toLong
+        (i.toLong, src, est, md5hex(s"$i:budget"))
+      }.groupBy(_._2).flatMap { case (_, rows) =>
+        var cum = 0L
+        rows.sortBy(r => (r._4, r._1)).flatMap { case (id, src, est, _) =>
+          cum += est
+          // est >= 0 makes cum monotone, so this per-row filter IS the prefix cut
+          if (cum <= budget) Some((id, src, est, cum)) else None
+        }
+      }.toSeq.sortBy(_._1)
+      assert(got.toSeq == want, s"two-level output diverged from single-window reference")
+      // pruning evidence: the final window sorts only surviving-bucket
+      // rows — a small fraction of the dominant source, not all of it
+      val cand = Sampling.tokenBudgetCandidates(spark, dir.getPath, budget, "budget")
+      val candBig = cand.where(col("source") === "big").count()
+      val totalBig = 3800L
+      assert(candBig < totalBig / 4,
+        s"pruning did not bound the window input: $candBig of $totalBig dominant-source rows survived")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+      }
+      rm(dir)
+    }
+  }
+
   test("approx profile tracks exact distinct counts and quantiles") {
     val approx = Sampling.approxProfile(spark, sfDir).collect()
       .map(r => r.getString(0) -> r).toMap

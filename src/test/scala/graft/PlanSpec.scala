@@ -153,6 +153,20 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("token budget windows per (source, bucket) with broadcast offsets (no per-source single task)") {
+    val plan = finalPlan(graft.operators.Sampling.tokenBudget(spark, sfDir))
+    val finalSection = plan.split("== Initial Plan ==")(0)
+    // the running-sum window over DOC rows must be partitioned by the
+    // hash bucket too — partitionBy(source) alone serializes a
+    // dominant source through one task
+    assert("\\[source#\\d+, bkt#\\d+\\]".r.findAllIn(finalSection).nonEmpty,
+      s"doc-row window not bucket-partitioned:\n$plan")
+    // the per-bucket offsets are a bounded frame and must come back as
+    // a broadcast, never a shuffled join of the corpus
+    assert(finalSection.contains("BroadcastHashJoin"),
+      s"bucket offsets not broadcast:\n$plan")
+  }
+
   test("trained IVF scores centroids via broadcast (corpus never shuffles to score)") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .select("vec_id", "embedding")
