@@ -144,12 +144,21 @@ object EventLogOps {
     lines
       .select(col("value"),
         get_json_object(col("value"), "$.time").as("time_str"),
-        get_json_object(col("value"), "$.detail").as("detail"))
+        // get_json_object can't tell a MISSING "detail" key from an
+        // explicit JSON null — but the reference ingests the latter
+        // (record_processor.go:78: map lookup ok=true for null,
+        // json.Marshal(nil) -> "null" into the memlog). Key presence
+        // is checked on the top-level key list; a null value is then
+        // kept as the literal 'null' payload. json_object_keys is
+        // null for non-object JSON (arrays/scalars/garbage), which
+        // skips — exactly json.Unmarshal-into-map's failure.
+        array_contains(expr("json_object_keys(value)"), "detail").as("has_detail"),
+        get_json_object(col("value"), "$.detail").as("detail_raw"))
       .withColumn("ts_us",
         when(col("time_str").rlike(Rfc3339Re),
           unix_micros(expr("try_to_timestamp(time_str)"))))
-      .where(col("ts_us").isNotNull && col("detail").isNotNull)
-      .select(col("ts_us"), col("detail"))
+      .where(col("ts_us").isNotNull && col("has_detail"))
+      .select(col("ts_us"), coalesce(col("detail_raw"), lit("null")).as("detail"))
 
   // ---------------------------------------------------------------- A2
   /** `?since=` resume filter (service.go:226-242): events at or after a

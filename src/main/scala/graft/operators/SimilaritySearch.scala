@@ -377,14 +377,24 @@ object SimilaritySearch {
   private val PqK = 256 // the standard 8-bit-per-subvector codebook
   private val PqSampleN = 2048
   private val PqShortlist = 50
+  // residual codes are tighter (lower-variance input to the same 8x256
+  // codebook), so IVF-PQ needs half the rescore shortlist for the same
+  // recall bar
+  private val PqShortlistIvf = 25
   private val PqIters = 5
 
-  /** Flat codebook (centroid (m, j) at [((m·k)+j)·d, +d)) and the
-    * subvector width d. Deterministic: md5 sample order, smallest-id
+  /** Trained PQ model: flat codebook (centroid (mi, j) at
+    * [((mi·k)+j)·d, +d)) TOGETHER with its geometry. m/k/d travel with
+    * the codebook so every consumer (encode, LUT build, ADC indexing)
+    * reads the same values — a caller training with non-default m/k
+    * can no longer silently misindex hardcoded-size LUTs. */
+  case class PqModel(cb: IndexedSeq[Float], m: Int, k: Int, d: Int)
+
+  /** Deterministic codebook training: md5 sample order, smallest-id
     * ties, fixed iteration count; empty clusters keep their previous
     * centroid. */
   def trainPqCodebook(emb: DataFrame, m: Int = PqM, k: Int = PqK,
-                      iters: Int = PqIters): (IndexedSeq[Float], Int) = {
+                      iters: Int = PqIters): PqModel = {
     val sample: Array[Array[Float]] = emb
       .select(col("vec_id"), col("embedding"))
       .orderBy(md5(col("vec_id").cast("string"))).limit(PqSampleN)
@@ -445,7 +455,7 @@ object SimilaritySearch {
       for (j <- 0 until k; i <- 0 until d)
         cb((mi * k + j) * d + i) = cents(j)(i).toFloat
     }
-    (cb.toIndexedSeq, d)
+    PqModel(cb.toIndexedSeq, m, k, d)
   }
 
   /** The shared ADC machinery (single source of truth for the
@@ -457,18 +467,23 @@ object SimilaritySearch {
     * - the codebook-constant norm² LUT as one literal column;
     * - the 8-lookup score expression over a `code` column:
     *   dotLUT-sum / (q_norm · sqrt(normLUT-sum)). */
-  private def adcQueries(spark: SparkSession, emb: DataFrame,
-                         cb: IndexedSeq[Float], d: Int): (DataFrame, Column) = {
-    val qVecs = emb.where(col("vec_id") < NQueries)
+  /** Bounded collect of the NQueries query vectors (shared by the ADC
+    * paths, which need them driver-side to build LUTs). */
+  private def collectQueryVecs(emb: DataFrame): Array[(Long, Array[Float])] =
+    emb.where(col("vec_id") < NQueries)
       .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
-    val normLut = Array.tabulate(PqM * PqK) { idx =>
+
+  private def adcQueries(spark: SparkSession, qVecs: Array[(Long, Array[Float])],
+                         model: PqModel): (DataFrame, Column) = {
+    import model.{cb, m, k, d}
+    val normLut = Array.tabulate(m * k) { idx =>
       var s = 0.0; var i = 0
       while (i < d) { val c = cb(idx * d + i).toDouble; s += c * c; i += 1 }
       s
     }
     val qRows = qVecs.map { case (id, v) =>
-      val dotLut = Array.tabulate(PqM * PqK) { idx =>
-        val mi = idx / PqK
+      val dotLut = Array.tabulate(m * k) { idx =>
+        val mi = idx / k
         var s = 0.0; var i = 0
         while (i < d) { s += v(mi * d + i).toDouble * cb(idx * d + i).toDouble; i += 1 }
         s
@@ -480,14 +495,24 @@ object SimilaritySearch {
       lit(normLut))
   }
 
-  /** ADC score column; requires `code`, `dot_lut`, `q_norm` in scope. */
-  private def adcScore(normLutCol: Column): Column = {
-    def lutAt(lut: Column, mi: Int): Column =
-      element_at(lut, lit(mi * PqK + 1) + element_at(col("code"), mi + 1))
-    val dotSum = (0 until PqM).map(mi => lutAt(col("dot_lut"), mi)).reduce(_ + _)
-    val normSum = (0 until PqM).map(mi => lutAt(normLutCol, mi)).reduce(_ + _)
-    dotSum / (col("q_norm") * sqrt(normSum))
-  }
+  /** ADC score column; requires `code`, `dot_lut`, `q_norm` in scope.
+    * `dotBase`/`normBase` shift the reconstruction for residual codes
+    * (v̂ = c + r̂): dot gains the exact q·c term, the squared norm
+    * gains |c|² + 2c·r̂ (the cross term is the per-centroid LUT sum
+    * a caller passes via `normBase`). */
+  /** Σ over subvectors of lut[mi·k + code[mi]] — the m-lookup sum every
+    * ADC term (dot, norm, residual cross term) is built from. Requires
+    * a `code` column in scope. */
+  private def adcLutSum(model: PqModel, lut: Column): Column =
+    (0 until model.m).map(mi =>
+      element_at(lut, lit(mi * model.k + 1) + element_at(col("code"), mi + 1)))
+      .reduce(_ + _)
+
+  private def adcScore(model: PqModel, normLutCol: Column,
+                       dotBase: Column = lit(0.0),
+                       normBase: Column = lit(0.0)): Column =
+    (dotBase + adcLutSum(model, col("dot_lut"))) /
+      (col("q_norm") * sqrt(normBase + adcLutSum(model, normLutCol)))
 
   /** Exact-cosine rescore of a (query_id, vec_id) shortlist → ranked
     * top-[[K]] (shared tail of D4/D5/D6). */
@@ -506,12 +531,13 @@ object SimilaritySearch {
 
   def pqTopK(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir).select("vec_id", "embedding")
-    val (cb, d) = trainPqCodebook(emb)
+    val model = trainPqCodebook(emb)
     val codes = emb.select(col("vec_id"),
-      Vectors.pqEncodeFast(spark, col("embedding"), cb, PqM, PqK, d).as("code"))
-    val (queries, normLutCol) = adcQueries(spark, emb, cb, d)
+      Vectors.pqEncodeFast(spark, col("embedding"),
+        model.cb, model.m, model.k, model.d).as("code"))
+    val (queries, normLutCol) = adcQueries(spark, collectQueryVecs(emb), model)
     val cands = codes.join(broadcast(queries), col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id"), adcScore(normLutCol).as("adc"))
+      .select(col("query_id"), col("vec_id"), adcScore(model, normLutCol).as("adc"))
       .groupBy("query_id")
       .agg(TopK.topk(spark, PqShortlist, col("vec_id"), col("adc")).as("hits"))
       .select(col("query_id"), explode(col("hits")).as("h"))
@@ -530,13 +556,24 @@ object SimilaritySearch {
     * scan; the two models train independently on the same bounded
     * sample budget. Rows-only (trained state); recall-gated on the
     * clustered fixture like D3. */
+  /** Residual (IVFADC) formulation: codes encode `v − c(v)` — the
+    * residual against the assigned coarse centroid — not the raw
+    * vector. Residuals have far lower variance than the vectors
+    * themselves (the coarse structure is already explained by the
+    * centroid), so the same m×k codebook quantizes them much more
+    * tightly; the rescore shortlist is HALF of flat-PQ's for the same
+    * recall bar. ADC stays exact for the reconstruction v̂ = c + r̂:
+    *   q·v̂    = q·c + Σ dotLUT[code]          (q·c exact, per probe)
+    *   ‖v̂‖²  = ‖c‖² + Σ crossLUT_c[code] + Σ normLUT[code]
+    * where crossLUT_c[mi·k+j] = 2·c_mi·cb_mi,j is a per-centroid
+    * constant — C·m·k doubles total, broadcast with the probes. */
   def ivfPqTopK(spark: SparkSession, dir: String, c: Int = 10): DataFrame = {
     val emb = Tables.embeddings(spark, dir).select("vec_id", "embedding")
     val cents = trainCentroids(spark, emb, c)
-    val (cb, d) = trainPqCodebook(emb)
 
-    // one pass: coarse-assign (broadcast centroids, map-side argmax)
-    // AND pq-encode each vector; only (vec_id, cid, code) persists
+    // one corpus pass: coarse-assign (broadcast centroids, map-side
+    // argmax), subtract the winning centroid, pq-encode the residual;
+    // only (vec_id, cid, code) persists
     val centScore = emb.join(broadcast(cents))
       .select(col("vec_id"), col("embedding"), col("cid"),
         round(Vectors.cosineFast(spark, col("embedding"), col("c_emb")), 9).as("cc"))
@@ -544,24 +581,65 @@ object SimilaritySearch {
       .groupBy("vec_id")
       .agg(first(col("embedding")).as("embedding"),
         max(struct(col("cc"), (-col("cid")).as("ncid"))).as("best"))
-      .select(col("vec_id"),
-        Vectors.pqEncodeFast(spark, col("embedding"), cb, PqM, PqK, d).as("code"),
-        (-col("best.ncid")).as("cid"))
+      .select(col("vec_id"), col("embedding"), (-col("best.ncid")).as("cid"))
+    // residual in float (the codec's input type); the codebook below is
+    // trained on the SAME cast, so train and encode see identical bits
+    val residuals = assigned.join(broadcast(cents), "cid")
+      .select(col("vec_id"), col("cid"),
+        expr("zip_with(embedding, c_emb, (x, y) -> CAST(CAST(x AS DOUBLE) - y AS FLOAT))")
+          .as("embedding"))
+    val model = trainPqCodebook(residuals.select("vec_id", "embedding"))
+    val codes = residuals.select(col("vec_id"), col("cid"),
+      Vectors.pqEncodeFast(spark, col("embedding"),
+        model.cb, model.m, model.k, model.d).as("code"))
+
+    // driver-side exact per-centroid terms (C rows — bounded like the
+    // query collect): ‖c‖², the 2c·cb cross LUT, and q·c per probe
+    val centArr = cents.collect().map { r =>
+      (r.getInt(0), r.getSeq[Double](1).toArray)
+    }
+    val qVecs = collectQueryVecs(emb)
+    val centProps = spark.createDataFrame(centArr.toSeq.map { case (cid, ce) =>
+      val cNorm2 = ce.map(x => x * x).sum
+      val crossLut = Array.tabulate(model.m * model.k) { idx =>
+        val mi = idx / model.k
+        var s = 0.0; var i = 0
+        while (i < model.d) {
+          s += 2.0 * ce(mi * model.d + i) * model.cb(idx * model.d + i).toDouble
+          i += 1
+        }
+        s
+      }
+      (cid, cNorm2, crossLut.toSeq)
+    }).toDF("cid", "c_norm2", "cross_lut")
+    val qcDots = spark.createDataFrame(for {
+      (qid, qv) <- qVecs.toSeq; (cid, ce) <- centArr
+    } yield {
+      var s = 0.0; var i = 0
+      val n = math.min(qv.length, ce.length)
+      while (i < n) { s += qv(i).toDouble * ce(i); i += 1 }
+      (qid, cid, s)
+    }).toDF("query_id", "cid", "qc_dot")
 
     // query side: NProbe nearest centroids per query, joined with the
-    // shared ADC LUT frame — ≤ NProbe·|queries| broadcast rows
+    // ADC LUT frame and the exact centroid terms — ≤ NProbe·|queries|
+    // broadcast rows (each carrying m·k-double LUTs)
     val wVec = Window.partitionBy("vec_id")
       .orderBy(col("cc").desc, col("cid"))
     val probes = centScore.where(col("vec_id") < NQueries)
       .withColumn("rk", row_number().over(wVec)).where(col("rk") <= NProbe)
       .select(col("vec_id").as("query_id"), col("cid"))
-    val (queryLuts, normLutCol) = adcQueries(spark, emb, cb, d)
-    val queries = broadcast(queryLuts.join(probes, "query_id"))
-    val cands = assigned.join(queries, Seq("cid"))
+    val (queryLuts, normLutCol) = adcQueries(spark, qVecs, model)
+    val queries = broadcast(queryLuts.join(probes, "query_id")
+      .join(qcDots, Seq("query_id", "cid")).join(centProps, "cid"))
+    val cands = codes.join(queries, Seq("cid"))
       .where(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id"), adcScore(normLutCol).as("adc"))
+      .select(col("query_id"), col("vec_id"),
+        adcScore(model, normLutCol,
+          dotBase = col("qc_dot"),
+          normBase = col("c_norm2") + adcLutSum(model, col("cross_lut"))).as("adc"))
       .groupBy("query_id")
-      .agg(TopK.topk(spark, PqShortlist, col("vec_id"), col("adc")).as("hits"))
+      .agg(TopK.topk(spark, PqShortlistIvf, col("vec_id"), col("adc")).as("hits"))
       .select(col("query_id"), explode(col("hits")).as("h"))
       .select(col("query_id"), col("h.id").as("vec_id"))
     exactRescore(spark, emb, cands)

@@ -58,11 +58,13 @@ object DocStreams {
       .join(corpusIndex, Seq("band", "key"))
       .select("doc_id", "old_id", "band", "key")
 
-  /** Convenience form: builds and PERSISTS the index so every
-    * micro-batch after the first reads it from cache instead of
-    * re-running the corpus signature pipeline + aggregation. */
+  /** Convenience form for ad-hoc use: recomputes the corpus index per
+    * micro-batch. Long-running queries should build [[corpusBandIndex]]
+    * once, `.persist()` (or write it bucketed) and pass it to the
+    * DataFrame overload, unpersisting when the query stops — a hidden
+    * persist here would pin one cached copy per CALL for the session
+    * lifetime with no handle to release it. */
   def incrementalMatches(spark: SparkSession, streamDir: String,
                          corpusDir: String): DataFrame =
-    incrementalMatches(spark, streamDir,
-      corpusBandIndex(spark, corpusDir).persist())
+    incrementalMatches(spark, streamDir, corpusBandIndex(spark, corpusDir))
 }

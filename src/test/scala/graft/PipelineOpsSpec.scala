@@ -212,6 +212,9 @@ class PipelineOpsSpec extends SparkSpec {
         """{"time": "2024-01-15", "detail": {"k": 6}}""", // date-only
         """{"time": "2024-01-15T00:00:04", "detail": {"k": 7}}""", // no offset
         """{"time": "2024-01-15T00:00:05Z\n", "detail": {"k": 8}}""", // trailing newline
+        // explicit JSON-null detail: the reference INGESTS it (map
+        // lookup ok=true, json.Marshal(nil) -> "null")
+        """{"time": "2024-01-15T00:00:06Z", "detail": null}""",
         """{"time": "2024-01-15T00:00:02Z"}""") // skip: missing detail
       java.nio.file.Files.write(
         java.nio.file.Paths.get(s"$dir/envelopes.jsonl"),
@@ -222,9 +225,10 @@ class PipelineOpsSpec extends SparkSpec {
         .collect().map(r => (r.getLong(0), r.getString(1))).toSet
       // 2024-01-15T00:00:00Z = 1705276800s; +02:00 offset line is
       // 2024-01-14T22:00:01.5Z
-      assert(batch.map(_._1) == Set(1705276800000000L, 1705269601500000L),
+      assert(batch.map(_._1) ==
+        Set(1705276800000000L, 1705269601500000L, 1705276806000000L),
         s"batch envelope parse: $batch")
-      assert(batch.map(_._2) == Set("""{"k":1}""", "7"),
+      assert(batch.map(_._2) == Set("""{"k":1}""", "7", "null"),
         s"detail payloads: $batch")
 
       // streaming: same transform over readStream.text

@@ -30,10 +30,15 @@ class StreamingIncrementalSpec extends SparkSpec {
       docs(Seq(1L -> dupText, 2L -> freshText))
         .coalesce(1).write.parquet(streamDir)
 
+      // the long-running-query pattern the API documents: build the
+      // static index ONCE, persist it with a handle, reuse it across
+      // triggers, unpersist when done
+      val index = graft.streaming.DocStreams.corpusBandIndex(spark, corpusDir)
+        .persist()
       val name = "sinc_" + System.nanoTime()
       def run(): Unit = {
         val q = graft.streaming.DocStreams
-          .incrementalMatches(spark, streamDir, s"$corpusDir")
+          .incrementalMatches(spark, streamDir, index)
           .writeStream.format("memory").queryName(name)
           .outputMode("append").trigger(Trigger.AvailableNow()).start()
         q.awaitTermination()
@@ -53,6 +58,7 @@ class StreamingIncrementalSpec extends SparkSpec {
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       assert(all == Set((1L, 100L), (3L, 101L)),
         s"late arrival must match the static index, got $all")
+      index.unpersist()
     } finally {
       def rm(f: java.io.File): Unit = {
         if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
