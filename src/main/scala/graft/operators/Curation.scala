@@ -17,15 +17,31 @@ object Curation {
 
   private val MinQuality = 0.5
 
-  def curate(spark: SparkSession, dir: String): DataFrame = {
-    val quality = TextAnalysis.quality(spark, dir)
-      .select("doc_id", "n_tokens", "quality_score")
-    val canonical = Dedup.exact(spark, dir)
-      .where(!col("is_dup")).select("doc_id")
-    val contaminated = Dedup.decontaminate(spark, dir)
+  /** Self-contained form: recomputes each stage from the raw table.
+    * Right for a one-shot query (and for the oracle, which nests the
+    * stages' own SQL); a production funnel at 100 TB runs the stages
+    * once, persists their outputs, and feeds them to [[curateFrom]] —
+    * recomputing decontamination inside every downstream query would
+    * repeat its corpus pass per consumer. */
+  def curate(spark: SparkSession, dir: String): DataFrame =
+    curateFrom(
+      Tables.documents(spark, dir),
+      TextAnalysis.quality(spark, dir),
+      Dedup.exact(spark, dir),
+      Dedup.decontaminate(spark, dir))
+
+  /** The funnel over MATERIALIZED stage outputs (pass persisted/
+    * written frames with the stages' own schemas): quality gate ∧
+    * exact-dedup canonical ∧ not contaminated. Identical output to
+    * [[curate]] by construction — `curate` is this applied to freshly
+    * computed stages. */
+  def curateFrom(documents: DataFrame, quality: DataFrame,
+                 exactDedup: DataFrame, decontaminated: DataFrame): DataFrame = {
+    val canonical = exactDedup.where(!col("is_dup")).select("doc_id")
+    val contaminated = decontaminated
       .where(col("contaminated")).select("doc_id").distinct()
-    Tables.documents(spark, dir).select("doc_id", "lang", "source")
-      .join(quality, "doc_id")
+    documents.select("doc_id", "lang", "source")
+      .join(quality.select("doc_id", "n_tokens", "quality_score"), "doc_id")
       .where(col("quality_score") >= MinQuality)
       .join(canonical, Seq("doc_id"), "left_semi")
       .join(contaminated, Seq("doc_id"), "left_anti")

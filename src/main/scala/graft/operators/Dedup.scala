@@ -348,16 +348,19 @@ object Dedup {
     * to cut lineage. The join is on doc_id keys, shuffle-partitioned,
     * never all-pairs.
     *
-    * Round-count judgment for 100 TB: alternating large-star/
-    * small-star (Kiveris et al.) would bound rounds at O(log n)
-    * regardless of graph shape, at the cost of materializing a
-    * rewritten edge set every round. Jaccard-verified dup groups are
-    * near-cliques BY CONSTRUCTION (every member pair passed the ≥0.8
-    * similarity gate), so diameters are 1-3 and seeded min-label wins
-    * — it ships one label per vertex per round, not an edge set. The
-    * pathological path-graph case still converges correctly, just in
-    * diameter rounds (DedupSpec's CHAIN test proves it), and the
-    * capped loop throws rather than returning wrong labels. */
+    * Round-count judgment for 100 TB: from round 2 on, each round
+    * fuses a POINTER JUMP (lbl ← lbl[lbl], the label forest halves in
+    * depth — the shortcutting step of Shiloach-Vishkin / hash-to-min
+    * CC) with the neighbor-min propagation, so worst-case rounds are
+    * O(log diameter), not diameter (DedupSpec asserts ≤ log₂+2 rounds
+    * on a 64-node path). Alternating large-star/small-star (Kiveris
+    * et al.) reaches the same bound but materializes a rewritten EDGE
+    * set every round; here only the n-row label table moves twice per
+    * round. Jaccard-verified dup groups are near-cliques BY
+    * CONSTRUCTION (every member pair passed the ≥0.8 gate) and
+    * converge on the seeded labels alone, so round 1 skips the jump
+    * join entirely — cliques pay nothing for the chain insurance. The
+    * capped loop still throws rather than returning wrong labels. */
   def dupClusters(spark: SparkSession, dir: String): DataFrame = {
     // both edge directions from ONE pass over the (expensive) verified
     // pairs — a union of pairs with its mirror would run the whole
@@ -368,6 +371,20 @@ object Dedup {
         struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .persist()
+    val (labels, _) = propagateMinLabels(edges)
+    edges.unpersist()
+    labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
+      .withColumn("is_canonical", col("doc_id") === col("cluster_id"))
+      .orderBy("doc_id")
+  }
+
+  /** Min-label propagation with pointer jumping over a symmetric
+    * (src, dst) edge frame → ((id, lbl) labels, rounds run). Labels
+    * are always vertex ids within the component and only decrease, so
+    * the fixed point (nbr-min ≥ lbl AND lbl[lbl] ≥ lbl) is the
+    * component minimum by induction from the min vertex outward —
+    * the jump term accelerates, it cannot change the answer. */
+  private[graft] def propagateMinLabels(edges: DataFrame): (DataFrame, Int) = {
     // seed labels with min(id, min neighbor) — one free propagation
     // round folded into the vertex-set build (same groupBy that would
     // otherwise just distinct the ids); near-clique dup clusters are
@@ -377,19 +394,32 @@ object Dedup {
       .select(col("id"), least(col("id"), col("min_nbr")).as("lbl")).persist()
     var converged = false
     var iter = 0
-    val maxIter = 64 // propagation needs <= graph-diameter rounds
+    val maxIter = 64 // O(log diameter) with jumping; 2^64 exceeds any graph
     while (!converged && iter < maxIter) {
       val prop = edges.join(labels, col("dst") === col("id"))
         .groupBy(col("src")).agg(min("lbl").as("nbr_lbl"))
+      // pointer jump lbl2 = lbl[lbl]: every lbl value is itself a
+      // vertex id (seeds are min(id, nbr); updates are mins of label
+      // values), so the self-join key always resolves. Skipped in
+      // round 1: near-cliques are converged on seeds and round 1 only
+      // verifies — the jump join would be pure overhead there.
+      val withLbl2 =
+        if (iter == 0) labels.withColumn("lbl2", col("lbl"))
+        else labels.as("a").join(labels.as("b"),
+            col("a.lbl") === col("b.id"), "left")
+          .select(col("a.id").as("id"), col("a.lbl").as("lbl"),
+            coalesce(col("b.lbl"), col("a.lbl")).as("lbl2"))
       // convergence detection is FUSED into the propagation pass: the
       // checkpointed round output carries a per-row `chg` flag, so the
       // change count is a cheap scan of the materialized round — no
       // second labels-vs-labels join per iteration (it used to double
       // every round's cost on the suite's most expensive query)
-      val next = labels.join(prop, col("id") === col("src"), "left")
+      val next = withLbl2.join(prop, col("id") === col("src"), "left")
         .select(col("id"),
-          least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))).as("lbl"),
-          (coalesce(col("nbr_lbl"), col("lbl")) < col("lbl")).as("chg"))
+          least(col("lbl"),
+            least(col("lbl2"), coalesce(col("nbr_lbl"), col("lbl")))).as("lbl"),
+          (least(col("lbl2"), coalesce(col("nbr_lbl"), col("lbl")))
+            < col("lbl")).as("chg"))
         .localCheckpoint()
       val changed = next.where(col("chg")).count()
       labels.unpersist()
@@ -397,16 +427,13 @@ object Dedup {
       converged = changed == 0
       iter += 1
     }
-    edges.unpersist()
-    // Never return silently-wrong labels: a dup graph with diameter >
-    // maxIter is pathological (the oracle's transitive closure would
+    // Never return silently-wrong labels: non-convergence within the
+    // cap is pathological (the oracle's transitive closure would
     // disagree) — fail loudly instead.
     if (!converged)
       throw new IllegalStateException(
-        s"dupClusters did not converge within $maxIter rounds")
-    labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
-      .withColumn("is_canonical", col("doc_id") === col("cluster_id"))
-      .orderBy("doc_id")
+        s"propagateMinLabels did not converge within $maxIter rounds")
+    (labels, iter)
   }
 
   val dupClustersSql: String =

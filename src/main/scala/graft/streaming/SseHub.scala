@@ -28,24 +28,46 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *
   * Ordering: within a source partition frames arrive in offset order;
   * across partitions interleaving can occur, exactly as the
-  * reference's per-shard consumers interleave into one log. The ring
-  * itself is offset-sorted, so replays are always ordered; only the
-  * live tail can interleave. Delivery is at-least-once end to end:
-  * the live fan-out dedups on first ring insertion, so a task retry
+  * reference's per-shard consumers interleave into one log. Each ring
+  * is offset-sorted, so replays are always ordered; only the live
+  * tail can interleave. Delivery is at-least-once end to end: the
+  * live fan-out dedups on first ring insertion, so a task retry
   * re-appending an offset the ring still retains is suppressed; a
   * retry arriving after eviction (requires a failure outliving
   * `capacity` newer events) would re-deliver.
+  *
+  * Retention is PER ROUTE, as in the reference: every route has its
+  * own bounded log (one memlog per RouteOptions entry,
+  * service.go:38-47, 93-106), and `routeCapacities` overrides the
+  * default `capacity` per route exactly as RouteOptions.Capacity
+  * falls back to DefaultCapacity when unset. A chatty route can never
+  * evict a quiet route's history.
   */
 class SseHub(spark: SparkSession, dir: String,
              capacity: Int = 100000,
              pollIntervalMs: Long = 100L,
-             maxQueuedFrames: Int = 10000) {
+             maxQueuedFrames: Int = 10000,
+             routeCapacities: Map[String, Int] = Map.empty) {
 
   import SseHub._
 
+  require(capacity > 0, "capacity must be positive")
+  require(routeCapacities.values.forall(_ > 0),
+    "route capacities must be positive")
+
   private val hubId = hubIds.incrementAndGet()
-  private val ring = new ConcurrentSkipListMap[Long, Entry]()
-  private var ringSize = 0 // maintained under `lock`: skip-list size() is O(n)
+
+  /** One bounded offset-sorted log per route (the reference's
+    * per-route memlog). `size` is maintained under `lock`: skip-list
+    * size() is O(n). */
+  private final class RouteRing {
+    val ring = new ConcurrentSkipListMap[Long, Entry]()
+    var size = 0
+  }
+  private val rings = TrieMap.empty[String, RouteRing]
+  private def capacityFor(route: String): Int =
+    routeCapacities.getOrElse(route, capacity)
+
   private val subs = TrieMap.empty[Long, Subscription]
   private var query: Option[StreamingQuery] = None
 
@@ -88,11 +110,23 @@ class SseHub(spark: SparkSession, dir: String,
   }
 
   def activeSubscribers: Int = subs.size
-  def retainedRange: Option[(Long, Long)] =
-    if (ring.isEmpty) None else Some((ring.firstKey(), ring.lastKey()))
 
-  /** In-memory timestamp→offset seek over the retained ring (the
-    * reference's t2o.NearestOffset role, but with [[SseSink]]'s
+  /** Offset span retained across ALL routes (diagnostics). */
+  def retainedRange: Option[(Long, Long)] = lock.synchronized {
+    val nonEmpty = rings.values.filter(!_.ring.isEmpty)
+    if (nonEmpty.isEmpty) None
+    else Some((nonEmpty.map(_.ring.firstKey()).min,
+      nonEmpty.map(_.ring.lastKey()).max))
+  }
+
+  /** Offset span retained for one route's bounded log. */
+  def retainedRange(route: String): Option[(Long, Long)] = lock.synchronized {
+    rings.get(route).filter(!_.ring.isEmpty)
+      .map(r => (r.ring.firstKey(), r.ring.lastKey()))
+  }
+
+  /** In-memory timestamp→offset seek over the route's retained ring
+    * (the reference's t2o.NearestOffset role, but with [[SseSink]]'s
     * forward-only `ts >= since` semantics so shared and per-client
     * serving return the same windows): smallest retained offset whose
     * ts is at/after the instant, minus one (strictly-after
@@ -100,31 +134,24 @@ class SseHub(spark: SparkSession, dir: String,
     * live tail); empty ring → everything (the reference's empty-log
     * path, service.go:254-258). No Spark job runs. */
   def resolveSinceOffset(route: String, sinceNs: Long): Long = lock.synchronized {
-    var fwd = Long.MinValue
-    var last = Long.MinValue
-    val it = ring.values().iterator()
-    while (it.hasNext) {
-      val e = it.next()
-      if (e.route == route) {
-        last = e.offset
-        if (fwd == Long.MinValue && e.ts >= sinceNs) fwd = e.offset
-      }
+    rings.get(route).filter(!_.ring.isEmpty) match {
+      case Some(r) =>
+        var fwd = Long.MinValue
+        val it = r.ring.values().iterator()
+        while (it.hasNext && fwd == Long.MinValue) {
+          val e = it.next()
+          if (e.ts >= sinceNs) fwd = e.offset
+        }
+        if (fwd != Long.MinValue) fwd - 1 else r.ring.lastKey()
+      case None => Long.MinValue
     }
-    if (fwd != Long.MinValue) fwd - 1
-    else if (last != Long.MinValue) last
-    else Long.MinValue
   }
 
   /** Latest retained offset for `route` (absent-`since` live tails);
     * empty ring → everything is new. */
   def latestOffset(route: String): Long = lock.synchronized {
-    var last = Long.MinValue
-    val it = ring.values().iterator()
-    while (it.hasNext) {
-      val e = it.next()
-      if (e.route == route) last = e.offset
-    }
-    last
+    rings.get(route).filter(!_.ring.isEmpty)
+      .map(_.ring.lastKey()).getOrElse(Long.MinValue)
   }
 
   /** Subscribe a client at its own seek position: frames with offset
@@ -139,10 +166,9 @@ class SseHub(spark: SparkSession, dir: String,
     lock.synchronized {
       val id = subIds.incrementAndGet()
       val replay = Vector.newBuilder[String]
-      val it = ring.tailMap(afterOffset, false).values.iterator()
-      while (it.hasNext) {
-        val e = it.next()
-        if (e.route == route) replay += e.frame
+      rings.get(route).foreach { r =>
+        val it = r.ring.tailMap(afterOffset, false).values.iterator()
+        while (it.hasNext) replay += it.next().frame
       }
       val sub = new Subscription(id, this, route, afterOffset,
         replay.result(), new BoundedQueue(maxQueuedFrames))
@@ -155,10 +181,12 @@ class SseHub(spark: SparkSession, dir: String,
   private[streaming] def append(offset: Long, route: String, ts: Long,
                                 frame: String): Unit =
     lock.synchronized {
-      val first = ring.put(offset, Entry(offset, route, ts, frame)) == null
+      val r = rings.getOrElseUpdate(route, new RouteRing)
+      val first = r.ring.put(offset, Entry(offset, ts, frame)) == null
       if (first) {
-        ringSize += 1
-        while (ringSize > capacity) { ring.pollFirstEntry(); ringSize -= 1 }
+        r.size += 1
+        val cap = capacityFor(route)
+        while (r.size > cap) { r.ring.pollFirstEntry(); r.size -= 1 }
         // fan out only first-time offsets: the foreach sink is
         // at-least-once, and a retried batch must not double-deliver
         subs.values.foreach { s =>
@@ -175,8 +203,7 @@ class SseHub(spark: SparkSession, dir: String,
 }
 
 object SseHub {
-  private[streaming] case class Entry(offset: Long, route: String, ts: Long,
-                                      frame: String)
+  private[streaming] case class Entry(offset: Long, ts: Long, frame: String)
 
   /** Handle a client holds: replay-then-live frame source + close.
     * `poll` drains the replay snapshot first (unbounded by the live

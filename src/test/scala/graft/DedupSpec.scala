@@ -125,6 +125,21 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("min-label propagation bounds rounds at O(log n) on a 64-node path (pointer jumping)") {
+    import spark.implicits._
+    val n = 64
+    val edges = (0 until n - 1).flatMap(i =>
+      Seq((i.toLong, (i + 1).toLong), ((i + 1).toLong, i.toLong)))
+      .toDF("src", "dst")
+    val (labels, rounds) = Dedup.propagateMinLabels(edges)
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.keySet == (0L until n.toLong).toSet, s"path nodes missing: $got")
+    assert(got.values.forall(_ == 0L), s"path did not converge to min label: $got")
+    // diameter is 63: plain min-label needs ~63 rounds; the fused
+    // pointer jump must land in ~log2(n) + a verification round
+    assert(rounds <= 8, s"pointer jumping did not bound rounds: $rounds")
+  }
+
   test("native minhash/simhash signatures match the aggregate formulation bit-for-bit") {
     // the r2 explode+aggregate shape, rebuilt here as ground truth for
     // the fused per-row expressions that replaced it

@@ -169,6 +169,24 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("curateFrom over persisted stage outputs equals the self-contained funnel") {
+    // the production shape: stages run once, outputs persisted, funnel
+    // consumes the materialized frames — must be row-identical to
+    // curate's recompute-everything form
+    val stages = Seq(
+      graft.operators.TextAnalysis.quality(spark, sfDir),
+      graft.operators.Dedup.exact(spark, sfDir),
+      graft.operators.Dedup.decontaminate(spark, sfDir)).map(_.persist())
+    try {
+      val direct = graft.operators.Curation.curate(spark, sfDir).collect().toSeq
+      val staged = graft.operators.Curation.curateFrom(
+        graft.sources.Tables.documents(spark, sfDir),
+        stages(0), stages(1), stages(2)).collect().toSeq
+      assert(staged == direct, "persisted-stage funnel diverged from curate")
+      assert(direct.nonEmpty, "funnel kept nothing — comparison is vacuous")
+    } finally stages.foreach(_.unpersist())
+  }
+
   test("skip audit categorizes planted bad envelopes by reference reason order") {
     val dir = Files.createTempDirectory("graft_skip").toFile
     try {

@@ -82,22 +82,47 @@ class SseHubSpec extends SparkSpec {
     assert(spark.streams.active.length == before, "hub query survived stop()")
   }
 
-  test("ring capacity bounds replay like the reference memlog") {
+  test("ring capacity bounds replay PER ROUTE like the reference memlog") {
     val base = Files.createTempDirectory("graft_hub_cap").toFile
     val evDir = new File(base, "events.parquet")
     writeEvents(evDir, 1 to 20, append = false)
+    // one memlog per route (service.go:93-106): capacity 6 retains the
+    // newest 6 CLICKS, independent of the interleaved views
     val hub = new graft.streaming.SseHub(spark, base.getPath, capacity = 6)
     hub.start()
     try {
-      assert(eventually()(hub.retainedRange.exists(_._2 >= 20L)))
-      // only the newest 6 offsets are retained; a from-the-beginning
-      // seek replays what capacity kept (15..20), not history
-      val (lo, hi) = hub.retainedRange.get
-      assert(hi == 20L && lo == 15L, s"retained [$lo,$hi]")
+      assert(eventually()(hub.retainedRange("click").exists(_._2 >= 20L)))
+      // clicks are the even ids 2..20; the newest 6 are 10..20
+      val (lo, hi) = hub.retainedRange("click").get
+      assert(hi == 20L && lo == 10L, s"retained [$lo,$hi]")
       val sub = hub.subscribe("click")
       val f = sub.drain()
-      assert(has(f, 16) && has(f, 18) && has(f, 20) && f.size == 3,
+      assert(f.size == 6 && has(f, 10) && has(f, 20) && !has(f, 8),
         s"capacity replay wrong: $f")
+    } finally hub.stop()
+  }
+
+  test("per-route capacity overrides evict independently (RouteOptions.Capacity)") {
+    val base = Files.createTempDirectory("graft_hub_rcap").toFile
+    val evDir = new File(base, "events.parquet")
+    writeEvents(evDir, 1 to 20, append = false)
+    // clicks capped tight; views fall back to the default — the chatty
+    // route must not evict the other's history (and vice versa)
+    val hub = new graft.streaming.SseHub(spark, base.getPath, capacity = 8,
+      routeCapacities = Map("click" -> 2))
+    hub.start()
+    try {
+      assert(eventually()(hub.retainedRange("click").exists(_._2 >= 20L)
+        && hub.retainedRange("view").exists(_._2 >= 19L)))
+      val clicks = hub.subscribe("click").drain()
+      val views = hub.subscribe("view").drain()
+      assert(clicks.size == 2 && has(clicks, 18) && has(clicks, 20),
+        s"click override not applied: $clicks")
+      // views are odd ids 1..19; default capacity 8 keeps 5..19
+      assert(views.size == 8 && has(views, 5) && has(views, 19) && !has(views, 3),
+        s"view default capacity wrong: $views")
+      assert(hub.retainedRange("view").get._1 == 5L,
+        "view eviction leaked across routes")
     } finally hub.stop()
   }
 }
