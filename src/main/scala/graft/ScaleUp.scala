@@ -52,14 +52,18 @@ object ScaleUp {
     def shifted(i: Int)(c: String) = (col(c) + lit(i * Stride)).as(c)
 
     // every shifted key must stay under the stride, or copies collide
-    // and silently corrupt the measured workload
+    // and silently corrupt the measured workload (events appears twice:
+    // both event_id and user_id are shifted below)
     val keyCols = Seq(
       "customer" -> "c_custkey", "supplier" -> "s_suppkey",
       "part" -> "p_partkey", "orders" -> "o_orderkey",
       "lineitem" -> "l_orderkey", "events" -> "event_id",
+      "events" -> "user_id",
       "documents" -> "doc_id", "embeddings" -> "vec_id")
     keyCols.foreach { case (t, k) =>
-      val mx = read(t).agg(max(col(k))).head().getLong(0)
+      val row = read(t).agg(max(col(k))).head()
+      require(!row.isNullAt(0), s"$t is empty — nothing to scale")
+      val mx = row.getLong(0)
       require(mx < Stride, s"$t.$k max $mx >= stride $Stride")
     }
 
@@ -106,11 +110,14 @@ object ScaleUp {
         col("lang"), col("source"), col("n_chars"))
     }, "documents")
     // rotate embeddings per copy so copies land in different SRP/IVF
-    // buckets while keeping the value distribution
+    // buckets while keeping the value distribution; the rotation offset
+    // is derived from size(embedding) so any corpus dim works (a
+    // hardcoded dim would silently truncate vectors of other sizes)
     write(copies(read("embeddings")) { (df, i) =>
+      val rot = s"($i % size(embedding))"
       df.select(shifted(i)("vec_id"),
-        expr(s"concat(slice(embedding, ${i % 64 + 1}, 64), " +
-          s"slice(embedding, 1, ${i % 64}))").as("embedding"),
+        expr(s"concat(slice(embedding, $rot + 1, size(embedding) - $rot), " +
+          s"slice(embedding, 1, $rot))").as("embedding"),
         col("label"))
     }, "embeddings")
     println(s"[scaleup] built ${x}x of $base at $out")

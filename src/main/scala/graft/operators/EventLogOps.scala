@@ -320,7 +320,15 @@ object EventLogOps {
     * frame concat runs on every core instead of serializing behind a
     * single-split scan + trailing sort (the documented local
     * single-split narrow-op pattern; a trailing orderBy also made the
-    * range sampler re-evaluate the concat for a second pass). */
+    * range sampler re-evaluate the concat for a second pass).
+    *
+    * ORDERING CONTRACT: the plan carries no logical Sort — rows are
+    * ordered only under partition-order consumption (collect,
+    * coalesce(1), toLocalIterator, or a sink that writes partitions in
+    * index order — exactly how Verify and the SSE serving path consume
+    * frames). An ordering-aware operator stacked on top (limit, another
+    * window) must re-sort; callers needing a plan-visible ordering
+    * should append .orderBy("event_id") themselves. */
   def sseFrames(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .repartitionByRange(col("event_id"))

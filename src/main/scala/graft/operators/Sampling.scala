@@ -190,8 +190,13 @@ object Sampling {
     val W = org.apache.spark.sql.expressions.Window
     val wCum = W.partitionBy("source", "bkt").orderBy(col("h"), col("doc_id"))
       .rowsBetween(W.unboundedPreceding, W.currentRow)
+    // coalesce the windowed sum: SQL SUM skips NULLs, so a null-text
+    // row whose in-bucket prefix is all-null must get cum = offset
+    // (exactly what the single-window form and the DuckDB oracle
+    // produce), not a NULL cum that silently drops the row
     tokenBudgetCandidates(spark, dir, budget, salt)
-      .withColumn("cum_tokens", col("offset") + sum(col("est_tokens")).over(wCum))
+      .withColumn("cum_tokens",
+        col("offset") + coalesce(sum(col("est_tokens")).over(wCum), lit(0L)))
       .where(col("cum_tokens") <= budget)
       .select(col("doc_id"), col("source"), col("est_tokens"), col("cum_tokens"))
       .orderBy("doc_id")

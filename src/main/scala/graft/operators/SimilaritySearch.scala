@@ -495,11 +495,6 @@ object SimilaritySearch {
       lit(normLut))
   }
 
-  /** ADC score column; requires `code`, `dot_lut`, `q_norm` in scope.
-    * `dotBase`/`normBase` shift the reconstruction for residual codes
-    * (v̂ = c + r̂): dot gains the exact q·c term, the squared norm
-    * gains |c|² + 2c·r̂ (the cross term is the per-centroid LUT sum
-    * a caller passes via `normBase`). */
   /** Σ over subvectors of lut[mi·k + code[mi]] — the m-lookup sum every
     * ADC term (dot, norm, residual cross term) is built from. Requires
     * a `code` column in scope. */
@@ -508,6 +503,11 @@ object SimilaritySearch {
       element_at(lut, lit(mi * model.k + 1) + element_at(col("code"), mi + 1)))
       .reduce(_ + _)
 
+  /** ADC score column; requires `code`, `dot_lut`, `q_norm` in scope.
+    * `dotBase`/`normBase` shift the reconstruction for residual codes
+    * (v̂ = c + r̂): dot gains the exact q·c term, the squared norm
+    * gains |c|² + 2c·r̂ (the cross term is the per-centroid LUT sum
+    * a caller passes via `normBase`). */
   private def adcScore(model: PqModel, normLutCol: Column,
                        dotBase: Column = lit(0.0),
                        normBase: Column = lit(0.0)): Column =
@@ -571,9 +571,15 @@ object SimilaritySearch {
     val emb = Tables.embeddings(spark, dir).select("vec_id", "embedding")
     val cents = trainCentroids(spark, emb, c)
 
-    // one corpus pass: coarse-assign (broadcast centroids, map-side
-    // argmax), subtract the winning centroid, pq-encode the residual;
-    // only (vec_id, cid, code) persists
+    // coarse-assign (broadcast centroids, map-side argmax), subtract
+    // the winning centroid, pq-encode the residual. NOTE on lineage:
+    // nothing is cached here, so the corpus-wide assign+residual
+    // lineage executes twice (the codebook's bounded sample collect,
+    // then the candidate scan; the probe side is cheap — its
+    // vec_id < NQueries filter pushes to the scan). A deployment that
+    // cares would checkpoint (vec_id, cid, code) — 8 B/vector — as the
+    // persisted index artifact; a session-lifetime persist() of the
+    // float residuals here would be the wrong shape at 100 TB.
     val centScore = emb.join(broadcast(cents))
       .select(col("vec_id"), col("embedding"), col("cid"),
         round(Vectors.cosineFast(spark, col("embedding"), col("c_emb")), 9).as("cc"))
