@@ -96,6 +96,23 @@ class SseHub(spark: SparkSession, dir: String,
     }
   }
 
+  /** Restart the shared ingest after a failure WITHOUT dropping
+    * subscriptions (the reference's KCL worker likewise resumes into
+    * the same memlog, service.go:133-141). The replacement query runs
+    * from a fresh temp checkpoint, so it re-reads the source from the
+    * start and re-appends every retained offset — [[append]]'s
+    * first-insertion gate suppresses those (the documented
+    * at-least-once window), so connected clients see only genuinely
+    * new frames, and events that landed during the outage are picked
+    * up by the replacement's catch-up batch. An offset already evicted
+    * from its route ring at restart time IS re-delivered — same
+    * semantics as a task retry outliving `capacity` newer events. */
+  def restart(): StreamingQuery = synchronized {
+    query.foreach(q => try q.stop() catch { case _: Exception => () })
+    query = None
+    start()
+  }
+
   /** Stop the ingest and CLOSE every subscription — a polling
     * consumer observes `closed` instead of an indefinitely quiet
     * queue. */

@@ -1,0 +1,53 @@
+package graft
+
+import scala.io.Source
+
+/** Exact-output pins for the rows-only queries. The AnnRecallSpec
+  * recall gate (≥0.9) can mask a silent drift from 1.0 to 0.9; these
+  * goldens can't — any change to the trained output (sampling, seeding,
+  * iteration count, tie-breaks, ADC math, shortlist size) fails here
+  * until [[GoldenGen]] is deliberately re-run and the diff reviewed.
+  * Pinned on sf0.001 (the suite's fixture dir) — the training paths
+  * are deterministic by construction: md5 sample order, fixed iters,
+  * smallest-id ties.
+  *
+  * H7's quantile columns get a 1% relative band instead of equality:
+  * percentile_approx merges partial GK sketches in shuffle-fetch order,
+  * which Spark does not promise to be stable; everything else in the
+  * profile (exact counts, HLL distinct — an order-insensitive register
+  * max) is pinned exactly.
+  */
+class GoldenSpec extends SparkSpec {
+
+  private def golden(name: String): Seq[String] = {
+    val src = Source.fromFile(s"${GoldenGen.Dir}/$name.csv")
+    try src.getLines().toVector finally src.close()
+  }
+
+  for (name <- Seq("q_ann_ivf_trained", "q_ann_pq", "q_ann_ivfpq"))
+    test(s"$name output equals the checked-in golden (exact ids, 6-dp scores)") {
+      val got = GoldenGen.annCsv(SparkEntry.queries(name)(spark, sfDir))
+      val want = golden(name)
+      assert(got == want,
+        s"$name drifted from golden — first diff: ${
+          got.zipAll(want, "<missing>", "<extra>")
+            .find { case (a, b) => a != b }.getOrElse(("", ""))
+        }; if the change is intentional, re-run GoldenGen and review the diff")
+    }
+
+  test("q_profile_approx matches golden (exact counts/HLL, 1% band on quantiles)") {
+    val got = GoldenGen.profileCsv(SparkEntry.queries("q_profile_approx")(spark, sfDir))
+    val want = golden("q_profile_approx")
+    assert(got.size == want.size, s"row count drifted: ${got.size} vs ${want.size}")
+    got.zip(want).foreach { case (g, w) =>
+      val (gc, wc) = (g.split(","), w.split(","))
+      assert(gc.take(3).sameElements(wc.take(3)),
+        s"route/count/HLL drifted from golden: $g vs $w")
+      for (i <- 3 to 4) {
+        val (gv, wv) = (gc(i).toDouble, wc(i).toDouble)
+        assert(math.abs(gv - wv) <= 0.01 * math.abs(wv) + 1e-9,
+          s"quantile column $i outside 1% band: $g vs $w")
+      }
+    }
+  }
+}

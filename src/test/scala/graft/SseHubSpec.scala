@@ -125,4 +125,41 @@ class SseHubSpec extends SparkSpec {
         "view eviction leaked across routes")
     } finally hub.stop()
   }
+
+  test("restart mid-stream: retained re-appends suppressed, no retained frame lost") {
+    val base = Files.createTempDirectory("graft_hub_restart").toFile
+    val evDir = new File(base, "events.parquet")
+    writeEvents(evDir, 1 to 10, append = false)
+    val hub = new graft.streaming.SseHub(spark, base.getPath)
+    hub.start()
+    try {
+      assert(eventually()(hub.retainedRange.exists(_._2 >= 10L)), "ingest never landed")
+      val sub = hub.subscribe("click") // survives the restart
+      val replay = sub.drain()
+      assert(replay.size == 5 && has(replay, 2) && has(replay, 10))
+
+      // kill + resurrect the ingest; some events land during the outage
+      hub.restart()
+      assert(hub.activeSubscribers == 1, "restart dropped subscriptions")
+      writeEvents(evDir, 11 to 12, append = true)
+
+      // the replacement query (fresh checkpoint) re-reads EVERYTHING:
+      // offsets 1..10 are re-appended and must be suppressed by the
+      // ring's first-insertion gate; 11..12 must arrive exactly once.
+      // Receipt of click 12 proves the catch-up batch (which contains
+      // the re-appends) was fully processed before we assert.
+      val live = scala.collection.mutable.ArrayBuffer.empty[String]
+      assert(eventually() { live ++= sub.drain(); has(live.toSeq, 12) },
+        s"post-restart live frame never arrived: $live")
+      val post = live.toSeq
+      assert(post.size == 1 && !has(post, 10) && !has(post, 2),
+        s"retained offsets re-delivered after restart: $post")
+
+      // no frame inside retention is lost: a fresh subscriber replays
+      // the full pre-outage + outage + post-restart click history
+      val all = hub.subscribe("click").drain()
+      assert(all.size == 6 && (2 to 12 by 2).forall(i => has(all, i)),
+        s"restart lost retained history: $all")
+    } finally hub.stop()
+  }
 }
