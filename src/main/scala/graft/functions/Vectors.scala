@@ -62,6 +62,24 @@ object Vectors {
     call_function("graft_simhash", sh)
   }
 
+  /** Native token n-grams ([[graft.plans.Shingles]]): the fused
+    * replacement for split → transform(sequence, concat_ws(slice)) →
+    * array_distinct — each gram is a zero-copy byte span of the
+    * original text. */
+  def shinglesFast(spark: org.apache.spark.sql.SparkSession, text: Column,
+                   n: Int, distinct: Boolean): Column = {
+    graft.plans.GraftFunctions.register(spark)
+    call_function("graft_shingles", text, lit(n), lit(distinct))
+  }
+
+  /** Native [total, distinct] n-gram counts ([[graft.plans.GramStats]])
+    * in one pass, no gram array materialized. */
+  def gramStatsFast(spark: org.apache.spark.sql.SparkSession, text: Column,
+                    n: Int): Column = {
+    graft.plans.GraftFunctions.register(spark)
+    call_function("graft_gram_stats", text, lit(n))
+  }
+
   /** Native PQ encode ([[graft.plans.PqEncode]]): argmin code per
     * subvector against the trained codebook, passed as a foldable
     * array literal and unpacked once at resolution. */

@@ -60,10 +60,13 @@ object Dedup {
     * groupBy), over an arbitrary (doc_id, text) frame: every step is
     * narrow, so it applies to batch AND streaming inputs. */
   private def shingled(docs: DataFrame): DataFrame =
-    docs
-      .select(col("doc_id"), split(col("text"), " ").as("toks"))
-      .withColumn("sh", expr(
-        "array_distinct(transform(sequence(1, greatest(size(toks)-2, 1)), i -> concat_ws(' ', slice(toks, i, 3))))"))
+    // native fused gram build (graft.plans.Shingles) — bit-identical
+    // to the split → transform(concat_ws(slice)) → array_distinct
+    // chain it replaces (the SQL twin below is unchanged), but one
+    // byte-span loop per row instead of an interpreted lambda per gram
+    docs.select(col("doc_id"),
+      Vectors.shinglesFast(docs.sparkSession, col("text"), 3, distinct = true)
+        .as("sh"))
 
   private def withShingles(spark: SparkSession, dir: String,
                            par: Boolean = false): DataFrame = {

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.functions.Portable
+import graft.functions.{Portable, Vectors}
 import graft.sources.Tables
 
 /** Text-analysis operators over the `documents` table (E1-E4):
@@ -139,34 +139,33 @@ object TextAnalysis {
     * partitions. */
   private val RepFlagThreshold = 0.2
 
-  /** All (non-distinct) n-gram strings of the space-split tokens; same
-    * window rule as the dedup shingles (docs shorter than n tokens
-    * yield one truncated gram). */
-  private def grams(n: Int): Column = expr(
-    s"transform(sequence(1, greatest(size(split(text, ' ')) - ${n - 1}, 1)), " +
-      s"i -> concat_ws(' ', slice(split(text, ' '), i, $n)))")
-
   private def gramsSql(n: Int): String =
     s"list_transform(range(1, greatest(len(string_split(text, ' ')) - ${n - 1}, 1) + 1), " +
       s"i -> array_to_string(string_split(text, ' ')[i:i+${n - 1}], ' '))"
 
   def repetition(spark: SparkSession, dir: String): DataFrame = {
-    // two-stage select: each gram array is BUILT once and the counts
-    // read the materialized column (6 inline copies of the transform
-    // were ~6x the per-row work)
+    // native fused [total, distinct] gram counts per n
+    // (graft.plans.GramStats): one byte-span pass per row per n, no
+    // gram array materialized, no interpreted lambda — bit-identical
+    // counts to the size/array_distinct-over-transform chain it
+    // replaces (the SQL twin below is unchanged). Re-evaluation by
+    // CollapseProject is harmless now: each eval is a single fused
+    // pass, not |grams| interpreted lambda calls.
     def repCols(n: Int): Seq[Column] = {
-      val total = size(col(s"g$n")).cast("long")
-      val dist = size(array_distinct(col(s"g$n"))).cast("long")
+      val total = element_at(col(s"s$n"), 1)
+      val dist = element_at(col(s"s$n"), 2)
       Seq(total.as(s"n${n}_total"), dist.as(s"n${n}_distinct"),
         ((total - dist).cast("double") / total.cast("double")).as(s"rep$n"))
     }
-    val rep3 = (size(col("g3")).cast("long") - size(array_distinct(col("g3"))).cast("long"))
-      .cast("double") / size(col("g3")).cast("double")
-    // parallelized: the gram builds are interpreted HOF lambdas — the
-    // expensive per-row path — and the sf parquet can be a single
-    // split; the round-robin exchange moves only (doc_id, text)
+    val rep3 = (element_at(col("s3"), 1) - element_at(col("s3"), 2))
+      .cast("double") / element_at(col("s3"), 1).cast("double")
+    // parallelized: per-row byte scans are still the dominant cost and
+    // the sf parquet can be a single split; the round-robin exchange
+    // moves only (doc_id, text)
     Tables.parallelized(spark, Tables.documents(spark, dir))
-      .select(col("doc_id"), grams(2).as("g2"), grams(3).as("g3"))
+      .select(col("doc_id"),
+        Vectors.gramStatsFast(spark, col("text"), 2).as("s2"),
+        Vectors.gramStatsFast(spark, col("text"), 3).as("s3"))
       .select(col("doc_id") +: (repCols(2) ++ repCols(3))
         :+ (rep3 > RepFlagThreshold).as("is_repetitive"): _*)
       .orderBy("doc_id")

@@ -143,7 +143,33 @@ object GraftFunctions {
       litInt(children(3), "graft_pq_encode k"),
       litInt(children(4), "graft_pq_encode d")): Expression)
 
-  private val all = Seq(cosineDesc, srpDesc, minhashDesc, simhashDesc, pqEncodeDesc)
+  /** Foldable-non-null-boolean extraction (mode flags, never per-row
+    * data). */
+  private def litBool(e: Expression, what: String): Boolean = e match {
+    case x if x.foldable => x.eval() match {
+      case b: java.lang.Boolean => b.booleanValue()
+      case other => throw new IllegalArgumentException(
+        s"$what must be a non-null boolean literal, got $other")
+    }
+    case x => throw new IllegalArgumentException(s"$what must be a literal, got $x")
+  }
+
+  private val shinglesDesc = (
+    FunctionIdentifier("graft_shingles"),
+    new ExpressionInfo(classOf[Shingles].getName, null, "graft_shingles"),
+    (children: Seq[Expression]) => Shingles(
+      children(0),
+      litInt(children(1), "graft_shingles n"),
+      litBool(children(2), "graft_shingles distinct")): Expression)
+
+  private val gramStatsDesc = (
+    FunctionIdentifier("graft_gram_stats"),
+    new ExpressionInfo(classOf[GramStats].getName, null, "graft_gram_stats"),
+    (children: Seq[Expression]) => GramStats(
+      children(0), litInt(children(1), "graft_gram_stats n")): Expression)
+
+  private val all = Seq(cosineDesc, srpDesc, minhashDesc, simhashDesc,
+    pqEncodeDesc, shinglesDesc, gramStatsDesc)
 
   /** Idempotent per-session registration (for sessions built without
     * the extensions config). */

@@ -1,0 +1,143 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native n-gram-over-tokens primitives — fused replacements for the
+  * interpreted `split → transform(sequence, i -> concat_ws(slice))`
+  * HOF chain that dominated every shingle-building pipeline (the
+  * per-element lambda runs interpreted; at 10×sf0.1 the gram build was
+  * the suite's closest-to-linear cost, BASELINE.md "Full-suite
+  * scaling").
+  *
+  * Bit-identity with the replaced expressions (and so with the DuckDB
+  * oracle twins, which are unchanged):
+  *  - tokens are `split(text, ' ')` — every 0x20 byte is a separator
+  *    (0x20 never occurs inside a UTF-8 multi-byte sequence), empty
+  *    tokens between/after consecutive spaces kept, `"" → [""]`;
+  *  - gram i = `concat_ws(' ', slice(toks, i, n))` for i in
+  *    1..greatest(T-n+1, 1), end-truncated — since the joined tokens
+  *    are consecutive and the separator is the single space that was
+  *    split on, each gram is exactly the BYTE SPAN of the original
+  *    text from token i's start to the window's last token's end (no
+  *    string is ever rebuilt);
+  *  - distinct keeps first-occurrence order, like `array_distinct`.
+  */
+object GramOps {
+
+  /** Token start/end byte offsets of `b` split on 0x20 (Spark
+    * `split(text, ' ')` token spans; T = spaces + 1 ≥ 1). */
+  private def tokenBounds(b: Array[Byte]): (Array[Int], Array[Int]) = {
+    var spaces = 0
+    var i = 0
+    while (i < b.length) { if (b(i) == 0x20) spaces += 1; i += 1 }
+    val starts = new Array[Int](spaces + 1)
+    val ends = new Array[Int](spaces + 1)
+    var tok = 0
+    starts(0) = 0
+    i = 0
+    while (i < b.length) {
+      if (b(i) == 0x20) { ends(tok) = i; tok += 1; starts(tok) = i + 1 }
+      i += 1
+    }
+    ends(tok) = b.length
+    (starts, ends)
+  }
+
+  /** The n-gram string array (optionally first-occurrence-distinct):
+    * each element is a zero-copy span view over one shared byte
+    * buffer. */
+  def shingles(s: UTF8String, n: Int, distinct: Boolean): ArrayData = {
+    val b = s.getBytes
+    val (starts, ends) = tokenBounds(b)
+    val t = starts.length
+    val w = math.max(t - n + 1, 1)
+    if (!distinct) {
+      val out = new Array[Any](w)
+      var i = 0
+      while (i < w) {
+        val e = ends(math.min(i + n - 1, t - 1))
+        out(i) = UTF8String.fromBytes(b, starts(i), e - starts(i))
+        i += 1
+      }
+      new GenericArrayData(out)
+    } else {
+      val seen = new java.util.LinkedHashSet[UTF8String]()
+      var i = 0
+      while (i < w) {
+        val e = ends(math.min(i + n - 1, t - 1))
+        seen.add(UTF8String.fromBytes(b, starts(i), e - starts(i)))
+        i += 1
+      }
+      val out = new Array[Any](seen.size)
+      val it = seen.iterator()
+      var j = 0
+      while (it.hasNext) { out(j) = it.next(); j += 1 }
+      new GenericArrayData(out)
+    }
+  }
+
+  /** `[total, distinct]` n-gram counts in one pass — the repetition
+    * signal's input, with no gram array ever materialized. */
+  def gramStats(s: UTF8String, n: Int): ArrayData = {
+    val b = s.getBytes
+    val (starts, ends) = tokenBounds(b)
+    val t = starts.length
+    val w = math.max(t - n + 1, 1)
+    val seen = new java.util.HashSet[UTF8String]()
+    var i = 0
+    while (i < w) {
+      val e = ends(math.min(i + n - 1, t - 1))
+      seen.add(UTF8String.fromBytes(b, starts(i), e - starts(i)))
+      i += 1
+    }
+    new GenericArrayData(Array[Any](w.toLong, seen.size.toLong))
+  }
+}
+
+/** `graft_shingles(text, n, distinct)` → array<string> of the token
+  * n-grams of `text`. */
+case class Shingles(child: Expression, n: Int, distinct: Boolean)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType if n >= 1 => TypeCheckResult.TypeCheckSuccess
+    case StringType => TypeCheckResult.TypeCheckFailure(
+      s"graft_shingles n must be >= 1, got $n")
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"graft_shingles expects string, got $dt")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_shingles"
+  override protected def nullSafeEval(input: Any): Any =
+    GramOps.shingles(input.asInstanceOf[UTF8String], n, distinct)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.plans.GramOps$$.MODULE$$.shingles($c, $n, $distinct)")
+  override protected def withNewChildInternal(newChild: Expression): Shingles =
+    copy(child = newChild)
+}
+
+/** `graft_gram_stats(text, n)` → array<bigint> `[total, distinct]`
+  * n-gram counts. */
+case class GramStats(child: Expression, n: Int) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType if n >= 1 => TypeCheckResult.TypeCheckSuccess
+    case StringType => TypeCheckResult.TypeCheckFailure(
+      s"graft_gram_stats n must be >= 1, got $n")
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"graft_gram_stats expects string, got $dt")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_gram_stats"
+  override protected def nullSafeEval(input: Any): Any =
+    GramOps.gramStats(input.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.plans.GramOps$$.MODULE$$.gramStats($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): GramStats =
+    copy(child = newChild)
+}
