@@ -80,7 +80,15 @@ object SparkEntry {
     "q_profile_approx" -> (Sampling.approxProfile _),
     "q_curate" -> (Curation.curate _),
     "q_mix_resample" -> ((s: SparkSession, d: String) => Sampling.mixResample(s, d)),
-    "q_token_budget" -> ((s: SparkSession, d: String) => Sampling.tokenBudget(s, d))
+    "q_token_budget" -> ((s: SparkSession, d: String) => Sampling.tokenBudget(s, d)),
+    // I. output shaping + corpus-global signals (round 8)
+    "q_shard_pack" -> ((s: SparkSession, d: String) => Packing.shardPack(s, d)),
+    "q_sample_stratified" -> ((s: SparkSession, d: String) => Packing.stratifiedSample(s, d)),
+    "q_ngram_dupfrac" -> (CorpusStats.dupGramFrac _),
+    // semantic dedup reuses the k-means trainer: iterative training is
+    // not SQL-expressible -> rows-only; properties + golden file gated
+    // by PackingSpec / GoldenSpec
+    "q_dedup_semantic" -> ((s: SparkSession, d: String) => SemanticDedup.semanticDedup(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -135,6 +143,9 @@ object SparkEntry {
     "q_ann_quantized" -> SimilaritySearch.quantizedTopKSql,
     "q_curate" -> Curation.curateSql,
     "q_mix_resample" -> Sampling.mixResampleSql(),
-    "q_token_budget" -> Sampling.tokenBudgetSql()
+    "q_token_budget" -> Sampling.tokenBudgetSql(),
+    "q_shard_pack" -> Packing.shardPackSql(),
+    "q_sample_stratified" -> Packing.stratifiedSampleSql(),
+    "q_ngram_dupfrac" -> CorpusStats.dupGramFracSql
   )
 }

@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Vectors
+import graft.sources.Tables
+
+/** Corpus-level text statistics that need a global view — signals no
+  * per-row pass can compute.
+  */
+object CorpusStats {
+
+  /** Word n-gram width for the duplicate-passage signal. Published
+    * corpus-dedup work flags ~50-token repeated substrings; on this
+    * synthetic corpus (docs of ~30-100 tokens) 5-grams are the
+    * proportionate choice, and the width is a literal in both the
+    * plan and the oracle so changing it cannot desynchronize them. */
+  private val DupGramN = 5
+
+  /** I3: per-document duplicate n-gram fraction — for each doc, the
+    * share of its distinct word 5-grams that also occur in at least
+    * one OTHER document. The corpus-wide complement of
+    * [[TextAnalysis.repetition]] (which scores repetition INSIDE a
+    * doc): boilerplate, templated text, and cross-document near-copy
+    * passages score high even when each individual doc looks clean.
+    * This is the repeated-passage signal from published training-data
+    * dedup work, computed exactly.
+    *
+    * Plan shape: one narrow fused gram build
+    * ([[graft.plans.Shingles]]) feeding TWO aggregations that shuffle
+    * on the SAME key (gram): the count side collapses map-side to one
+    * row per distinct gram per task before its exchange, and the join
+    * back is co-partitioned (both exchanges hash on `gram`) so the
+    * per-doc re-aggregation is the only other shuffle (on doc_id).
+    * Grams are distinct per doc, so `count(*)` per gram IS the
+    * distinct-document frequency — no count-distinct needed.
+    *
+    * At 100 TB: this is the one operator whose shuffle is a multiple
+    * of the corpus size (~|tokens| gram rows). The published mitigations
+    * compose here without changing the plan: hash each gram to a
+    * 64-bit `xxhash64` before the exchange (8 B/row instead of the
+    * string; collisions only over-count duplication), and raise the
+    * gram width so fewer windows exist. The oracle keeps raw gram
+    * strings because the test-scale corpus fits either way and DuckDB
+    * has no xxhash64 twin. A pathologically hot gram (empty string,
+    * boilerplate) lands on one reducer for the count side — partial
+    * agg bounds that at one row per task — and AQE's skew-join split
+    * covers the join-back side (AqeSkewSpec proves the mechanism). */
+  def dupGramFrac(spark: SparkSession, dir: String): DataFrame = {
+    val grams = Tables.parallelized(spark, Tables.documents(spark, dir))
+      .select(col("doc_id"),
+        explode(Vectors.shinglesFast(spark, col("text"), DupGramN,
+          distinct = true)).as("gram"))
+    val freq = grams.groupBy("gram").agg(count(lit(1)).as("n_docs"))
+    grams.join(freq, Seq("gram"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("n_docs") > 1, 1L).otherwise(0L)).as("n_dup"))
+      .select(col("doc_id"), col("n_grams"), col("n_dup"),
+        (col("n_dup").cast("double") / col("n_grams")).as("dup_frac"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB twin — same distinct 5-gram build as the Shingles
+    * expression (single-space split keeping empty tokens,
+    * end-truncated window, `max(T-n+1, 1)` grams). */
+  val dupGramFracSql: String =
+    s"""WITH s AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(range(1, greatest(len(toks)-${DupGramN - 2}, 2)),
+      |      i -> array_to_string(toks[i:i+${DupGramN - 1}], ' '))) AS sh
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+      |g AS (SELECT doc_id, unnest(sh) AS gram FROM s),
+      |freq AS (SELECT gram, count(*) AS n_docs FROM g GROUP BY gram)
+      |SELECT g.doc_id,
+      |  count(*) AS n_grams,
+      |  CAST(sum(CASE WHEN freq.n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+      |  CAST(sum(CASE WHEN freq.n_docs > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / count(*) AS dup_frac
+      |FROM g JOIN freq USING (gram)
+      |GROUP BY g.doc_id
+      |ORDER BY doc_id""".stripMargin
+}

@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Vectors
+import graft.sources.Tables
+
+/** Semantic (embedding-space) deduplication, after the published
+  * SemDeDup recipe: cluster the corpus with k-means, then inside each
+  * cluster drop every member whose cosine similarity to a
+  * higher-keep-priority member exceeds a threshold, where keep
+  * priority is LOWEST similarity to the cluster centroid first — the
+  * policy that preserves the most diverse exemplar of each semantic
+  * group.
+  *
+  * This intentionally composes the existing pieces:
+  * [[SimilaritySearch.trainCentroids]] (deterministic spherical
+  * k-means) for the clustering and the native `graft_cosine`
+  * expression for all scoring, so the operator adds no new numeric
+  * surface — only the pairwise-within-cluster plan.
+  */
+object SemanticDedup {
+
+  /** I4: per-vector semantic-dedup verdict.
+    *
+    * Default `tau` = 0.35 matches [[Dedup.embeddingNearDup]]'s (C5)
+    * near-dup bar — the synthetic corpus's planted neighbors sit in
+    * the 0.35-0.5 cosine band (measured: max pairwise cosine 0.48 at
+    * sf0.001), where SemDeDup on real web embeddings would run ≥0.9.
+    * The threshold is a free parameter; nothing in the plan depends
+    * on it.
+    *
+    * Output: one row per embedding — its cluster, centroid
+    * similarity, and `keep`. The dedup rule is the matrix form of the
+    * published algorithm: rank cluster members by (centroid-sim ASC,
+    * vec_id ASC); a member is dropped iff some EARLIER-ranked member
+    * scores above `tau` against it (earlier = kept-er; the rule does
+    * not re-examine pairs after a drop). Two properties follow and
+    * are asserted by SemanticDedupSpec:
+    *   - no two KEPT members of a cluster are within `tau` of each
+    *     other (if they were, the later-ranked one would have been
+    *     dropped by the earlier);
+    *   - every DROPPED member has an earlier-ranked witness above
+    *     `tau` (by construction).
+    *
+    * Determinism: centroids are deterministic (md5-ordered seed
+    * sample, fixed iterations, smallest-id ties), assignment breaks
+    * centroid-score ties toward the smallest cid, similarities are
+    * rounded to 9 decimals before any comparison — so the output is
+    * bit-stable and golden-file gated (GoldenSpec). Not
+    * SQL-expressible (iterative training), hence a rows-only driver
+    * check, like the other trained operators.
+    *
+    * Scale shape: the corpus never all-pairs — pairwise work is
+    * within-cluster only, one shuffle on `cid`. With k sized to the
+    * corpus (k ≈ n / target-cluster-size; SemDeDup used ~100k
+    * clusters at web scale so clusters stay ~10³) the per-task join
+    * is (n/k)² — bounded by CONSTRUCTION, not by data luck, because
+    * k-means splits mass wherever it concentrates. The rank window is
+    * per-cluster (same bound). Training cost is the existing
+    * trainCentroids contract: 1 bounded-sample collect + `iters`
+    * broadcast-argmax passes, independent of k. */
+  def semanticDedup(spark: SparkSession, dir: String,
+                    k: Int = 16, tau: Double = 0.35,
+                    iters: Int = 3): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val cents = SimilaritySearch.trainCentroids(spark, emb, k, iters)
+
+    // nearest centroid by cosine; ties to the smallest cid — the same
+    // max(struct(score, -cid)) argmax the IVF assignment uses
+    val assigned = emb.select("vec_id", "embedding").join(broadcast(cents))
+      .select(col("vec_id"), col("embedding"), col("cid"),
+        round(Vectors.cosineFast(spark, col("embedding"), col("c_emb")), 9).as("cc"))
+      .groupBy("vec_id")
+      .agg(first(col("embedding")).as("embedding"),
+        max(struct(col("cc"), (-col("cid")).as("ncid"))).as("best"))
+      .select(col("vec_id"), col("embedding"),
+        (-col("best.ncid")).as("cid"), col("best.cc").as("cent_sim"))
+
+    val ranked = assigned.withColumn("rk",
+      row_number().over(Window.partitionBy("cid")
+        .orderBy(col("cent_sim").asc, col("vec_id").asc)))
+      // one shuffle on cid feeds the window, the self-join, and the
+      // verdict join below — localCheckpoint flattens the k-means
+      // lineage so the three consumers re-read a materialized frame
+      // instead of re-running training
+      .localCheckpoint()
+
+    // within-cluster pairs against earlier-ranked members only
+    val a = ranked.select(col("cid"), col("rk").as("rk_a"),
+      col("embedding").as("emb_a"))
+    val b = ranked.select(col("cid"), col("vec_id"), col("rk").as("rk_b"),
+      col("embedding").as("emb_b"))
+    val dropped = a.join(b, Seq("cid"))
+      .where(col("rk_a") < col("rk_b") &&
+        round(Vectors.cosineFast(spark, col("emb_a"), col("emb_b")), 9) > tau)
+      .select(col("vec_id")).distinct()
+
+    ranked.join(dropped.withColumn("drop", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cid"),
+        round(col("cent_sim"), 6).as("cent_sim"),
+        coalesce(!col("drop"), lit(true)).as("keep"))
+      .orderBy("vec_id")
+  }
+}

@@ -31,6 +31,12 @@ object GoldenGen {
       .orderBy("query_id", "rank")
       .collect().map(r => s"${r.get(0)},${r.get(1)},${r.get(2)},${r.get(3)}").toSeq
 
+  def semCsv(df: DataFrame): Seq[String] =
+    df.select(col("vec_id"), col("cid"),
+      format_string("%.6f", col("cent_sim")).as("cs6"), col("keep"))
+      .orderBy("vec_id")
+      .collect().map(r => s"${r.get(0)},${r.get(1)},${r.get(2)},${r.get(3)}").toSeq
+
   def profileCsv(df: DataFrame): Seq[String] =
     df.select(col("event_type"), col("n_events"), col("approx_users"),
       format_string("%.6f", col("p50_value")).as("p50"),
@@ -59,6 +65,8 @@ object GoldenGen {
       cases(spark).foreach { case (n, df) => write(n, annCsv(df)) }
       write("q_profile_approx",
         profileCsv(SparkEntry.queries("q_profile_approx")(spark, SfDir)))
+      write("q_dedup_semantic",
+        semCsv(SparkEntry.queries("q_dedup_semantic")(spark, SfDir)))
     } finally spark.stop()
   }
 }

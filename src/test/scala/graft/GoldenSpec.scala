@@ -35,6 +35,16 @@ class GoldenSpec extends SparkSpec {
         }; if the change is intentional, re-run GoldenGen and review the diff")
     }
 
+  test("q_dedup_semantic output equals the checked-in golden (cluster, 6-dp cent_sim, verdict)") {
+    val got = GoldenGen.semCsv(SparkEntry.queries("q_dedup_semantic")(spark, sfDir))
+    val want = golden("q_dedup_semantic")
+    assert(got == want,
+      s"q_dedup_semantic drifted from golden — first diff: ${
+        got.zipAll(want, "<missing>", "<extra>")
+          .find { case (a, b) => a != b }.getOrElse(("", ""))
+      }; if the change is intentional, re-run GoldenGen and review the diff")
+  }
+
   test("q_profile_approx matches golden (exact counts/HLL, 1% band on quantiles)") {
     val got = GoldenGen.profileCsv(SparkEntry.queries("q_profile_approx")(spark, sfDir))
     val want = golden("q_profile_approx")

@@ -1,0 +1,126 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.operators.{CorpusStats, Packing, SemanticDedup}
+import graft.functions.Vectors
+
+/** Correctness + scale-contract tests for the round-8 I-series:
+  * shard packing, stratified quota sampling, corpus-global duplicate
+  * n-gram fraction, and semantic dedup. */
+class PackingSpec extends SparkSpec {
+
+  test("shardPack two-level prefix sum equals the single global window") {
+    // the reference formulation: ONE window over the global hash order
+    // (what the DuckDB oracle runs); the bucketed plan must reproduce
+    // it exactly because the bucket id is a prefix of the sort key
+    val ref = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"),
+        ceil(length(col("text")) / lit(4.0)).cast("long").as("est_tokens"),
+        md5(concat(col("doc_id").cast("string"), lit(":shard"))).as("h"))
+      .withColumn("start_off",
+        coalesce(sum("est_tokens").over(
+          Window.orderBy(col("h"), col("doc_id"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)), lit(0L))
+          - col("est_tokens"))
+      .select(col("doc_id"), col("est_tokens"),
+        floor(col("start_off") / lit(2000.0)).as("shard_id"))
+      .groupBy("shard_id")
+      .agg(count(lit(1)).as("n_docs"), sum("est_tokens").as("shard_tokens"),
+        min("doc_id").as("first_doc"))
+    val got = Packing.shardPack(spark, sfDir)
+    assert(got.exceptAll(ref).isEmpty && ref.exceptAll(got).isEmpty,
+      "bucketed shard assignment diverged from the global-window reference")
+  }
+
+  test("shardPack conserves tokens and covers every doc exactly once") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val total = docs.select(sum(ceil(length(col("text")) / lit(4.0)).cast("long")))
+      .head().getLong(0)
+    val got = Packing.shardPack(spark, sfDir)
+    assert(got.select(sum("shard_tokens")).head().getLong(0) == total)
+    assert(got.select(sum("n_docs")).head().getLong(0) == docs.count())
+    // shard ids fit the token range: max id <= total/S
+    assert(got.select(max("shard_id")).head().getLong(0) <= total / 2000L)
+  }
+
+  test("stratifiedSample hits the exact quota per source (capped by stratum size)") {
+    val quota = 3
+    val sizes = spark.read.parquet(s"$sfDir/documents.parquet")
+      .groupBy("source").agg(count(lit(1)).as("n"))
+    val got = Packing.stratifiedSample(spark, sfDir, quota = quota)
+      .groupBy("source").agg(count(lit(1)).as("k"))
+    val bad = got.join(sizes, Seq("source"))
+      .where(col("k") =!= least(col("n"), lit(quota.toLong))).count()
+    assert(bad == 0, "some stratum missed its exact quota")
+    // deterministic: same hash order -> identical sample across runs
+    val again = Packing.stratifiedSample(spark, sfDir, quota = quota)
+    assert(Packing.stratifiedSample(spark, sfDir, quota = quota)
+      .exceptAll(again).isEmpty)
+  }
+
+  test("dupGramFrac matches an independent HOF/count-distinct formulation") {
+    // independent build: interpreted HOF shingles (the pre-fusion
+    // idiom) + count(DISTINCT doc_id) instead of count(*)
+    val grams = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), explode(expr(
+        "array_distinct(transform(sequence(1, greatest(size(toks)-4, 1)), i -> concat_ws(' ', slice(toks, i, 5))))")).as("gram"))
+    val freq = grams.groupBy("gram")
+      .agg(countDistinct("doc_id").as("n_docs"))
+    val ref = grams.join(freq, Seq("gram"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("n_docs") > 1, 1L).otherwise(0L)).as("n_dup"))
+      .select(col("doc_id"), col("n_grams"), col("n_dup"),
+        (col("n_dup").cast("double") / col("n_grams")).as("dup_frac"))
+    val got = CorpusStats.dupGramFrac(spark, sfDir)
+    assert(got.exceptAll(ref).isEmpty && ref.exceptAll(got).isEmpty,
+      "fused dupGramFrac diverged from the HOF reference")
+  }
+
+  test("dup-gram signal separates planted near-dups from clean docs") {
+    val got = CorpusStats.dupGramFrac(spark, sfDir)
+    // the fixture's planted near-dup docs share ALL their 5-grams with
+    // their partner -> dup_frac exactly 1.0 for at least one of them
+    assert(got.where(col("dup_frac") === 1.0).count() > 0,
+      "no fully-duplicated doc found — planted near-dups missed")
+    // ...while the bulk of the corpus is clean
+    val n = got.count()
+    assert(got.where(col("dup_frac") === 0.0).count() > n / 2,
+      "majority of docs should have zero cross-doc gram overlap")
+    assert(got.where(col("dup_frac") < 0 || col("dup_frac") > 1).count() == 0)
+  }
+
+  test("semanticDedup: kept members are pairwise below tau; dropped have a witness") {
+    val tau = 0.35
+    val out = SemanticDedup.semanticDedup(spark, sfDir, tau = tau)
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val scored = out.join(emb, Seq("vec_id"))
+    val kept = scored.where(col("keep"))
+      .select(col("cid"), col("vec_id"), col("embedding"))
+    // no kept-kept pair within a cluster above tau
+    val hot = kept.as("a").join(kept.as("b"),
+        col("a.cid") === col("b.cid") && col("a.vec_id") < col("b.vec_id"))
+      .where(round(Vectors.cosineFast(spark,
+        col("a.embedding"), col("b.embedding")), 9) > tau)
+      .count()
+    assert(hot == 0, s"$hot kept pairs above tau survived dedup")
+    // every dropped member is within tau of SOME cluster-mate (the
+    // earlier-ranked witness is in particular a cluster-mate)
+    val dropped = scored.where(!col("keep"))
+      .select(col("cid"), col("vec_id"), col("embedding"))
+    val all = scored.select(col("cid"), col("vec_id").as("w_id"),
+      col("embedding").as("w_emb"))
+    val orphans = dropped.join(all, Seq("cid"))
+      .where(col("vec_id") =!= col("w_id") &&
+        round(Vectors.cosineFast(spark, col("embedding"), col("w_emb")), 9) > tau)
+      .select("vec_id").distinct()
+    val unWitnessed = dropped.select("vec_id").exceptAll(orphans).count()
+    assert(unWitnessed == 0, s"$unWitnessed dropped vectors have no near neighbor")
+    // the fixture's planted near-dup embeddings must actually dedup
+    assert(dropped.count() > 0, "fixture has planted near-dups; none dropped")
+  }
+}

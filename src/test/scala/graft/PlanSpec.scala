@@ -167,6 +167,36 @@ class PlanSpec extends SparkSpec {
       s"bucket offsets not broadcast:\n$plan")
   }
 
+  test("shard pack windows per bucket with broadcast offsets (no global single-task sort)") {
+    val plan = finalPlan(graft.operators.Packing.shardPack(spark, sfDir))
+    val finalSection = plan.split("== Initial Plan ==")(0)
+    // the doc-row running sum must be partitioned by the hash-prefix
+    // bucket — a Window over ORDER BY h with no partition key funnels
+    // the corpus through ONE task
+    assert("partitionBy=\\[bkt#\\d+\\]|Window.*\\[bkt#\\d+\\]".r.findAllIn(finalSection).nonEmpty,
+      s"doc-row window not bucket-partitioned:\n$plan")
+    assert(finalSection.contains("BroadcastHashJoin"),
+      s"bucket offsets not broadcast:\n$plan")
+  }
+
+  test("stratified sample pushes the rank limit below the shuffle (WindowGroupLimit)") {
+    val plan = finalPlan(graft.operators.Packing.stratifiedSample(spark, sfDir, quota = 3))
+    // Spark rewrites row_number <= k into WindowGroupLimit: map tasks
+    // keep local top-k per source, so the exchange moves O(sources x k
+    // x tasks) rows instead of the corpus
+    assert(plan.contains("WindowGroupLimit"),
+      s"rank filter not pushed into a group limit:\n$plan")
+  }
+
+  test("dup-gram fraction joins co-partitioned on gram (no cartesian, no re-explode skew)") {
+    val df = graft.operators.CorpusStats.dupGramFrac(spark, sfDir)
+    assert(df.queryExecution.analyzed.toString.contains("graft_shingles"),
+      "gram build must use the fused native expression")
+    val plan = finalPlan(df)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), s"all-pairs join:\n$plan")
+  }
+
   test("trained IVF scores centroids via broadcast (corpus never shuffles to score)") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .select("vec_id", "embedding")

@@ -23,7 +23,8 @@ class QueriesSpec extends SparkSpec {
     // recall vs brute force; profile_approx: PipelineOpsSpec error
     // bounds vs exact)
     val rowsOnly =
-      Set("q_ann_ivf_trained", "q_profile_approx", "q_ann_pq", "q_ann_ivfpq")
+      Set("q_ann_ivf_trained", "q_profile_approx", "q_ann_pq", "q_ann_ivfpq",
+        "q_dedup_semantic")
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly
     assert(missing.isEmpty, s"queries without oracle: $missing")
     assert((rowsOnly -- SparkEntry.queries.keySet).isEmpty, "stale allowlist entry")
