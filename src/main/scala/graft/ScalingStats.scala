@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 import graft.functions.Vectors
-import graft.operators.Dedup
+import graft.operators.{Dedup, SemanticDedup}
 
 /** Evidence tool for SURVEY §5's sub-quadratic claims: measures, per
   * scale factor, the candidate-generation geometry of every dedup
@@ -167,6 +167,35 @@ object ScalingStats {
           max("pop").as("maxpop")).head()
       row(dir, "fuzzy", nDocs, if (fz.isNullAt(0)) 0 else fz.getLong(0),
         fz.getLong(1), fz.getLong(2))
+
+      // ---- Dup-gram fraction (I3): the corpus-global gram join.
+      // cand = exploded gram rows (the shuffle volume, ~|tokens|),
+      // bkts = distinct grams (the aggregate's width), maxpop = the
+      // hottest gram's document frequency — the one reducer-side key
+      // AQE's skew split would have to cover on the join-back side.
+      val gramRows = spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"),
+          explode(Vectors.shinglesFast(spark, col("text"), 5,
+            distinct = true)).as("gram"))
+      val gf = gramRows.groupBy("gram").agg(count(lit(1)).as("pop"))
+        .agg(sum("pop").as("rows"), count(lit(1)).as("grams"),
+          max("pop").as("maxpop")).head()
+      row(dir, "dupfrac", nDocs, gf.getLong(0), gf.getLong(1), gf.getLong(2))
+
+      // ---- Semantic dedup (I4): within-cluster pairwise volume under
+      // the operator's OWN k-means assignment. cand = sum of
+      // pop·(pop−1)/2 over clusters (the cosine evaluations the
+      // self-join performs — all-pairs/k if k-means splits evenly),
+      // maxpop = largest cluster = the largest single join task. In
+      // production k grows with n (k ≈ n / target-cluster-size), which
+      // keeps cand ≈ n·target/2 linear; the fixed k=16 here makes the
+      // 10× point deliberately show the quadratic-per-cluster growth
+      // that rule prevents.
+      val sd = SemanticDedup.assigned(spark, dir, k = 16, iters = 3)
+        .groupBy("cid").agg(count(lit(1)).as("pop"))
+        .agg(sum(expr("pop * (pop - 1) DIV 2")).as("cand"),
+          count(lit(1)).as("bkts"), max("pop").as("maxpop")).head()
+      row(dir, "semantic", nVec, sd.getLong(0), sd.getLong(1), sd.getLong(2))
     }
     finally allDirs.drop(dirs.length).foreach(d => rmTree(new java.io.File(d)))
     spark.stop()

@@ -62,15 +62,16 @@ object SemanticDedup {
     * per-cluster (same bound). Training cost is the existing
     * trainCentroids contract: 1 bounded-sample collect + `iters`
     * broadcast-argmax passes, independent of k. */
-  def semanticDedup(spark: SparkSession, dir: String,
-                    k: Int = 16, tau: Double = 0.35,
-                    iters: Int = 3): DataFrame = {
+  /** Cluster assignment stage: trains centroids and argmax-assigns
+    * every vector (nearest centroid by cosine; ties to the smallest
+    * cid — the same max(struct(score, -cid)) argmax the IVF
+    * assignment uses). Exposed for ScalingStats, whose cluster-size
+    * probe must measure the operator's OWN clustering. */
+  private[graft] def assigned(spark: SparkSession, dir: String,
+                              k: Int, iters: Int): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     val cents = SimilaritySearch.trainCentroids(spark, emb, k, iters)
-
-    // nearest centroid by cosine; ties to the smallest cid — the same
-    // max(struct(score, -cid)) argmax the IVF assignment uses
-    val assigned = emb.select("vec_id", "embedding").join(broadcast(cents))
+    emb.select("vec_id", "embedding").join(broadcast(cents))
       .select(col("vec_id"), col("embedding"), col("cid"),
         round(Vectors.cosineFast(spark, col("embedding"), col("c_emb")), 9).as("cc"))
       .groupBy("vec_id")
@@ -78,8 +79,14 @@ object SemanticDedup {
         max(struct(col("cc"), (-col("cid")).as("ncid"))).as("best"))
       .select(col("vec_id"), col("embedding"),
         (-col("best.ncid")).as("cid"), col("best.cc").as("cent_sim"))
+  }
 
-    val ranked = assigned.withColumn("rk",
+  def semanticDedup(spark: SparkSession, dir: String,
+                    k: Int = 16, tau: Double = 0.35,
+                    iters: Int = 3): DataFrame = {
+    val assignedVecs = assigned(spark, dir, k, iters)
+
+    val ranked = assignedVecs.withColumn("rk",
       row_number().over(Window.partitionBy("cid")
         .orderBy(col("cent_sim").asc, col("vec_id").asc)))
       // one shuffle on cid feeds the window, the self-join, and the
