@@ -85,6 +85,7 @@ object SparkEntry {
     "q_shard_pack" -> ((s: SparkSession, d: String) => Packing.shardPack(s, d)),
     "q_sample_stratified" -> ((s: SparkSession, d: String) => Packing.stratifiedSample(s, d)),
     "q_ngram_dupfrac" -> (CorpusStats.dupGramFrac _),
+    "q_gram_topk" -> ((s: SparkSession, d: String) => CorpusStats.topGrams(s, d)),
     // semantic dedup reuses the k-means trainer: iterative training is
     // not SQL-expressible -> rows-only; properties + golden file gated
     // by PackingSpec / GoldenSpec
@@ -146,6 +147,7 @@ object SparkEntry {
     "q_token_budget" -> Sampling.tokenBudgetSql(),
     "q_shard_pack" -> Packing.shardPackSql(),
     "q_sample_stratified" -> Packing.stratifiedSampleSql(),
-    "q_ngram_dupfrac" -> CorpusStats.dupGramFracSql
+    "q_ngram_dupfrac" -> CorpusStats.dupGramFracSql,
+    "q_gram_topk" -> CorpusStats.topGramsSql()
   )
 }

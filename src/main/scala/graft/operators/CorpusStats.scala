@@ -66,6 +66,43 @@ object CorpusStats {
       .orderBy("doc_id")
   }
 
+  /** I5: corpus-wide top-k n-grams by DOCUMENT frequency — the
+    * boilerplate report. Published web-corpus curation removes the
+    * most document-frequent passages (headers, footers, templates);
+    * this surfaces them. Distinct-per-doc grams make `count(*)` the
+    * document frequency directly.
+    *
+    * Scale shape: one gram-key aggregation (map-side partial agg
+    * collapses each task's distinct grams first) followed by a
+    * `TakeOrderedAndProject` — k rows per partition cross the wire,
+    * never a full sort. Here the gram STRING is the output, so the
+    * exchange carries strings; the partial agg means it carries each
+    * task's DISTINCT grams once, not every occurrence. Ties break by
+    * gram text, so the report is deterministic across engines
+    * (ASCII-lowercase corpus: Spark binary UTF8 order == DuckDB
+    * collation). */
+  def topGrams(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    Tables.parallelized(spark, Tables.documents(spark, dir))
+      .select(col("doc_id"),
+        explode(Vectors.shinglesFast(spark, col("text"), DupGramN,
+          distinct = true)).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("n_docs").desc, col("gram"))
+      .limit(k)
+  }
+
+  def topGramsSql(k: Int = 20): String =
+    s"""WITH s AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(range(1, greatest(len(toks)-${DupGramN - 2}, 2)),
+      |      i -> array_to_string(toks[i:i+${DupGramN - 1}], ' '))) AS sh
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+      |g AS (SELECT doc_id, unnest(sh) AS gram FROM s)
+      |SELECT gram, count(*) AS n_docs FROM g
+      |GROUP BY gram
+      |ORDER BY n_docs DESC, gram
+      |LIMIT $k""".stripMargin
+
   /** DuckDB twin — same distinct 5-gram build as the Shingles
     * expression (single-space split keeping empty tokens,
     * end-truncated window, `max(T-n+1, 1)` grams). */

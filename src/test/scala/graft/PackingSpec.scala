@@ -93,6 +93,21 @@ class PackingSpec extends SparkSpec {
     assert(got.where(col("dup_frac") < 0 || col("dup_frac") > 1).count() == 0)
   }
 
+  test("topGrams returns the true document-frequency leaders, deterministically") {
+    val got = CorpusStats.topGrams(spark, sfDir, k = 10).collect()
+    assert(got.length == 10)
+    // descending, ties by gram text
+    val pairs = got.map(r => (r.getLong(1), r.getString(0)))
+    assert(pairs.sameElements(pairs.sortBy { case (n, g) => (-n, g) }))
+    // head count must equal the independent max document frequency
+    val trueMax = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), explode(expr(
+        "array_distinct(transform(sequence(1, greatest(size(split(text, ' '))-4, 1)), i -> concat_ws(' ', slice(split(text, ' '), i, 5))))")).as("gram"))
+      .groupBy("gram").agg(countDistinct("doc_id").as("n"))
+      .agg(max("n")).head().getLong(0)
+    assert(got.head.getLong(1) == trueMax)
+  }
+
   test("semanticDedup: kept members are pairwise below tau; dropped have a witness") {
     val tau = 0.35
     val out = SemanticDedup.semanticDedup(spark, sfDir, tau = tau)

@@ -188,6 +188,12 @@ class PlanSpec extends SparkSpec {
       s"rank filter not pushed into a group limit:\n$plan")
   }
 
+  test("top grams plans TakeOrderedAndProject over a partial agg (no full sort)") {
+    val plan = finalPlan(graft.operators.CorpusStats.topGrams(spark, sfDir, k = 10))
+    assert(plan.contains("TakeOrderedAndProject"), s"full sort instead of top-k:\n$plan")
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, s"no partial agg:\n$plan")
+  }
+
   test("dup-gram fraction joins co-partitioned on gram (no cartesian, no re-explode skew)") {
     val df = graft.operators.CorpusStats.dupGramFrac(spark, sfDir)
     assert(df.queryExecution.analyzed.toString.contains("graft_shingles"),
