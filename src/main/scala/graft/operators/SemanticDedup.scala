@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -23,6 +23,30 @@ import graft.sources.Tables
   */
 object SemanticDedup {
 
+  /** Argmax-assign each vector of `emb` to its nearest centroid by
+    * cosine; ties to the smallest cid — the same max(struct(score,
+    * -cid)) argmax the IVF assignment uses. Centroids broadcast; one
+    * partial-agg shuffle on vec_id. */
+  private def assignTo(spark: SparkSession, emb: DataFrame,
+                       cents: DataFrame): DataFrame =
+    emb.select("vec_id", "embedding").join(broadcast(cents))
+      .select(col("vec_id"), col("embedding"), col("cid"),
+        round(Vectors.cosineFast(spark, col("embedding"), col("c_emb")), 9).as("cc"))
+      .groupBy("vec_id")
+      .agg(first(col("embedding")).as("embedding"),
+        max(struct(col("cc"), (-col("cid")).as("ncid"))).as("best"))
+      .select(col("vec_id"), col("embedding"),
+        (-col("best.ncid")).as("cid"), col("best.cc").as("cent_sim"))
+
+  /** Train-and-assign over the full embeddings table. Exposed for
+    * ScalingStats, whose cluster-size probe must measure the
+    * operator's OWN clustering. */
+  private[graft] def assigned(spark: SparkSession, dir: String,
+                              k: Int, iters: Int): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    assignTo(spark, emb, SimilaritySearch.trainCentroids(spark, emb, k, iters))
+  }
+
   /** I4: per-vector semantic-dedup verdict.
     *
     * Default `tau` = 0.35 matches [[Dedup.embeddingNearDup]]'s (C5)
@@ -38,7 +62,7 @@ object SemanticDedup {
     * vec_id ASC); a member is dropped iff some EARLIER-ranked member
     * scores above `tau` against it (earlier = kept-er; the rule does
     * not re-examine pairs after a drop). Two properties follow and
-    * are asserted by SemanticDedupSpec:
+    * are asserted by PackingSpec:
     *   - no two KEPT members of a cluster are within `tau` of each
     *     other (if they were, the later-ranked one would have been
     *     dropped by the earlier);
@@ -62,30 +86,15 @@ object SemanticDedup {
     * per-cluster (same bound). Training cost is the existing
     * trainCentroids contract: 1 bounded-sample collect + `iters`
     * broadcast-argmax passes, independent of k. */
-  /** Cluster assignment stage: trains centroids and argmax-assigns
-    * every vector (nearest centroid by cosine; ties to the smallest
-    * cid — the same max(struct(score, -cid)) argmax the IVF
-    * assignment uses). Exposed for ScalingStats, whose cluster-size
-    * probe must measure the operator's OWN clustering. */
-  private[graft] def assigned(spark: SparkSession, dir: String,
-                              k: Int, iters: Int): DataFrame = {
-    val emb = Tables.embeddings(spark, dir)
-    val cents = SimilaritySearch.trainCentroids(spark, emb, k, iters)
-    emb.select("vec_id", "embedding").join(broadcast(cents))
-      .select(col("vec_id"), col("embedding"), col("cid"),
-        round(Vectors.cosineFast(spark, col("embedding"), col("c_emb")), 9).as("cc"))
-      .groupBy("vec_id")
-      .agg(first(col("embedding")).as("embedding"),
-        max(struct(col("cc"), (-col("cid")).as("ncid"))).as("best"))
-      .select(col("vec_id"), col("embedding"),
-        (-col("best.ncid")).as("cid"), col("best.cc").as("cent_sim"))
-  }
-
   def semanticDedup(spark: SparkSession, dir: String,
                     k: Int = 16, tau: Double = 0.35,
-                    iters: Int = 3): DataFrame = {
-    val assignedVecs = assigned(spark, dir, k, iters)
+                    iters: Int = 3): DataFrame =
+    dedupAssigned(spark, assigned(spark, dir, k, iters), tau)
 
+  /** The dedup rule over an already-assigned frame (vec_id, embedding,
+    * cid, cent_sim). */
+  private def dedupAssigned(spark: SparkSession, assignedVecs: DataFrame,
+                            tau: Double): DataFrame = {
     val ranked = assignedVecs.withColumn("rk",
       row_number().over(Window.partitionBy("cid")
         .orderBy(col("cent_sim").asc, col("vec_id").asc)))
@@ -109,6 +118,69 @@ object SemanticDedup {
       .select(col("vec_id"), col("cid"),
         round(col("cent_sim"), 6).as("cent_sim"),
         coalesce(!col("drop"), lit(true)).as("keep"))
+      .orderBy("vec_id")
+  }
+
+  /** I6: INCREMENTAL semantic dedup — a new batch of vectors against
+    * an already-deduped corpus, the asymmetric shape of
+    * [[Dedup.incrementalDedup]] (H4) lifted to embedding space. The
+    * production contract for a growing corpus:
+    *
+    *   - centroids are trained on (a deterministic hash-split of) the
+    *     OLD corpus only — the index predates the batch, exactly like
+    *     H4's corpus band index;
+    *   - old verdicts NEVER change: the kept-old set is the batch-mode
+    *     [[semanticDedup]] of the old corpus alone;
+    *   - a new vector is dropped iff it scores above `tau` against a
+    *     KEPT old member of its (old-centroid) cluster. New-vs-new
+    *     duplicates are the batch's own semanticDedup pass — composable,
+    *     and out of scope here by the same rule H4 uses (new-vs-old
+    *     only).
+    *
+    * Cost per batch: one broadcast-centroid assignment pass over the
+    * batch + one cid-key join against kept-old cluster members —
+    * nothing touches the old corpus beyond the (cacheable) kept set.
+    * Output: one row per batch vector with its witness stats. */
+  /** The deterministic 20% hash split that stands in for "a new batch
+    * arrives" — same device as H4's BatchSalt split. */
+  private[graft] def isNewVec(c: Column): Column =
+    Sampling.hashBucket(c, "vecbatch") < Sampling.pctThreshold(20)
+
+  /** The (cid, old_id, old_emb) kept-corpus index the batch probes —
+    * exposed so the spec can assert the witness properties against
+    * the operator's OWN kept set. */
+  private[graft] def incrementalKeptOld(spark: SparkSession, old: DataFrame,
+                                        cents: DataFrame, tau: Double): DataFrame =
+    dedupAssigned(spark, assignTo(spark, old, cents), tau)
+      .where(col("keep"))
+      .select(col("cid"), col("vec_id").as("old_id"))
+      .join(old.select(col("vec_id").as("old_id"),
+        col("embedding").as("old_emb")), Seq("old_id"))
+
+  def semanticDedupIncremental(spark: SparkSession, dir: String,
+                               k: Int = 16, tau: Double = 0.35,
+                               iters: Int = 3): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val old = emb.where(!isNewVec(col("vec_id")))
+    val batch = emb.where(isNewVec(col("vec_id")))
+
+    val cents = SimilaritySearch.trainCentroids(spark, old, k, iters)
+    val keptOld = incrementalKeptOld(spark, old, cents, tau)
+
+    val matches = assignTo(spark, batch, cents)
+      .join(keptOld, Seq("cid"))
+      .where(round(Vectors.cosineFast(spark, col("embedding"), col("old_emb")), 9) > tau)
+      .groupBy("vec_id")
+      .agg(countDistinct(col("old_id")).as("n_old_matches"),
+        min(col("old_id")).as("first_old_match"))
+
+    assignTo(spark, batch, cents)
+      .select(col("vec_id"), col("cid"))
+      .join(matches, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cid"),
+        coalesce(col("n_old_matches"), lit(0L)).as("n_old_matches"),
+        col("first_old_match"),
+        (coalesce(col("n_old_matches"), lit(0L)) === 0).as("keep"))
       .orderBy("vec_id")
   }
 }

@@ -108,6 +108,39 @@ class PackingSpec extends SparkSpec {
     assert(got.head.getLong(1) == trueMax)
   }
 
+  test("incremental semantic dedup: batch verdicts match the kept-old index exactly") {
+    val tau = 0.35
+    val out = SemanticDedup.semanticDedupIncremental(spark, sfDir, tau = tau)
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val old = emb.where(!SemanticDedup.isNewVec(col("vec_id")))
+    val batchN = emb.where(SemanticDedup.isNewVec(col("vec_id"))).count()
+    assert(out.count() == batchN && batchN > 0, "one verdict per batch vector")
+    // rebuild the operator's own kept-old index (training is
+    // deterministic, so these are the exact same centroids)
+    val cents = graft.operators.SimilaritySearch.trainCentroids(spark, old, k = 16, iters = 3)
+    val keptOld = SemanticDedup.incrementalKeptOld(spark, old, cents, tau)
+    // per batch vector: the true count of kept-old cluster-mates above
+    // tau must equal the reported n_old_matches (0 iff keep)
+    val truth = out.join(emb, Seq("vec_id"))
+      .join(keptOld, Seq("cid"), "left")
+      .withColumn("hit",
+        round(graft.functions.Vectors.cosine(col("embedding"), col("old_emb")), 9) > tau)
+      .groupBy("vec_id")
+      .agg(sum(when(col("hit"), 1L).otherwise(0L)).as("true_matches"),
+        min(when(col("hit"), col("old_id"))).as("true_first"))
+    val bad = out.join(truth, Seq("vec_id"))
+      .where(col("n_old_matches") =!= col("true_matches") ||
+        col("keep") =!= (col("true_matches") === 0) ||
+        (col("n_old_matches") > 0 &&
+          col("first_old_match") =!= col("true_first")))
+      .count()
+    assert(bad == 0, s"$bad batch vectors disagree with the kept-old index")
+    // the asymmetric contract has bite: some batch vectors must
+    // actually match old content on this fixture
+    assert(out.where(!col("keep")).count() > 0, "no batch near-dup found")
+  }
+
   test("semanticDedup: kept members are pairwise below tau; dropped have a witness") {
     val tau = 0.35
     val out = SemanticDedup.semanticDedup(spark, sfDir, tau = tau)

@@ -91,6 +91,40 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("native shingles/gramStats match the split-slice-concat reference on random text") {
+    import org.apache.spark.unsafe.types.UTF8String
+    // reference = the replaced HOF chain's semantics: split on EVERY
+    // 0x20 (empties kept, "" -> [""]), gram i = concat_ws(' ',
+    // slice(toks, i, n)) end-truncated, w = max(T-n+1, 1), distinct
+    // keeps first occurrence
+    def refShingles(s: String, n: Int, distinct: Boolean): Seq[String] = {
+      val toks = s.split(" ", -1).toSeq
+      val w = math.max(toks.length - n + 1, 1)
+      val grams = (0 until w).map(i => toks.slice(i, i + n).mkString(" "))
+      if (distinct) grams.distinct else grams
+    }
+    val rnd = new scala.util.Random(19)
+    // alphabet stresses the byte-span logic: multi-byte UTF-8 (é, 漢,
+    // 🚀 — a surrogate pair), repeated tokens for the distinct path,
+    // and raw spaces so empty tokens appear mid/leading/trailing
+    val alpha = Vector("a", "bb", "é", "漢字", "🚀", "tok", "a", " ")
+    for (_ <- 1 to 300) {
+      val s = List.fill(rnd.nextInt(25))(alpha(rnd.nextInt(alpha.size)))
+        .mkString(if (rnd.nextBoolean()) " " else "")
+      val n = 1 + rnd.nextInt(6)
+      for (distinct <- Seq(false, true)) {
+        val got = graft.plans.GramOps.shingles(UTF8String.fromString(s), n, distinct)
+        val gotSeq = (0 until got.numElements())
+          .map(i => got.getUTF8String(i).toString)
+        assert(gotSeq == refShingles(s, n, distinct),
+          s"shingles mismatch: n=$n distinct=$distinct text=${s.take(80)}")
+      }
+      val stats = graft.plans.GramOps.gramStats(UTF8String.fromString(s), n)
+      assert(stats.getLong(0) == refShingles(s, n, distinct = false).length.toLong)
+      assert(stats.getLong(1) == refShingles(s, n, distinct = true).length.toLong)
+    }
+  }
+
   test("RetentionState.insert: keeps exactly the newest-N distinct offsets") {
     val rnd = new scala.util.Random(11)
     for (_ <- 1 to 200) {
