@@ -203,6 +203,17 @@ class PlanSpec extends SparkSpec {
       !plan.contains("BroadcastNestedLoopJoin"), s"all-pairs join:\n$plan")
   }
 
+  test("semantic dedup pairs within clusters only (cid-key join, no cartesian)") {
+    val df = graft.operators.SemanticDedup.semanticDedup(spark, sfDir)
+    val plan = finalPlan(df)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), s"all-pairs join:\n$plan")
+    // the pairwise stage must key on cid — an equi-join (SMJ or
+    // shuffled/broadcast hash) over the cluster id
+    assert("(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \\[cid".r
+      .findFirstIn(plan).isDefined, s"no cid-keyed equi-join:\n$plan")
+  }
+
   test("trained IVF scores centroids via broadcast (corpus never shuffles to score)") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .select("vec_id", "embedding")
