@@ -196,6 +196,17 @@ object ScalingStats {
         .agg(sum(expr("pop * (pop - 1) DIV 2")).as("cand"),
           count(lit(1)).as("bkts"), max("pop").as("maxpop")).head()
       row(dir, "semantic", nVec, sd.getLong(0), sd.getLong(1), sd.getLong(2))
+
+      // ...and under the operator's own auto-k (k ≈ n/125): pair count
+      // and max cluster stay ~target-bounded — the per-TASK size bound
+      // that matters at scale; assignment FLOPs (n·k, map-side,
+      // embarrassingly parallel) are the price
+      val ka = SemanticDedup.autoK(nVec)
+      val sda = SemanticDedup.assigned(spark, dir, k = ka, iters = 3)
+        .groupBy("cid").agg(count(lit(1)).as("pop"))
+        .agg(sum(expr("pop * (pop - 1) DIV 2")).as("cand"),
+          count(lit(1)).as("bkts"), max("pop").as("maxpop")).head()
+      row(dir, s"sem(k=$ka)", nVec, sda.getLong(0), sda.getLong(1), sda.getLong(2))
     }
     finally allDirs.drop(dirs.length).foreach(d => rmTree(new java.io.File(d)))
     spark.stop()

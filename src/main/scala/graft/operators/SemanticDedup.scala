@@ -23,6 +23,23 @@ import graft.sources.Tables
   */
 object SemanticDedup {
 
+  /** Target mean cluster population. k is derived from the corpus so
+    * the within-cluster pairwise stage stays ~n·target/2 cosine
+    * evaluations at ANY corpus size (the C5 data-derived-bit-width
+    * precedent, applied to k-means): more data buys more clusters,
+    * not bigger ones. SemDeDup's own regime (~100k clusters at web
+    * scale) is this rule. */
+  private val TargetClusterPop = 125
+  private val MinClusters = 16
+
+  /** Data-derived cluster count: `max(16, ceil(n / 125))`. One
+    * count() job over the (column-pruned) id column — the same class
+    * of bounded driver-side scalar the trainer's sample collect
+    * already is. */
+  private[graft] def autoK(n: Long): Int =
+    math.max(MinClusters,
+      ((n + TargetClusterPop - 1) / TargetClusterPop).toInt)
+
   /** Argmax-assign each vector of `emb` to its nearest centroid by
     * cosine; ties to the smallest cid — the same max(struct(score,
     * -cid)) argmax the IVF assignment uses. Centroids broadcast; one
@@ -38,13 +55,15 @@ object SemanticDedup {
       .select(col("vec_id"), col("embedding"),
         (-col("best.ncid")).as("cid"), col("best.cc").as("cent_sim"))
 
-  /** Train-and-assign over the full embeddings table. Exposed for
-    * ScalingStats, whose cluster-size probe must measure the
-    * operator's OWN clustering. */
+  /** Train-and-assign over the full embeddings table; `k <= 0` means
+    * [[autoK]]. Exposed for ScalingStats, whose cluster-size probe
+    * must measure the operator's OWN clustering (it pins k=16 to
+    * exhibit the fixed-k quadratic the auto rule prevents). */
   private[graft] def assigned(spark: SparkSession, dir: String,
                               k: Int, iters: Int): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
-    assignTo(spark, emb, SimilaritySearch.trainCentroids(spark, emb, k, iters))
+    val kk = if (k > 0) k else autoK(emb.select("vec_id").count())
+    assignTo(spark, emb, SimilaritySearch.trainCentroids(spark, emb, kk, iters))
   }
 
   /** I4: per-vector semantic-dedup verdict.
@@ -78,16 +97,30 @@ object SemanticDedup {
     * check, like the other trained operators.
     *
     * Scale shape: the corpus never all-pairs — pairwise work is
-    * within-cluster only, one shuffle on `cid`. With k sized to the
-    * corpus (k ≈ n / target-cluster-size; SemDeDup used ~100k
-    * clusters at web scale so clusters stay ~10³) the per-task join
-    * is (n/k)² — bounded by CONSTRUCTION, not by data luck, because
-    * k-means splits mass wherever it concentrates. The rank window is
+    * within-cluster only, one shuffle on `cid`, and `k` is DERIVED
+    * from the corpus ([[autoK]]: k ≈ n/125, floor 16) so the per-task
+    * join input stays ~target members at any size — bounded by
+    * CONSTRUCTION, not by data luck, because k-means splits mass
+    * wherever it concentrates (SemDeDup's ~100k clusters at web scale
+    * is the same rule). The honest trade autoK makes: total pairwise
+    * work drops to ~n·target/2, but the broadcast-argmax ASSIGNMENT
+    * pass costs n·k cosines — with k ∝ n that term is quadratic in
+    * FLOPs. It is the right trade anyway because those FLOPs are
+    * map-side and embarrassingly parallel (scale out with executors),
+    * while fixed-k's alternative — single-task cluster joins growing
+    * as (n/k)² — is the thing that OOMs and stragglers kill jobs
+    * with. Measured at 10×: pinned k=16 grows pairs 100× and max
+    * cluster to 1,307 (ScalingStats' deliberate exhibit); autoK
+    * (k=160) keeps clusters target-bounded at par wall-clock
+    * (BASELINE.md). Beyond ~10⁷ vectors, route the assignment itself
+    * through the IVF index (probe nearest coarse centroids instead of
+    * scoring all k) — the SemDeDup/faiss shape; composable here since
+    * D3's trainer IS that index's trainer. The rank window is
     * per-cluster (same bound). Training cost is the existing
     * trainCentroids contract: 1 bounded-sample collect + `iters`
-    * broadcast-argmax passes, independent of k. */
+    * broadcast-argmax passes. */
   def semanticDedup(spark: SparkSession, dir: String,
-                    k: Int = 16, tau: Double = 0.35,
+                    k: Int = 0, tau: Double = 0.35,
                     iters: Int = 3): DataFrame =
     dedupAssigned(spark, assigned(spark, dir, k, iters), tau)
 
@@ -158,13 +191,14 @@ object SemanticDedup {
         col("embedding").as("old_emb")), Seq("old_id"))
 
   def semanticDedupIncremental(spark: SparkSession, dir: String,
-                               k: Int = 16, tau: Double = 0.35,
+                               k: Int = 0, tau: Double = 0.35,
                                iters: Int = 3): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     val old = emb.where(!isNewVec(col("vec_id")))
     val batch = emb.where(isNewVec(col("vec_id")))
 
-    val cents = SimilaritySearch.trainCentroids(spark, old, k, iters)
+    val kk = if (k > 0) k else autoK(old.select("vec_id").count())
+    val cents = SimilaritySearch.trainCentroids(spark, old, kk, iters)
     val keptOld = incrementalKeptOld(spark, old, cents, tau)
 
     val matches = assignTo(spark, batch, cents)
