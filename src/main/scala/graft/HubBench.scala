@@ -96,7 +96,9 @@ object HubBench {
       (System.nanoTime() - tW) / 1e6
     }.sorted
     val p50 = lats(LiveRounds / 2)
-    val p95 = lats(math.min(LiveRounds - 1, (LiveRounds * 0.95).toInt))
+    // nearest-rank p95: ceil(0.95·n) as a 1-based rank → index 18 of
+    // 20, NOT (n·0.95).toInt = 19, which is the MAXIMUM for n=20
+    val p95 = lats(math.ceil(LiveRounds * 0.95).toInt - 1)
     hub.stop()
 
     println(f"""{"metric":"hub_throughput","ingest_events_per_s":${ingestEps}%.0f,"ingest_sec":${ingestSec}%.3f,"n_events":$NEvents,"fanout_frames_per_s":${fanFps}%.0f,"fanout_frames":$counts,"n_subs":$NSubs,"live_latency_ms_p50":${p50}%.1f,"live_latency_ms_p95":${p95}%.1f,"poll_interval_ms":100}""")

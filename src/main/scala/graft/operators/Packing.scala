@@ -45,23 +45,14 @@ object Packing {
     */
   def shardPack(spark: SparkSession, dir: String,
                 shardTokens: Long = 2000L, salt: String = "shard"): DataFrame = {
-    val base = Tables.documents(spark, dir)
-      .select(col("doc_id"),
-        ceil(length(col("text")) / lit(4.0)).cast("long").as("est_tokens"),
-        md5(concat(col("doc_id").cast("string"), lit(":" + salt))).as("h"))
-      .withColumn("bkt", conv(substring(col("h"), 1, 2), 16, 10).cast("int"))
-    val wOff = Window.partitionBy(lit(0)).orderBy("bkt")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = base.groupBy("bkt")
-      .agg(sum("est_tokens").as("bkt_tokens"))
-      .withColumn("offset", coalesce(sum("bkt_tokens").over(wOff), lit(0L)))
-      .select("bkt", "offset")
     val wCum = Window.partitionBy("bkt").orderBy(col("h"), col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    base.join(broadcast(offsets), Seq("bkt"))
-      // null-text docs estimate 0 tokens, never NULL — but keep the
-      // running sum coalesced so an all-null prefix can't null the
-      // offset arithmetic (same contract as tokenBudget)
+    // shared machinery with tokenBudget (PrefixSum): hash/bucket
+    // columns + a GLOBAL (no part cols) 256-row offsets window,
+    // broadcast back. est_tokens is 0 (never NULL) for null text by
+    // PrefixSum's contract, so start_off/shard_id can't go NULL.
+    PrefixSum.withBucketOffsets(
+      PrefixSum.hashedBase(Tables.documents(spark, dir), salt), Nil)
       .withColumn("start_off",
         col("offset") + coalesce(sum(col("est_tokens")).over(wCum), lit(0L))
           - col("est_tokens"))
@@ -88,7 +79,8 @@ object Packing {
       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
       |      - est_tokens AS start_off
       |  FROM (SELECT doc_id,
-      |          CAST(ceil(length(text) / 4.0) AS BIGINT) AS est_tokens,
+      |          coalesce(CAST(ceil(length(text) / 4.0) AS BIGINT), 0)
+      |            AS est_tokens,
       |          md5(doc_id || ':$salt') AS h
       |        FROM documents) e) c
       |GROUP BY 1 ORDER BY 1""".stripMargin

@@ -163,27 +163,17 @@ object Sampling {
     * carrying its bucket's `offset`. Exposed for ScalingStats — its
     * row count is exactly what the final window sorts. */
   private[graft] def tokenBudgetCandidates(spark: SparkSession, dir: String,
-                                           budget: Long, salt: String): DataFrame = {
-    val W = org.apache.spark.sql.expressions.Window
-    val base = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("source"),
-        ceil(length(col("text")) / lit(4.0)).cast("long").as("est_tokens"),
-        md5(concat(col("doc_id").cast("string"), lit(":" + salt))).as("h"))
-      .withColumn("bkt", conv(substring(col("h"), 1, 2), 16, 10).cast("int"))
-    // per-(source, bucket) partial sums -> cumulative offset of all
-    // EARLIER buckets; this window runs over <= sources x 256 rows
-    val wOff = W.partitionBy("source").orderBy("bkt")
-      .rowsBetween(W.unboundedPreceding, -1)
-    val offsets = base.groupBy("source", "bkt")
-      .agg(sum("est_tokens").as("bkt_tokens"))
-      .withColumn("offset", coalesce(sum("bkt_tokens").over(wOff), lit(0L)))
-      // offset > budget -> every row in the bucket has cum > budget
-      // (est_tokens >= 0): prune before the join, so the final window
-      // sorts only the few head buckets that can still emit
-      .where(col("offset") <= budget)
-      .select(col("source"), col("bkt"), col("offset"))
-    base.join(broadcast(offsets), Seq("source", "bkt"))
-  }
+                                           budget: Long, salt: String): DataFrame =
+    // shared machinery: PrefixSum builds the hash/bucket columns and
+    // the per-(source, bucket) offsets (a <= sources x 256 row
+    // window). The prune drops whole past-budget buckets BEFORE the
+    // broadcast join — offset > budget means every row of the bucket
+    // has cum > budget (est_tokens >= 0), so the final window sorts
+    // only the few head buckets that can still emit.
+    PrefixSum.withBucketOffsets(
+      PrefixSum.hashedBase(Tables.documents(spark, dir), salt, Seq("source")),
+      Seq("source"),
+      _.where(col("offset") <= budget))
 
   def tokenBudget(spark: SparkSession, dir: String,
                   budget: Long = 1000L, salt: String = "budget"): DataFrame = {
@@ -210,7 +200,8 @@ object Sampling {
       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
       |      AS cum_tokens
       |  FROM (SELECT doc_id, source,
-      |          CAST(ceil(length(text) / 4.0) AS BIGINT) AS est_tokens
+      |          coalesce(CAST(ceil(length(text) / 4.0) AS BIGINT), 0)
+      |            AS est_tokens
       |        FROM documents) e) c
       |WHERE cum_tokens <= $budget
       |ORDER BY doc_id""".stripMargin

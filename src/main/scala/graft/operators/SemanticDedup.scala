@@ -201,14 +201,20 @@ object SemanticDedup {
     val cents = SimilaritySearch.trainCentroids(spark, old, kk, iters)
     val keptOld = incrementalKeptOld(spark, old, cents, tau)
 
-    val matches = assignTo(spark, batch, cents)
+    // assign ONCE: the n·k broadcast-argmax pass is the dominant cost
+    // at autoK scale, and both the match probe and the output frame
+    // consume it — localCheckpoint so the two consumers re-read a
+    // materialized frame (the dedupAssigned precedent)
+    val batchAssigned = assignTo(spark, batch, cents).localCheckpoint()
+
+    val matches = batchAssigned
       .join(keptOld, Seq("cid"))
       .where(round(Vectors.cosineFast(spark, col("embedding"), col("old_emb")), 9) > tau)
       .groupBy("vec_id")
       .agg(countDistinct(col("old_id")).as("n_old_matches"),
         min(col("old_id")).as("first_old_match"))
 
-    assignTo(spark, batch, cents)
+    batchAssigned
       .select(col("vec_id"), col("cid"))
       .join(matches, Seq("vec_id"), "left")
       .select(col("vec_id"), col("cid"),

@@ -1,8 +1,10 @@
 package graft.plans
 
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -50,9 +52,13 @@ object GramOps {
 
   /** The n-gram string array (optionally first-occurrence-distinct):
     * each element is a zero-copy span view over one shared byte
-    * buffer. */
+    * buffer. NULL text behaves as EMPTY text (→ `[""]`), matching the
+    * replaced `split → transform → array_distinct` chain bit-for-bit:
+    * there `concat_ws(' ', slice(NULL, 1, n))` swallows the null
+    * slice into one empty-string gram (verified against Spark 4.1.2)
+    * — NOT null-propagation, NOT an empty array. */
   def shingles(s: UTF8String, n: Int, distinct: Boolean): ArrayData = {
-    val b = s.getBytes
+    val b = if (s == null) Array.empty[Byte] else s.getBytes
     val (starts, ends) = tokenBounds(b)
     val t = starts.length
     val w = math.max(t - n + 1, 1)
@@ -82,9 +88,11 @@ object GramOps {
   }
 
   /** `[total, distinct]` n-gram counts in one pass — the repetition
-    * signal's input, with no gram array ever materialized. */
+    * signal's input, with no gram array ever materialized. NULL text
+    * behaves as empty text (→ `[1, 1]`, the one empty gram), like
+    * [[shingles]]. */
   def gramStats(s: UTF8String, n: Int): ArrayData = {
-    val b = s.getBytes
+    val b = if (s == null) Array.empty[Byte] else s.getBytes
     val (starts, ends) = tokenBounds(b)
     val t = starts.length
     val w = math.max(t - n + 1, 1)
@@ -112,11 +120,20 @@ case class Shingles(child: Expression, n: Int, distinct: Boolean)
   }
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "graft_shingles"
-  override protected def nullSafeEval(input: Any): Any =
-    GramOps.shingles(input.asInstanceOf[UTF8String], n, distinct)
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c =>
-      s"graft.plans.GramOps$$.MODULE$$.shingles($c, $n, $distinct)")
+  // never-null (NULL text behaves as empty text → [""]) — the
+  // replaced HOF chain's exact behavior; see GramOps.shingles
+  override def nullable: Boolean = false
+  override def eval(input: InternalRow): Any =
+    GramOps.shingles(child.eval(input).asInstanceOf[UTF8String], n, distinct)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    ev.copy(code = code"""
+      ${c.code}
+      org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+        graft.plans.GramOps$$.MODULE$$.shingles(
+          ${c.isNull} ? null : ${c.value}, $n, $distinct);""",
+      isNull = FalseLiteral)
+  }
   override protected def withNewChildInternal(newChild: Expression): Shingles =
     copy(child = newChild)
 }
@@ -133,11 +150,20 @@ case class GramStats(child: Expression, n: Int) extends UnaryExpression {
   }
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "graft_gram_stats"
-  override protected def nullSafeEval(input: Any): Any =
-    GramOps.gramStats(input.asInstanceOf[UTF8String], n)
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c =>
-      s"graft.plans.GramOps$$.MODULE$$.gramStats($c, $n)")
+  // never-null ([1,1] for NULL text — the one empty gram), like
+  // Shingles above
+  override def nullable: Boolean = false
+  override def eval(input: InternalRow): Any =
+    GramOps.gramStats(child.eval(input).asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    ev.copy(code = code"""
+      ${c.code}
+      org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+        graft.plans.GramOps$$.MODULE$$.gramStats(
+          ${c.isNull} ? null : ${c.value}, $n);""",
+      isNull = FalseLiteral)
+  }
   override protected def withNewChildInternal(newChild: Expression): GramStats =
     copy(child = newChild)
 }

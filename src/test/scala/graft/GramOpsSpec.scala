@@ -75,13 +75,26 @@ class GramOpsSpec extends SparkSpec {
     }
   }
 
-  test("null text stays null through both native expressions") {
+  test("null text behaves as empty text — exactly what the replaced HOF chain produced") {
     import spark.implicits._
     val df = Seq[Option[String]](None, Some("a b c")).toDF("text")
+    // the replaced chain does NOT null-propagate: concat_ws(' ',
+    // slice(NULL, 1, n)) swallows the null slice into one
+    // empty-string gram, so NULL text == "" text == [""] — the native
+    // expressions must match, or null-text docs change shape vs the
+    // unchanged twins
+    val chain = expr(
+      "array_distinct(transform(sequence(1, greatest(size(split(text, ' '))-2, 1)), i -> concat_ws(' ', slice(split(text, ' '), i, 3))))")
     val rows = df.select(
       Vectors.shinglesFast(spark, col("text"), 3, distinct = true).as("sh"),
+      chain.as("old"),
       Vectors.gramStatsFast(spark, col("text"), 2).as("st")).collect()
-    assert(rows(0).isNullAt(0) && rows(0).isNullAt(1))
-    assert(!rows(1).isNullAt(0) && !rows(1).isNullAt(1))
+    assert(!rows(0).isNullAt(0) && rows(0).getSeq[String](0) == Seq(""),
+      "native shingles on null text must be [\"\"]")
+    assert(rows(0).getSeq[String](1) == Seq(""),
+      "premise: the HOF chain returns [\"\"] on null text")
+    assert(rows(0).getSeq[Long](2) == Seq(1L, 1L),
+      "native gram stats on null text must be [1, 1] (the one empty gram)")
+    assert(!rows(1).isNullAt(0) && !rows(1).isNullAt(2))
   }
 }
