@@ -28,6 +28,15 @@ import org.apache.spark.unsafe.types.UTF8String
   *    text from token i's start to the window's last token's end (no
   *    string is ever rebuilt);
   *  - distinct keeps first-occurrence order, like `array_distinct`.
+  *
+  * Degenerate-text convention: NULL and `""` both yield the single
+  * empty gram `[""]` — the chain's own behavior, kept deliberately so
+  * every document has ≥1 gram and every derived signature
+  * (minhash/simhash/jaccard) is total. The DuckDB twins instead drop
+  * such docs from gram pipelines (`string_split('', ' ')` is `[]`
+  * there); oracle comparisons therefore assume non-degenerate text,
+  * which the generated corpora guarantee and a production pipeline's
+  * quality gate (E2) enforces before any gram operator runs.
   */
 object GramOps {
 

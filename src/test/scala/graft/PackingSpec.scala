@@ -93,6 +93,34 @@ class PackingSpec extends SparkSpec {
     assert(got.where(col("dup_frac") < 0 || col("dup_frac") > 1).count() == 0)
   }
 
+  test("null-text docs flow through token accounting as 0-token rows (both operators)") {
+    import spark.implicits._
+    // tiny corpus with a null-text doc: the est_tokens coalesce must
+    // keep it (cum = running sum unchanged), never NULL its shard/cum
+    val dir = java.nio.file.Files.createTempDirectory("graft_nulltext").toFile.getPath
+    Seq((0L, Option("alpha beta gamma"), "en", "srcA", 16L),
+        (1L, Option.empty[String], "en", "srcA", 0L),
+        (2L, Option("delta epsilon"), "en", "srcB", 13L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    try {
+      val tb = graft.operators.Sampling.tokenBudget(spark, dir, budget = 1000L)
+      assert(tb.count() == 3, "null-text doc must survive the budget cut")
+      val nullRow = tb.where(col("doc_id") === 1).head()
+      assert(nullRow.getLong(nullRow.fieldIndex("est_tokens")) == 0L)
+      assert(!nullRow.isNullAt(nullRow.fieldIndex("cum_tokens")))
+      val sp = Packing.shardPack(spark, dir)
+      assert(sp.where(col("shard_id").isNull).count() == 0)
+      assert(sp.select(sum("n_docs")).head().getLong(0) == 3,
+        "null-text doc must be accounted to a real shard")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
   test("topGrams returns the true document-frequency leaders, deterministically") {
     val got = CorpusStats.topGrams(spark, sfDir, k = 10).collect()
     assert(got.length == 10)
