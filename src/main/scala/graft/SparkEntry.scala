@@ -89,7 +89,8 @@ object SparkEntry {
     // semantic dedup reuses the k-means trainer: iterative training is
     // not SQL-expressible -> rows-only; properties + golden file gated
     // by PackingSpec / GoldenSpec
-    "q_dedup_semantic" -> ((s: SparkSession, d: String) => SemanticDedup.semanticDedup(s, d))
+    "q_dedup_semantic" -> ((s: SparkSession, d: String) => SemanticDedup.semanticDedup(s, d)),
+    "q_dedup_source_matrix" -> (Dedup.sourceMatrix _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -148,6 +149,7 @@ object SparkEntry {
     "q_shard_pack" -> Packing.shardPackSql(),
     "q_sample_stratified" -> Packing.stratifiedSampleSql(),
     "q_ngram_dupfrac" -> CorpusStats.dupGramFracSql,
-    "q_gram_topk" -> CorpusStats.topGramsSql()
+    "q_gram_topk" -> CorpusStats.topGramsSql(),
+    "q_dedup_source_matrix" -> Dedup.sourceMatrixSql
   )
 }

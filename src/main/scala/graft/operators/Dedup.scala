@@ -194,6 +194,37 @@ object Dedup {
       |SELECT doc_a, doc_b, n_shared_bands FROM pairs
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** G11: cross-source duplication matrix — near-dup pair counts per
+    * (source, source) cell, the provenance report curation teams read
+    * before deciding which source to drop or down-weight. Pure
+    * composition: C2's candidate pairs joined back to the two docs'
+    * sources (both joins on doc_id — broadcast-able key frames at the
+    * pair-count scale LSH guarantees), cells canonicalized with
+    * least/greatest so A→B and B→A land in one cell. Output is
+    * ≤ sources² rows regardless of corpus size. */
+  def sourceMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val src = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+    lshPairs(spark, dir)
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")), Seq("doc_a"))
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")), Seq("doc_b"))
+      .select(least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("source_a", "source_b")
+  }
+
+  val sourceMatrixSql: String =
+    s"""WITH $lshPairsSqlCtes
+      |SELECT least(da.source, db.source) AS source_a,
+      |  greatest(da.source, db.source) AS source_b,
+      |  count(*) AS n_pairs
+      |FROM pairs
+      |JOIN documents da ON pairs.doc_a = da.doc_id
+      |JOIN documents db ON pairs.doc_b = db.doc_id
+      |GROUP BY 1, 2
+      |ORDER BY source_a, source_b""".stripMargin
+
   // ---------------------------------------------------------------- C3
   /** SimHash (60-bit, one bit per hex position across two md5s of each
     * shingle) + a multi-permutation block-pair index (Manku/Jain/Das

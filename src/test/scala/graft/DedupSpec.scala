@@ -34,6 +34,15 @@ class DedupSpec extends SparkSpec {
     assert(missed == 0, s"LSH missed $missed true near-dup pairs")
   }
 
+  test("source matrix cells are canonical and conserve the pair count") {
+    val pairs = Dedup.minhashLsh(spark, sfDir).count()
+    val m = Dedup.sourceMatrix(spark, sfDir)
+    assert(m.where(col("source_a") > col("source_b")).count() == 0,
+      "cells must be least/greatest-canonical")
+    assert(m.agg(sum("n_pairs")).head().getLong(0) == pairs,
+      "every candidate pair lands in exactly one cell")
+  }
+
   test("simhash pairs have genuinely similar shingle sets") {
     val pairs = Dedup.simhash(spark, sfDir)
     // hamming<=4 pairs at sf0.001 must also be LSH candidates (both
