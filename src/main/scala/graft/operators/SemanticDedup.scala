@@ -55,6 +55,68 @@ object SemanticDedup {
       .select(col("vec_id"), col("embedding"),
         (-col("best.ncid")).as("cid"), col("best.cc").as("cent_sim"))
 
+  /** The >10⁷-vector assignment path (the SemDeDup/faiss shape): a
+    * coarse quantizer over the CENTROIDS cuts the per-vector argmax
+    * from k cosines to ~√k + probe·√k. Coarse centroids come from the
+    * same deterministic trainer run over the k fine centroids
+    * (k' ≈ ⌈√k⌉); each vector scores the k' coarse centroids in one
+    * NARROW pass (the coarse table rides the plan as a literal struct
+    * array — k'·d floats, scored by the native `graft_cosine` inside
+    * a `transform`), keeps its top-`probe` coarse buckets, and scores
+    * only the fine centroids assigned to those buckets (broadcast
+    * join + the usual max-struct argmax). Assignment becomes
+    * approximate — a vector whose true centroid lives in an unprobed
+    * coarse bucket lands on its best PROBED one — which trades a
+    * little cluster purity for an O(√k) per-vector cost; the
+    * agreement rate is gated by PackingSpec and the semantics of the
+    * dedup rule are unchanged (it never requires optimal clustering,
+    * only a deterministic partition). */
+  private[graft] def assignViaIvf(spark: SparkSession, emb: DataFrame,
+                                  cents: DataFrame, probe: Int = 2,
+                                  iters: Int = 2): DataFrame = {
+    // cid is Int and post-Lloyd's centroids are array<double>; the
+    // trainer's sample collect reads (Long, array<float>) — cast both
+    // (float truncation only affects coarse ROUTING, which is the
+    // approximate part by design; fine scoring keeps full precision)
+    val centVecs = cents.select(col("cid").cast("long").as("vec_id"),
+      col("c_emb").cast("array<float>").as("embedding"))
+    val coarseK = math.ceil(math.sqrt(
+      centVecs.count().toDouble)).toInt.max(1)
+    val coarse = SimilaritySearch.trainCentroids(spark, centVecs, coarseK, iters)
+      .select(col("cid").as("gid"), col("c_emb").as("g_emb"))
+    // fine centroid -> coarse bucket (k rows; broadcast below)
+    val fineByG = assignTo(spark,
+      centVecs, coarse.select(col("gid").as("cid"), col("g_emb").as("c_emb")))
+      .select(col("cid").as("gid"),
+        col("vec_id").cast("int").as("cid")) // back to the cents' Int cid
+      .join(cents, Seq("cid"))
+    // coarse table as an in-plan literal (k'·d floats): top-probe
+    // coarse buckets per vector in ONE narrow projection
+    // post-Lloyd's centroids are array<double> (avg); graft_cosine
+    // accepts float/double per side, so the literal stays double
+    val coarseArr = array(coarse.collect().map { r =>
+      struct(lit(r.getInt(0)).as("gid"),
+        array(r.getSeq[Any](1).map(v =>
+          lit(v.asInstanceOf[Number].doubleValue)): _*).as("g_emb"))
+    }.toIndexedSeq: _*)
+    graft.plans.GraftFunctions.register(spark)
+    val topG = emb.select(col("vec_id"), col("embedding"),
+      slice(array_sort(transform(coarseArr, c =>
+        struct((-round(call_function("graft_cosine", col("embedding"),
+          c.getField("g_emb")), 9)).as("ns"), c.getField("gid").as("gid")))),
+        1, probe).as("gs"))
+      .select(col("vec_id"), col("embedding"),
+        explode(col("gs.gid")).as("gid"))
+    topG.join(broadcast(fineByG), Seq("gid"))
+      .select(col("vec_id"), col("embedding"), col("cid"),
+        round(Vectors.cosineFast(spark, col("embedding"), col("c_emb")), 9).as("cc"))
+      .groupBy("vec_id")
+      .agg(first(col("embedding")).as("embedding"),
+        max(struct(col("cc"), (-col("cid")).as("ncid"))).as("best"))
+      .select(col("vec_id"), col("embedding"),
+        (-col("best.ncid")).as("cid"), col("best.cc").as("cent_sim"))
+  }
+
   /** Train-and-assign over the full embeddings table; `k <= 0` means
     * [[autoK]]. Exposed for ScalingStats, whose cluster-size probe
     * must measure the operator's OWN clustering (it pins k=16 to
@@ -111,14 +173,14 @@ object SemanticDedup {
     * as (n/k)² — is the thing that OOMs and stragglers kill jobs
     * with. Measured at 10×: pinned k=16 grows pairs 100× and max
     * cluster to 1,307 (ScalingStats' deliberate exhibit); autoK
-    * (k=160) keeps clusters target-bounded at par wall-clock
-    * (BASELINE.md). Beyond ~10⁷ vectors, route the assignment itself
-    * through the IVF index (probe nearest coarse centroids instead of
-    * scoring all k) — the SemDeDup/faiss shape; composable here since
-    * D3's trainer IS that index's trainer. The rank window is
-    * per-cluster (same bound). Training cost is the existing
-    * trainCentroids contract: 1 bounded-sample collect + `iters`
-    * broadcast-argmax passes. */
+    * (k=160) keeps clusters target-bounded and beats it on wall-clock
+    * too (3.35 vs 4.99 s, BASELINE.md). Beyond ~10⁷ vectors the n·k
+    * assignment FLOPs take over — [[assignViaIvf]] is that regime's
+    * path (probe nearest coarse buckets instead of scoring all k,
+    * ~2·probe·√k per vector), agreement-gated by PackingSpec. The
+    * rank window is per-cluster (same bound). Training cost is the
+    * existing trainCentroids contract: 1 bounded-sample collect +
+    * `iters` broadcast-argmax passes. */
   def semanticDedup(spark: SparkSession, dir: String,
                     k: Int = 0, tau: Double = 0.35,
                     iters: Int = 3): DataFrame =

@@ -136,6 +136,36 @@ class PackingSpec extends SparkSpec {
     assert(got.head.getLong(1) == trueMax)
   }
 
+  test("IVF-probe assignment: never beats exact, agrees on the vast majority") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val k = 16
+    val cents = graft.operators.SimilaritySearch.trainCentroids(spark, emb, k, iters = 3)
+    // exact argmax via the operator's own assigned() (same trainer
+    // args -> identical centroids by determinism)
+    val exact = SemanticDedup.assigned(spark, sfDir, k, iters = 3)
+      .select(col("vec_id"), col("cid").as("cid_x"), col("cent_sim").as("cs_x"))
+    // k=16 ⇒ only k'=4 coarse buckets — the hardest routing case
+    // (top-p of 4 is far less selective than top-p of √k at real
+    // scale). probe=2 measured 0.882 here; the gates below pin the
+    // probe dial's monotone recall without overfitting one number.
+    val fracs = Seq(2, 3).map { p =>
+      val approx = SemanticDedup.assignViaIvf(spark, emb, cents, probe = p)
+        .select(col("vec_id"), col("cid").as("cid_a"), col("cent_sim").as("cs_a"))
+      val j = exact.join(approx, Seq("vec_id")).localCheckpoint()
+      assert(j.count() == emb.count(), "every vector must get an assignment")
+      // the probed argmax can never exceed the exact best
+      assert(j.where(col("cs_a") > col("cs_x") + 1e-9).count() == 0)
+      // agreement: same centroid, or an equal-similarity alternative
+      val agree = j.where(col("cid_a") === col("cid_x") ||
+        col("cs_a") >= col("cs_x") - 1e-9).count()
+      agree.toDouble / j.count()
+    }
+    assert(fracs(0) >= 0.8, f"probe=2 agreement ${fracs(0)}%.3f below gate")
+    assert(fracs(1) >= 0.9, f"probe=3 agreement ${fracs(1)}%.3f below gate")
+    assert(fracs(1) >= fracs(0), "agreement must not fall as probe widens")
+  }
+
   test("incremental semantic dedup: batch verdicts match the kept-old index exactly") {
     val tau = 0.35
     val out = SemanticDedup.semanticDedupIncremental(spark, sfDir, tau = tau)
