@@ -183,8 +183,21 @@ object SemanticDedup {
     * `iters` broadcast-argmax passes. */
   def semanticDedup(spark: SparkSession, dir: String,
                     k: Int = 0, tau: Double = 0.35,
-                    iters: Int = 3): DataFrame =
-    dedupAssigned(spark, assigned(spark, dir, k, iters), tau)
+                    iters: Int = 3, probeCoarse: Int = 0): DataFrame = {
+    val vecs = if (probeCoarse <= 0) assigned(spark, dir, k, iters)
+    else {
+      // the n·k-regime variant: same trainer, IVF-probed routing.
+      // The dedup rule is partition-agnostic (it needs a
+      // deterministic clustering, not an optimal one), so the two
+      // structural guarantees hold unchanged under the approximate
+      // assignment — PackingSpec asserts them on this path too.
+      val emb = Tables.embeddings(spark, dir)
+      val kk = if (k > 0) k else autoK(emb.select("vec_id").count())
+      assignViaIvf(spark, emb,
+        SimilaritySearch.trainCentroids(spark, emb, kk, iters), probeCoarse)
+    }
+    dedupAssigned(spark, vecs, tau)
+  }
 
   /** The dedup rule over an already-assigned frame (vec_id, embedding,
     * cid, cent_sim). */

@@ -199,9 +199,14 @@ class PackingSpec extends SparkSpec {
     assert(out.where(!col("keep")).count() > 0, "no batch near-dup found")
   }
 
-  test("semanticDedup: kept members are pairwise below tau; dropped have a witness") {
+  test("semanticDedup: kept members are pairwise below tau; dropped have a witness (exact AND probed)") {
     val tau = 0.35
-    val out = SemanticDedup.semanticDedup(spark, sfDir, tau = tau)
+    for (probe <- Seq(0, 2)) checkDedupProperties(
+      SemanticDedup.semanticDedup(spark, sfDir, tau = tau, probeCoarse = probe), tau)
+  }
+
+  private def checkDedupProperties(out: org.apache.spark.sql.DataFrame,
+                                   tau: Double): Unit = {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .select(col("vec_id"), col("embedding"))
     val scored = out.join(emb, Seq("vec_id"))
