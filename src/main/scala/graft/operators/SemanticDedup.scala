@@ -40,20 +40,55 @@ object SemanticDedup {
     math.max(MinClusters,
       ((n + TargetClusterPop - 1) / TargetClusterPop).toInt)
 
-  /** Argmax-assign each vector of `emb` to its nearest centroid by
-    * cosine; ties to the smallest cid — the same max(struct(score,
-    * -cid)) argmax the IVF assignment uses. Centroids broadcast; one
-    * partial-agg shuffle on vec_id. */
-  private def assignTo(spark: SparkSession, emb: DataFrame,
-                       cents: DataFrame): DataFrame =
-    emb.select("vec_id", "embedding").join(broadcast(cents))
-      .select(col("vec_id"), col("embedding"), col("cid"),
-        round(Vectors.cosineFast(spark, col("embedding"), col("c_emb")), 9).as("cc"))
-      .groupBy("vec_id")
+  /** Hash-sample size per centroid for the probe path's BOUNDED
+    * training: Lloyd's runs over ≤ 32·k rows instead of the corpus,
+    * so per-iteration cost is 32·k² — independent of n — which is
+    * what actually unlocks the >10⁷-vector regime (the final
+    * assignment was only one of iters+1 full n·k passes). */
+  private val TrainPerCentroid = 32
+
+  /** The argmax-aggregation that DEFINES the assignment tie rule
+    * (max cosine, ties to the smallest cid): single source of truth —
+    * GoldenSpec pins outputs that flow through it, so the exact and
+    * probed paths must share this block, never re-implement it.
+    * Input: (vec_id, embedding, cid, cc) candidate rows. */
+  private def argmaxBest(scored: DataFrame): DataFrame =
+    scored.groupBy("vec_id")
       .agg(first(col("embedding")).as("embedding"),
         max(struct(col("cc"), (-col("cid")).as("ncid"))).as("best"))
       .select(col("vec_id"), col("embedding"),
         (-col("best.ncid")).as("cid"), col("best.cc").as("cent_sim"))
+
+  /** Argmax-assign each vector of `emb` to its nearest centroid by
+    * cosine. Centroids broadcast; one partial-agg shuffle on vec_id. */
+  private def assignTo(spark: SparkSession, emb: DataFrame,
+                       cents: DataFrame): DataFrame =
+    argmaxBest(emb.select("vec_id", "embedding").join(broadcast(cents))
+      .select(col("vec_id"), col("embedding"), col("cid"),
+        round(Vectors.cosineFast(spark, col("embedding"), col("c_emb")), 9).as("cc")))
+
+  /** Top-`n` centroid ids per row against a COLLECTED centroid frame
+    * (column 0: Int id, column 1: the embedding) ridden as an in-plan
+    * literal struct array — one NARROW projection, no aggregation
+    * (stream-safe), deterministic ties to the smallest id via the
+    * struct sort on (-round(cos, 9), id), bit-matching [[argmaxBest]]'s
+    * rule. Shared by the batch probe path and the streaming
+    * assignment ([[graft.streaming.VecStreams]]) so the two can never
+    * drift on rounding or tie-breaks. Expression size bounds the
+    * collected frame to k in the low thousands — callers at larger k
+    * route through a coarse quantizer first. */
+  private[graft] def literalTopCentroids(spark: SparkSession, cents: DataFrame,
+                                         emb: Column, n: Int): Column = {
+    graft.plans.GraftFunctions.register(spark)
+    val arr = array(cents.collect().map { r =>
+      struct(lit(r.getInt(0)).as("cid"),
+        array(r.getSeq[Any](1).map(v =>
+          lit(v.asInstanceOf[Number].doubleValue)): _*).as("c_emb"))
+    }.toIndexedSeq: _*)
+    slice(array_sort(transform(arr, c =>
+      struct((-round(call_function("graft_cosine", emb, c.getField("c_emb")), 9))
+        .as("ns"), c.getField("cid").as("cid")))), 1, n).getField("cid")
+  }
 
   /** The >10⁷-vector assignment path (the SemDeDup/faiss shape): a
     * coarse quantizer over the CENTROIDS cuts the per-vector argmax
@@ -74,6 +109,9 @@ object SemanticDedup {
   private[graft] def assignViaIvf(spark: SparkSession, emb: DataFrame,
                                   cents: DataFrame, probe: Int = 2,
                                   iters: Int = 2): DataFrame = {
+    // probe <= 0 would slice an empty coarse list and silently drop
+    // EVERY vector from the output — fail fast like trainCentroids
+    require(probe >= 1, s"probe must be >= 1, got $probe")
     // cid is Int and post-Lloyd's centroids are array<double>; the
     // trainer's sample collect reads (Long, array<float>) — cast both
     // (float truncation only affects coarse ROUTING, which is the
@@ -90,42 +128,47 @@ object SemanticDedup {
       .select(col("cid").as("gid"),
         col("vec_id").cast("int").as("cid")) // back to the cents' Int cid
       .join(cents, Seq("cid"))
-    // coarse table as an in-plan literal (k'·d floats): top-probe
-    // coarse buckets per vector in ONE narrow projection
-    // post-Lloyd's centroids are array<double> (avg); graft_cosine
-    // accepts float/double per side, so the literal stays double
-    val coarseArr = array(coarse.collect().map { r =>
-      struct(lit(r.getInt(0)).as("gid"),
-        array(r.getSeq[Any](1).map(v =>
-          lit(v.asInstanceOf[Number].doubleValue)): _*).as("g_emb"))
-    }.toIndexedSeq: _*)
-    graft.plans.GraftFunctions.register(spark)
+    // route ONLY over coarse buckets that actually hold fine
+    // centroids: Lloyd's mean update can empty a bucket after its
+    // last re-assignment, and a vector whose every probed bucket were
+    // empty would vanish from the inner join below — silent row loss,
+    // not approximation
+    val populated = coarse.join(fineByG.select("gid").distinct(), Seq("gid"))
     val topG = emb.select(col("vec_id"), col("embedding"),
-      slice(array_sort(transform(coarseArr, c =>
-        struct((-round(call_function("graft_cosine", col("embedding"),
-          c.getField("g_emb")), 9)).as("ns"), c.getField("gid").as("gid")))),
-        1, probe).as("gs"))
-      .select(col("vec_id"), col("embedding"),
-        explode(col("gs.gid")).as("gid"))
-    topG.join(broadcast(fineByG), Seq("gid"))
+      explode(literalTopCentroids(spark, populated, col("embedding"), probe))
+        .as("gid"))
+    argmaxBest(topG.join(broadcast(fineByG), Seq("gid"))
       .select(col("vec_id"), col("embedding"), col("cid"),
-        round(Vectors.cosineFast(spark, col("embedding"), col("c_emb")), 9).as("cc"))
-      .groupBy("vec_id")
-      .agg(first(col("embedding")).as("embedding"),
-        max(struct(col("cc"), (-col("cid")).as("ncid"))).as("best"))
-      .select(col("vec_id"), col("embedding"),
-        (-col("best.ncid")).as("cid"), col("best.cc").as("cent_sim"))
+        round(Vectors.cosineFast(spark, col("embedding"), col("c_emb")), 9).as("cc")))
   }
 
   /** Train-and-assign over the full embeddings table; `k <= 0` means
-    * [[autoK]]. Exposed for ScalingStats, whose cluster-size probe
-    * must measure the operator's OWN clustering (it pins k=16 to
-    * exhibit the fixed-k quadratic the auto rule prevents). */
+    * [[autoK]]. `probeCoarse = 0` is the exact regime: full-corpus
+    * Lloyd's + exact argmax (n·k per pass). `probeCoarse > 0` is the
+    * >10⁷-vector regime END TO END: training runs on a hash-ordered
+    * bounded sample of 32·k rows (per-iteration cost 32·k²,
+    * independent of n — the SemDeDup/faiss discipline; sampling only
+    * moves WHERE centroids land, and the fixture sample covers the
+    * whole corpus so the agreement gates measure routing alone) and
+    * the corpus is assigned via the IVF probe (~2·probe·√k cosines
+    * per vector). Without the sampled training, the probe would only
+    * remove the last of iters+1 full n·k passes. Exposed for
+    * ScalingStats, whose cluster-size probe must measure the
+    * operator's OWN clustering (it pins k=16 to exhibit the fixed-k
+    * quadratic the auto rule prevents). */
   private[graft] def assigned(spark: SparkSession, dir: String,
-                              k: Int, iters: Int): DataFrame = {
+                              k: Int, iters: Int,
+                              probeCoarse: Int = 0): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     val kk = if (k > 0) k else autoK(emb.select("vec_id").count())
-    assignTo(spark, emb, SimilaritySearch.trainCentroids(spark, emb, kk, iters))
+    if (probeCoarse <= 0)
+      assignTo(spark, emb, SimilaritySearch.trainCentroids(spark, emb, kk, iters))
+    else {
+      val sample = emb.orderBy(md5(col("vec_id").cast("string")))
+        .limit(TrainPerCentroid * kk)
+      assignViaIvf(spark, emb,
+        SimilaritySearch.trainCentroids(spark, sample, kk, iters), probeCoarse)
+    }
   }
 
   /** I4: per-vector semantic-dedup verdict.
@@ -181,23 +224,15 @@ object SemanticDedup {
     * rank window is per-cluster (same bound). Training cost is the
     * existing trainCentroids contract: 1 bounded-sample collect +
     * `iters` broadcast-argmax passes. */
+  // probeCoarse > 0 selects the sampled-training + IVF-probe regime
+  // (see assigned()). The dedup rule is partition-agnostic — it needs
+  // a deterministic clustering, not an optimal one — so the two
+  // structural guarantees hold unchanged on that path too (PackingSpec
+  // asserts them on both).
   def semanticDedup(spark: SparkSession, dir: String,
                     k: Int = 0, tau: Double = 0.35,
-                    iters: Int = 3, probeCoarse: Int = 0): DataFrame = {
-    val vecs = if (probeCoarse <= 0) assigned(spark, dir, k, iters)
-    else {
-      // the n·k-regime variant: same trainer, IVF-probed routing.
-      // The dedup rule is partition-agnostic (it needs a
-      // deterministic clustering, not an optimal one), so the two
-      // structural guarantees hold unchanged under the approximate
-      // assignment — PackingSpec asserts them on this path too.
-      val emb = Tables.embeddings(spark, dir)
-      val kk = if (k > 0) k else autoK(emb.select("vec_id").count())
-      assignViaIvf(spark, emb,
-        SimilaritySearch.trainCentroids(spark, emb, kk, iters), probeCoarse)
-    }
-    dedupAssigned(spark, vecs, tau)
-  }
+                    iters: Int = 3, probeCoarse: Int = 0): DataFrame =
+    dedupAssigned(spark, assigned(spark, dir, k, iters, probeCoarse), tau)
 
   /** The dedup rule over an already-assigned frame (vec_id, embedding,
     * cid, cent_sim). */

@@ -53,22 +53,13 @@ object VecStreams {
     SemanticDedup.incrementalKeptOld(
       spark, Tables.embeddings(spark, corpusDir), cents, tau)
 
-  /** Per-row stateless argmax over a collected centroid table: the
-    * k-row frame becomes an in-plan literal; ties to the smallest cid
-    * (struct sort on (-score, cid)) — bit-matching the batch
-    * `max(struct(cc, -cid))` rule. */
+  /** Per-row stateless argmax over a collected centroid table — the
+    * SHARED literal-centroid scorer ([[SemanticDedup.literalTopCentroids]],
+    * also the batch probe path's router), so the stream's rounding and
+    * tie rules can never drift from the batch argmax it mirrors. */
   private def nearestCidCol(spark: SparkSession, cents: DataFrame,
-                            emb: Column): Column = {
-    graft.plans.GraftFunctions.register(spark)
-    val centArr = array(cents.collect().map { r =>
-      struct(lit(r.getInt(0)).as("cid"),
-        array(r.getSeq[Any](1).map(v =>
-          lit(v.asInstanceOf[Number].doubleValue)): _*).as("c_emb"))
-    }.toIndexedSeq: _*)
-    element_at(array_sort(transform(centArr, c =>
-      struct((-round(call_function("graft_cosine", emb, c.getField("c_emb")), 9))
-        .as("ns"), c.getField("cid").as("cid")))), 1).getField("cid")
-  }
+                            emb: Column): Column =
+    element_at(SemanticDedup.literalTopCentroids(spark, cents, emb, 1), 1)
 
   /** Streaming matches: each arriving vector lands in its corpus
     * cluster (narrow, stateless) and joins the kept index on `cid`;
