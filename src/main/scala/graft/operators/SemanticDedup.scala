@@ -51,11 +51,21 @@ object SemanticDedup {
     * (max cosine, ties to the smallest cid): single source of truth —
     * GoldenSpec pins outputs that flow through it, so the exact and
     * probed paths must share this block, never re-implement it.
-    * Input: (vec_id, embedding, cid, cc) candidate rows. */
+    * Input: (vec_id, embedding, cid, cc) candidate rows.
+    *
+    * NaN rule: a NaN score (an all-zero centroid — Lloyd's mean of
+    * opposing members — makes cosine 0/0) LOSES. Spark's double
+    * ordering puts NaN greatest, so a bare max(struct(cc, ...)) would
+    * rank the degenerate centroid BEST here while the literal scorer
+    * ([[literalTopCentroids]], which sorts on -cc) ranks it WORST —
+    * the guard keeps the two bit-aligned on the corner as well. */
   private def argmaxBest(scored: DataFrame): DataFrame =
     scored.groupBy("vec_id")
       .agg(first(col("embedding")).as("embedding"),
-        max(struct(col("cc"), (-col("cid")).as("ncid"))).as("best"))
+        max(struct(
+          when(isnan(col("cc")), lit(Double.NegativeInfinity))
+            .otherwise(col("cc")).as("rank_cc"),
+          (-col("cid")).as("ncid"), col("cc").as("cc"))).as("best"))
       .select(col("vec_id"), col("embedding"),
         (-col("best.ncid")).as("cid"), col("best.cc").as("cent_sim"))
 
@@ -122,12 +132,16 @@ object SemanticDedup {
       centVecs.count().toDouble)).toInt.max(1)
     val coarse = SimilaritySearch.trainCentroids(spark, centVecs, coarseK, iters)
       .select(col("cid").as("gid"), col("c_emb").as("g_emb"))
-    // fine centroid -> coarse bucket (k rows; broadcast below)
+    // fine centroid -> coarse bucket (k rows; broadcast below).
+    // localCheckpoint: the literal router's collect below and the
+    // broadcast join both consume it — without materialization the
+    // assignTo aggregation job runs twice per invocation
     val fineByG = assignTo(spark,
       centVecs, coarse.select(col("gid").as("cid"), col("g_emb").as("c_emb")))
       .select(col("cid").as("gid"),
         col("vec_id").cast("int").as("cid")) // back to the cents' Int cid
       .join(cents, Seq("cid"))
+      .localCheckpoint()
     // route ONLY over coarse buckets that actually hold fine
     // centroids: Lloyd's mean update can empty a bucket after its
     // last re-assignment, and a vector whose every probed bucket were
@@ -164,8 +178,12 @@ object SemanticDedup {
     if (probeCoarse <= 0)
       assignTo(spark, emb, SimilaritySearch.trainCentroids(spark, emb, kk, iters))
     else {
-      val sample = emb.orderBy(md5(col("vec_id").cast("string")))
-        .limit(TrainPerCentroid * kk)
+      // materialize the sample ONCE: trainCentroids runs 1 + iters
+      // jobs against it, and a lazy limit would re-scan and re-sort
+      // the full corpus per job — exactly the n-dependence this
+      // regime exists to remove
+      val sample = SimilaritySearch
+        .hashOrderedSample(emb, TrainPerCentroid * kk).localCheckpoint()
       assignViaIvf(spark, emb,
         SimilaritySearch.trainCentroids(spark, sample, kk, iters), probeCoarse)
     }

@@ -150,13 +150,23 @@ object SimilaritySearch {
     * members drops out (k shrinks) rather than being re-seeded —
     * acceptable for ANN bucketing, where fewer, fuller buckets only
     * increase recall. */
+  /** The deterministic hash-ordered bounded sample (smallest `m` by
+    * md5 of vec_id; TakeOrdered keeps the order in the result).
+    * Single source of truth for every sampling-determinism contract:
+    * the trainer's seed set AND SemanticDedup's probe-path training
+    * sample use THIS — the "8k smallest md5 of the 32k smallest are
+    * the global 8k smallest" nesting property holds only while both
+    * share one expression. */
+  private[graft] def hashOrderedSample(emb: DataFrame, m: Int): DataFrame =
+    emb.select(col("vec_id"), col("embedding"))
+      .orderBy(md5(col("vec_id").cast("string"))).limit(m)
+
   def trainCentroids(spark: SparkSession, emb: DataFrame, k: Int,
                      iters: Int = 3): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    // one corpus pass; TakeOrdered keeps md5 order in the result
-    val cands: Array[(Long, Array[Float])] = emb
-      .select(col("vec_id"), col("embedding"))
-      .orderBy(md5(col("vec_id").cast("string"))).limit(8 * k)
+    // one corpus pass
+    val cands: Array[(Long, Array[Float])] =
+      hashOrderedSample(emb, 8 * k)
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
 
