@@ -207,6 +207,40 @@ object ScalingStats {
         .agg(sum(expr("pop * (pop - 1) DIV 2")).as("cand"),
           count(lit(1)).as("bkts"), max("pop").as("maxpop")).head()
       row(dir, s"sem(k=$ka)", nVec, sda.getLong(0), sda.getLong(1), sda.getLong(2))
+
+      // ---- IVF-probe ROUTING agreement at the operator's own scale:
+      // exact argmax vs probed argmax against the SAME centroid set
+      // (the probed regime's sampled-training centroids — comparing
+      // across different trainings would diff cid LABEL SPACES, not
+      // routing). cand = agreeing vectors (same cid, or an
+      // equal-cent_sim alternative), buckets = n, max_pop = agreement
+      // in tenths of a percent. The coarse space grows as √k, so
+      // top-2-of-√k routing gets more selective with k — this row
+      // shows whether measured agreement follows.
+      val embV = spark.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id"), col("embedding"))
+      val sampleV = graft.operators.SimilaritySearch
+        .hashOrderedSample(embV, 32 * ka).localCheckpoint()
+      val centsV = graft.operators.SimilaritySearch
+        .trainCentroids(spark, sampleV, ka, 3)
+      val exA = SemanticDedup.assignTo(spark, embV, centsV)
+        .select(col("vec_id"), col("cid").as("cx"), col("cent_sim").as("sx"))
+      val apA = SemanticDedup.assignViaIvf(spark, embV, centsV, probe = 2)
+        .select(col("vec_id"), col("cid").as("ca"), col("cent_sim").as("sa"))
+      val jA = exA.join(apA, Seq("vec_id")).localCheckpoint()
+      val agree = jA.where(col("ca") === col("cx") ||
+        col("sa") >= col("sx") - 1e-9).count()
+      val totA = jA.count()
+      row(dir, "semroute", nVec, agree, totA, agree * 1000 / math.max(totA, 1))
+      // how BAD is a misroute: the exact-vs-probed centroid-score gap
+      // (0 for agreeing vectors). Near-uniform corpora are IVF's
+      // worst case for agreement, but if the gap is ~0 the probed
+      // partition is equivalently good for the partition-agnostic
+      // dedup rule.
+      val gaps = jA.agg(
+        avg(col("sx") - col("sa")).as("mean"),
+        max(col("sx") - col("sa")).as("max")).head()
+      println(f"[semroute] $dir cent_sim gap exact-probed: mean ${gaps.getDouble(0)}%.5f max ${gaps.getDouble(1)}%.5f")
     }
     finally allDirs.drop(dirs.length).foreach(d => rmTree(new java.io.File(d)))
     spark.stop()

@@ -70,9 +70,13 @@ object SemanticDedup {
         (-col("best.ncid")).as("cid"), col("best.cc").as("cent_sim"))
 
   /** Argmax-assign each vector of `emb` to its nearest centroid by
-    * cosine. Centroids broadcast; one partial-agg shuffle on vec_id. */
-  private def assignTo(spark: SparkSession, emb: DataFrame,
-                       cents: DataFrame): DataFrame =
+    * cosine. Centroids broadcast; one partial-agg shuffle on vec_id.
+    * Package-visible so ScalingStats can measure ROUTING agreement
+    * (probed vs exact against the SAME centroid set — comparing
+    * across different trainings would diff cid label spaces, not
+    * routing). */
+  private[graft] def assignTo(spark: SparkSession, emb: DataFrame,
+                              cents: DataFrame): DataFrame =
     argmaxBest(emb.select("vec_id", "embedding").join(broadcast(cents))
       .select(col("vec_id"), col("embedding"), col("cid"),
         round(Vectors.cosineFast(spark, col("embedding"), col("c_emb")), 9).as("cc")))
