@@ -225,22 +225,45 @@ object ScalingStats {
         .trainCentroids(spark, sampleV, ka, 3)
       val exA = SemanticDedup.assignTo(spark, embV, centsV)
         .select(col("vec_id"), col("cid").as("cx"), col("cent_sim").as("sx"))
-      val apA = SemanticDedup.assignViaIvf(spark, embV, centsV, probe = 2)
-        .select(col("vec_id"), col("cid").as("ca"), col("cent_sim").as("sa"))
-      val jA = exA.join(apA, Seq("vec_id")).localCheckpoint()
-      val agree = jA.where(col("ca") === col("cx") ||
-        col("sa") >= col("sx") - 1e-9).count()
-      val totA = jA.count()
-      row(dir, "semroute", nVec, agree, totA, agree * 1000 / math.max(totA, 1))
-      // how BAD is a misroute: the exact-vs-probed centroid-score gap
-      // (0 for agreeing vectors). Near-uniform corpora are IVF's
-      // worst case for agreement, but if the gap is ~0 the probed
-      // partition is equivalently good for the partition-agnostic
-      // dedup rule.
-      val gaps = jA.agg(
-        avg(col("sx") - col("sa")).as("mean"),
-        max(col("sx") - col("sa")).as("max")).head()
-      println(f"[semroute] $dir cent_sim gap exact-probed: mean ${gaps.getDouble(0)}%.5f max ${gaps.getDouble(1)}%.5f")
+        .localCheckpoint()
+      // legacy fixed probe=2 (the round-8 49.7% exhibit) AND the
+      // shipped adaptive dial, so BASELINE records the before/after
+      // routing curve at every scale point
+      for ((plabel, p) <- Seq("p2" -> 2, "auto" -> SemanticDedup.ProbeAuto)) {
+        val apA = SemanticDedup.assignViaIvf(spark, embV, centsV, probe = p)
+          .select(col("vec_id"), col("cid").as("ca"), col("cent_sim").as("sa"))
+        val jA = exA.join(apA, Seq("vec_id")).localCheckpoint()
+        val agree = jA.where(col("ca") === col("cx") ||
+          col("sa") >= col("sx") - 1e-9).count()
+        val totA = jA.count()
+        row(dir, s"semrt($plabel)", nVec, agree, totA, agree * 1000 / math.max(totA, 1))
+        // how BAD is a misroute: the exact-vs-probed centroid-score gap
+        // (0 for agreeing vectors). Near-uniform corpora are IVF's
+        // worst case for agreement, but if the gap is ~0 the probed
+        // partition is equivalently good for the partition-agnostic
+        // dedup rule.
+        val gaps = jA.agg(
+          avg(col("sx") - col("sa")).as("mean"),
+          max(col("sx") - col("sa")).as("max")).head()
+        println(f"[semrt($plabel)] $dir cent_sim gap exact-probed: mean ${gaps.getDouble(0)}%.5f max ${gaps.getDouble(1)}%.5f")
+      }
+
+      // ---- VERDICT-level agreement (what the operator promises):
+      // full semanticDedup, exact regime vs the shipped ProbeAuto
+      // probe regime — different training (full corpus vs bounded
+      // sample) and different assignment, the honest end-to-end
+      // switch a caller makes. cand = agreeing keep/drop verdicts,
+      // buckets = n, max_pop = agreement in tenths of a percent.
+      val vx = SemanticDedup.semanticDedup(spark, dir)
+        .select(col("vec_id"), col("keep").as("kx"))
+      val vp = SemanticDedup.semanticDedup(spark, dir,
+        probeCoarse = SemanticDedup.ProbeAuto)
+        .select(col("vec_id"), col("keep").as("kp"))
+      val jV = vx.join(vp, Seq("vec_id")).localCheckpoint()
+      val vAgree = jV.where(col("kx") === col("kp")).count()
+      val vTot = jV.count()
+      row(dir, "semverdict", nVec, vAgree, vTot,
+        vAgree * 1000 / math.max(vTot, 1))
     }
     finally allDirs.drop(dirs.length).foreach(d => rmTree(new java.io.File(d)))
     spark.stop()

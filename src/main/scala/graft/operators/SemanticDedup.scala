@@ -47,6 +47,21 @@ object SemanticDedup {
     * assignment was only one of iters+1 full n·k passes). */
   private val TrainPerCentroid = 32
 
+  /** Sentinel for "probe path with the ADAPTIVE dial": callers opt
+    * into the IVF regime without hand-picking a probe width. */
+  val ProbeAuto: Int = -1
+
+  /** The shipped probe dial: `max(2, ⌈k'/4⌉)` — a CONSTANT FRACTION
+    * of the coarse space, so coverage does not decay as k (and with
+    * it k' ≈ √k) grows. A fixed probe=2 covered 50% of the coarse
+    * space at the k'=4 fixture but only 15% at k'=13 (10× corpus,
+    * k=160), where routing agreement fell to 49.7% — the round-8
+    * finding this rule closes. Probing k'/4 of the buckets scores
+    * ~k/4 fine centroids per vector, preserving the probe path's
+    * ~4× assignment saving at every scale. */
+  private[graft] def adaptiveProbe(coarseK: Int): Int =
+    math.max(2, (coarseK + 3) / 4)
+
   /** The argmax-aggregation that DEFINES the assignment tie rule
     * (max cosine, ties to the smallest cid): single source of truth —
     * GoldenSpec pins outputs that flow through it, so the exact and
@@ -121,11 +136,13 @@ object SemanticDedup {
     * dedup rule are unchanged (it never requires optimal clustering,
     * only a deterministic partition). */
   private[graft] def assignViaIvf(spark: SparkSession, emb: DataFrame,
-                                  cents: DataFrame, probe: Int = 2,
+                                  cents: DataFrame, probe: Int = ProbeAuto,
                                   iters: Int = 2): DataFrame = {
-    // probe <= 0 would slice an empty coarse list and silently drop
-    // EVERY vector from the output — fail fast like trainCentroids
-    require(probe >= 1, s"probe must be >= 1, got $probe")
+    // probe = 0 would slice an empty coarse list and silently drop
+    // EVERY vector from the output — fail fast like trainCentroids.
+    // ProbeAuto resolves to adaptiveProbe(k') once k' is known below.
+    require(probe >= 1 || probe == ProbeAuto,
+      s"probe must be >= 1 or ProbeAuto, got $probe")
     // cid is Int and post-Lloyd's centroids are array<double>; the
     // trainer's sample collect reads (Long, array<float>) — cast both
     // (float truncation only affects coarse ROUTING, which is the
@@ -134,6 +151,7 @@ object SemanticDedup {
       col("c_emb").cast("array<float>").as("embedding"))
     val coarseK = math.ceil(math.sqrt(
       centVecs.count().toDouble)).toInt.max(1)
+    val probeEff = if (probe == ProbeAuto) adaptiveProbe(coarseK) else probe
     val coarse = SimilaritySearch.trainCentroids(spark, centVecs, coarseK, iters)
       .select(col("cid").as("gid"), col("c_emb").as("g_emb"))
     // fine centroid -> coarse bucket (k rows; broadcast below).
@@ -153,7 +171,7 @@ object SemanticDedup {
     // not approximation
     val populated = coarse.join(fineByG.select("gid").distinct(), Seq("gid"))
     val topG = emb.select(col("vec_id"), col("embedding"),
-      explode(literalTopCentroids(spark, populated, col("embedding"), probe))
+      explode(literalTopCentroids(spark, populated, col("embedding"), probeEff))
         .as("gid"))
     argmaxBest(topG.join(broadcast(fineByG), Seq("gid"))
       .select(col("vec_id"), col("embedding"), col("cid"),
@@ -162,8 +180,10 @@ object SemanticDedup {
 
   /** Train-and-assign over the full embeddings table; `k <= 0` means
     * [[autoK]]. `probeCoarse = 0` is the exact regime: full-corpus
-    * Lloyd's + exact argmax (n·k per pass). `probeCoarse > 0` is the
-    * >10⁷-vector regime END TO END: training runs on a hash-ordered
+    * Lloyd's + exact argmax (n·k per pass). `probeCoarse != 0`
+    * ([[ProbeAuto]] for the adaptive dial, `> 0` for an explicit
+    * probe width) is the >10⁷-vector regime END TO END: training
+    * runs on a hash-ordered
     * bounded sample of 32·k rows (per-iteration cost 32·k²,
     * independent of n — the SemDeDup/faiss discipline; sampling only
     * moves WHERE centroids land, and the fixture sample covers the
@@ -177,9 +197,11 @@ object SemanticDedup {
   private[graft] def assigned(spark: SparkSession, dir: String,
                               k: Int, iters: Int,
                               probeCoarse: Int = 0): DataFrame = {
+    require(probeCoarse >= 0 || probeCoarse == ProbeAuto,
+      s"probeCoarse must be >= 0 or ProbeAuto, got $probeCoarse")
     val emb = Tables.embeddings(spark, dir)
     val kk = if (k > 0) k else autoK(emb.select("vec_id").count())
-    if (probeCoarse <= 0)
+    if (probeCoarse == 0)
       assignTo(spark, emb, SimilaritySearch.trainCentroids(spark, emb, kk, iters))
     else {
       // materialize the sample ONCE: trainCentroids runs 1 + iters
@@ -246,11 +268,18 @@ object SemanticDedup {
     * rank window is per-cluster (same bound). Training cost is the
     * existing trainCentroids contract: 1 bounded-sample collect +
     * `iters` broadcast-argmax passes. */
-  // probeCoarse > 0 selects the sampled-training + IVF-probe regime
-  // (see assigned()). The dedup rule is partition-agnostic — it needs
-  // a deterministic clustering, not an optimal one — so the two
-  // structural guarantees hold unchanged on that path too (PackingSpec
-  // asserts them on both).
+  // probeCoarse != 0 selects the sampled-training + IVF-probe regime
+  // (see assigned()). Pass ProbeAuto unless you have a measured
+  // reason: the adaptive dial (max(2, ceil(k'/4))) keeps coarse-space
+  // COVERAGE constant as k grows, where a hand-picked small probe
+  // silently loses routing fidelity at larger k (a fixed probe=2 fell
+  // to 49.7% routing agreement at k=160/k'=13 — adaptive probe=4
+  // restores it; BASELINE.md "IVF-probe" table). The dedup rule is
+  // partition-agnostic — it needs a deterministic clustering, not an
+  // optimal one — so the two structural guarantees hold unchanged on
+  // that path too (PackingSpec asserts them on both), and PackingSpec
+  // additionally gates exact-vs-probed KEEP/DROP verdict agreement at
+  // the shipped ProbeAuto default.
   def semanticDedup(spark: SparkSession, dir: String,
                     k: Int = 0, tau: Double = 0.35,
                     iters: Int = 3, probeCoarse: Int = 0): DataFrame =

@@ -166,6 +166,38 @@ class PackingSpec extends SparkSpec {
     assert(fracs(1) >= fracs(0), "agreement must not fall as probe widens")
   }
 
+  test("adaptive probe dial keeps coarse-space coverage constant as k grows") {
+    // the rule the 49.7%-at-10x finding demanded: probe ~ k'/4, floor 2
+    assert(SemanticDedup.adaptiveProbe(1) == 2)
+    assert(SemanticDedup.adaptiveProbe(4) == 2)   // fixture: k=16, k'=4
+    assert(SemanticDedup.adaptiveProbe(13) == 4)  // 10x corpus: k=160, k'=13
+    assert(SemanticDedup.adaptiveProbe(90) == 23) // 1M vectors: k=8000, k'=90
+    // coverage probe/k' never falls below ~1/4 on the ladder
+    for (kp <- 1 to 512)
+      assert(SemanticDedup.adaptiveProbe(kp) * 4 >= kp,
+        s"adaptive probe covers < 1/4 of the coarse space at k'=$kp")
+  }
+
+  test("probe path at the shipped ProbeAuto default: keep/drop verdicts match the exact regime") {
+    // gate what the operator PROMISES (the round-8 adjudication):
+    // routing may disagree on near-tie centroids, but the keep/drop
+    // verdict — the operator's actual output — must agree. Exact and
+    // probed regimes train differently (full corpus vs bounded
+    // sample), so this is the honest end-to-end comparison a caller
+    // switching regimes experiences.
+    val exact = SemanticDedup.semanticDedup(spark, sfDir)
+      .select(col("vec_id"), col("keep").as("keep_x"))
+    val probed = SemanticDedup.semanticDedup(spark, sfDir,
+      probeCoarse = SemanticDedup.ProbeAuto)
+      .select(col("vec_id"), col("keep").as("keep_p"))
+    val j = exact.join(probed, Seq("vec_id")).localCheckpoint()
+    val n = spark.read.parquet(s"$sfDir/embeddings.parquet").count()
+    assert(j.count() == n, "both regimes must emit one verdict per vector")
+    val agree = j.where(col("keep_x") === col("keep_p")).count()
+    assert(agree.toDouble / n >= 0.95,
+      f"verdict agreement ${agree.toDouble / n}%.3f below the 0.95 gate")
+  }
+
   test("incremental semantic dedup: batch verdicts match the kept-old index exactly") {
     val tau = 0.35
     val out = SemanticDedup.semanticDedupIncremental(spark, sfDir, tau = tau)
@@ -201,7 +233,7 @@ class PackingSpec extends SparkSpec {
 
   test("semanticDedup: kept members are pairwise below tau; dropped have a witness (exact AND probed)") {
     val tau = 0.35
-    for (probe <- Seq(0, 2)) checkDedupProperties(
+    for (probe <- Seq(0, SemanticDedup.ProbeAuto)) checkDedupProperties(
       SemanticDedup.semanticDedup(spark, sfDir, tau = tau, probeCoarse = probe), tau)
   }
 
