@@ -23,11 +23,13 @@ import graft.sources.Tables
   * filter emits `(vec_id, old_id, cos_sim)` matches in append mode.
   *
   * Scale bounds, stated honestly: the literal-array trick carries to
-  * k in the low thousands (expression-tree size); beyond that, run
-  * the same pipeline inside `foreachBatch`, where the batch argmax
-  * (broadcast + aggregation) is legal per micro-batch — the join and
-  * index shapes are identical. The static side is built ONCE from the
-  * deduped corpus ([[SemanticDedup.incrementalKeptOld]]) and
+  * k in the low thousands (expression-tree size); beyond that,
+  * [[semanticMatchesForeachBatch]] runs the same pipeline inside
+  * `foreachBatch`, where the batch argmax (broadcast + aggregation)
+  * is legal per micro-batch — the join and index shapes are
+  * identical, so the two paths emit the same matches
+  * (StreamingSemanticSpec asserts it). The static side is built ONCE
+  * from the deduped corpus ([[SemanticDedup.incrementalKeptOld]]) and
   * persisted by the caller, exactly like H9's band index.
   */
 object VecStreams {
@@ -78,4 +80,46 @@ object VecStreams {
       .where(col("cos_sim") > tau)
       .select(col("vec_id"), col("old_id"), col("cos_sim"))
   }
+
+  /** One micro-batch of the large-k pipeline: the BATCH argmax
+    * ([[SemanticDedup.assignTo]] — broadcast centroids + max-struct
+    * aggregation, which shares [[SemanticDedup.literalTopCentroids]]'s
+    * rounding and tie rules, so the two streaming paths cannot drift)
+    * followed by the same kept-index join and `tau` filter as
+    * [[semanticMatches]]. Package-visible so the spec can assert
+    * batch-vs-literal emission equality directly. */
+  private[graft] def matchesOfBatch(spark: SparkSession, batch: DataFrame,
+                                    cents: DataFrame, keptIdx: DataFrame,
+                                    tau: Double): DataFrame =
+    SemanticDedup.assignTo(spark, batch, cents)
+      .join(keptIdx, Seq("cid"))
+      .withColumn("cos_sim",
+        round(graft.functions.Vectors.cosineFast(spark,
+          col("embedding"), col("old_emb")), 9))
+      .where(col("cos_sim") > tau)
+      .select(col("vec_id"), col("old_id"), col("cos_sim"))
+
+  /** I7's LARGE-k regime (the production path at autoK beyond the
+    * literal-expression bound — 10⁷ vectors means k ≈ 80,000, far
+    * past what an in-plan literal centroid array can carry): the same
+    * stream with the per-batch match pipeline run inside
+    * `foreachBatch`, where aggregation is legal per micro-batch. The
+    * emission set is identical to [[semanticMatches]] by construction
+    * — same centroid table, same rounding/tie rules, same join — and
+    * the spec asserts it on the fixture. Delivery is the usual
+    * foreachBatch contract: at-least-once per (vector, kept neighbor)
+    * under retries; `sink` receives each batch's matches plus the
+    * batch id for idempotent downstream writes.
+    *
+    * Returns the configured writer; the caller picks trigger /
+    * checkpoint and starts it (the SseSink precedent). */
+  def semanticMatchesForeachBatch(spark: SparkSession, streamDir: String,
+                                  cents: DataFrame, keptIdx: DataFrame,
+                                  tau: Double)
+                                 (sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    readVecs(spark, streamDir).writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        sink(matchesOfBatch(spark, batch, cents, keptIdx, tau), batchId)
+      }
 }
