@@ -286,9 +286,12 @@ object SemanticDedup {
     dedupAssigned(spark, assigned(spark, dir, k, iters, probeCoarse), tau)
 
   /** The dedup rule over an already-assigned frame (vec_id, embedding,
-    * cid, cent_sim). */
-  private def dedupAssigned(spark: SparkSession, assignedVecs: DataFrame,
-                            tau: Double): DataFrame = {
+    * cid, cent_sim). Package-visible so ProbeLab can measure verdict
+    * agreement across assignment strategies under FIXED centroids —
+    * the controlled experiment that separates probe-induced verdict
+    * churn from training-sample churn. */
+  private[graft] def dedupAssigned(spark: SparkSession, assignedVecs: DataFrame,
+                                   tau: Double): DataFrame = {
     val ranked = assignedVecs.withColumn("rk",
       row_number().over(Window.partitionBy("cid")
         .orderBy(col("cent_sim").asc, col("vec_id").asc)))

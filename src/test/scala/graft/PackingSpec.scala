@@ -178,6 +178,24 @@ class PackingSpec extends SparkSpec {
         s"adaptive probe covers < 1/4 of the coarse space at k'=$kp")
   }
 
+  test("IVF probe at FULL coverage (probe = k') is bit-identical to the exact argmax") {
+    // the machinery-exactness contract: approximation must come ONLY
+    // from probing a subset of coarse buckets. With every bucket
+    // probed, routing and scores must equal assignTo exactly — any
+    // residual diff would be a rounding/tie-rule drift bug, not an
+    // approximation. (ProbeLab measured the same at 10x: probe=k'=13
+    // -> 100.00% routing AND verdict agreement.)
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val cents = graft.operators.SimilaritySearch.trainCentroids(spark, emb, 16, iters = 3)
+    val exact = SemanticDedup.assignTo(spark, emb, cents)
+      .select("vec_id", "cid", "cent_sim")
+    val full = SemanticDedup.assignViaIvf(spark, emb, cents, probe = 4) // k'=4
+      .select("vec_id", "cid", "cent_sim")
+    assert(exact.exceptAll(full).isEmpty && full.exceptAll(exact).isEmpty,
+      "full-coverage probe diverged from exact argmax — tie/rounding drift")
+  }
+
   test("probe path at the shipped ProbeAuto default: keep/drop verdicts match the exact regime") {
     // gate what the operator PROMISES (the round-8 adjudication):
     // routing may disagree on near-tie centroids, but the keep/drop
