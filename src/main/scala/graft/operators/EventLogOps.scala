@@ -178,6 +178,28 @@ object EventLogOps {
       |WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'
       |ORDER BY event_id""".stripMargin
 
+  /** [[since]] over the date-partitioned layout
+    * ([[Tables.writeEventsPartitioned]]): identical rows, but the
+    * resume instant also bounds the PARTITION column —
+    * `event_date >= date(since)` is implied by `ts >= since` (the
+    * partition key is the UTC date of `ts`), and stating it lets the
+    * planner prune whole date directories at file-listing time. At
+    * 100 TB this is the difference between listing a few days of
+    * files and opening every row group the flat layout ever wrote:
+    * service.go:226-242's resume semantics are a partition prune.
+    * The exact `ts` predicate still pushes to the scan for the
+    * boundary day. PlanSpec pins both (PartitionFilters +
+    * PushedFilters) and row-equality with the flat path. */
+  def sincePartitioned(spark: SparkSession, dir: String,
+                       sinceNs: Long = 1705276800000000000L): DataFrame = {
+    Tables.eventsPartitionedRaw(spark, dir)
+      .where(col("event_date") >=
+        to_date(timestamp_micros(lit(sinceNs / 1000L))) &&
+        col("ts") >= sinceNs)
+      .select(col("event_id"), tsUs.as("ts_us"), col("event_type"), col("value"))
+      .orderBy("event_id")
+  }
+
   // ---------------------------------------------------------------- A3
   /** Timestamp→nearest-offset, the reference's only query operator
     * (timestamp2offset.go:60-80): for each probe instant, the smallest

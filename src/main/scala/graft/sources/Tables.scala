@@ -152,6 +152,40 @@ object Tables {
   /** events with `ts` as raw nanos BIGINT (pushdown-friendly). */
   def eventsRaw(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "events")
 
+  // ------------------------------------------------- partitioned layout
+  /** The 100 TB layout for the event log: hive-style
+    * `event_date=YYYY-MM-DD/` directories, so time-range predicates
+    * (the `?since=` resume grammar, retention cuts, windowed reads)
+    * prune whole FILES at planning time instead of relying on
+    * row-group statistics inside one flat file. Flat parquet answers
+    * the same queries correctly — this layout answers them without
+    * opening a year of cold data to serve "since this morning".
+    *
+    * `event_date` is derived from the raw nanos (UTC truncation of
+    * the µs instant DuckDB also sees), so the partition key is a pure
+    * function of `ts` and the two layouts hold identical logical
+    * content. */
+  def writeEventsPartitioned(spark: SparkSession, srcDir: String,
+                             outDir: String): Unit =
+    eventsRaw(spark, srcDir)
+      .withColumn("event_date", to_date(timestamp_micros(expr("ts DIV 1000"))))
+      .write.mode("overwrite")
+      .partitionBy("event_date")
+      .parquet(s"$outDir/events.parquet")
+
+  /** Schema for the partitioned layout: the raw schema + the
+    * `event_date` partition column (DateType, read from directory
+    * names — zero bytes per row on disk). */
+  val eventsPartitionedSchema: StructType =
+    StructType(eventsRawSchema.fields :+ StructField("event_date", DateType))
+
+  /** Partitioned-events reader. Same rows as [[eventsRaw]] over the
+    * equivalent flat file, plus `event_date` for partition-pruning
+    * predicates (PlanSpec pins that the pruning actually happens). */
+  def eventsPartitionedRaw(spark: SparkSession, dir: String): DataFrame =
+    spark.read.schema(eventsPartitionedSchema)
+      .parquet(s"$dir/events.parquet")
+
   /** events plus derived `ts_us` TimestampType (µs, matches DuckDB).
     * Integer division (DIV) — a double quotient of ~1.7e18 nanos loses
     * the low bits and lands ±hundreds of ns off. */

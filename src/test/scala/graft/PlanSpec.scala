@@ -227,4 +227,53 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
       s"centroids not broadcast:\n$plan")
   }
+
+  test("partitioned events layout: since prunes date partitions (files), not just row groups") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_part").toFile.getPath
+    try {
+      graft.sources.Tables.writeEventsPartitioned(spark, sfDir, dir)
+      def parquetFiles(f: java.io.File): Int =
+        if (f.isDirectory) f.listFiles().map(parquetFiles).sum
+        else if (f.getName.endsWith(".parquet")) 1 else 0
+      val totalFiles = parquetFiles(new java.io.File(s"$dir/events.parquet"))
+      assert(totalFiles > 1, "fixture must span multiple event_date partitions")
+
+      val df = EventLogOps.sincePartitioned(spark, dir)
+      df.collect()
+      // AQE nests the actual operators inside query stages, which are
+      // not `children` — descend through them manually
+      import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+        case f: FileSourceScanExec => Seq(f)
+        case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+        case q: QueryStageExec => scans(q.plan)
+        case other => other.children.flatMap(scans)
+      }
+      val scan = scans(df.queryExecution.executedPlan).headOption
+        .getOrElse(fail("no FileSourceScanExec in the executed plan"))
+      // the contract: a PARTITION filter on event_date (file pruning at
+      // listing time) AND the exact ts predicate still pushed to the
+      // scan for the boundary day
+      assert(scan.partitionFilters.exists(_.toString.contains("event_date")),
+        s"no event_date partition filter:\n${scan.toString}")
+      assert(scan.toString.contains("PushedFilters: [IsNotNull(ts), GreaterThanOrEqual(ts"),
+        s"ts predicate lost its pushdown:\n${scan.toString}")
+      val filesRead = scan.metrics("numFiles").value
+      assert(filesRead < totalFiles,
+        s"partition pruning read every file ($filesRead of $totalFiles)")
+
+      // same rows as the flat layout — the layout changes I/O, never
+      // the answer
+      val flat = EventLogOps.since(spark, sfDir)
+      assert(df.exceptAll(flat).isEmpty && flat.exceptAll(df).isEmpty,
+        "partitioned since diverged from the flat-layout since")
+      println(s"[planspec] partitioned since read $filesRead of $totalFiles files")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+      }
+      rm(new java.io.File(dir))
+    }
+  }
 }
