@@ -90,7 +90,11 @@ object SparkEntry {
     // not SQL-expressible -> rows-only; properties + golden file gated
     // by PackingSpec / GoldenSpec
     "q_dedup_semantic" -> ((s: SparkSession, d: String) => SemanticDedup.semanticDedup(s, d)),
-    "q_dedup_source_matrix" -> (Dedup.sourceMatrix _)
+    "q_dedup_source_matrix" -> (Dedup.sourceMatrix _),
+    // J1: composed funnel (curate -> semantic survivors -> mix
+    // resample -> shard pack); oracle nests the stages' own SQL with
+    // the semantic stage's golden-pinned drop-set
+    "q_pipeline_pack" -> (Pipeline.pipelinePack _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -150,6 +154,7 @@ object SparkEntry {
     "q_sample_stratified" -> Packing.stratifiedSampleSql(),
     "q_ngram_dupfrac" -> CorpusStats.dupGramFracSql,
     "q_gram_topk" -> CorpusStats.topGramsSql(),
-    "q_dedup_source_matrix" -> Dedup.sourceMatrixSql
+    "q_dedup_source_matrix" -> Dedup.sourceMatrixSql,
+    "q_pipeline_pack" -> Pipeline.pipelinePackSql()
   )
 }

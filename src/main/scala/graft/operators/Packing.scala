@@ -44,7 +44,14 @@ object Packing {
     * ids — map-side partial agg collapses each bucket's rows first.
     */
   def shardPack(spark: SparkSession, dir: String,
-                shardTokens: Long = 2000L, salt: String = "shard"): DataFrame = {
+                shardTokens: Long = 2000L, salt: String = "shard"): DataFrame =
+    shardPackFrom(Tables.documents(spark, dir), shardTokens, salt)
+
+  /** [[shardPack]] over an arbitrary (doc_id, text, ...) frame — the
+    * composable form the pipeline funnel feeds with its survivor set
+    * (the curateFrom precedent). */
+  def shardPackFrom(docs: DataFrame,
+                    shardTokens: Long = 2000L, salt: String = "shard"): DataFrame = {
     val wCum = Window.partitionBy("bkt").orderBy(col("h"), col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // shared machinery with tokenBudget (PrefixSum): hash/bucket
@@ -52,7 +59,7 @@ object Packing {
     // broadcast back. est_tokens is 0 (never NULL) for null text by
     // PrefixSum's contract, so start_off/shard_id can't go NULL.
     PrefixSum.withBucketOffsets(
-      PrefixSum.hashedBase(Tables.documents(spark, dir), salt), Nil)
+      PrefixSum.hashedBase(docs, salt), Nil)
       .withColumn("start_off",
         col("offset") + coalesce(sum(col("est_tokens")).over(wCum), lit(0L))
           - col("est_tokens"))

@@ -97,8 +97,14 @@ object Sampling {
     * aggregation on the low-cardinality source key, the per-source
     * thresholds broadcast back, then a narrow filter. */
   def mixResample(spark: SparkSession, dir: String,
-                  salt: String = "mix"): DataFrame = {
-    val docs = Tables.documents(spark, dir)
+                  salt: String = "mix"): DataFrame =
+    mixResampleFrom(Tables.documents(spark, dir), salt)
+
+  /** [[mixResample]] over an arbitrary (doc_id, source, ...) frame —
+    * the composable form: rates derive from THIS frame's source
+    * counts, so resampling a funnel's survivor set balances the
+    * survivors, not the raw corpus. */
+  def mixResampleFrom(docs: DataFrame, salt: String = "mix"): DataFrame = {
     val perSource = docs.groupBy("source").agg(count(lit(1)).as("n_s"))
     val totals = docs.agg(count(lit(1)).as("n_total"),
       countDistinct(col("source")).as("n_sources"))

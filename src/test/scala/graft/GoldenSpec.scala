@@ -45,6 +45,66 @@ class GoldenSpec extends SparkSpec {
       }; if the change is intentional, re-run GoldenGen and review the diff")
   }
 
+  test("q_dedup_semantic_incremental output equals the checked-in golden (I6)") {
+    val got = GoldenGen.semIncCsv(
+      graft.operators.SemanticDedup.semanticDedupIncremental(spark, sfDir))
+    val want = golden("q_dedup_semantic_incremental")
+    assert(got == want,
+      s"q_dedup_semantic_incremental drifted from golden — first diff: ${
+        got.zipAll(want, "<missing>", "<extra>")
+          .find { case (a, b) => a != b }.getOrElse(("", ""))
+      }; if intentional, re-run GoldenGen and review")
+  }
+
+  test("streaming semantic emission set equals the checked-in golden (I7, real stream replay)") {
+    // GoldenGen pinned via the BATCH twin (matchesOfBatch); replaying
+    // the REAL stream against the same file cross-pins the two paths
+    val root = java.nio.file.Files.createTempDirectory("graft_sgold").toFile
+    try {
+      val streamDir = s"$root/stream"
+      new java.io.File(streamDir).mkdirs()
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"${GoldenGen.VerifyDir}/embeddings.parquet"),
+        java.nio.file.Paths.get(s"$streamDir/part-0.parquet"))
+      val cents = graft.streaming.VecStreams
+        .corpusCentroids(spark, GoldenGen.SfDir, GoldenGen.StreamK)
+      val kept = graft.streaming.VecStreams
+        .keptIndex(spark, GoldenGen.SfDir, cents, GoldenGen.StreamTau)
+      val name = "sgold_" + System.nanoTime()
+      val q = graft.streaming.VecStreams
+        .semanticMatches(spark, streamDir, cents, kept, GoldenGen.StreamTau)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val got = GoldenGen.semStreamCsv(spark.table(name))
+      val want = golden("semantic_stream_matches")
+      assert(got == want,
+        s"I7 stream emissions drifted from golden — first diff: ${
+          got.zipAll(want, "<missing>", "<extra>")
+            .find { case (a, b) => a != b }.getOrElse(("", ""))
+        }; if intentional, re-run GoldenGen and review")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+      }
+      rm(root)
+    }
+  }
+
+  test("pipeline oracle's pinned drop-set equals the live sf0.01 semantic drops") {
+    // the q_pipeline_pack oracle inlines this main resource; if the
+    // semantic stage's output moves, this fails before the driver's
+    // correctness gate ever sees a confusing hash mismatch
+    val live = graft.operators.SemanticDedup
+      .semanticDedup(spark, GoldenGen.VerifyDir)
+      .where(!org.apache.spark.sql.functions.col("keep"))
+      .select("vec_id").orderBy("vec_id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(graft.operators.Pipeline.pinnedDropIds == live,
+      "semantic_drop_sf0.01.csv is stale — re-run GoldenGen and review")
+  }
+
   test("q_profile_approx matches golden (exact counts/HLL, 1% band on quantiles)") {
     val got = GoldenGen.profileCsv(SparkEntry.queries("q_profile_approx")(spark, sfDir))
     val want = golden("q_profile_approx")

@@ -187,6 +187,30 @@ class PipelineOpsSpec extends SparkSpec {
     } finally stages.foreach(_.unpersist())
   }
 
+  test("pipelinePackFrom over persisted stage outputs equals the self-contained funnel (J1)") {
+    // the I-series composition contract: curate -> semantic drops ->
+    // mix resample -> shard pack, with every stage materialized once —
+    // must be row-identical to pipelinePack's recompute form
+    val stages = Seq(
+      graft.operators.Curation.curate(spark, sfDir),
+      graft.operators.Pipeline.semanticDrops(spark, sfDir)).map(_.persist())
+    try {
+      val direct = graft.operators.Pipeline.pipelinePack(spark, sfDir)
+        .collect().toSeq
+      val staged = graft.operators.Pipeline.pipelinePackFrom(
+        graft.sources.Tables.documents(spark, sfDir),
+        stages(0), stages(1)).collect().toSeq
+      assert(staged == direct, "persisted-stage pipeline diverged from pipelinePack")
+      assert(direct.nonEmpty, "pipeline packed nothing — comparison is vacuous")
+      // the funnel has bite at every stage on this fixture: fewer docs
+      // than the corpus reach the packer, and shards actually fill
+      val packedDocs = direct.map(_.getLong(1)).sum
+      val corpus = graft.sources.Tables.documents(spark, sfDir).count()
+      assert(packedDocs < corpus, "no stage filtered anything — funnel is vacuous")
+      assert(packedDocs > 0)
+    } finally stages.foreach(_.unpersist())
+  }
+
   test("skip audit categorizes planted bad envelopes by reference reason order") {
     val dir = Files.createTempDirectory("graft_skip").toFile
     try {
