@@ -15,6 +15,20 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Corpus precondition for gram-based oracle parity: the native
+    // Shingles/GramStats expressions return [""] for NULL/empty text
+    // while their DuckDB twins drop such docs — every gram query's
+    // parity therefore ASSUMES the verify corpus has non-degenerate
+    // text. Fail loudly here if a future corpus breaks that, instead
+    // of surfacing as a confusing per-query hash diff.
+    locally {
+      import org.apache.spark.sql.functions.{col, length}
+      val degenerate = graft.sources.Tables.documents(spark, sfDir)
+        .where(col("text").isNull || length(col("text")) === 0).count()
+      require(degenerate == 0,
+        s"$degenerate null/empty-text docs in $sfDir — gram-query oracle " +
+          "parity does not hold on degenerate text (see GramOps.scala)")
+    }
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

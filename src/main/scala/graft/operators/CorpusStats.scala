@@ -42,9 +42,20 @@ object CorpusStats {
     * `xxhash64(gram)` (8 B fixed) instead of the ~40 B gram string:
     * measured 8.0 → 3.1 s on the 10× corpus, and at scale the shuffle
     * is ~5× lighter with integer-key joins. A 64-bit collision would
-    * merge two gram groups (over-counting duplication) but needs ~2³²
-    * DISTINCT grams for even-odds (birthday bound); the corpus-parity
-    * gate vs the raw-string DuckDB oracle would surface one. The
+    * merge two gram groups (over-counting duplication). Headroom,
+    * measured rather than assumed (ScalingStats `dupfrac`): distinct
+    * grams are 47.6/doc, exactly linear through the 10× corpus
+    * (237,849 → 2,378,490 for 5k → 50k docs), so a 100 TB corpus
+    * holds m ≈ 10¹²–10¹³ distinct grams — far past the 2³²
+    * one-collision birthday point, and the right question is HOW MANY:
+    * expected colliding pairs = m²/2⁶⁵ ≈ 2.7·10⁴ at m=10¹² (2.7·10⁶
+    * at 10¹³), i.e. ~10⁻⁷ of gram groups merged — noise for a
+    * fraction-valued signal, orders below the estimator's own
+    * tokenizer sensitivity. DECISION: keep the 8 B key; the 2× wider
+    * shuffle a 128-bit key costs (two salted xxhash64 columns — the
+    * documented widening if an EXACT gram-set use ever needs it) buys
+    * nothing measurable here. The corpus-parity gate vs the raw-string
+    * DuckDB oracle would surface a fixture-scale collision; the
     * remaining published mitigation — widening the gram — is the
     * `DupGramN` knob. A pathologically hot gram (empty string,
     * boilerplate) lands on one reducer for the count side — partial
