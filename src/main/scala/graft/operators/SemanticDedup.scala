@@ -32,13 +32,25 @@ object SemanticDedup {
   private val TargetClusterPop = 125
   private val MinClusters = 16
 
-  /** Data-derived cluster count: `max(16, ceil(n / 125))`. One
-    * count() job over the (column-pruned) id column — the same class
-    * of bounded driver-side scalar the trainer's sample collect
+  /** Ceiling on the derived cluster count — the SemDeDup regime
+    * itself (~100k clusters at web scale, for ANY corpus size).
+    * Unbounded k ∝ n stops making sense past this point: the
+    * broadcast centroid table is k·d doubles (400 MB at k = 8·10⁵,
+    * d = 64 — past executor broadcast comfort), the 32·k training
+    * sample stays a constant ~26% of the corpus, and the probe path's
+    * coarse table grows as √k. Capped, all three are bounded and the
+    * within-cluster pairwise stage degrades gracefully: population
+    * grows as n/10⁵, keeping per-task join inputs ~n/k members —
+    * 1,000 at 10⁸ vectors, still memory-trivial. */
+  private val MaxClusters = 100000
+
+  /** Data-derived cluster count: `clamp(ceil(n / 125), 16, 10⁵)`.
+    * One count() job over the (column-pruned) id column — the same
+    * class of bounded driver-side scalar the trainer's sample collect
     * already is. */
   private[graft] def autoK(n: Long): Int =
-    math.max(MinClusters,
-      ((n + TargetClusterPop - 1) / TargetClusterPop).toInt)
+    math.min(MaxClusters.toLong, math.max(MinClusters.toLong,
+      (n + TargetClusterPop - 1) / TargetClusterPop)).toInt
 
   /** Hash-sample size per centroid for the probe path's BOUNDED
     * training: Lloyd's runs over ≤ 32·k rows instead of the corpus,
@@ -66,7 +78,16 @@ object SemanticDedup {
     * (max cosine, ties to the smallest cid): single source of truth —
     * GoldenSpec pins outputs that flow through it, so the exact and
     * probed paths must share this block, never re-implement it.
-    * Input: (vec_id, embedding, cid, cc) candidate rows.
+    * Input: (vec_id, cid, cc) candidate rows — PRIMITIVES ONLY. An
+    * earlier shape carried the embedding through `first()`, which
+    * forces ObjectHashAggregate: every map task buffers ~600 B per
+    * distinct vec_id it sees (and row-partitioned input means every
+    * task sees every key), ~240 MB/task at 4·10⁵ vectors — a measured
+    * local OOM at 200× and an executor OOM at real scale. All-
+    * primitive max(struct) stays in whole-stage-codegen'd fixed-width
+    * aggregation (~48 B/key); the embedding comes back via ONE n-row
+    * equi-join in [[withEmbedding]], which reuses the agg's vec_id
+    * partitioning so only the slim embeddings side shuffles.
     *
     * NaN rule: a NaN score (an all-zero centroid — Lloyd's mean of
     * opposing members — makes cosine 0/0) LOSES. Spark's double
@@ -76,13 +97,19 @@ object SemanticDedup {
     * the guard keeps the two bit-aligned on the corner as well. */
   private def argmaxBest(scored: DataFrame): DataFrame =
     scored.groupBy("vec_id")
-      .agg(first(col("embedding")).as("embedding"),
-        max(struct(
-          when(isnan(col("cc")), lit(Double.NegativeInfinity))
-            .otherwise(col("cc")).as("rank_cc"),
-          (-col("cid")).as("ncid"), col("cc").as("cc"))).as("best"))
-      .select(col("vec_id"), col("embedding"),
+      .agg(max(struct(
+        when(isnan(col("cc")), lit(Double.NegativeInfinity))
+          .otherwise(col("cc")).as("rank_cc"),
+        (-col("cid")).as("ncid"), col("cc").as("cc"))).as("best"))
+      .select(col("vec_id"),
         (-col("best.ncid")).as("cid"), col("best.cc").as("cent_sim"))
+
+  /** Restore the embedding column onto an argmax result — the
+    * (vec_id, embedding, cid, cent_sim) shape every consumer expects. */
+  private def withEmbedding(assignedSlim: DataFrame, emb: DataFrame): DataFrame =
+    assignedSlim
+      .join(emb.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      .select(col("vec_id"), col("embedding"), col("cid"), col("cent_sim"))
 
   /** Argmax-assign each vector of `emb` to its nearest centroid by
     * cosine. Centroids broadcast; one partial-agg shuffle on vec_id.
@@ -92,9 +119,11 @@ object SemanticDedup {
     * routing). */
   private[graft] def assignTo(spark: SparkSession, emb: DataFrame,
                               cents: DataFrame): DataFrame =
-    argmaxBest(emb.select("vec_id", "embedding").join(broadcast(cents))
-      .select(col("vec_id"), col("embedding"), col("cid"),
-        round(Vectors.cosineFast(spark, col("embedding"), col("c_emb")), 9).as("cc")))
+    withEmbedding(
+      argmaxBest(emb.select("vec_id", "embedding").join(broadcast(cents))
+        .select(col("vec_id"), col("cid"),
+          round(Vectors.cosineFast(spark, col("embedding"), col("c_emb")), 9).as("cc"))),
+      emb)
 
   /** Top-`n` centroid ids per row against a COLLECTED centroid frame
     * (column 0: Int id, column 1: the embedding) ridden as an in-plan
@@ -173,9 +202,11 @@ object SemanticDedup {
     val topG = emb.select(col("vec_id"), col("embedding"),
       explode(literalTopCentroids(spark, populated, col("embedding"), probeEff))
         .as("gid"))
-    argmaxBest(topG.join(broadcast(fineByG), Seq("gid"))
-      .select(col("vec_id"), col("embedding"), col("cid"),
-        round(Vectors.cosineFast(spark, col("embedding"), col("c_emb")), 9).as("cc")))
+    withEmbedding(
+      argmaxBest(topG.join(broadcast(fineByG), Seq("gid"))
+        .select(col("vec_id"), col("cid"),
+          round(Vectors.cosineFast(spark, col("embedding"), col("c_emb")), 9).as("cc"))),
+      emb)
   }
 
   /** Train-and-assign over the full embeddings table; `k <= 0` means
@@ -199,7 +230,12 @@ object SemanticDedup {
                               probeCoarse: Int = 0): DataFrame = {
     require(probeCoarse >= 0 || probeCoarse == ProbeAuto,
       s"probeCoarse must be >= 0 or ProbeAuto, got $probeCoarse")
-    val emb = Tables.embeddings(spark, dir)
+    // parallelized: the n·k broadcast-argmax is NARROW — its task
+    // count is the scan's split count, so a small-file corpus would
+    // run the dominant CPU stage nearly serially (the minhash
+    // precedent; a no-op whenever the scan already yields >= cores
+    // splits, i.e. always at real scale)
+    val emb = Tables.parallelized(spark, Tables.embeddings(spark, dir))
     val kk = if (k > 0) k else autoK(emb.select("vec_id").count())
     if (probeCoarse == 0)
       assignTo(spark, emb, SimilaritySearch.trainCentroids(spark, emb, kk, iters))
@@ -207,9 +243,14 @@ object SemanticDedup {
       // materialize the sample ONCE: trainCentroids runs 1 + iters
       // jobs against it, and a lazy limit would re-scan and re-sort
       // the full corpus per job — exactly the n-dependence this
-      // regime exists to remove
+      // regime exists to remove. repartition first: a global
+      // orderBy().limit() lands on ONE partition, which would run
+      // every Lloyd pass over the sample single-threaded (the trainer
+      // re-sorts its own seed internally, so sample order is free)
       val sample = SimilaritySearch
-        .hashOrderedSample(emb, TrainPerCentroid * kk).localCheckpoint()
+        .hashOrderedSample(emb, TrainPerCentroid * kk)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .localCheckpoint()
       assignViaIvf(spark, emb,
         SimilaritySearch.trainCentroids(spark, sample, kk, iters), probeCoarse)
     }
@@ -357,7 +398,7 @@ object SemanticDedup {
   def semanticDedupIncremental(spark: SparkSession, dir: String,
                                k: Int = 0, tau: Double = 0.35,
                                iters: Int = 3): DataFrame = {
-    val emb = Tables.embeddings(spark, dir)
+    val emb = Tables.parallelized(spark, Tables.embeddings(spark, dir))
     val old = emb.where(!isNewVec(col("vec_id")))
     val batch = emb.where(isNewVec(col("vec_id")))
 
