@@ -186,6 +186,27 @@ object Tables {
     spark.read.schema(eventsPartitionedSchema)
       .parquet(s"$dir/events.parquet")
 
+  /** The 100 TB layout for the corpus: `source=` directories, so
+    * per-source work (source-mix rates, per-source budgets, a single
+    * crawl's reprocess) prunes files at listing time. `source` is
+    * already a column; the hive layout stores it once in the
+    * directory name (zero bytes per row) and restores it at read. */
+  def writeDocumentsPartitioned(spark: SparkSession, srcDir: String,
+                                outDir: String): Unit =
+    documents(spark, srcDir)
+      .write.mode("overwrite")
+      .partitionBy("source")
+      .parquet(s"$outDir/documents.parquet")
+
+  /** Partitioned-documents reader; same rows as [[documents]] over
+    * the flat file (PlanSpec pins pruning + row equality). Partition
+    * columns come back LAST in the schema, so reorder to the pinned
+    * column order. */
+  def documentsPartitioned(spark: SparkSession, dir: String): DataFrame =
+    spark.read.schema(documentsSchema)
+      .parquet(s"$dir/documents.parquet")
+      .select(documentsSchema.fieldNames.map(col): _*)
+
   /** events plus derived `ts_us` TimestampType (µs, matches DuckDB).
     * Integer division (DIV) — a double quotient of ~1.7e18 nanos loses
     * the low bits and lands ±hundreds of ns off. */

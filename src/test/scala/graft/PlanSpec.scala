@@ -276,4 +276,47 @@ class PlanSpec extends SparkSpec {
       rm(new java.io.File(dir))
     }
   }
+
+  test("source-partitioned documents layout: per-source filter prunes files; rows equal flat") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_docpart").toFile.getPath
+    try {
+      graft.sources.Tables.writeDocumentsPartitioned(spark, sfDir, dir)
+      def parquetFiles(f: java.io.File): Int =
+        if (f.isDirectory) f.listFiles().map(parquetFiles).sum
+        else if (f.getName.endsWith(".parquet")) 1 else 0
+      val totalFiles = parquetFiles(new java.io.File(s"$dir/documents.parquet"))
+      assert(totalFiles > 1, "fixture must span multiple source partitions")
+
+      import org.apache.spark.sql.functions.col
+      val df = graft.sources.Tables.documentsPartitioned(spark, dir)
+        .where(col("source") === "src7")
+      df.collect()
+      import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+        case f: FileSourceScanExec => Seq(f)
+        case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+        case q: QueryStageExec => scans(q.plan)
+        case other => other.children.flatMap(scans)
+      }
+      val scan = scans(df.queryExecution.executedPlan).headOption
+        .getOrElse(fail("no FileSourceScanExec in the executed plan"))
+      assert(scan.partitionFilters.exists(_.toString.contains("source")),
+        s"no source partition filter:\n${scan.toString}")
+      val filesRead = scan.metrics("numFiles").value
+      assert(filesRead < totalFiles,
+        s"source pruning read every file ($filesRead of $totalFiles)")
+
+      val flat = graft.sources.Tables.documents(spark, sfDir)
+        .where(col("source") === "src7")
+      assert(df.exceptAll(flat).isEmpty && flat.exceptAll(df).isEmpty,
+        "partitioned documents diverged from the flat layout")
+      println(s"[planspec] source-pruned read $filesRead of $totalFiles files")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+      }
+      rm(new java.io.File(dir))
+    }
+  }
 }
