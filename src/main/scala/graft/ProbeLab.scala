@@ -69,8 +69,9 @@ object ProbeLab {
     val base = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val x = if (args.length > 1) args(1).toInt else 10
     val probes: Seq[Int] =
-      if (args.length > 2) args(2).split(",").map(_.trim.toInt).toSeq
-      else Seq(2, SemanticDedup.ProbeAuto)
+      (if (args.length > 2) args(2).split(",").map(_.trim.toInt).toSeq
+       else Seq(2, 0))
+        .map(p => if (p == 0) SemanticDedup.ProbeAuto else p)
     val tau = 0.35
 
     val spark = SparkSession.builder()
@@ -86,8 +87,14 @@ object ProbeLab {
       .toFile.getPath
     try {
       blowUpEmbeddings(spark, base, tmp, x)
-      val emb = spark.read.parquet(s"$tmp/embeddings.parquet")
-        .select(col("vec_id"), col("embedding"))
+      // parallelized: the blow-up writes small files that pack into
+      // few splits; without a spread the narrow argmax stages would
+      // run nearly serially and the wall-clocks would measure file
+      // layout, not algorithm (at real scale the scan yields >= cores
+      // splits and this is a no-op)
+      val emb = graft.sources.Tables.parallelized(spark,
+        spark.read.parquet(s"$tmp/embeddings.parquet")
+          .select(col("vec_id"), col("embedding"))).localCheckpoint()
       val n = emb.count()
       val k = SemanticDedup.autoK(n)
       val kCoarse = math.ceil(math.sqrt(k.toDouble)).toInt
@@ -101,22 +108,31 @@ object ProbeLab {
       }
 
       // --- end-to-end wall-clock: the two regimes as shipped
+      // (SPARK_GRAFT_PROBELAB_ROWS_ONLY=1 skips the regime timings to
+      // re-measure just the controlled agreement rows)
+      val rowsOnly = sys.env.get("SPARK_GRAFT_PROBELAB_ROWS_ONLY").contains("1")
+      if (!rowsOnly)
       timed(s"EXACT regime (full train k=$k iters=3 + exact argmax)") {
         SemanticDedup.assignTo(spark, emb,
           SimilaritySearch.trainCentroids(spark, emb, k, 3))
           .write.mode("overwrite").format("noop").save()
       }
+      // repartition: orderBy().limit() yields ONE partition — without
+      // the spread every Lloyd pass over the sample runs single-threaded
+      // (matches the operator's own sample idiom)
+      def trainSample() = SimilaritySearch
+        .hashOrderedSample(emb, 32 * k)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .localCheckpoint()
+      if (!rowsOnly)
       timed(s"PROBED regime (32k-sample train + IVF probe=auto)") {
-        val sample = SimilaritySearch
-          .hashOrderedSample(emb, 32 * k).localCheckpoint()
         SemanticDedup.assignViaIvf(spark, emb,
-          SimilaritySearch.trainCentroids(spark, sample, k, 3))
+          SimilaritySearch.trainCentroids(spark, trainSample(), k, 3))
           .write.mode("overwrite").format("noop").save()
       }
 
       // --- controlled comparison under FIXED (sampled) centroids
-      val sample = SimilaritySearch
-        .hashOrderedSample(emb, 32 * k).localCheckpoint()
+      val sample = trainSample()
       val cents = timed(s"sampled training (32*$k rows)") {
         SimilaritySearch.trainCentroids(spark, sample, k, 3).localCheckpoint()
       }

@@ -220,7 +220,9 @@ object ScalingStats {
       val embV = spark.read.parquet(s"$dir/embeddings.parquet")
         .select(col("vec_id"), col("embedding"))
       val sampleV = graft.operators.SimilaritySearch
-        .hashOrderedSample(embV, 32 * ka).localCheckpoint()
+        .hashOrderedSample(embV, 32 * ka)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .localCheckpoint()
       val centsV = graft.operators.SimilaritySearch
         .trainCentroids(spark, sampleV, ka, 3)
       val exA = SemanticDedup.assignTo(spark, embV, centsV)
