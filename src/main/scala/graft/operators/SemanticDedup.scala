@@ -111,19 +111,66 @@ object SemanticDedup {
       .join(emb.select(col("vec_id"), col("embedding")), Seq("vec_id"))
       .select(col("vec_id"), col("embedding"), col("cid"), col("cent_sim"))
 
-  /** Argmax-assign each vector of `emb` to its nearest centroid by
-    * cosine. Centroids broadcast; one partial-agg shuffle on vec_id.
-    * Package-visible so ScalingStats can measure ROUTING agreement
-    * (probed vs exact against the SAME centroid set — comparing
-    * across different trainings would diff cid label spaces, not
-    * routing). */
-  private[graft] def assignTo(spark: SparkSession, emb: DataFrame,
+  /** k-bound for [[assignToLiteral]]: the centroid table rides the
+    * plan as a literal struct array (k·d literal doubles), so
+    * expression size caps it. 512 sits inside the envelope the coarse
+    * router already exercises (k' ≈ √k ≤ 317 at the 10⁵ autoK
+    * ceiling); past it the agg+join shape takes over. */
+  private[graft] val LiteralAssignMaxK = 512
+
+  /** Small-k assignment: per-row argmax against the collected
+    * centroids via [[literalScoredCentroids]] — one NARROW projection,
+    * no n·k explode, no aggregation shuffle, and the embedding never
+    * leaves its row (no [[withEmbedding]] restore join). Bit-matches
+    * [[assignToAgg]] by construction: same `graft_cosine`, same
+    * round(_, 9), and the struct sort on (-cc, cid) is the same
+    * "max cosine, NaN loses, ties to smallest cid" rule (NaN scores
+    * sort greatest on the NEGATED key, i.e. last — exactly the agg's
+    * NaN→-Inf guard). PackingSpec pins route equality on the fixture. */
+  private[graft] def assignToLiteral(spark: SparkSession, emb: DataFrame,
                               cents: DataFrame): DataFrame =
+    assignToLiteral(spark, emb, cents.collect().toIndexedSeq)
+
+  private def assignToLiteral(spark: SparkSession, emb: DataFrame,
+                              centRows: Seq[org.apache.spark.sql.Row]): DataFrame = {
+    val best = element_at(
+      literalScoredCentroids(spark, centRows, col("embedding")), 1)
+    emb.select(col("vec_id"), col("embedding"),
+      best.getField("cid").as("cid"),
+      (-best.getField("ns")).as("cent_sim"))
+  }
+
+  /** Large-k assignment: n·k candidate rows from a broadcast join,
+    * reduced by the all-primitive [[argmaxBest]] shuffle (48 B/key),
+    * embedding restored by [[withEmbedding]]. The only route when the
+    * centroid table is too wide to ride the plan as a literal. */
+  private[graft] def assignToAgg(spark: SparkSession, emb: DataFrame,
+                          cents: DataFrame): DataFrame =
     withEmbedding(
       argmaxBest(emb.select("vec_id", "embedding").join(broadcast(cents))
         .select(col("vec_id"), col("cid"),
           round(Vectors.cosineFast(spark, col("embedding"), col("c_emb")), 9).as("cc"))),
       emb)
+
+  /** Argmax-assign each vector of `emb` to its nearest centroid by
+    * cosine; routes by k. The dispatch probe is ONE bounded job — a
+    * `limit(512+1).collect()` against the (checkpointed-by-every-
+    * production-caller) centroid frame — whose rows double as the
+    * literal route's payload, so the small-k path pays no separate
+    * count. Both routes share the tie/NaN rule — [[assignToLiteral]]
+    * vs [[assignToAgg]] — and PackingSpec gates their bit-equality,
+    * so the dispatch is a plan-shape choice, not a semantic one.
+    * Package-visible so ScalingStats can measure ROUTING agreement
+    * (probed vs exact against the SAME centroid set — comparing
+    * across different trainings would diff cid label spaces, not
+    * routing). */
+  private[graft] def assignTo(spark: SparkSession, emb: DataFrame,
+                              cents: DataFrame): DataFrame = {
+    val head = cents.limit(LiteralAssignMaxK + 1).collect()
+    if (head.length <= LiteralAssignMaxK)
+      assignToLiteral(spark, emb, head.toIndexedSeq)
+    else assignToAgg(spark, emb, cents)
+  }
 
   /** Top-`n` centroid ids per row against a COLLECTED centroid frame
     * (column 0: Int id, column 1: the embedding) ridden as an in-plan
@@ -136,16 +183,27 @@ object SemanticDedup {
     * collected frame to k in the low thousands — callers at larger k
     * route through a coarse quantizer first. */
   private[graft] def literalTopCentroids(spark: SparkSession, cents: DataFrame,
-                                         emb: Column, n: Int): Column = {
+                                         emb: Column, n: Int): Column =
+    slice(literalScoredCentroids(spark, cents.collect().toIndexedSeq, emb),
+      1, n).getField("cid")
+
+  /** The scored-and-sorted struct array `(ns = -round(cos, 9), cid)`
+    * behind [[literalTopCentroids]] — exposed so [[assignToLiteral]]
+    * can read the winner's SCORE as well as its id. Input rows are
+    * (column 0: Int id, column 1: the embedding); row ORDER is
+    * irrelevant (the struct sort orders candidates). */
+  private def literalScoredCentroids(spark: SparkSession,
+                                     centRows: Seq[org.apache.spark.sql.Row],
+                                     emb: Column): Column = {
     graft.plans.GraftFunctions.register(spark)
-    val arr = array(cents.collect().map { r =>
+    val arr = array(centRows.map { r =>
       struct(lit(r.getInt(0)).as("cid"),
         array(r.getSeq[Any](1).map(v =>
           lit(v.asInstanceOf[Number].doubleValue)): _*).as("c_emb"))
-    }.toIndexedSeq: _*)
-    slice(array_sort(transform(arr, c =>
+    }: _*)
+    array_sort(transform(arr, c =>
       struct((-round(call_function("graft_cosine", emb, c.getField("c_emb")), 9))
-        .as("ns"), c.getField("cid").as("cid")))), 1, n).getField("cid")
+        .as("ns"), c.getField("cid").as("cid"))))
   }
 
   /** The >10⁷-vector assignment path (the SemDeDup/faiss shape): a

@@ -196,6 +196,29 @@ class PackingSpec extends SparkSpec {
       "full-coverage probe diverged from exact argmax — tie/rounding drift")
   }
 
+  test("assignTo routes (literal small-k vs agg large-k) are bit-identical") {
+    // assignTo dispatches on k: the per-row literal argmax (no n·k
+    // explode, no shuffle) below LiteralAssignMaxK, the agg+join shape
+    // above. The dispatch must be a plan-shape choice only — same
+    // graft_cosine, same round(_, 9), same "max cosine, NaN loses,
+    // ties to smallest cid" rule — so the two routes must agree to
+    // the BIT on (vec_id, cid, cent_sim), embeddings included.
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val cents = graft.operators.SimilaritySearch.trainCentroids(spark, emb, 16, iters = 3)
+    val lit = SemanticDedup.assignToLiteral(spark, emb, cents)
+    val agg = SemanticDedup.assignToAgg(spark, emb, cents)
+    // names + types (nullability is a plan artifact either route may
+    // annotate differently)
+    assert(lit.schema.map(f => (f.name, f.dataType)) ==
+           agg.schema.map(f => (f.name, f.dataType)),
+      s"route schemas drifted: ${lit.schema} vs ${agg.schema}")
+    val l = lit.select("vec_id", "cid", "cent_sim")
+    val a = agg.select("vec_id", "cid", "cent_sim")
+    assert(l.exceptAll(a).isEmpty && a.exceptAll(l).isEmpty,
+      "literal and agg assignment routes diverged — tie/rounding drift")
+  }
+
   test("probe path at the shipped ProbeAuto default: keep/drop verdicts match the exact regime") {
     // gate what the operator PROMISES (the round-8 adjudication):
     // routing may disagree on near-tie centroids, but the keep/drop
