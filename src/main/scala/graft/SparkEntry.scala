@@ -94,7 +94,19 @@ object SparkEntry {
     // J1: composed funnel (curate -> semantic survivors -> mix
     // resample -> shard pack); oracle nests the stages' own SQL with
     // the semantic stage's golden-pinned drop-set
-    "q_pipeline_pack" -> (Pipeline.pipelinePack _)
+    "q_pipeline_pack" -> (Pipeline.pipelinePack _),
+    // J4-J8: compaction, holdout split, bloom-pruned join, manifest
+    // file skipping, embedding near-dup clusters
+    "q_compact_latest" -> (Compaction.compactLatest _),
+    "q_split_assign" -> ((s: SparkSession, d: String) => Sampling.splitAssign(s, d)),
+    "q_bloom_join" -> (BloomJoin.qBloomJoin _),
+    "q_skipscan" -> (graft.sources.SkipIndex.skipScan _),
+    "q_embed_clusters" -> (Dedup.embedClusters _),
+    // K1/K2/K5/K6: chunking, weighted sampling, tf-idf terms, drift
+    "q_chunks" -> (Chunking.qChunks _),
+    "q_sample_weighted" -> ((s: SparkSession, d: String) => Sampling.weightedSample(s, d)),
+    "q_tfidf_topterms" -> ((s: SparkSession, d: String) => CorpusStats.tfidfTopTerms(s, d)),
+    "q_source_drift" -> (CorpusStats.sourceDrift _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -155,6 +167,15 @@ object SparkEntry {
     "q_ngram_dupfrac" -> CorpusStats.dupGramFracSql,
     "q_gram_topk" -> CorpusStats.topGramsSql(),
     "q_dedup_source_matrix" -> Dedup.sourceMatrixSql,
-    "q_pipeline_pack" -> Pipeline.pipelinePackSql()
+    "q_pipeline_pack" -> Pipeline.pipelinePackSql(),
+    "q_compact_latest" -> Compaction.compactLatestSql,
+    "q_split_assign" -> Sampling.splitAssignSql(),
+    "q_bloom_join" -> BloomJoin.qBloomJoinSql,
+    "q_skipscan" -> graft.sources.SkipIndex.skipScanSql,
+    "q_embed_clusters" -> Dedup.embedClustersSql,
+    "q_chunks" -> Chunking.chunksSql(),
+    "q_sample_weighted" -> Sampling.weightedSampleSql(),
+    "q_tfidf_topterms" -> CorpusStats.tfidfTopTermsSql(),
+    "q_source_drift" -> CorpusStats.sourceDriftSql
   )
 }

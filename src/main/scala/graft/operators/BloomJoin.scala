@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.sources.Tables
+
+/** J6: bloom-pruned join — the runtime-filter idiom for the regime
+  * where the build side is too big to broadcast as a hash relation
+  * but its KEY MEMBERSHIP compresses into a fixed bit budget: build a
+  * bloom filter over the (filtered) build-side keys, prune the probe
+  * side BEFORE its exchange with a per-row `might_contain`, then run
+  * the exact join on the survivors. False positives pass the bloom
+  * and die in the join; false negatives are impossible — the filter
+  * is pure savings, never semantics (the oracle is the PLAIN join).
+  *
+  * This is what Catalyst's own InjectRuntimeFilter does when its
+  * thresholds fire (creation side < 10 MB, application side > 10 GB —
+  * sized for exactly the 100 TB regime, which is why it can't
+  * demonstrate at test SF); here the same shape is an explicit
+  * operator with the dials exposed. Scale shape: the filtered key
+  * frame aggregates into ONE driver-bounded sketch (~1.2 MB at 10⁶
+  * expected items / 3% fpp — `optimalNumOfBits`, independent of
+  * corpus size), ships to executors as a plan constant, and the probe
+  * side sheds non-matching rows inside its scan stage — at 100 TB
+  * the exchange before a shuffled fact-fact join moves only rows that
+  * can match, the difference between shuffling the full fact table
+  * and ~selectivity of it.
+  */
+object BloomJoin {
+
+  /** Bloom-pruned left-semi join of `big` (key `bigKey`, BIGINT) with
+    * `buildKeys` (key `buildKey`): might_contain prefilter, then the
+    * exact semi join. `stat.bloomFilter` is one eager aggregation
+    * whose result is the bounded sketch — the same driver-artifact
+    * class as the ANN centroid frames. */
+  def bloomPrunedSemi(spark: SparkSession, big: DataFrame, bigKey: String,
+                      buildKeys: DataFrame, buildKey: String,
+                      expectedItems: Long = 1L << 20,
+                      fpp: Double = 0.03): DataFrame = {
+    val bf = buildKeys.stat.bloomFilter(buildKey, expectedItems, fpp)
+    val out = new java.io.ByteArrayOutputStream()
+    bf.writeTo(out)
+    graft.plans.GraftFunctions.register(spark)
+    big.where(call_function("graft_might_contain",
+        col(bigKey), lit(out.toByteArray)))
+      .join(buildKeys, col(bigKey) === col(buildKey), "left_semi")
+  }
+
+  private val D = DecimalType(18, 2)
+
+  /** Urgent-order revenue: lineitem ⋉ (orders WHERE 1-URGENT) with the
+    * bloom prune ahead of the join, aggregated per return flag. At
+    * fixture SF the exact join is a broadcast anyway — the query is
+    * the CORRECTNESS contract (bloom+join ≡ plain semi join, oracled);
+    * BloomJoinSpec pins the pruning behavior itself (filter present
+    * before the join, measured selectivity ≈ fpp on disjoint keys). */
+  def qBloomJoin(spark: SparkSession, dir: String): DataFrame = {
+    val urgent = Tables.orders(spark, dir)
+      .where(col("o_orderpriority") === "1-URGENT")
+      .select("o_orderkey")
+    val li = Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_returnflag", "l_quantity",
+        "l_extendedprice", "l_discount")
+    bloomPrunedSemi(spark, li, "l_orderkey", urgent, "o_orderkey")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        sum(col("l_quantity").cast(D)).cast("double").as("sum_qty"),
+        sum((col("l_extendedprice").cast(D) *
+          (lit(1).cast(D) - col("l_discount").cast(D)))
+          .cast(DecimalType(38, 4))).cast("double").as("rev"))
+      .orderBy("l_returnflag")
+  }
+
+  val qBloomJoinSql: String =
+    """SELECT l_returnflag, count(*) AS n_items,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(38,4))) AS DOUBLE) AS rev
+      |FROM lineitem
+      |WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+      |                     WHERE o_orderpriority = '1-URGENT')
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+}

@@ -133,4 +133,132 @@ object CorpusStats {
       |FROM g JOIN freq USING (gram)
       |GROUP BY g.doc_id
       |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- K5
+  /** Salient terms per doc for the report. */
+  val TfIdfK = 3
+
+  /** K5: per-document salient terms — tf·idf with the RATIONAL idf
+    * variant `N/df` instead of `ln(N/df)`: the ranking signal is the
+    * same (monotone up in tf, down in df) but the score is a single
+    * IEEE division of integers, so both engines produce identical
+    * bits and the cross-engine rank order is exact — no libm in the
+    * compare path (`ln` differs in the last ulp across
+    * implementations; a log-idf deployment would simply not
+    * hash-compare its scores). Ties (same score) break by token text.
+    *
+    * Plan shape: the token explode is the corpus-×-tokens pass (I3's
+    * class); tf collapses map-side on (doc_id, token); df is a second
+    * agg on the SAME exchange key prefix; the df table is vocabulary-
+    * sized — orders smaller than the corpus — so AQE broadcasts the
+    * join back; the final per-doc quota is `row_number() <= k` →
+    * WindowGroupLimit, the skew-immune top-k. */
+  def tfidfTopTerms(spark: SparkSession, dir: String, k: Int = TfIdfK): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.parallelized(spark, Tables.documents(spark, dir))
+    val tok = docs.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("token"))
+    val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("token").asc)
+    tf.join(df, "token").crossJoin(n)
+      .withColumn("score",
+        (col("tf") * col("n_docs")).cast("double") / col("df"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("doc_id"), col("rank").cast("long").as("rank"),
+        col("token"), col("tf"), col("df"), col("score"))
+      .orderBy("doc_id", "rank")
+  }
+
+  def tfidfTopTermsSql(k: Int = TfIdfK): String =
+    s"""WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+      |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token),
+      |df AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+      |n AS (SELECT count(*) AS n_docs FROM documents),
+      |scored AS (
+      |  SELECT tf.doc_id, tf.token, tf.tf, df.df,
+      |    CAST(tf.tf * n.n_docs AS DOUBLE) / df.df AS score
+      |  FROM tf JOIN df USING (token), n)
+      |SELECT doc_id, rank, token, tf, df, score FROM (
+      |  SELECT doc_id, token, tf, df, score,
+      |    row_number() OVER (PARTITION BY doc_id
+      |                       ORDER BY score DESC, token ASC) AS rank
+      |  FROM scored) r
+      |WHERE rank <= $k
+      |ORDER BY doc_id, rank""".stripMargin
+
+  // ---------------------------------------------------------------- K6
+  /** K6: source-vs-corpus token-distribution drift — per source, the
+    * total-variation distance `½·Σ|p_src(t) − p_rest(t)|` between its
+    * token distribution and the REST of the corpus, plus the single
+    * most over-represented token. The distribution-shift monitor of a
+    * training pipeline: a source whose TV distance jumps between
+    * snapshots changed its content mix (new boilerplate, a scraper
+    * bug, an injected domain), and the argmax token says what. TV
+    * rather than KL/JS keeps every arithmetic step IEEE-exact-or-
+    * stable: int counts, one exact division each side, one |p−q| —
+    * no logs (see K5) and no zero-count singularities (TV is finite
+    * on disjoint supports, where KL diverges).
+    *
+    * Plan shape: one corpus-×-tokens explode into a (source, token)
+    * count — map-side-collapsed like tf — then a vocabulary-sized
+    * frame: per-source totals broadcast back, the |p−q| sum and
+    * argmax are aggregations over |vocab|·|sources| rows. At 100 TB
+    * the only corpus-scale stage is the first count; everything after
+    * is vocabulary-scale. */
+  def sourceDrift(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.parallelized(spark, Tables.documents(spark, dir))
+    val cnt = docs
+      .select(col("source"), explode(split(col("text"), " ")).as("token"))
+      .groupBy("source", "token").agg(count(lit(1)).as("c"))
+    val tot = cnt.groupBy("source").agg(sum("c").as("n_src"))
+    val all = cnt.groupBy("token").agg(sum("c").as("c_all"))
+    val grand = tot.agg(sum("n_src").as("n_all"))
+    val p = col("c").cast("double") / col("n_src")
+    val q = (col("c_all") - col("c")).cast("double") / (col("n_all") - col("n_src"))
+    // Tokens ABSENT from a source contribute p=0, |p−q| = q each; their
+    // total is Σ_absent c_all / (n_all − n_src) with Σ_absent c_all =
+    // n_all − Σ_present c_all — all-integer numerators, so the
+    // correction is one exact division added to the present-token sum.
+    cnt.join(tot, "source").join(all, "token").crossJoin(grand)
+      .withColumn("p", p).withColumn("q", q)
+      .groupBy("source", "n_src", "n_all")
+      .agg(
+        sum(abs(col("p") - col("q"))).as("present_sum"),
+        sum(col("c_all")).as("present_c_all"),
+        max(struct((col("p") - col("q")).as("gap"), col("token"))).as("m"))
+      .select(col("source"),
+        ((col("present_sum")
+          + (col("n_all") - col("present_c_all")).cast("double")
+            / (col("n_all") - col("n_src"))) / 2).as("tv_distance"),
+        col("m.token").as("top_token"), col("m.gap").as("top_token_gap"))
+      .orderBy("source")
+  }
+
+  val sourceDriftSql: String =
+    """WITH tok AS (
+      |  SELECT source, unnest(string_split(text, ' ')) AS token FROM documents),
+      |cnt AS (SELECT source, token, count(*) AS c FROM tok GROUP BY source, token),
+      |tot AS (SELECT source, sum(c) AS n_src FROM cnt GROUP BY source),
+      |al  AS (SELECT token, sum(c) AS c_all FROM cnt GROUP BY token),
+      |g   AS (SELECT sum(n_src) AS n_all FROM tot)
+      |SELECT source, (present_sum + CAST(n_all - present_c_all AS DOUBLE)
+      |                / (n_all - n_src)) / 2 AS tv_distance,
+      |  m.token AS top_token, m.gap AS top_token_gap
+      |FROM (
+      |  SELECT cnt.source, tot.n_src, g.n_all,
+      |    sum(abs(CAST(cnt.c AS DOUBLE) / tot.n_src
+      |            - CAST(al.c_all - cnt.c AS DOUBLE) / (g.n_all - tot.n_src)))
+      |      AS present_sum,
+      |    sum(al.c_all) AS present_c_all,
+      |    max(struct_pack(gap := CAST(cnt.c AS DOUBLE) / tot.n_src
+      |            - CAST(al.c_all - cnt.c AS DOUBLE) / (g.n_all - tot.n_src),
+      |          token := cnt.token)) AS m
+      |  FROM cnt JOIN tot USING (source) JOIN al USING (token), g
+      |  GROUP BY cnt.source, tot.n_src, g.n_all) t
+      |ORDER BY source""".stripMargin
 }

@@ -582,13 +582,16 @@ object Dedup {
       .orderBy("vec_a", "vec_b")
   }
 
-  val embeddingNearDupSql: String = {
+  /** C5's pair pipeline as composable CTEs (ends in `epairs`) — the
+    * embedding-space twin of [[lshPairsSqlCtes]], shared by the C5
+    * oracle and the J8 cluster oracle. */
+  private val embeddingPairsSqlCtes: String = {
     val sketchCols = (0 until srpSketches).map(s =>
       s"${sketchExpr(srpDotSqlExpr(_, "embedding"), s)} AS sk$s").mkString(",\n    ")
     val sketchRows = (0 until srpSketches).map(s =>
       s"SELECT vec_id, $s AS s, sk$s % CAST(pow(2, ub) AS BIGINT) AS bucket FROM e, u")
       .mkString("\n  UNION ALL ")
-    s"""WITH e AS (
+    s"""e AS (
       |  SELECT vec_id, embedding,
       |    $sketchCols
       |  FROM embeddings),
@@ -601,16 +604,63 @@ object Dedup {
       |  SELECT vec_id, s, bucket FROM (
       |    SELECT vec_id, s, bucket,
       |      row_number() OVER (PARTITION BY s, bucket ORDER BY vec_id) AS rn
-      |    FROM sk_raw) t WHERE rn <= $BucketCap)
-      |SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
-      |  ${Vectors.cosineSql("ea.embedding", "eb.embedding")} AS cos_sim
-      |FROM sk a JOIN sk b ON a.s = b.s AND a.bucket = b.bucket
-      |  AND a.vec_id < b.vec_id
-      |JOIN embeddings ea ON ea.vec_id = a.vec_id
-      |JOIN embeddings eb ON eb.vec_id = b.vec_id
-      |WHERE round(${Vectors.cosineSql("ea.embedding", "eb.embedding")}, 9) >= 0.35
-      |ORDER BY vec_a, vec_b""".stripMargin
+      |    FROM sk_raw) t WHERE rn <= $BucketCap),
+      |epairs AS (
+      |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
+      |    ${Vectors.cosineSql("ea.embedding", "eb.embedding")} AS cos_sim
+      |  FROM sk a JOIN sk b ON a.s = b.s AND a.bucket = b.bucket
+      |    AND a.vec_id < b.vec_id
+      |  JOIN embeddings ea ON ea.vec_id = a.vec_id
+      |  JOIN embeddings eb ON eb.vec_id = b.vec_id
+      |  WHERE round(${Vectors.cosineSql("ea.embedding", "eb.embedding")}, 9) >= 0.35)""".stripMargin
   }
+
+  val embeddingNearDupSql: String =
+    s"""WITH $embeddingPairsSqlCtes
+      |SELECT vec_a, vec_b, cos_sim FROM epairs
+      |ORDER BY vec_a, vec_b""".stripMargin
+
+  // ---------------------------------------------------------------- J8
+  /** J8: semantic near-dup CLUSTERS — C5's SRP pair graph closed into
+    * connected components with G4's pointer-jumping min-label machinery
+    * (same [[propagateMinLabels]], same O(log diameter) round bound):
+    * the embedding-space counterpart of `q_dedup_clusters`, turning
+    * pairwise cosine evidence into canonical-representative groups a
+    * curation pass can act on (keep `is_canonical`, drop the rest —
+    * transitively, so A≈B≈C collapses to one survivor even when A,C
+    * never shared a bucket). Only vectors with ≥1 near-dup edge appear;
+    * isolated vectors are trivially their own component and would
+    * dilute the report n-fold at 100 TB.
+    *
+    * Scale: the edge frame is C5's output (measured-linear under the
+    * bit-width ladder), mirrored in ONE pass; each CC round moves the
+    * n-row label table, never the embeddings. */
+  def embedClusters(spark: SparkSession, dir: String): DataFrame = {
+    val edges = embeddingNearDup(spark, dir)
+      .select(explode(array(
+        struct(col("vec_a").as("src"), col("vec_b").as("dst")),
+        struct(col("vec_b").as("src"), col("vec_a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .persist()
+    val (labels, _) = propagateMinLabels(edges)
+    edges.unpersist()
+    labels.select(col("id").as("vec_id"), col("lbl").as("cluster_id"))
+      .withColumn("is_canonical", col("vec_id") === col("cluster_id"))
+      .orderBy("vec_id")
+  }
+
+  val embedClustersSql: String =
+    s"""WITH RECURSIVE $embeddingPairsSqlCtes,
+      |edges AS (SELECT vec_a AS src, vec_b AS dst FROM epairs
+      |          UNION ALL SELECT vec_b, vec_a FROM epairs),
+      |reach(id, lbl) AS (
+      |  SELECT src, src FROM edges
+      |  UNION
+      |  SELECT e.src, r.lbl FROM reach r JOIN edges e ON e.dst = r.id)
+      |SELECT id AS vec_id, min(lbl) AS cluster_id,
+      |  id = min(lbl) AS is_canonical
+      |FROM reach GROUP BY id
+      |ORDER BY vec_id""".stripMargin
 
   // ---------------------------------------------------------------- H1
   /** Benchmark decontamination: finds corpus documents sharing ≥

@@ -230,4 +230,101 @@ object Sampling {
         percentile_approx(col("value"), lit(0.5), lit(10000)).as("p50_value"),
         percentile_approx(col("value"), lit(0.99), lit(10000)).as("p99_value"))
       .orderBy("event_type")
+
+  // ---------------------------------------------------------------- J5
+  /** 98/1/1 split boundaries on the 16-bit bucket space, integer
+    * arithmetic only (65536·98/100 = 64225, ·99/100 = 64880) — no
+    * float rounding to disagree across engines. */
+  val TrainThreshold: Int = 65536 * 98 / 100
+  val ValThreshold: Int = 65536 * 99 / 100
+
+  /** J5: deterministic train/val/test assignment — the holdout split
+    * of a training pipeline as a per-row VALUE-HASH property, not an
+    * RNG draw: a doc's split is a pure function of its id, so the
+    * assignment survives repartitioning, incremental corpus growth
+    * (new docs land in splits at the same rates; old docs never
+    * move), and re-runs on any engine — the property that keeps eval
+    * contamination impossible across pipeline versions. Salting the
+    * hash ("holdout") makes the split independent of every OTHER
+    * hash-derived decision in the pipeline (G1 sampling, H10/H11
+    * thresholds, I1 shard order): membership in a sample and
+    * membership in val/test are uncorrelated bits.
+    *
+    * Scale shape: one narrow codegen'd projection — no shuffle, no
+    * state, no split manifest to keep consistent; 100 TB assignment
+    * is a map pass that fuses into whatever scan follows it. */
+  def splitAssign(spark: SparkSession, dir: String,
+                  salt: String = "holdout"): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        hashBucket(col("doc_id"), salt).as("bucket"))
+      .withColumn("split",
+        when(col("bucket") < TrainThreshold, "train")
+          .when(col("bucket") < ValThreshold, "val")
+          .otherwise("test"))
+      .select("doc_id", "source", "split")
+      .orderBy("doc_id")
+
+  def splitAssignSql(salt: String = "holdout"): String =
+    s"""SELECT doc_id, source,
+      |  CASE WHEN bucket < $TrainThreshold THEN 'train'
+      |       WHEN bucket < $ValThreshold THEN 'val'
+      |       ELSE 'test' END AS split
+      |FROM (SELECT doc_id, source,
+      |        ${hashBucketSql("doc_id", salt)} AS bucket
+      |      FROM documents) s
+      |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- K2
+  /** Per-source quota for the weighted sample. */
+  val WeightedK = 20
+
+  /** K2: deterministic weighted sampling WITHOUT replacement
+    * (Efraimidis–Spirakis A-ES): each doc draws key = -ln(u)/w from a
+    * hash-derived uniform u and its weight w (here `n_chars` — the
+    * "prefer longer/higher-quality docs" dial); the k smallest keys
+    * per source are exactly a weighted sample without replacement.
+    * Hash-determinism extends G1's contract to the weighted case: the
+    * inclusion set is a pure function of (doc_id, salt, weights), so
+    * reruns, repartitions, and engines agree row-for-row, and the
+    * "weighted" salt keeps the draw independent of G1 sampling and
+    * J5 split membership.
+    *
+    * u = (bucket16 + 0.5) / 65536 — strictly inside (0, 1), so the
+    * log never sees 0 (Spark `log` returns NULL there, DuckDB errors;
+    * the half-step sidesteps both) and both engines evaluate the
+    * identical double expression.
+    *
+    * Scale shape: key is a narrow per-row projection; per-source
+    * top-k is `row_number() <= k`, which rewrites to WindowGroupLimit
+    * — each map task forwards at most k candidate rows per source to
+    * the exchange (I2's skew-immune quota shape), so the shuffle
+    * moves O(sources·k·tasks) rows at any corpus size. */
+  def weightedSample(spark: SparkSession, dir: String, k: Int = WeightedK,
+                     salt: String = "weighted"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val u = (hashBucket(col("doc_id"), salt).cast("double") + 0.5) / 65536.0
+    val w = Window.partitionBy("source")
+      .orderBy(col("es_key").asc, col("doc_id").asc)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .withColumn("es_key", -log(u) / col("n_chars"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        col("rank").cast("long").as("rank"))
+      .orderBy("source", "rank")
+  }
+
+  def weightedSampleSql(k: Int = WeightedK, salt: String = "weighted"): String =
+    s"""SELECT doc_id, source, n_chars, rank FROM (
+      |  SELECT doc_id, source, n_chars,
+      |    row_number() OVER (PARTITION BY source
+      |                       ORDER BY es_key ASC, doc_id ASC) AS rank
+      |  FROM (SELECT doc_id, source, n_chars,
+      |          -ln((CAST(${hashBucketSql("doc_id", salt)} AS DOUBLE) + 0.5)
+      |              / 65536.0) / n_chars AS es_key
+      |        FROM documents) t) r
+      |WHERE rank <= $k
+      |ORDER BY source, rank""".stripMargin
 }

@@ -168,8 +168,26 @@ object GraftFunctions {
     (children: Seq[Expression]) => GramStats(
       children(0), litInt(children(1), "graft_gram_stats n")): Expression)
 
+  /** Foldable-binary extraction: serialized sketch state (bloom
+    * filters) arrives as a binary literal and is unpacked once at
+    * resolution, never per row. */
+  private def litBinary(e: Expression, what: String): IndexedSeq[Byte] = e match {
+    case x if x.foldable => x.eval() match {
+      case b: Array[Byte] => b.toIndexedSeq
+      case other => throw new IllegalArgumentException(
+        s"$what must be a non-null binary literal, got $other")
+    }
+    case x => throw new IllegalArgumentException(s"$what must be a literal, got $x")
+  }
+
+  private val mightContainDesc = (
+    FunctionIdentifier("graft_might_contain"),
+    new ExpressionInfo(classOf[BloomMightContain].getName, null, "graft_might_contain"),
+    (children: Seq[Expression]) => BloomMightContain(
+      children(0), litBinary(children(1), "graft_might_contain bloom")): Expression)
+
   private val all = Seq(cosineDesc, srpDesc, minhashDesc, simhashDesc,
-    pqEncodeDesc, shinglesDesc, gramStatsDesc)
+    pqEncodeDesc, shinglesDesc, gramStatsDesc, mightContainDesc)
 
   /** Idempotent per-session registration (for sessions built without
     * the extensions config). */
