@@ -106,7 +106,9 @@ object SparkEntry {
     "q_chunks" -> (Chunking.qChunks _),
     "q_sample_weighted" -> ((s: SparkSession, d: String) => Sampling.weightedSample(s, d)),
     "q_tfidf_topterms" -> ((s: SparkSession, d: String) => CorpusStats.tfidfTopTerms(s, d)),
-    "q_source_drift" -> (CorpusStats.sourceDrift _)
+    "q_source_drift" -> (CorpusStats.sourceDrift _),
+    // K9: snapshot CDC diff (old snapshot synthesized hash-deterministically)
+    "q_snapshot_diff" -> (SnapshotDiff.qSnapshotDiff _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -176,6 +178,7 @@ object SparkEntry {
     "q_chunks" -> Chunking.chunksSql(),
     "q_sample_weighted" -> Sampling.weightedSampleSql(),
     "q_tfidf_topterms" -> CorpusStats.tfidfTopTermsSql(),
-    "q_source_drift" -> CorpusStats.sourceDriftSql
+    "q_source_drift" -> CorpusStats.sourceDriftSql,
+    "q_snapshot_diff" -> SnapshotDiff.qSnapshotDiffSql
   )
 }

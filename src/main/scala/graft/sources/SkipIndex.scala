@@ -40,6 +40,35 @@ object SkipIndex {
       .agg(count(lit(1)).as("n_rows"),
         min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))
 
+  /** Incremental manifest maintenance — the at-scale form of
+    * [[manifest]]: stats for files ALREADY in the manifest are reused
+    * verbatim (their rows are immutable once written — parquet files
+    * never change in place), and only files NEW to the directory are
+    * opened. An append of F' files to a 10⁶-file table costs F'
+    * footer-scale reads, not a corpus pass; compaction is handled by
+    * the same diff (rewritten files appear as new paths, dropped
+    * paths fall out via the anti-join against the current listing). */
+  def updateManifest(spark: SparkSession, man: DataFrame, dir: String,
+                     schema: org.apache.spark.sql.types.StructType,
+                     c: String): DataFrame = {
+    import spark.implicits._
+    // `input_file_name()` (manifest rows) and `inputFiles` (listing)
+    // render the scheme differently (file:///p vs file:/p) — compare
+    // on the normalized path, keep each side's original string.
+    def norm(s: String): String = s.replaceFirst("^file:/+", "/")
+    val listed = spark.read.schema(schema).parquet(dir).inputFiles.toSeq
+    val known = man.select("file").collect().map(r => norm(r.getString(0))).toSet
+    val fresh = listed.filterNot(f => known.contains(norm(f)))
+    val kept = man
+      .withColumn("filep", regexp_replace(col("file"), "^file:/+", "/"))
+      .join(listed.map(norm).toDF("filep").hint("broadcast"),
+        Seq("filep"), "left_semi")
+      .drop("filep")
+    if (fresh.isEmpty) kept
+    else kept.unionByName(
+      manifest(spark.read.schema(schema).parquet(fresh: _*), c))
+  }
+
   /** Files whose [min, max] may intersect [lo, hi) — the candidate
     * set; NULL stats (all-null files) compare to NULL and drop. The
     * collect is the file LIST (one short string per surviving file),

@@ -130,6 +130,46 @@ class JSeriesSpec extends SparkSpec {
     }
   }
 
+  test("incremental manifest update reads ONLY new files (old rows reused verbatim)") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_iman").toString
+    try {
+      val ev = Tables.eventsRaw(spark, sfDir).where(col("ts").isNotNull)
+      val half = ev.agg(expr("percentile(ts, 0.5)")).collect()(0).getDouble(0).toLong
+      ev.where(col("ts") < half).repartitionByRange(4, col("ts"))
+        .write.parquet(s"$tmp/ev")
+      // materialize the stored manifest (collect + recreate), as a
+      // real deployment would — a lazy plan would re-scan old files
+      val man0rows = SkipIndex.manifest(
+        spark.read.schema(Tables.eventsRawSchema).parquet(s"$tmp/ev"), "ts")
+      val man0 = spark.createDataFrame(
+        spark.sparkContext.parallelize(man0rows.collect().toSeq), man0rows.schema)
+      // append newer files, snapshot the full-rebuild truth while intact
+      ev.where(col("ts") >= half).repartitionByRange(2, col("ts"))
+        .write.mode("append").parquet(s"$tmp/ev")
+      val evAll = spark.read.schema(Tables.eventsRawSchema).parquet(s"$tmp/ev")
+      val truth = SkipIndex.manifest(evAll, "ts").collect()
+        .map(r => (r.getString(0).split("/").last, r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      // corrupt the ORIGINAL files: any path that re-reads them fails
+      val oldFiles = man0rows.collect().map(_.getString(0))
+      oldFiles.foreach { f =>
+        val p = java.nio.file.Paths.get(new java.net.URI(
+          if (f.startsWith("file:")) f else "file://" + f))
+        java.nio.file.Files.write(p, "not parquet".getBytes)
+      }
+      val man1 = SkipIndex.updateManifest(spark, man0, s"$tmp/ev",
+        Tables.eventsRawSchema, "ts").collect()
+        .map(r => (r.getString(0).split("/").last, r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(man1 == truth,
+        s"incremental manifest diverged from full rebuild:\n${man1 diff truth}\n${truth diff man1}")
+      assert(man0rows.schema.fieldNames.sameElements(Seq("file", "n_rows", "min_ts", "max_ts")))
+    } finally {
+      def rm(g: java.io.File): Unit = {
+        if (g.isDirectory) g.listFiles().foreach(rm); g.delete()
+      }
+      rm(new java.io.File(tmp))
+    }
+  }
+
   test("an all-outside range prunes every file and returns empty") {
     // the sf fixture is a single file; a disjoint range must skip it
     val man = SkipIndex.manifest(Tables.eventsRaw(spark, sfDir), "ts")

@@ -105,6 +105,17 @@ class KSeriesSpec extends SparkSpec {
     }
   }
 
+  // ------------------------------------------------------------- K9
+  test("snapshot diff classifies added/removed/changed and drops unchanged") {
+    import spark.implicits._
+    val old = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
+    val neu = Seq((2L, "b"), (3L, "C!"), (4L, "d")).toDF("doc_id", "text")
+    val got = graft.operators.SnapshotDiff.diff(old, neu)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "removed", 3L -> "changed", 4L -> "added"),
+      s"got $got")
+  }
+
   // ------------------------------------------------------------- K6
   test("source drift: TV in [0,1], top token gap positive, no cartesian blowup") {
     val df = graft.operators.CorpusStats.sourceDrift(spark, sfDir)
