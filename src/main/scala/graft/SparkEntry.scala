@@ -108,7 +108,11 @@ object SparkEntry {
     "q_tfidf_topterms" -> ((s: SparkSession, d: String) => CorpusStats.tfidfTopTerms(s, d)),
     "q_source_drift" -> (CorpusStats.sourceDrift _),
     // K9: snapshot CDC diff (old snapshot synthesized hash-deterministically)
-    "q_snapshot_diff" -> (SnapshotDiff.qSnapshotDiff _)
+    "q_snapshot_diff" -> (SnapshotDiff.qSnapshotDiff _),
+    // L-series: survivor selection + in-place boilerplate scrubbing
+    "q_quality_topfrac" -> (Selection.qualityTopFrac _),
+    "q_cluster_rep" -> (Selection.clusterRepresentatives _),
+    "q_boilerplate_scrub" -> (Boilerplate.scrub _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -179,6 +183,9 @@ object SparkEntry {
     "q_sample_weighted" -> Sampling.weightedSampleSql(),
     "q_tfidf_topterms" -> CorpusStats.tfidfTopTermsSql(),
     "q_source_drift" -> CorpusStats.sourceDriftSql,
-    "q_snapshot_diff" -> SnapshotDiff.qSnapshotDiffSql
+    "q_snapshot_diff" -> SnapshotDiff.qSnapshotDiffSql,
+    "q_quality_topfrac" -> Selection.qualityTopFracSql,
+    "q_cluster_rep" -> Selection.clusterRepresentativesSql,
+    "q_boilerplate_scrub" -> Boilerplate.scrubSql
   )
 }

@@ -1,0 +1,130 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** L2: cross-document boilerplate SPAN removal — the Lee et al.
+  * ("Deduplicating Training Data Makes Language Models Better")
+  * exact-substring move at tile granularity: token spans that recur
+  * across many documents (headers, footers, license blurbs, nav
+  * chrome) are deleted IN PLACE and the remaining text reassembled,
+  * instead of dropping whole documents (C1-C5) or only reporting the
+  * spans (I5's top-k grams).
+  *
+  * Mechanics: each doc tiles into fixed W-token spans (the tail tile
+  * may be short); a tile whose document frequency reaches the
+  * threshold (max(3, n_docs/100) — absolute floor, relative at scale)
+  * is boilerplate; every occurrence is removed and the survivors
+  * rejoin in original order.
+  *
+  * Scale shape (100 TB): pass 1 is the corpus-×-tiles doc-frequency
+  * aggregate — the same deliberate shuffle class as I3, one row per
+  * (tile, doc) pre-distinct. Pass 2 is NARROW: the hot-tile set is by
+  * nature small (boilerplate = few distinct strings repeated a lot),
+  * so it rides a 1-row broadcast as a sorted array and each doc
+  * scrubs ITSELF with codegen'd array HOFs (tile → filter → rejoin) —
+  * no explode, no reassembly shuffle, no second corpus exchange. The
+  * membership probe is array_contains on the broadcast array (linear
+  * per tile in hot-set size; at the documented cap that is ≤2·10⁵
+  * string compares per tile worst-case, and typical boilerplate sets
+  * are thousands). [[HotSetCap]] fails loudly if a corpus breaks the
+  * "boilerplate is small" premise rather than silently shipping a
+  * giant broadcast.
+  *
+  * Cross-engine exactness: tiling is integer arithmetic (ceil-div
+  * tile count, clamped slices), tiles compare as STRINGS, and the
+  * threshold is integer — no floats anywhere.
+  */
+object Boilerplate {
+
+  /** Tile width in tokens. */
+  private val W = 3
+  /** df threshold: max(AbsFloor, n_docs / RelDiv) — integer division. */
+  private val AbsFloor = 3L
+  private val RelDiv = 100L
+  /** Refuse to broadcast a hot set larger than this. */
+  private val HotSetCap = 200000L
+
+  /** Per-row tile array: tokens [i·W, i·W+W) joined by spaces, tail
+    * tile short. Pure narrow expression over a text column. */
+  private def tilesOf(text: org.apache.spark.sql.Column) = {
+    val toks = split(text, " ")
+    // ceil-div in INT domain: Column./ on ints is double division, so
+    // truncate the positive quotient back (== floor == int div here)
+    val nTiles = ((size(toks) + (W - 1)) / W).cast("int")
+    transform(sequence(lit(0), nTiles - 1),
+      i => array_join(slice(toks, i * W + 1, lit(W)), " "))
+  }
+
+  /** The scrub over an arbitrary (doc_id, text) frame: doc_id,
+    * clean_text (hot tiles removed, order kept), n_tiles, n_dropped. */
+  def scrubFrom(documents: DataFrame): DataFrame = {
+    val tiled = documents.select(col("doc_id"), tilesOf(col("text")).as("tiles"))
+    // pass 1: tile document frequency (distinct docs per tile)
+    val df = tiled.select(col("doc_id"), explode(col("tiles")).as("tile"))
+      .distinct()
+      .groupBy("tile").agg(count(lit(1)).as("df"))
+    val nDocs = documents.select(count(lit(1)).as("n_docs"))
+    // hot set as ONE sorted-array row (deterministic; broadcast)
+    val hotRow = df.crossJoin(nDocs)
+      // integer division on BOTH engines (DuckDB twin uses //)
+      .where(col("df") >= greatest(lit(AbsFloor), expr(s"n_docs DIV $RelDiv")))
+      .agg(sort_array(collect_list(col("tile"))).as("hot"))
+    // pass 2: narrow in-row scrub against the broadcast hot array
+    tiled.crossJoin(broadcast(hotRow))
+      .select(col("doc_id"), col("tiles"), col("hot"),
+        filter(col("tiles"), t => !array_contains(col("hot"), t)).as("kept"))
+      .select(col("doc_id"),
+        array_join(col("kept"), " ").as("clean_text"),
+        size(col("tiles")).cast("long").as("n_tiles"),
+        (size(col("tiles")) - size(col("kept"))).cast("long").as("n_dropped"))
+      .orderBy("doc_id")
+  }
+
+  def scrub(spark: SparkSession, dir: String): DataFrame =
+    scrubFrom(Tables.documents(spark, dir))
+
+  /** Hot-set size for the guard/spec (tiny agg, no corpus collect). */
+  def hotSetSize(spark: SparkSession, dir: String): Long = {
+    val tiled = Tables.documents(spark, dir)
+      .select(col("doc_id"), tilesOf(col("text")).as("tiles"))
+    val df = tiled.select(col("doc_id"), explode(col("tiles")).as("tile"))
+      .distinct().groupBy("tile").agg(count(lit(1)).as("df"))
+    val n = Tables.documents(spark, dir).count()
+    val sz = df.where(col("df") >= math.max(AbsFloor, n / RelDiv)).count()
+    require(sz <= HotSetCap,
+      s"hot boilerplate set $sz exceeds broadcast cap $HotSetCap")
+    sz
+  }
+
+  /** DuckDB oracle: same tiling via list slices, df via unnest +
+    * count distinct, reassembly via ordered string_agg; docs whose
+    * every tile is hot still appear with empty clean_text. */
+  val scrubSql: String =
+    s"""WITH n AS (SELECT count(*) AS n_docs FROM documents),
+      |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |tiled AS (
+      |  SELECT doc_id, t, range(0, (len(t) + ${W - 1}) // $W) AS idx
+      |  FROM toks),
+      |tiles AS (
+      |  SELECT doc_id, ord,
+      |    array_to_string(t[(ord * $W + 1):(ord * $W + $W)], ' ') AS tile
+      |  FROM (SELECT doc_id, t, unnest(idx) AS ord FROM tiled)),
+      |df AS (SELECT tile, count(DISTINCT doc_id) AS df FROM tiles GROUP BY 1),
+      |hot AS (SELECT tile FROM df, n
+      |        WHERE df >= greatest($AbsFloor, n_docs // $RelDiv)),
+      |kept AS (SELECT doc_id, ord, tile FROM tiles
+      |         WHERE tile NOT IN (SELECT tile FROM hot)),
+      |agg AS (SELECT doc_id, string_agg(tile, ' ' ORDER BY ord) AS clean_text,
+      |          count(*) AS n_kept
+      |        FROM kept GROUP BY 1),
+      |tot AS (SELECT doc_id, count(*) AS n_tiles FROM tiles GROUP BY 1)
+      |SELECT d.doc_id, coalesce(a.clean_text, '') AS clean_text,
+      |  tt.n_tiles, tt.n_tiles - coalesce(a.n_kept, 0) AS n_dropped
+      |FROM documents d
+      |JOIN tot tt ON tt.doc_id = d.doc_id
+      |LEFT JOIN agg a ON a.doc_id = d.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+}

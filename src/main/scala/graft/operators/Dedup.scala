@@ -21,9 +21,15 @@ object Dedup {
     * gets its duplicate-group canonical (min doc_id sharing the
     * signature) and group size. One shuffle on the md5 key — uniform,
     * skew-free. */
-  def exact(spark: SparkSession, dir: String): DataFrame = {
+  def exact(spark: SparkSession, dir: String): DataFrame =
+    exactFrom(Tables.documents(spark, dir))
+
+  /** C1 over an arbitrary (doc_id, text) frame — also the full-rebuild
+    * truth that L4's delta maintenance (SnapshotDiff.maintainExactDedup)
+    * is equality-tested against. */
+  def exactFrom(documents: DataFrame): DataFrame = {
     val w = Window.partitionBy("sig")
-    Tables.documents(spark, dir)
+    documents
       .select(col("doc_id"), Portable.bagSignature(col("text")).as("sig"))
       .withColumn("canonical_id", min("doc_id").over(w))
       .withColumn("group_size", count(lit(1)).over(w))

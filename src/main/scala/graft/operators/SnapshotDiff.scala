@@ -52,7 +52,9 @@ object SnapshotDiff {
   private val ChangeLo = 65536 * 3 / 8
   private val ChangeHi = 65536 * 4 / 8  // [lo, hi): changed content
 
-  def qSnapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+  /** The fixture's deterministic (old, new) snapshot pair — shared by
+    * the K9 query and L4's maintenance spec. */
+  private[graft] def synthOldNew(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val docs = Tables.documents(spark, dir)
       .withColumn("bucket", Sampling.hashBucket(col("doc_id"), "snapshot"))
     val oldDocs = docs
@@ -61,7 +63,67 @@ object SnapshotDiff {
         when(col("bucket") >= ChangeLo && col("bucket") < ChangeHi,
           reverse(col("text"))).otherwise(col("text")))
     val newDocs = docs.where(col("bucket") < RemoveBand)
+    (oldDocs.select("doc_id", "text"), newDocs.select("doc_id", "text"))
+  }
+
+  def qSnapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val (oldDocs, newDocs) = synthOldNew(spark, dir)
     diff(oldDocs, newDocs).orderBy("doc_id")
+  }
+
+  /** L4: delta-driven maintenance of the exact-dedup verdict table —
+    * the incremental form of C1 under snapshot CDC. Given the OLD
+    * snapshot's verdicts (C1 schema: doc_id, sig, canonical_id,
+    * group_size, is_dup), the NEW corpus, and the [[diff]] delta,
+    * produce the NEW snapshot's verdicts while reading text ONLY for
+    * delta docs:
+    *
+    *  - signatures for added/changed docs come from a delta-pruned
+    *    pass over the new corpus (semi join on the delta ids — with a
+    *    partitioned layout that is file pruning, J2);
+    *  - a signature GROUP is touched iff a delta doc enters or leaves
+    *    it; untouched groups' members come from the old verdict rows
+    *    REUSED VERBATIM — their sigs are already materialized there,
+    *    so no untouched text is ever re-hashed (the manifest-reuse
+    *    idea of K8 applied to verdict state);
+    *  - touched groups re-window over (surviving old members ∪ delta
+    *    members): a removed canonical hands the crown to the next min
+    *    id, an added smaller id takes it — both fall out of the same
+    *    min/count recompute.
+    *
+    * Work is O(delta + touched groups), never a corpus re-hash. The
+    * spec proves the contract the K8 way: it poisons the text of every
+    * non-delta doc and the output must still equal the intact full
+    * rebuild. */
+  def maintainExactDedup(oldVerdicts: DataFrame, newDocs: DataFrame,
+                         delta: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val gone = delta.where(col("change").isin("removed", "changed"))
+      .select("doc_id")
+    val arrived = delta.where(col("change").isin("added", "changed"))
+      .select("doc_id")
+    // delta-pruned signature pass: the ONLY place text is read
+    val deltaSigs = newDocs.join(arrived, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"),
+        graft.functions.Portable.bagSignature(col("text")).as("sig"))
+    val touchedSigs = deltaSigs.select("sig")
+      .union(oldVerdicts.join(gone, Seq("doc_id"), "left_semi").select("sig"))
+      .distinct()
+    // old rows that survive into the new snapshot (drop removed AND
+    // changed — changed docs re-enter through deltaSigs with new sigs)
+    val surviving = oldVerdicts.join(gone, Seq("doc_id"), "left_anti")
+    val untouched = surviving.join(touchedSigs, Seq("sig"), "left_anti")
+      .select("doc_id", "sig", "canonical_id", "group_size", "is_dup")
+    val pool = surviving.join(touchedSigs, Seq("sig"), "left_semi")
+      .select("doc_id", "sig")
+      .unionByName(deltaSigs)
+    val w = Window.partitionBy("sig")
+    val recomputed = pool
+      .withColumn("canonical_id", min("doc_id").over(w))
+      .withColumn("group_size", count(lit(1)).over(w))
+      .withColumn("is_dup", col("doc_id") =!= col("canonical_id"))
+      .select("doc_id", "sig", "canonical_id", "group_size", "is_dup")
+    untouched.unionByName(recomputed)
   }
 
   val qSnapshotDiffSql: String = {
