@@ -112,7 +112,10 @@ object SparkEntry {
     // L-series: survivor selection + in-place boilerplate scrubbing
     "q_quality_topfrac" -> (Selection.qualityTopFrac _),
     "q_cluster_rep" -> (Selection.clusterRepresentatives _),
-    "q_boilerplate_scrub" -> (Boilerplate.scrub _)
+    "q_boilerplate_scrub" -> (Boilerplate.scrub _),
+    // M-series: pipeline observability
+    "q_corpus_report" -> (Reporting.corpusReport _),
+    "q_drop_ledger" -> (Reporting.dropLedger _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -186,6 +189,8 @@ object SparkEntry {
     "q_snapshot_diff" -> SnapshotDiff.qSnapshotDiffSql,
     "q_quality_topfrac" -> Selection.qualityTopFracSql,
     "q_cluster_rep" -> Selection.clusterRepresentativesSql,
-    "q_boilerplate_scrub" -> Boilerplate.scrubSql
+    "q_boilerplate_scrub" -> Boilerplate.scrubSql,
+    "q_corpus_report" -> Reporting.corpusReportSql,
+    "q_drop_ledger" -> Reporting.dropLedgerSql
   )
 }

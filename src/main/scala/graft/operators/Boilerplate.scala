@@ -99,6 +99,50 @@ object Boilerplate {
     sz
   }
 
+  /** The hot-tile set as a driver-side artifact (sorted, cap-guarded)
+    * — the precomputed model a STREAMING scrub applies. Boilerplate
+    * statistics come from the corpus, not from the stream: a live doc
+    * can't know a tile is boilerplate until many docs carried it, so
+    * the production shape is batch-compute the hot set (this), then
+    * scrub arrivals statelessly against it. */
+  def collectHotSet(spark: SparkSession, dir: String): Seq[String] = {
+    val tiled = Tables.documents(spark, dir)
+      .select(col("doc_id"), tilesOf(col("text")).as("tiles"))
+    val df = tiled.select(col("doc_id"), explode(col("tiles")).as("tile"))
+      .distinct().groupBy("tile").agg(count(lit(1)).as("df"))
+    val n = Tables.documents(spark, dir).count()
+    val hot = df.where(col("df") >= math.max(AbsFloor, n / RelDiv))
+      .orderBy("tile").select("tile")
+      .limit((HotSetCap + 1).toInt).collect().map(_.getString(0)).toSeq
+    require(hot.size <= HotSetCap,
+      s"hot boilerplate set exceeds cap $HotSetCap")
+    hot
+  }
+
+  /** M3: stateless streaming scrub — arriving (doc_id, text) rows
+    * scrubbed against a precomputed hot set ([[collectHotSet]]). Pure
+    * narrow projection (tile → filter → rejoin per row), so it runs
+    * in ANY output mode with no state store and no watermark; the hot
+    * set rides the plan as a literal array (same bound as the batch
+    * broadcast). Works identically on static frames — the spec pins
+    * stream-vs-batch equality. */
+  def scrubStream(stream: DataFrame, hot: Seq[String]): DataFrame = {
+    val hotArr = array(hot.map(lit): _*)
+    val tiles = tilesOf(col("text"))
+    // empty hot set: keep everything (array() has no element type for
+    // array_contains to bind against)
+    val kept =
+      if (hot.isEmpty) col("tiles")
+      else filter(col("tiles"), t => !array_contains(hotArr, t))
+    stream.select(col("doc_id"), tiles.as("tiles"))
+      .select(col("doc_id"), kept.as("kept"),
+        size(col("tiles")).cast("long").as("n_tiles"))
+      .select(col("doc_id"),
+        array_join(col("kept"), " ").as("clean_text"),
+        col("n_tiles"),
+        (col("n_tiles") - size(col("kept"))).cast("long").as("n_dropped"))
+  }
+
   /** DuckDB oracle: same tiling via list slices, df via unnest +
     * count distinct, reassembly via ordered string_agg; docs whose
     * every tile is hot still appear with empty clean_text. */
