@@ -38,19 +38,36 @@ object Reporting {
   private val QualityBar = 0.5
 
   // ---------------------------------------------------------------- M1
-  def corpusReport(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir).select("doc_id", "source")
-    val lowq = TextAnalysis.quality(spark, dir)
+  /** Self-contained form (recomputes every stage — at 10× it IS the
+    * sum of its five stages' costs; the bench prices it that way).
+    * Production runs the stages once, persists, and calls
+    * [[corpusReportFrom]] — identical by construction, equality
+    * pinned in MSeriesSpec. */
+  def corpusReport(spark: SparkSession, dir: String): DataFrame =
+    corpusReportFrom(
+      Tables.documents(spark, dir),
+      TextAnalysis.quality(spark, dir),
+      Dedup.exact(spark, dir),
+      Dedup.dupClusters(spark, dir),
+      Dedup.decontaminate(spark, dir),
+      CorpusStats.sourceDrift(spark, dir))
+
+  /** The report over MATERIALIZED stage outputs (stages' own
+    * schemas). Only this composition's joins/aggregate run — column
+    * scans of persisted frames, #sources output rows. */
+  def corpusReportFrom(documents: DataFrame, quality: DataFrame,
+                       exactDedup: DataFrame, dupClusters: DataFrame,
+                       decontaminated: DataFrame, drift: DataFrame): DataFrame = {
+    val docs = documents.select("doc_id", "source")
+    val lowq = quality
       .select(col("doc_id"), col("n_tokens"),
         (col("quality_score") < QualityBar).as("low_quality"))
-    val exact = Dedup.exact(spark, dir).select("doc_id", "is_dup")
-    val near = Dedup.dupClusters(spark, dir)
+    val exact = exactDedup.select("doc_id", "is_dup")
+    val near = dupClusters
       .where(!col("is_canonical")).select(col("doc_id"), lit(true).as("near"))
-    val cont = Dedup.decontaminate(spark, dir)
+    val cont = decontaminated
       .where(col("contaminated")).select("doc_id").distinct()
       .withColumn("cont", lit(true))
-    val drift = CorpusStats.sourceDrift(spark, dir)
-      .select("source", "tv_distance")
     docs
       .join(lowq, "doc_id")
       .join(exact, "doc_id")
@@ -64,7 +81,7 @@ object Reporting {
         sum(when(col("near"), 1L).otherwise(0L)).as("n_near_dup"),
         sum(when(col("cont"), 1L).otherwise(0L)).as("n_contaminated"),
         sum(col("n_tokens")).as("total_tokens"))
-      .join(drift, "source")
+      .join(drift.select("source", "tv_distance"), "source")
       .select("source", "n_docs", "n_low_quality", "n_exact_dup",
         "n_near_dup", "n_contaminated", "total_tokens", "tv_distance")
       .orderBy("source")
@@ -104,17 +121,32 @@ object Reporting {
     1 -> "contaminated", 2 -> "exact_dup", 3 -> "near_dup",
     4 -> "semantic_dup", 5 -> "low_quality")
 
-  def dropLedger(spark: SparkSession, dir: String): DataFrame = {
-    val cont = Dedup.decontaminate(spark, dir)
+  /** Self-contained form (recomputes all five stages; its bench cost
+    * IS the stage sum — the 10× measurement that motivated
+    * [[dropLedgerFrom]]). */
+  def dropLedger(spark: SparkSession, dir: String): DataFrame =
+    dropLedgerFrom(
+      Dedup.decontaminate(spark, dir),
+      Dedup.exact(spark, dir),
+      Dedup.dupClusters(spark, dir),
+      Pipeline.semanticDrops(spark, dir),
+      TextAnalysis.quality(spark, dir))
+
+  /** The ledger over MATERIALIZED stage outputs: a union of five
+    * drop-set-sized column scans and one groupBy on doc_id. */
+  def dropLedgerFrom(decontaminated: DataFrame, exactDedup: DataFrame,
+                     dupClusters: DataFrame, semanticDrops: DataFrame,
+                     quality: DataFrame): DataFrame = {
+    val cont = decontaminated
       .where(col("contaminated")).select("doc_id").distinct()
       .select(col("doc_id"), lit(1).as("pri"))
-    val exact = Dedup.exact(spark, dir).where(col("is_dup"))
+    val exact = exactDedup.where(col("is_dup"))
       .select(col("doc_id"), lit(2).as("pri"))
-    val near = Dedup.dupClusters(spark, dir).where(!col("is_canonical"))
+    val near = dupClusters.where(!col("is_canonical"))
       .select(col("doc_id"), lit(3).as("pri"))
-    val sem = Pipeline.semanticDrops(spark, dir)
+    val sem = semanticDrops
       .select(col("doc_id"), lit(4).as("pri"))
-    val lowq = TextAnalysis.quality(spark, dir)
+    val lowq = quality
       .where(col("quality_score") < QualityBar)
       .select(col("doc_id"), lit(5).as("pri"))
     val reason = Reasons.tail.foldLeft(

@@ -107,6 +107,17 @@ class LSeriesSpec extends SparkSpec {
     assert(hot > 0 && hot < 10000, s"hot set size $hot out of expected band")
   }
 
+  test("scrub's second pass is narrow: hot set broadcasts, docs never sort-merge") {
+    val plan = Boilerplate.scrub(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // the only join is the 1-row hot-array broadcast; a SortMergeJoin
+    // would mean the reassembly re-shuffled the corpus
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"hot set not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"scrub re-shuffled the corpus:\n$plan")
+  }
+
   test("scrub round-trips exactly when the hot set is empty (tiny fixture)") {
     import spark.implicits._
     // 3 docs, no tile reaches df>=3 → nothing removed, text identical

@@ -55,6 +55,41 @@ class MSeriesSpec extends SparkSpec {
     lowq.foreach { id => assert(ledger.contains(id)) }
   }
 
+  test("report and ledger over PERSISTED stage outputs equal the self-contained forms") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_mfrom").toString
+    try {
+      // materialize each stage once, as a production pipeline would
+      Seq(
+        "quality" -> TextAnalysis.quality(spark, sfDir),
+        "exact" -> Dedup.exact(spark, sfDir),
+        "clusters" -> Dedup.dupClusters(spark, sfDir),
+        "decon" -> Dedup.decontaminate(spark, sfDir),
+        "drift" -> graft.operators.CorpusStats.sourceDrift(spark, sfDir),
+        "semdrops" -> graft.operators.Pipeline.semanticDrops(spark, sfDir)
+      ).foreach { case (n, df) => df.write.parquet(s"$tmp/$n") }
+      def rd(n: String) = spark.read.parquet(s"$tmp/$n")
+      val rep = Reporting.corpusReportFrom(
+        Tables.documents(spark, sfDir), rd("quality"), rd("exact"),
+        rd("clusters"), rd("decon"), rd("drift")).collect().toSeq
+      val repLive = Reporting.corpusReport(spark, sfDir).collect().toSeq
+      // the 7 leading columns are strings/integers — exact; tv_distance
+      // is a float SUM whose add order legitimately moves when the
+      // persisted frame comes back with different partitioning (last-
+      // ULP wobble only; the oracle's own hash check covers the value)
+      assert(rep.map(_.toSeq.init) == repLive.map(_.toSeq.init))
+      rep.zip(repLive).foreach { case (a, b) =>
+        assert(math.abs(a.getDouble(7) - b.getDouble(7)) < 1e-12) }
+      val led = Reporting.dropLedgerFrom(rd("decon"), rd("exact"),
+        rd("clusters"), rd("semdrops"), rd("quality")).collect().toSeq
+      assert(led == Reporting.dropLedger(spark, sfDir).collect().toSeq)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+      }
+      rm(new java.io.File(tmp))
+    }
+  }
+
   // ------------------------------------------------------------- M3
   test("streaming scrub equals the batch scrub row for row") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_sscrub").toString
