@@ -115,7 +115,12 @@ object SparkEntry {
     "q_boilerplate_scrub" -> (Boilerplate.scrub _),
     // M-series: pipeline observability
     "q_corpus_report" -> (Reporting.corpusReport _),
-    "q_drop_ledger" -> (Reporting.dropLedger _)
+    "q_drop_ledger" -> (Reporting.dropLedger _),
+    // N-series: audits + table maintenance
+    "q_split_leakage" -> (Dedup.splitLeakage _),
+    "q_lang_confusion" -> (TextAnalysis.langConfusion _),
+    "q_decontaminate_semantic" -> (Dedup.decontaminateSemantic _),
+    "q_compaction_plan" -> (Maintenance.compactionPlan _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -191,6 +196,10 @@ object SparkEntry {
     "q_cluster_rep" -> Selection.clusterRepresentativesSql,
     "q_boilerplate_scrub" -> Boilerplate.scrubSql,
     "q_corpus_report" -> Reporting.corpusReportSql,
-    "q_drop_ledger" -> Reporting.dropLedgerSql
+    "q_drop_ledger" -> Reporting.dropLedgerSql,
+    "q_split_leakage" -> Dedup.splitLeakageSql,
+    "q_lang_confusion" -> TextAnalysis.langConfusionSql,
+    "q_decontaminate_semantic" -> Dedup.decontaminateSemanticSql,
+    "q_compaction_plan" -> Maintenance.compactionPlanSql
   )
 }

@@ -231,6 +231,61 @@ object Dedup {
       |GROUP BY 1, 2
       |ORDER BY source_a, source_b""".stripMargin
 
+  // ---------------------------------------------------------------- N1
+  /** N1: split-leakage audit — near-dup pairs that STRADDLE the J5
+    * train/val/test holdout boundary, the contamination eval teams
+    * must quarantine before a benchmark number is publishable: a val
+    * or test doc whose near-duplicate sits in train is effectively a
+    * training example (Lee et al. 2022 measure this exact channel).
+    * J5 makes same-doc leakage impossible by construction (split is a
+    * pure function of the id), but near-DUPLICATE leakage is a data
+    * property, not a hash property — it must be audited, and the
+    * audit is exactly C2's pair set joined to each end's split.
+    *
+    * `quarantine_id` names the eval-side doc (the later split in
+    * train < val < test order): dropping it from the eval set removes
+    * the leak while leaving train untouched — the cheap fix, since
+    * retraining is the expensive side.
+    *
+    * Scale shape: G11's composition — the pair set is LSH-bounded and
+    * delta-sized; each end's split is DERIVED from the id ([[
+    * Sampling.splitOf]]), a narrow projection on the pair row itself,
+    * so the audit adds ZERO joins and zero shuffles beyond the pair
+    * generation it reuses. Output ≤ pair count; ~2% of pairs straddle
+    * under a 98/1/1 split if dup structure is split-independent
+    * (they are independent hashes — that's J5's salt contract). */
+  def splitLeakage(spark: SparkSession, dir: String): DataFrame = {
+    val rank = (s: Column) =>
+      when(s === "train", 0).when(s === "val", 1).otherwise(2)
+    lshPairs(spark, dir)
+      .withColumn("split_a", Sampling.splitOf(col("doc_a")))
+      .withColumn("split_b", Sampling.splitOf(col("doc_b")))
+      .where(col("split_a") =!= col("split_b"))
+      .withColumn("quarantine_id",
+        when(rank(col("split_a")) > rank(col("split_b")), col("doc_a"))
+          .otherwise(col("doc_b")))
+      .select("doc_a", "doc_b", "split_a", "split_b",
+        "n_shared_bands", "quarantine_id")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val splitLeakageSql: String = {
+    val rank = (s: String) =>
+      s"CASE WHEN $s = 'train' THEN 0 WHEN $s = 'val' THEN 1 ELSE 2 END"
+    s"""WITH $lshPairsSqlCtes,
+      |leak AS (
+      |  SELECT doc_a, doc_b,
+      |    ${Sampling.splitOfSql("doc_a")} AS split_a,
+      |    ${Sampling.splitOfSql("doc_b")} AS split_b,
+      |    n_shared_bands
+      |  FROM pairs)
+      |SELECT doc_a, doc_b, split_a, split_b, n_shared_bands,
+      |  CASE WHEN ${rank("split_a")} > ${rank("split_b")}
+      |       THEN doc_a ELSE doc_b END AS quarantine_id
+      |FROM leak WHERE split_a <> split_b
+      |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   // ---------------------------------------------------------------- C3
   /** SimHash (60-bit, one bit per hex position across two md5s of each
     * shingle) + a multi-permutation block-pair index (Manku/Jain/Das
@@ -726,6 +781,60 @@ object Dedup {
       |FROM hits WHERE n_shared >= $MinSharedShingles
       |ORDER BY doc_id, bench_id""".stripMargin
   }
+
+  // ---------------------------------------------------------------- N3
+  /** N3: SEMANTIC benchmark decontamination — H1's contract in
+    * embedding space: n-gram overlap (H1) catches verbatim and
+    * near-verbatim eval leakage, but a paraphrased or translated eval
+    * item shares no shingles with its corpus twin; the embedding
+    * check is the published complement (the "semantic contamination"
+    * audit of recent LLM eval hygiene work). A corpus vector is
+    * reported when its cosine against ANY probe vector clears
+    * [[SemReportBar]] and flagged contaminated at [[SemContaminatedBar]]
+    * — two dials because the report band is what a human audits, the
+    * flag is what the pipeline drops.
+    *
+    * Probe set: deterministic ~5% hash sample (salt "benchvec") of
+    * the embeddings table — in production the eval suite's own
+    * embeddings, ALWAYS small relative to the corpus (10³-10⁵ rows).
+    *
+    * Scale shape: probes broadcast; scoring is a map-side nested-loop
+    * over corpus × probe with the native fused cosine — linear in
+    * corpus size with a probe-sized constant, no corpus shuffle, no
+    * self-join; the only exchange is the final ORDER BY on the
+    * delta-sized hit set. At a 10⁹ × 10⁴ scale where even that
+    * constant bites, the shortlist composes with H5's int8 or D5's PQ
+    * codes (score quantized, rescore exact) — same plan shape. */
+  private val BenchVecSalt = "benchvec"
+  private val SemReportBar = 0.35
+  private val SemContaminatedBar = 0.40
+
+  def decontaminateSemantic(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    val probePred =
+      Sampling.hashBucket(col("vec_id"), BenchVecSalt) < Sampling.pctThreshold(BenchPct)
+    val probes = broadcast(emb.where(probePred)
+      .select(col("vec_id").as("bench_id"), col("embedding").as("b_emb")))
+    emb.join(probes, col("vec_id") =!= col("bench_id"))
+      .select(col("vec_id"), col("bench_id"),
+        Vectors.cosineFast(spark, col("embedding"), col("b_emb")).as("cos_sim"))
+      .where(col("cos_sim") >= SemReportBar)
+      .withColumn("contaminated", col("cos_sim") >= SemContaminatedBar)
+      .orderBy("vec_id", "bench_id")
+  }
+
+  val decontaminateSemanticSql: String =
+    s"""WITH probes AS (
+      |  SELECT vec_id AS bench_id, embedding AS b_emb FROM embeddings
+      |  WHERE ${Sampling.hashBucketSql("vec_id", BenchVecSalt)}
+      |    < ${Sampling.pctThreshold(BenchPct)})
+      |SELECT vec_id, bench_id, cos_sim, cos_sim >= $SemContaminatedBar AS contaminated
+      |FROM (
+      |  SELECT e.vec_id, p.bench_id,
+      |    ${graft.functions.Vectors.cosineSql("e.embedding", "p.b_emb")} AS cos_sim
+      |  FROM embeddings e JOIN probes p ON e.vec_id <> p.bench_id) s
+      |WHERE cos_sim >= $SemReportBar
+      |ORDER BY vec_id, bench_id""".stripMargin
 
   // ---------------------------------------------------------------- H4
   /** Incremental dedup: dedups a NEW batch (deterministic ~20% hash

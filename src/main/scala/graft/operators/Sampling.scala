@@ -257,13 +257,24 @@ object Sampling {
                   salt: String = "holdout"): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"),
-        hashBucket(col("doc_id"), salt).as("bucket"))
-      .withColumn("split",
-        when(col("bucket") < TrainThreshold, "train")
-          .when(col("bucket") < ValThreshold, "val")
-          .otherwise("test"))
-      .select("doc_id", "source", "split")
+        splitOf(col("doc_id"), salt).as("split"))
       .orderBy("doc_id")
+
+  /** The J5 split as a reusable per-row rule (any consumer that joins
+    * docs to their split — e.g. N1's leakage audit — derives it from
+    * the id instead of materializing the assignment table). */
+  def splitOf(key: Column, salt: String = "holdout"): Column = {
+    val b = hashBucket(key, salt)
+    when(b < TrainThreshold, "train")
+      .when(b < ValThreshold, "val")
+      .otherwise("test")
+  }
+
+  /** DuckDB twin of [[splitOf]]. */
+  def splitOfSql(key: String, salt: String = "holdout"): String =
+    s"""CASE WHEN ${hashBucketSql(key, salt)} < $TrainThreshold THEN 'train'
+      |     WHEN ${hashBucketSql(key, salt)} < $ValThreshold THEN 'val'
+      |     ELSE 'test' END""".stripMargin
 
   def splitAssignSql(salt: String = "holdout"): String =
     s"""SELECT doc_id, source,

@@ -61,6 +61,35 @@ object TextAnalysis {
       |FROM documents ORDER BY doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- N2
+  /** N2: language confusion matrix — E1's detector crossed against the
+    * declared metadata label, the audit that answers "is a source's
+    * `lang` tag trustworthy?" before J5 splits or H10 mix decisions
+    * key on it. Each (declared, guessed) cell counts docs and carries
+    * the n_agree integer so per-language accuracy is a ratio of two
+    * audited counts, never a float aggregated across engines.
+    *
+    * Scale shape: E1's narrow per-row detector (single scan, one
+    * WholeStageCodegen span) followed by ONE #langs² aggregation —
+    * the same partial-agg → k-row exchange as any low-cardinality
+    * groupBy; output is ≤ |langs|·(|langs|+1) rows at any corpus
+    * size. */
+  def langConfusion(spark: SparkSession, dir: String): DataFrame =
+    langId(spark, dir)
+      .groupBy(col("lang_declared"), col("lang_guess"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("agree", col("lang_declared") === col("lang_guess"))
+      .select("lang_declared", "lang_guess", "agree", "n_docs")
+      .orderBy("lang_declared", "lang_guess")
+
+  val langConfusionSql: String =
+    s"""SELECT lang_declared, lang_guess,
+      |  lang_declared = lang_guess AS agree,
+      |  count(*) AS n_docs
+      |FROM ($langIdSql) e
+      |GROUP BY 1, 2
+      |ORDER BY lang_declared, lang_guess""".stripMargin
+
   // ---------------------------------------------------------------- E2
   /** Quality scoring: token count, type-token ratio, mean token
     * length, and a blended [0,1] score. Double math is int-derived

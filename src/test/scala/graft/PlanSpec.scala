@@ -277,6 +277,31 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("split leakage adds no join to the pair pipeline (splits derived in-row)") {
+    val plan = finalPlan(graft.operators.Dedup.splitLeakage(spark, sfDir))
+    // both ends' splits are pure functions of the pair row's own ids —
+    // a Join here would mean the audit materialized the assignment
+    // table and paid two doc_id joins for data it can compute in place
+    assert(!plan.contains("Join"), s"leakage audit joins:\n$plan")
+  }
+
+  test("semantic decontamination broadcasts probes; corpus never shuffles") {
+    val plan = finalPlan(graft.operators.Dedup.decontaminateSemantic(spark, sfDir))
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"probe set not broadcast:\n$plan")
+    // only exchanges allowed: the broadcast itself and the final
+    // delta-sized orderBy (rangepartitioning) — no hash shuffle of
+    // the corpus
+    assert(!plan.contains("hashpartitioning"), s"corpus shuffled:\n$plan")
+  }
+
+  test("compaction planner partial-aggregates the day stats before its exchange") {
+    val plan = finalPlan(graft.operators.Maintenance.compactionPlan(spark, sfDir))
+    // the only corpus-sized stage is the per-day stats aggregation —
+    // partial map-side agg means the exchange moves O(days x tasks)
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, s"no partial agg:\n$plan")
+  }
+
   test("source-partitioned documents layout: per-source filter prunes files; rows equal flat") {
     val dir = java.nio.file.Files.createTempDirectory("graft_docpart").toFile.getPath
     try {
