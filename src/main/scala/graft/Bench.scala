@@ -1,12 +1,40 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import java.nio.file.{Files, Paths}
 
 /** Benchmark main: times every SparkEntry query on SPARK_GRAFT_SF_DIR
   * and emits ONE JSON line (stdout) plus a file copy (BENCH.json or
   * $SPARK_GRAFT_BENCH_OUT) so the driver's parse is log-format
   * independent. A failing query records an "errors" entry instead of
-  * masquerading as a fast timing. */
+  * masquerading as a fast timing.
+  *
+  * Load guard: the round-9 artifact was recorded on a host at loadavg
+  * 8 and showed phantom 20-46× "regressions" (a contention window
+  * sweeping a contiguous alphabetical block of queries; one rep of a
+  * 1.8 s query measured 344 s). A contaminated run must never again
+  * masquerade as a regression record, so the bench now (a) records
+  * the 1-min loadavg after every rep ("loads" in the file copy),
+  * (b) emits "load_skewed": true when the starting load exceeds
+  * SPARK_GRAFT_BENCH_MAX_LOAD (default 4.0) or any query's rep
+  * spread exceeds SPARK_GRAFT_BENCH_MAX_SPREAD (default 5×, floored
+  * at 1 s so sub-second jitter can't trip it), naming the offenders
+  * in "skew_queries", and (c) refuses to run at all — exit 2, no
+  * record written — when SPARK_GRAFT_BENCH_REFUSE_LOAD=1 and the
+  * host is already loaded (opt-in so the driver's unattended run
+  * degrades to a flagged record, never to a missing one).
+  *
+  * Composition pricing: the three multi-stage composites
+  * (q_pipeline_pack / q_corpus_report / q_drop_ledger) deliberately
+  * recompute their stages — honest for a one-shot query, but NOT the
+  * number a 100 TB operator pays, where stages persist once and every
+  * consumer reads them. The bench therefore also materializes the
+  * shared stage outputs ONCE (untimed), then times the production
+  * `*From` compositions alone over the persisted parquet
+  * ("from_curate", "from_pipeline_pack", "from_corpus_report",
+  * "from_drop_ledger") — rows-only entries (their equality to the
+  * self-contained forms is spec-pinned: PipelineOpsSpec, MSeriesSpec).
+  * Disable with SPARK_GRAFT_BENCH_FROM=0.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     // Host load before/after the run: the shared host shows up-to-2×
@@ -15,7 +43,24 @@ object Bench {
     def loadavg: String =
       scala.util.Try(Files.readString(Paths.get("/proc/loadavg"))
         .split("\\s+").take(3).mkString("[", ",", "]")).getOrElse("null")
+    def load1: Double =
+      scala.util.Try(Files.readString(Paths.get("/proc/loadavg"))
+        .split("\\s+")(0).toDouble).getOrElse(-1.0)
     val loadStart = loadavg
+    val load1Start = load1
+    val maxLoad = scala.util.Try(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_LOAD", "4.0").trim.toDouble)
+      .getOrElse(4.0)
+    val maxSpread = scala.util.Try(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_SPREAD", "5.0").trim.toDouble)
+      .getOrElse(5.0)
+    if (load1Start > maxLoad && sys.env.get("SPARK_GRAFT_BENCH_REFUSE_LOAD").contains("1")) {
+      System.err.println(
+        s"[bench] REFUSING: host 1-min load $load1Start > $maxLoad — timings " +
+          "recorded now would be contention noise, not a regression record " +
+          "(unset SPARK_GRAFT_BENCH_REFUSE_LOAD to run flagged instead)")
+      sys.exit(2)
+    }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")
@@ -41,27 +86,19 @@ object Bench {
       .getOrElse(3).max(1)
     val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
     val allRuns = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
+    val allLoads = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    // Optional subset (comma-separated names) for local iteration; the
-    // driver leaves it unset and gets the full suite.
-    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    only.foreach { names =>
-      val unknown = names -- SparkEntry.queries.keySet
-      require(unknown.isEmpty,
-        s"SPARK_GRAFT_BENCH_ONLY names not in SparkEntry.queries: ${unknown.mkString(", ")}")
-    }
-    SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (name, _) => only.forall(_.contains(name)) }
-      .foreach { case (name, fn) =>
+    def timeQuery(name: String, mk: () => DataFrame): Unit = {
       val runs = scala.collection.mutable.ArrayBuffer[Double]()
+      val loads = scala.collection.mutable.ArrayBuffer[Double]()
       var failed = false
       var r = 0
       while (r < reps && !failed) {
         val t0 = System.nanoTime()
         try {
-          fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+          mk().write.mode("overwrite").format("noop").save()
           runs += (System.nanoTime() - t0) / 1e9
+          loads += load1
         } catch {
           case e: Throwable =>
             failed = true
@@ -72,8 +109,24 @@ object Bench {
       if (runs.nonEmpty && !failed) {
         timings(name) = runs.min
         allRuns(name) = runs.toSeq
+        allLoads(name) = loads.toSeq
       }
     }
+    // Optional subset (comma-separated names) for local iteration; the
+    // driver leaves it unset and gets the full suite.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet -- FromForms
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_BENCH_ONLY names not in SparkEntry.queries: ${unknown.mkString(", ")}")
+    }
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) => timeQuery(name, () => fn(spark, sfDir)) }
+    if (!sys.env.get("SPARK_GRAFT_BENCH_FROM").contains("0")
+        && only.forall(_.exists(FromForms.contains)))
+      benchFromForms(spark, sfDir, only, timeQuery)
     def jstr(s: String): String =
       "\"" + s.flatMap {
         case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
@@ -86,16 +139,79 @@ object Bench {
     // runs); the file copy keeps every rep at full precision.
     def r3(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     val loadEnd = loadavg
+    // Skew verdict: starting load alone, or any query whose rep spread
+    // (max/min over reps) exceeds the bar with a non-trivial max — the
+    // signature of a contention window, not a plan change.
+    val skewQueries = allRuns.collect {
+      case (name, rs) if rs.size >= 2 && rs.max >= 1.0 &&
+        rs.max / math.max(rs.min, 1e-9) > maxSpread => name
+    }.toSeq
+    val loadSkewed = load1Start > maxLoad || skewQueries.nonEmpty
+    if (loadSkewed) System.err.println(
+      s"[bench] WARNING load_skewed: load_start=$load1Start (bar $maxLoad), " +
+        s"spread>${maxSpread}x on [${skewQueries.mkString(", ")}] — treat " +
+        "timings as contaminated; re-run on a quiet host")
     val qs = timings.map { case (k, v) => s"${jstr(k)}:${r3(v)}" }.mkString("{", ",", "}")
     val rs = allRuns.map { case (k, v) => s"${jstr(k)}:${v.mkString("[", ",", "]")}" }.mkString("{", ",", "}")
+    val ls = allLoads.map { case (k, v) => s"${jstr(k)}:${v.mkString("[", ",", "]")}" }.mkString("{", ",", "}")
     val es = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
+    val sq = skewQueries.map(jstr).mkString("[", ",", "]")
     val total = timings.values.sum
     val line =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"reps":$reps,"errors":$es,"n_ok":${timings.size},"n_err":${errors.size},"load_start":$loadStart,"load_end":$loadEnd,"sf":${jstr(sfDir)}}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"reps":$reps,"errors":$es,"n_ok":${timings.size},"n_err":${errors.size},"load_start":$loadStart,"load_end":$loadEnd,"load_skewed":$loadSkewed,"skew_queries":$sq,"sf":${jstr(sfDir)}}"""
     println(line)
     Files.writeString(Paths.get(out),
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$rs,"reps":$reps,"errors":$es,"n_ok":${timings.size},"n_err":${errors.size},"load_start":$loadStart,"load_end":$loadEnd,"sf":${jstr(sfDir)}}""" + "\n")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$rs,"loads":$ls,"reps":$reps,"errors":$es,"n_ok":${timings.size},"n_err":${errors.size},"load_start":$loadStart,"load_end":$loadEnd,"load_skewed":$loadSkewed,"skew_queries":$sq,"sf":${jstr(sfDir)}}""" + "\n")
     spark.stop()
     if (errors.nonEmpty) System.err.println(s"[bench] ${errors.size} queries failed: ${errors.keys.mkString(", ")}")
+  }
+
+  /** The production-composition entries (rows-only; no oracle — their
+    * equality to the self-contained forms is spec-pinned). */
+  private val FromForms = Set(
+    "from_curate", "from_pipeline_pack", "from_corpus_report", "from_drop_ledger")
+
+  /** Materialize the shared stage outputs once (untimed), then time
+    * ONLY the `*From` compositions over the persisted parquet — the
+    * cost a 100 TB operator pays per consumer once stages are shared. */
+  private def benchFromForms(spark: SparkSession, sfDir: String,
+                             only: Option[Set[String]],
+                             timeQuery: (String, () => DataFrame) => Unit): Unit = {
+    import graft.operators._
+    val fromDir = Files.createTempDirectory("graft_bench_from")
+    def persist(name: String, df: DataFrame): DataFrame = {
+      df.write.mode("overwrite").parquet(s"$fromDir/$name")
+      spark.read.parquet(s"$fromDir/$name")
+    }
+    try {
+      val docs = persist("documents",
+        graft.sources.Tables.documents(spark, sfDir)
+          .select("doc_id", "source", "lang", "text"))
+      val quality = persist("quality", TextAnalysis.quality(spark, sfDir))
+      val exact = persist("exact", Dedup.exact(spark, sfDir))
+      val clusters = persist("clusters", Dedup.dupClusters(spark, sfDir))
+      val decont = persist("decont", Dedup.decontaminate(spark, sfDir))
+      val drift = persist("drift", CorpusStats.sourceDrift(spark, sfDir))
+      val semDrops = persist("sem_drops", Pipeline.semanticDrops(spark, sfDir))
+      val curated = persist("curated",
+        Curation.curateFrom(docs, quality, exact, decont))
+      val forms: Seq[(String, () => DataFrame)] = Seq(
+        "from_curate" -> (() => Curation.curateFrom(docs, quality, exact, decont)),
+        "from_pipeline_pack" -> (() => Pipeline.pipelinePackFrom(docs, curated, semDrops)),
+        "from_corpus_report" -> (() =>
+          Reporting.corpusReportFrom(docs, quality, exact, clusters, decont, drift)),
+        "from_drop_ledger" -> (() =>
+          Reporting.dropLedgerFrom(decont, exact, clusters, semDrops, quality)))
+      forms.filter { case (n, _) => only.forall(_.contains(n)) }
+        .foreach { case (n, mk) => timeQuery(n, mk) }
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] from-form setup failed: ${e.getMessage}")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(fromDir.toFile)
+    }
   }
 }

@@ -30,7 +30,7 @@ object ScaleUp {
   def main(args: Array[String]): Unit = {
     val Array(base, out, xs) = args
     val x = xs.toInt
-    require(x >= 1 && x <= 64, s"x must be in [1, 64], got $x")
+    require(x >= 1 && x <= 128, s"x must be in [1, 128], got $x")
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")

@@ -61,7 +61,8 @@ object SparkEntry {
       SimilaritySearch.ivfPqTopK(s, d)),
     // A9: structured streaming ingest (AvailableNow, complete mode)
     "q_stream_window_counts" -> (graft.streaming.EventStreams.windowCounts _),
-    // F1: multimodal binary + metadata pipeline (stubbed decode)
+    // F1: multimodal binary + metadata pipeline (real PNG IHDR /
+    // JPEG SOF header decode — Multimodal.scala)
     "q_mm_binary_meta" -> (Multimodal.binaryMeta _),
     // G. sampling / profiling
     "q_dedup_clusters" -> (Dedup.dupClusters _),
@@ -118,6 +119,7 @@ object SparkEntry {
     "q_drop_ledger" -> (Reporting.dropLedger _),
     // N-series: audits + table maintenance
     "q_split_leakage" -> (Dedup.splitLeakage _),
+    "q_split_leakage_semantic" -> (Dedup.splitLeakageSemantic _),
     "q_lang_confusion" -> (TextAnalysis.langConfusion _),
     "q_decontaminate_semantic" -> (Dedup.decontaminateSemantic _),
     "q_compaction_plan" -> (Maintenance.compactionPlan _)
@@ -198,6 +200,7 @@ object SparkEntry {
     "q_corpus_report" -> Reporting.corpusReportSql,
     "q_drop_ledger" -> Reporting.dropLedgerSql,
     "q_split_leakage" -> Dedup.splitLeakageSql,
+    "q_split_leakage_semantic" -> Dedup.splitLeakageSemanticSql,
     "q_lang_confusion" -> TextAnalysis.langConfusionSql,
     "q_decontaminate_semantic" -> Dedup.decontaminateSemanticSql,
     "q_compaction_plan" -> Maintenance.compactionPlanSql

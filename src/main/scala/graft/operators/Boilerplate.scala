@@ -59,19 +59,32 @@ object Boilerplate {
   }
 
   /** The scrub over an arbitrary (doc_id, text) frame: doc_id,
-    * clean_text (hot tiles removed, order kept), n_tiles, n_dropped. */
-  def scrubFrom(documents: DataFrame): DataFrame = {
+    * clean_text (hot tiles removed, order kept), n_tiles, n_dropped.
+    * The [[HotSetCap]] guard lives IN THE PLAN (a raise_error branch
+    * on the 1-row hot aggregate), so a corpus that breaks the
+    * "boilerplate is small" premise fails the job loudly instead of
+    * silently shipping an unbounded broadcast array. */
+  def scrubFrom(documents: DataFrame): DataFrame =
+    scrubFrom(documents, HotSetCap)
+
+  private[graft] def scrubFrom(documents: DataFrame, cap: Long): DataFrame = {
     val tiled = documents.select(col("doc_id"), tilesOf(col("text")).as("tiles"))
     // pass 1: tile document frequency (distinct docs per tile)
     val df = tiled.select(col("doc_id"), explode(col("tiles")).as("tile"))
       .distinct()
       .groupBy("tile").agg(count(lit(1)).as("df"))
     val nDocs = documents.select(count(lit(1)).as("n_docs"))
-    // hot set as ONE sorted-array row (deterministic; broadcast)
+    // hot set as ONE sorted-array row (deterministic; broadcast),
+    // cap-guarded in-plan: exceeding the cap raises, never broadcasts
     val hotRow = df.crossJoin(nDocs)
       // integer division on BOTH engines (DuckDB twin uses //)
       .where(col("df") >= greatest(lit(AbsFloor), expr(s"n_docs DIV $RelDiv")))
-      .agg(sort_array(collect_list(col("tile"))).as("hot"))
+      .agg(sort_array(collect_list(col("tile"))).as("hot0"))
+      .select(
+        when(size(col("hot0")) <= cap, col("hot0"))
+          .otherwise(raise_error(concat(
+            lit("hot boilerplate set "), size(col("hot0")).cast("string"),
+            lit(s" exceeds broadcast cap $cap")))).as("hot"))
     // pass 2: narrow in-row scrub against the broadcast hot array
     tiled.crossJoin(broadcast(hotRow))
       .select(col("doc_id"), col("tiles"), col("hot"),

@@ -191,6 +191,71 @@ object CorpusStats {
       |WHERE rank <= $k
       |ORDER BY doc_id, rank""".stripMargin
 
+  // ------------------------------------------- K5/K6 delta maintenance
+  /** Doc-grain token-count state `(doc_id, source, token, c)` — the
+    * maintainable form of the corpus-×-tokens explode that both K5
+    * (tf·idf) and K6 (drift) open with. The explode is the expensive
+    * stage at 100 TB (|tokens| ≈ 10²-10³ × |docs| rows); everything
+    * downstream of this state is (doc, distinct-token)- or
+    * vocabulary-scale. Keeping the state at DOC grain (not the
+    * (source, token) grain K6 consumes) is what makes subtraction
+    * possible: a departed doc's contribution is its own state rows,
+    * removed by anti-join — no old text ever re-read. */
+  def tokenCounts(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("source"),
+        explode(split(col("text"), " ")).as("token"))
+      .groupBy("doc_id", "source", "token").agg(count(lit(1)).as("c"))
+
+  /** L-series maintenance (the L4 pattern applied to corpus stats):
+    * update the [[tokenCounts]] state under a K9 CDC [[SnapshotDiff]]
+    * delta, tokenizing ONLY delta docs' text — departed docs leave by
+    * anti-join on their own state rows, arrived docs enter through a
+    * delta-pruned [[tokenCounts]] pass (with a partitioned layout
+    * that semi join is file pruning, J2). Work is O(delta tokens +
+    * state anti-join); the corpus is never re-exploded. The spec
+    * proves it the K8/L4 way: poison every non-delta doc's text and
+    * the maintained state must still power bit-equal K5/K6 answers. */
+  def maintainTokenCounts(oldCounts: DataFrame, newDocs: DataFrame,
+                          delta: DataFrame): DataFrame = {
+    val gone = delta.where(col("change").isin("removed", "changed"))
+      .select("doc_id")
+    val arrived = delta.where(col("change").isin("added", "changed"))
+      .select("doc_id")
+    val deltaCounts = tokenCounts(
+      newDocs.join(arrived, Seq("doc_id"), "left_semi"))
+    oldCounts.join(gone, Seq("doc_id"), "left_anti")
+      .unionByName(deltaCounts)
+  }
+
+  /** K5 from the maintained state: identical ranking arithmetic to
+    * [[tfidfTopTerms]] (rational idf, same tie-break); `n_docs` is
+    * derived from the state itself (every doc owns ≥1 token row —
+    * `split` yields [""] even on empty text — so the distinct count
+    * is exact). KSeriesSpec pins equality with the live form. */
+  def tfidfFromCounts(counts: DataFrame, k: Int = TfIdfK): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = counts.select(col("doc_id"), col("token"), col("c").as("tf"))
+    val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val n = counts.agg(countDistinct(col("doc_id")).as("n_docs"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("token").asc)
+    tf.join(df, "token").crossJoin(broadcast(n))
+      .withColumn("score",
+        (col("tf") * col("n_docs")).cast("double") / col("df"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("doc_id"), col("rank").cast("long").as("rank"),
+        col("token"), col("tf"), col("df"), col("score"))
+      .orderBy("doc_id", "rank")
+  }
+
+  /** K6 from the maintained state: collapse to the (source, token)
+    * grain [[sourceDriftFrom]] computes internally, then the same
+    * vocabulary-scale TV arithmetic. KSeriesSpec pins equality. */
+  def sourceDriftFromCounts(counts: DataFrame): DataFrame =
+    driftFromSourceTokenCounts(
+      counts.groupBy("source", "token").agg(sum(col("c")).as("c")))
+
   // ---------------------------------------------------------------- K6
   /** K6: source-vs-corpus token-distribution drift — per source, the
     * total-variation distance `½·Σ|p_src(t) − p_rest(t)|` between its
@@ -209,17 +274,37 @@ object CorpusStats {
     * frame: per-source totals broadcast back, the |p−q| sum and
     * argmax are aggregations over |vocab|·|sources| rows. At 100 TB
     * the only corpus-scale stage is the first count; everything after
-    * is vocabulary-scale. */
-  def sourceDrift(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.parallelized(spark, Tables.documents(spark, dir))
-    val cnt = docs
+    * is vocabulary-scale.
+    *
+    * Degenerate case, defined explicitly: a source holding the WHOLE
+    * corpus (single-source corpus, or one source owning every token)
+    * has no "rest" to compare against — `n_all − n_src = 0` — and all
+    * three drift outputs are NULL by definition in BOTH engines,
+    * rather than whatever a division by zero happens to produce
+    * (Spark NULL vs DuckDB ±inf would silently disagree). */
+  def sourceDrift(spark: SparkSession, dir: String): DataFrame =
+    sourceDriftFrom(Tables.parallelized(spark, Tables.documents(spark, dir)))
+
+  /** The drift monitor over an arbitrary (source, text) frame. */
+  def sourceDriftFrom(docs: DataFrame): DataFrame =
+    driftFromSourceTokenCounts(docs
       .select(col("source"), explode(split(col("text"), " ")).as("token"))
-      .groupBy("source", "token").agg(count(lit(1)).as("c"))
+      .groupBy("source", "token").agg(count(lit(1)).as("c")))
+
+  /** The vocabulary-scale TV arithmetic over a (source, token, c)
+    * count frame — shared verbatim by the live form and the
+    * delta-maintained path ([[sourceDriftFromCounts]]), so the two
+    * cannot drift. */
+  private def driftFromSourceTokenCounts(cnt: DataFrame): DataFrame = {
     val tot = cnt.groupBy("source").agg(sum("c").as("n_src"))
     val all = cnt.groupBy("token").agg(sum("c").as("c_all"))
     val grand = tot.agg(sum("n_src").as("n_all"))
     val p = col("c").cast("double") / col("n_src")
-    val q = (col("c_all") - col("c")).cast("double") / (col("n_all") - col("n_src"))
+    // the per-token q divides by the same degenerate denominator the
+    // outer CASE nulls out — under ANSI it must be guarded IN-ROW too,
+    // or the job throws DIVIDE_BY_ZERO before the outer guard runs
+    val q = when(col("n_all") === col("n_src"), lit(0.0))
+      .otherwise((col("c_all") - col("c")).cast("double") / (col("n_all") - col("n_src")))
     // Tokens ABSENT from a source contribute p=0, |p−q| = q each; their
     // total is Σ_absent c_all / (n_all − n_src) with Σ_absent c_all =
     // n_all − Σ_present c_all — all-integer numerators, so the
@@ -232,10 +317,14 @@ object CorpusStats {
         sum(col("c_all")).as("present_c_all"),
         max(struct((col("p") - col("q")).as("gap"), col("token"))).as("m"))
       .select(col("source"),
-        ((col("present_sum")
-          + (col("n_all") - col("present_c_all")).cast("double")
-            / (col("n_all") - col("n_src"))) / 2).as("tv_distance"),
-        col("m.token").as("top_token"), col("m.gap").as("top_token_gap"))
+        when(col("n_all") === col("n_src"), lit(null).cast("double"))
+          .otherwise((col("present_sum")
+            + (col("n_all") - col("present_c_all")).cast("double")
+              / (col("n_all") - col("n_src"))) / 2).as("tv_distance"),
+        when(col("n_all") === col("n_src"), lit(null).cast("string"))
+          .otherwise(col("m.token")).as("top_token"),
+        when(col("n_all") === col("n_src"), lit(null).cast("double"))
+          .otherwise(col("m.gap")).as("top_token_gap"))
       .orderBy("source")
   }
 
@@ -246,9 +335,12 @@ object CorpusStats {
       |tot AS (SELECT source, sum(c) AS n_src FROM cnt GROUP BY source),
       |al  AS (SELECT token, sum(c) AS c_all FROM cnt GROUP BY token),
       |g   AS (SELECT sum(n_src) AS n_all FROM tot)
-      |SELECT source, (present_sum + CAST(n_all - present_c_all AS DOUBLE)
-      |                / (n_all - n_src)) / 2 AS tv_distance,
-      |  m.token AS top_token, m.gap AS top_token_gap
+      |SELECT source,
+      |  CASE WHEN n_all = n_src THEN NULL
+      |       ELSE (present_sum + CAST(n_all - present_c_all AS DOUBLE)
+      |             / (n_all - n_src)) / 2 END AS tv_distance,
+      |  CASE WHEN n_all = n_src THEN NULL ELSE m.token END AS top_token,
+      |  CASE WHEN n_all = n_src THEN NULL ELSE m.gap END AS top_token_gap
       |FROM (
       |  SELECT cnt.source, tot.n_src, g.n_all,
       |    sum(abs(CAST(cnt.c AS DOUBLE) / tot.n_src

@@ -603,7 +603,14 @@ object Dedup {
       s"(CASE WHEN ${dot(s * srpMaxBits + j)} > 0 THEN ${1L << j} ELSE 0 END)")
       .mkString("CAST(", " + ", " AS BIGINT)")
 
-  def embeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
+  def embeddingNearDup(spark: SparkSession, dir: String): DataFrame =
+    embeddingPairs(spark, dir).orderBy("vec_a", "vec_b")
+
+  /** C5's pair set WITHOUT the presentation sort — the frame N5 and
+    * J8 compose over (their own final orderBy would shadow an inner
+    * sort anyway; factoring it out keeps the shared pipeline
+    * sort-free by construction). */
+  private[graft] def embeddingPairs(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id") +: col("embedding") +: (0 until srpSketches).map(s =>
         Vectors.srpSketchFast(spark, col("embedding"), s).as(s"sk$s")): _*)
@@ -640,8 +647,41 @@ object Dedup {
         Vectors.cosineFast(spark, col("p.emb_a"), col("p.emb_b")).as("cos_sim"))
       .distinct()
       .where(round(col("cos_sim"), 9) >= 0.35)
+  }
+
+  // ---------------------------------------------------------------- N5
+  /** N5: SEMANTIC split-leakage audit — N1's train/val/test straddle
+    * check over the C5/J8 embedding pair graph instead of C2's n-gram
+    * pairs. The channel this closes train-vs-eval is the one N3
+    * closes corpus-vs-benchmark: a PARAPHRASED eval doc shares no
+    * 3-token shingles with its training twin, so N1 cannot see it,
+    * but their embeddings still land cosine-close. Both audits on the
+    * same corpus is the Lee et al. discipline extended to the channel
+    * n-grams miss.
+    *
+    * Same zero-join contract as N1: each end's split is DERIVED from
+    * the id on the pair row itself ([[Sampling.splitOf]] — vec_id and
+    * doc_id share one id space, J5's hash is id-pure), so the audit
+    * adds NO join and no shuffle beyond the pair generation it
+    * reuses (PlanSpec pins join-count equality with C5's own plan).
+    * `quarantine_id` names the eval-side vector (later split in
+    * train < val < test order) — drop it from eval, leave train
+    * untouched, retraining stays off the table. */
+  def splitLeakageSemantic(spark: SparkSession, dir: String): DataFrame = {
+    val rank = (s: Column) =>
+      when(s === "train", 0).when(s === "val", 1).otherwise(2)
+    embeddingPairs(spark, dir)
+      .withColumn("split_a", Sampling.splitOf(col("vec_a")))
+      .withColumn("split_b", Sampling.splitOf(col("vec_b")))
+      .where(col("split_a") =!= col("split_b"))
+      .withColumn("quarantine_id",
+        when(rank(col("split_a")) > rank(col("split_b")), col("vec_a"))
+          .otherwise(col("vec_b")))
+      .select("vec_a", "vec_b", "split_a", "split_b", "cos_sim",
+        "quarantine_id")
       .orderBy("vec_a", "vec_b")
   }
+
 
   /** C5's pair pipeline as composable CTEs (ends in `epairs`) — the
     * embedding-space twin of [[lshPairsSqlCtes]], shared by the C5
@@ -680,6 +720,25 @@ object Dedup {
     s"""WITH $embeddingPairsSqlCtes
       |SELECT vec_a, vec_b, cos_sim FROM epairs
       |ORDER BY vec_a, vec_b""".stripMargin
+
+  /** N5's twin (declared after [[embeddingPairsSqlCtes]] — object val
+    * init order). */
+  val splitLeakageSemanticSql: String = {
+    val rank = (s: String) =>
+      s"CASE WHEN $s = 'train' THEN 0 WHEN $s = 'val' THEN 1 ELSE 2 END"
+    s"""WITH $embeddingPairsSqlCtes,
+      |leak AS (
+      |  SELECT vec_a, vec_b,
+      |    ${Sampling.splitOfSql("vec_a")} AS split_a,
+      |    ${Sampling.splitOfSql("vec_b")} AS split_b,
+      |    cos_sim
+      |  FROM epairs)
+      |SELECT vec_a, vec_b, split_a, split_b, cos_sim,
+      |  CASE WHEN ${rank("split_a")} > ${rank("split_b")}
+      |       THEN vec_a ELSE vec_b END AS quarantine_id
+      |FROM leak WHERE split_a <> split_b
+      |ORDER BY vec_a, vec_b""".stripMargin
+  }
 
   // ---------------------------------------------------------------- J8
   /** J8: semantic near-dup CLUSTERS — C5's SRP pair graph closed into

@@ -152,21 +152,40 @@ object SemanticDedup {
           round(Vectors.cosineFast(spark, col("embedding"), col("c_emb")), 9).as("cc"))),
       emb)
 
+  /** Dispatch-probe memo: the `limit(513).collect()` head per
+    * centroid FRAME INSTANCE, keyed weakly on the Dataset object
+    * itself (Dataset doesn't override equals, so this is reference
+    * identity — a rebuilt frame over the same path is a fresh key and
+    * re-probes, so data can never go stale under a reused key; GC of
+    * the frame drops its entry). A streaming caller that captures one
+    * centroid frame and runs [[assignTo]] per micro-batch
+    * ([[graft.streaming.VecStreams.matchesOfBatch]]) pays the probe
+    * job once, not once per batch — previously only a
+    * "checkpoint-your-centroids" comment convention kept that cost
+    * bounded. */
+  private[graft] val dispatchHeads =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[DataFrame, Array[org.apache.spark.sql.Row]]())
+
   /** Argmax-assign each vector of `emb` to its nearest centroid by
     * cosine; routes by k. The dispatch probe is ONE bounded job — a
     * `limit(512+1).collect()` against the (checkpointed-by-every-
-    * production-caller) centroid frame — whose rows double as the
-    * literal route's payload, so the small-k path pays no separate
-    * count. Both routes share the tie/NaN rule — [[assignToLiteral]]
-    * vs [[assignToAgg]] — and PackingSpec gates their bit-equality,
-    * so the dispatch is a plan-shape choice, not a semantic one.
-    * Package-visible so ScalingStats can measure ROUTING agreement
-    * (probed vs exact against the SAME centroid set — comparing
-    * across different trainings would diff cid label spaces, not
-    * routing). */
+    * production-caller) centroid frame, memoized per frame instance
+    * ([[dispatchHeads]]) — whose rows double as the literal route's
+    * payload, so the small-k path pays no separate count. Both routes
+    * share the tie/NaN rule — [[assignToLiteral]] vs [[assignToAgg]]
+    * — and PackingSpec gates their bit-equality, so the dispatch is a
+    * plan-shape choice, not a semantic one. Package-visible so
+    * ScalingStats can measure ROUTING agreement (probed vs exact
+    * against the SAME centroid set — comparing across different
+    * trainings would diff cid label spaces, not routing). */
   private[graft] def assignTo(spark: SparkSession, emb: DataFrame,
                               cents: DataFrame): DataFrame = {
-    val head = cents.limit(LiteralAssignMaxK + 1).collect()
+    var head = dispatchHeads.get(cents)
+    if (head == null) {
+      head = cents.limit(LiteralAssignMaxK + 1).collect()
+      dispatchHeads.put(cents, head)
+    }
     if (head.length <= LiteralAssignMaxK)
       assignToLiteral(spark, emb, head.toIndexedSeq)
     else assignToAgg(spark, emb, cents)

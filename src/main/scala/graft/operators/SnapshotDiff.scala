@@ -33,11 +33,21 @@ import graft.sources.Tables
   */
 object SnapshotDiff {
 
-  /** Generic form: diff two (id, text) frames. */
+  /** Generic form: diff two (id, text) frames. NULL text is digested
+    * as a control-byte sentinel (not as SQL NULL) so a doc with NULL
+    * text in BOTH snapshots reads "unchanged" and a NULL→'x'
+    * transition reads "changed" — without the coalesce, a NULL digest
+    * on the old side is indistinguishable from an absent row and the
+    * doc would be misreported "added". (A doc whose text is literally
+    * the one-byte 0x01 string collides with the sentinel; real corpora
+    * don't carry bare control-byte documents. 0x01 rather than NUL
+    * because DuckDB VARCHARs can't hold NUL, and the twin must
+    * match.) */
   def diff(oldDocs: DataFrame, newDocs: DataFrame,
            idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val o = oldDocs.select(col(idCol).as("id"), md5(col(textCol)).as("old_digest"))
-    val n = newDocs.select(col(idCol).as("id"), md5(col(textCol)).as("new_digest"))
+    val t = coalesce(col(textCol), lit("\u0001"))
+    val o = oldDocs.select(col(idCol).as("id"), md5(t).as("old_digest"))
+    val n = newDocs.select(col(idCol).as("id"), md5(t).as("new_digest"))
     o.join(n, Seq("id"), "full_outer")
       .withColumn("change",
         when(col("old_digest").isNull, "added")
@@ -63,7 +73,10 @@ object SnapshotDiff {
         when(col("bucket") >= ChangeLo && col("bucket") < ChangeHi,
           reverse(col("text"))).otherwise(col("text")))
     val newDocs = docs.where(col("bucket") < RemoveBand)
-    (oldDocs.select("doc_id", "text"), newDocs.select("doc_id", "text"))
+    // source rides along for the stats-maintenance specs (K5/K6 under
+    // CDC); diff() and the L4 path project what they need
+    (oldDocs.select("doc_id", "source", "text"),
+      newDocs.select("doc_id", "source", "text"))
   }
 
   def qSnapshotDiff(spark: SparkSession, dir: String): DataFrame = {
@@ -134,10 +147,14 @@ object SnapshotDiff {
       |                      THEN reverse(text) ELSE text END AS text
       |  FROM docs WHERE bucket >= $AddBand),
       |new_ AS (SELECT doc_id, text FROM docs WHERE bucket < $RemoveBand),
+      |od AS (SELECT doc_id, md5(coalesce(text, chr(1))) AS od FROM old),
+      |nd AS (SELECT doc_id, md5(coalesce(text, chr(1))) AS nd FROM new_),
       |j AS (
-      |  SELECT coalesce(old.doc_id, new_.doc_id) AS doc_id,
-      |    md5(old.text) AS od, md5(new_.text) AS nd
-      |  FROM old FULL OUTER JOIN new_ ON old.doc_id = new_.doc_id)
+      |  -- coalesce PER SIDE, BEFORE the join (as the Spark form does):
+      |  -- after the join a NULL from row-absence and a NULL text value
+      |  -- are indistinguishable and absence would read 'changed'
+      |  SELECT coalesce(od.doc_id, nd.doc_id) AS doc_id, od.od, nd.nd
+      |  FROM od FULL OUTER JOIN nd ON od.doc_id = nd.doc_id)
       |SELECT doc_id,
       |  CASE WHEN od IS NULL THEN 'added'
       |       WHEN nd IS NULL THEN 'removed'

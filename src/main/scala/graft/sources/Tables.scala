@@ -109,11 +109,31 @@ object Tables {
 
   def path(dir: String, name: String): String = s"$dir/$name.parquet"
 
+  /** Layout override for the correctness gate: when
+    * SPARK_GRAFT_PARTITIONED_DIR is set, `events` and `documents`
+    * resolve to the hive-partitioned copies under that dir (written
+    * by [[graft.LayoutPrep]]) instead of the flat files — projected
+    * back to the flat column order, so EVERY query runs unchanged and
+    * the oracle (still reading flat) must agree: physical layout is
+    * invisible to answers, proven on the whole suite rather than
+    * asserted per-fixture (J2's PlanSpec contracts cover the pruning
+    * side). */
+  private def partitionedDir: Option[String] =
+    sys.env.get("SPARK_GRAFT_PARTITIONED_DIR").filter(_.nonEmpty)
+
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     val schema = schemas.getOrElse(name, sys.error(s"unknown table: $name"))
     if (name == "events")
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.schema(schema).parquet(path(dir, name))
+    (name, partitionedDir) match {
+      case ("events", Some(p)) =>
+        eventsPartitionedRaw(spark, p)
+          .select(eventsRawSchema.fieldNames.map(col): _*)
+      case ("documents", Some(p)) =>
+        documentsPartitioned(spark, p)
+      case _ =>
+        spark.read.schema(schema).parquet(path(dir, name))
+    }
   }
 
   def lineitem(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "lineitem")

@@ -47,17 +47,23 @@ object ZOrder {
   /** Write `df` into `nFiles` files Z-ordered on (c1, c2). The (min,
     * max) pre-pass is one bounded aggregate; rows with NULL in either
     * column sort first (z=-1) and land together, where any range
-    * manifest correctly never selects them. */
+    * manifest correctly never selects them. Both columns are read
+    * through a long cast, so any long-castable ordered type works
+    * (int/short/long/timestamp — timestamps bucket at second
+    * granularity; dates: cast to timestamp first). The cast is
+    * monotone on these types, so the Morton layout it produces is the
+    * same one the column's own order defines. */
   def writeZOrdered(df: DataFrame, c1: String, c2: String,
                     nFiles: Int, outPath: String, bits: Int = 16): Unit = {
-    val r = df.agg(min(col(c1)), max(col(c1)), min(col(c2)), max(col(c2)))
-      .collect()(0)
+    val l1 = col(c1).cast("long")
+    val l2 = col(c2).cast("long")
+    val r = df.agg(min(l1), max(l1), min(l2), max(l2)).collect()(0)
     require(!r.isNullAt(0) && !r.isNullAt(2),
       s"z-order needs non-null ($c1, $c2) bounds — empty or all-null input")
     val z = when(col(c1).isNull || col(c2).isNull, lit(-1L)).otherwise(
       interleave(
-        bucketed(col(c1), r.getLong(0), r.getLong(1), bits),
-        bucketed(col(c2), r.getLong(2), r.getLong(3), bits), bits))
+        bucketed(l1, r.getLong(0), r.getLong(1), bits),
+        bucketed(l2, r.getLong(2), r.getLong(3), bits), bits))
     df.withColumn("__z", z)
       .repartitionByRange(nFiles, col("__z"))
       .drop("__z")

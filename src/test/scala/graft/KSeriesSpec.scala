@@ -116,6 +116,22 @@ class KSeriesSpec extends SparkSpec {
       s"got $got")
   }
 
+  test("snapshot diff treats NULL text as a value, not as row absence") {
+    import spark.implicits._
+    // 1: NULL both sides (unchanged, must NOT appear), 2: NULL→text
+    // (changed, not 'added'), 3: text→NULL (changed, not 'removed'),
+    // 4: genuinely added with NULL text, 5: genuinely removed with
+    // NULL text
+    val old = Seq((1L, null: String), (2L, null: String), (3L, "c"),
+      (5L, null: String)).toDF("doc_id", "text")
+    val neu = Seq((1L, null: String), (2L, "b"), (3L, null: String),
+      (4L, null: String)).toDF("doc_id", "text")
+    val got = graft.operators.SnapshotDiff.diff(old, neu)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(2L -> "changed", 3L -> "changed",
+      4L -> "added", 5L -> "removed"), s"got $got")
+  }
+
   // ------------------------------------------------------------- K6
   test("source drift: TV in [0,1], top token gap positive, no cartesian blowup") {
     val df = graft.operators.CorpusStats.sourceDrift(spark, sfDir)
@@ -130,5 +146,15 @@ class KSeriesSpec extends SparkSpec {
     val plan = df.queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"),
       s"scalar joins must broadcast, not cartesian:\n$plan")
+  }
+
+  test("source drift on a single-source corpus is NULL by definition, not div-zero noise") {
+    import spark.implicits._
+    val docs = Seq((1L, "web", "a b c"), (2L, "web", "a d"))
+      .toDF("doc_id", "source", "text")
+    val rows = graft.operators.CorpusStats.sourceDriftFrom(docs).collect()
+    assert(rows.length == 1 && rows(0).getString(0) == "web")
+    assert(rows(0).isNullAt(1) && rows(0).isNullAt(2) && rows(0).isNullAt(3),
+      s"degenerate drift must be NULL, got ${rows(0)}")
   }
 }

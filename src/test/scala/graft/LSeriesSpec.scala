@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Boilerplate, Dedup, Selection, SnapshotDiff}
+import graft.operators.{Boilerplate, CorpusStats, Dedup, Selection, SnapshotDiff}
 import graft.sources.Tables
 
 /** L-series: survivor selection (L1/L3), boilerplate span scrubbing
@@ -150,6 +150,23 @@ class LSeriesSpec extends SparkSpec {
     Seq(5L, 6L).foreach { id => assert(out(id)._2 == 0L) }
   }
 
+  test("scrub fails loudly when the hot set exceeds the broadcast cap") {
+    import spark.implicits._
+    val footer = "x y z" // one hot tile → hot set size 1 > cap 0
+    val docs = Seq(
+      (1L, s"a b c $footer"), (2L, s"d e f $footer"),
+      (3L, s"g h i $footer"), (4L, s"j k l $footer")).toDF("doc_id", "text")
+    val e = intercept[Exception] {
+      Boilerplate.scrubFrom(docs, cap = 0L).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("exceeds broadcast cap")),
+      s"wrong failure: $e")
+    // and the same corpus passes untouched under the shipped cap
+    assert(Boilerplate.scrubFrom(docs).collect().length == 4)
+  }
+
   // ------------------------------------------------------------- L4
   test("delta maintenance equals full rebuild WITHOUT reading untouched text") {
     val (oldDocs, newDocs) = SnapshotDiff.synthOldNew(spark, sfDir)
@@ -172,6 +189,77 @@ class LSeriesSpec extends SparkSpec {
     assert(got == want,
       s"maintenance diverged: only-got=${(got diff want).take(3)} " +
         s"only-want=${(want diff got).take(3)}")
+  }
+
+  // --------------------------------------- K5/K6 maintenance (r10)
+  test("delta-maintained token counts power bit-equal tf-idf WITHOUT reading untouched text") {
+    val (oldDocs, newDocs) = SnapshotDiff.synthOldNew(spark, sfDir)
+    val delta = SnapshotDiff.diff(oldDocs, newDocs)
+    val oldCounts = CorpusStats.tokenCounts(oldDocs)
+    val deltaIds = delta.select(col("doc_id"))
+    val poisoned = newDocs.join(deltaIds, Seq("doc_id"), "left_anti")
+      .withColumn("text", lit("POISONED"))
+      .unionByName(newDocs.join(deltaIds, Seq("doc_id"), "left_semi"))
+    val maintained = CorpusStats.maintainTokenCounts(oldCounts, poisoned, delta)
+    val got = CorpusStats.tfidfFromCounts(maintained).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5))).toSet
+    val want = CorpusStats.tfidfFromCounts(CorpusStats.tokenCounts(newDocs))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5))).toSet
+    assert(got == want,
+      s"tf-idf maintenance diverged: only-got=${(got diff want).take(3)} " +
+        s"only-want=${(want diff got).take(3)}")
+  }
+
+  test("delta-maintained token counts power bit-equal source drift") {
+    val (oldDocs, newDocs) = SnapshotDiff.synthOldNew(spark, sfDir)
+    val delta = SnapshotDiff.diff(oldDocs, newDocs)
+    val poisonedIds = delta.select(col("doc_id"))
+    val poisoned = newDocs.join(poisonedIds, Seq("doc_id"), "left_anti")
+      .withColumn("text", lit("POISONED"))
+      .unionByName(newDocs.join(poisonedIds, Seq("doc_id"), "left_semi"))
+    val maintained = CorpusStats.maintainTokenCounts(
+      CorpusStats.tokenCounts(oldDocs), poisoned, delta)
+    val got = CorpusStats.sourceDriftFromCounts(maintained).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getString(2), r.getDouble(3)))
+    val want = CorpusStats.sourceDriftFromCounts(
+      CorpusStats.tokenCounts(newDocs)).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getString(2), r.getDouble(3)))
+    assertDriftEqual(got, want, "drift maintenance diverged")
+  }
+
+  /** TV is an order-dependent float sum — partition order legitimately
+    * shifts the last ulp, so drift rows compare strings exactly and
+    * doubles to 1e-9 (the operators' own display rounding). */
+  private def assertDriftEqual(got: Array[(String, Double, String, Double)],
+                               want: Array[(String, Double, String, Double)],
+                               what: String): Unit = {
+    assert(got.length == want.length, s"$what: row counts differ")
+    got.zip(want).foreach { case ((s1, tv1, t1, g1), (s2, tv2, t2, g2)) =>
+      assert(s1 == s2 && t1 == t2, s"$what: ($s1,$t1) vs ($s2,$t2)")
+      assert(math.abs(tv1 - tv2) <= 1e-9 && math.abs(g1 - g2) <= 1e-9,
+        s"$what: $s1 tv $tv1 vs $tv2, gap $g1 vs $g2")
+    }
+  }
+
+  test("FromCounts paths equal the live K5/K6 forms on the same docs") {
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+      .select("doc_id", "source", "text")
+    val counts = CorpusStats.tokenCounts(docs)
+    val tfidfLive = CorpusStats.tfidfTopTerms(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5))).toSet
+    val tfidfCounts = CorpusStats.tfidfFromCounts(counts).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5))).toSet
+    assert(tfidfCounts == tfidfLive, "K5 FromCounts != live form")
+    val driftLive = CorpusStats.sourceDrift(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getString(2), r.getDouble(3)))
+    val driftCounts = CorpusStats.sourceDriftFromCounts(counts).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getString(2), r.getDouble(3)))
+    assertDriftEqual(driftCounts, driftLive, "K6 FromCounts != live form")
   }
 
   test("delta maintenance hands the crown over when a canonical is removed") {

@@ -32,6 +32,30 @@ class NSeriesSpec extends SparkSpec {
     }
   }
 
+  // ------------------------------------------------------------- N5
+  test("semantic split leakage equals the embedding pair-set x split derivation") {
+    val got = Dedup.splitLeakageSemantic(spark, sfDir).collect()
+    // vec_id shares the doc id space, so the J5 assignment covers it
+    val splits = Sampling.splitAssign(spark, sfDir)
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expected = Dedup.embeddingNearDup(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (a, b) => splits(a) != splits(b) }
+    assert(got.length == expected.length,
+      s"got ${got.length} straddling pairs, expected ${expected.length}")
+    assert(got.nonEmpty, "fixture must exercise the straddle path")
+    val rank = Map("train" -> 0, "val" -> 1, "test" -> 2)
+    got.foreach { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      assert(r.getString(2) == splits(a) && r.getString(3) == splits(b))
+      assert(r.getString(2) != r.getString(3), "same-split pair reported")
+      val quarantine = if (rank(splits(a)) > rank(splits(b))) a else b
+      assert(r.getLong(5) == quarantine,
+        s"pair ($a,$b): quarantined ${r.getLong(5)}, expected $quarantine")
+    }
+  }
+
   // ------------------------------------------------------------- N2
   test("language confusion matrix partitions the corpus; agree column is honest") {
     val cells = TextAnalysis.langConfusion(spark, sfDir).collect()

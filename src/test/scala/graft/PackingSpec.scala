@@ -219,6 +219,30 @@ class PackingSpec extends SparkSpec {
       "literal and agg assignment routes diverged — tie/rounding drift")
   }
 
+  test("assignTo memoizes the dispatch probe per centroid frame instance") {
+    // a streaming caller reuses ONE centroid frame across micro-
+    // batches; the limit(513).collect() dispatch probe must run once
+    // for it, not once per batch. The memo is reference-keyed, so a
+    // REBUILT frame re-probes (no stale-data hazard).
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val cents = graft.operators.SimilaritySearch.trainCentroids(spark, emb, 8, iters = 2)
+    SemanticDedup.dispatchHeads.remove(cents)
+    val first = SemanticDedup.assignTo(spark, emb, cents)
+    assert(SemanticDedup.dispatchHeads.containsKey(cents),
+      "dispatch probe result not memoized after first assignTo")
+    val memo = SemanticDedup.dispatchHeads.get(cents)
+    val second = SemanticDedup.assignTo(spark, emb, cents)
+    assert(SemanticDedup.dispatchHeads.get(cents) eq memo,
+      "second assignTo re-ran the dispatch probe on the same frame")
+    // and memoization never changes the answer
+    assert(first.exceptAll(second).isEmpty && second.exceptAll(first).isEmpty)
+    // a different frame over the same data is a fresh key
+    val cents2 = graft.operators.SimilaritySearch.trainCentroids(spark, emb, 8, iters = 2)
+    assert(!SemanticDedup.dispatchHeads.containsKey(cents2),
+      "rebuilt frame must not hit the old memo entry")
+  }
+
   test("probe path at the shipped ProbeAuto default: keep/drop verdicts match the exact regime") {
     // gate what the operator PROMISES (the round-8 adjudication):
     // routing may disagree on near-tie centroids, but the keep/drop

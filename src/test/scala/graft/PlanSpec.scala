@@ -285,6 +285,19 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Join"), s"leakage audit joins:\n$plan")
   }
 
+  test("semantic split leakage adds no join beyond the pair pipeline it reuses") {
+    def joins(p: String): Int = "Join".r.findAllIn(p).length
+    val base = joins(finalPlan(graft.operators.Dedup.embeddingNearDup(spark, sfDir)))
+    val audit = joins(finalPlan(graft.operators.Dedup.splitLeakageSemantic(spark, sfDir)))
+    // both ends' splits are pure functions of the pair row's own ids
+    // (vec_id rides the doc id space) — the audit must not materialize
+    // the assignment table and pay joins for data it derives in place.
+    // C5's own plan carries exactly one join (the 1-row bit-width
+    // broadcast); the audit may not add to it.
+    assert(audit == base,
+      s"leakage audit added ${audit - base} join(s) over the C5 pipeline")
+  }
+
   test("semantic decontamination broadcasts probes; corpus never shuffles") {
     val plan = finalPlan(graft.operators.Dedup.decontaminateSemantic(spark, sfDir))
     assert(plan.contains("BroadcastNestedLoopJoin"),

@@ -70,4 +70,25 @@ class ZOrderSpec extends SparkSpec {
       rm(root)
     }
   }
+
+  test("writeZOrdered accepts non-long ordered columns (int, timestamp)") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_z_int").toFile
+    try {
+      val df = (0 until 256).map { i =>
+        (i, new java.sql.Timestamp(1700000000000L + i * 60000L), s"row$i")
+      }.toDF("k", "at", "payload")
+      // pre-fix this threw ClassCastException (Integer/Timestamp → getLong)
+      ZOrder.writeZOrdered(df, "k", "at", 4, s"$root/z")
+      val back = spark.read.parquet(s"$root/z")
+      assert(back.count() == 256)
+      assert(back.schema("k").dataType.typeName == "integer",
+        "layout must not rewrite column types")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+      }
+      rm(root)
+    }
+  }
 }
