@@ -139,14 +139,8 @@ object Bench {
     // runs); the file copy keeps every rep at full precision.
     def r3(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     val loadEnd = loadavg
-    // Skew verdict: starting load alone, or any query whose rep spread
-    // (max/min over reps) exceeds the bar with a non-trivial max — the
-    // signature of a contention window, not a plan change.
-    val skewQueries = allRuns.collect {
-      case (name, rs) if rs.size >= 2 && rs.max >= 1.0 &&
-        rs.max / math.max(rs.min, 1e-9) > maxSpread => name
-    }.toSeq
-    val loadSkewed = load1Start > maxLoad || skewQueries.nonEmpty
+    val (loadSkewed, skewQueries) =
+      skewVerdict(allRuns.toSeq, load1Start, maxLoad, maxSpread)
     if (loadSkewed) System.err.println(
       s"[bench] WARNING load_skewed: load_start=$load1Start (bar $maxLoad), " +
         s"spread>${maxSpread}x on [${skewQueries.mkString(", ")}] — treat " +
@@ -164,6 +158,22 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$rs,"loads":$ls,"reps":$reps,"errors":$es,"n_ok":${timings.size},"n_err":${errors.size},"load_start":$loadStart,"load_end":$loadEnd,"load_skewed":$loadSkewed,"skew_queries":$sq,"sf":${jstr(sfDir)}}""" + "\n")
     spark.stop()
     if (errors.nonEmpty) System.err.println(s"[bench] ${errors.size} queries failed: ${errors.keys.mkString(", ")}")
+  }
+
+  /** Skew verdict: starting load alone, or any query whose rep spread
+    * (max/min over reps) exceeds the bar with a non-trivial max (≥1 s,
+    * so sub-second jitter can't trip it) — the signature of a
+    * contention window sweeping the suite, not a plan change.
+    * Factored out of main so BenchGuardSpec can pin the behavior on
+    * the round-9 contamination shape. */
+  private[graft] def skewVerdict(runs: Seq[(String, Seq[Double])],
+                                 load1Start: Double, maxLoad: Double,
+                                 maxSpread: Double): (Boolean, Seq[String]) = {
+    val skewQueries = runs.collect {
+      case (name, rs) if rs.size >= 2 && rs.max >= 1.0 &&
+        rs.max / math.max(rs.min, 1e-9) > maxSpread => name
+    }
+    (load1Start > maxLoad || skewQueries.nonEmpty, skewQueries)
   }
 
   /** The production-composition entries (rows-only; no oracle — their
