@@ -122,7 +122,13 @@ object SparkEntry {
     "q_split_leakage_semantic" -> (Dedup.splitLeakageSemantic _),
     "q_lang_confusion" -> (TextAnalysis.langConfusion _),
     "q_decontaminate_semantic" -> (Dedup.decontaminateSemantic _),
-    "q_compaction_plan" -> (Maintenance.compactionPlan _)
+    "q_compaction_plan" -> (Maintenance.compactionPlan _),
+    // O-series: retrieval + training-order + LM-quality + soft dedup
+    "q_bm25_topk" -> (Retrieval.bm25TopK _),
+    "q_rrf_fusion" -> (Retrieval.rrfFusion _),
+    "q_dedup_soft" -> (Dedup.softDedup _),
+    "q_curriculum_order" -> (Curriculum.curriculumOrder _),
+    "q_lm_quality" -> (CharLm.lmScore _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -203,6 +209,11 @@ object SparkEntry {
     "q_split_leakage_semantic" -> Dedup.splitLeakageSemanticSql,
     "q_lang_confusion" -> TextAnalysis.langConfusionSql,
     "q_decontaminate_semantic" -> Dedup.decontaminateSemanticSql,
-    "q_compaction_plan" -> Maintenance.compactionPlanSql
+    "q_compaction_plan" -> Maintenance.compactionPlanSql,
+    "q_bm25_topk" -> Retrieval.bm25TopKSql,
+    "q_rrf_fusion" -> Retrieval.rrfFusionSql,
+    "q_dedup_soft" -> Dedup.softDedupSql,
+    "q_curriculum_order" -> Curriculum.curriculumOrderSql,
+    "q_lm_quality" -> CharLm.lmScoreSql
   )
 }

@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** O4: character-trigram language-model quality scoring — the
+  * perplexity-proxy filter of published web-corpus curation (CCNet /
+  * KenLM-style "score every document under a small LM, drop the
+  * tail") collapsed to the n-gram LM actually computable inside the
+  * engine: P(c | ab) = count(abc) / count(ab·), each document scored
+  * by the mean log-probability of its trigram stream, self-trained
+  * on the corpus it scores. Gibberish, encoding damage, and
+  * out-of-distribution text surface as low `avg_logp` — a signal
+  * E2's shape heuristics (token length, TTR) cannot see because it
+  * prices the CHARACTER TRANSITIONS themselves.
+  *
+  * Scale shape: the model lives at CHARACTER-VOCABULARY scale —
+  * distinct trigrams are bounded by |charset|³ (~10⁶ for ASCII, a
+  * few thousand here), NOT by corpus size — so the trained
+  * `(trigram, logp)` table is a broadcast, and scoring is a map-side
+  * broadcast-hash join on the exploded trigram stream followed by a
+  * doc-grain aggregation whose exchange carries one partial
+  * (sum, count) row per doc per task. Training is one aggregation of
+  * the same stream whose map-side partial agg collapses each task to
+  * its distinct trigrams (vocabulary-bounded) before the exchange:
+  * at 100 TB both corpus-scale stages ship vocabulary- or doc-grain
+  * rows, never the trigram stream. No UDFs: the explode is a
+  * codegen'd `transform(sequence(...))` over 1-based offsets.
+  *
+  * Smoothing, and why it is load-bearing: the model is SELF-trained,
+  * and the raw MLE `c3/c2` has a pathology exactly where the filter
+  * must work — a gibberish trigram whose 2-char prefix is ALSO unique
+  * to it gets P = 1/1 and prices as CERTAIN (logp 0, the best
+  * possible score). The γ pseudo-mass in `ln(c3 / (c2 + γ))` makes a
+  * hapax-on-hapax-prefix price as rare (≈ ln(1/γ)) while barely
+  * perturbing well-attested transitions (c2 ≫ γ), which is the
+  * monotonicity the filter needs; γ is a literal in both engines.
+  *
+  * Engine determinism: logp per trigram is `ln` of an exact
+  * integer-derived ratio (identical in both engines); the per-doc
+  * mean is rounded to 6 dp before output AND before the `suspect`
+  * comparison, so the float-sum ulp cannot flip either.
+  */
+object CharLm {
+
+  /** Smoothing pseudo-mass added to every prefix's denominator. */
+  val Gamma = 100.0
+
+  /** Rounded mean-logp below this flags the doc. */
+  val SuspectBar = -4.0
+
+  def lmScore(spark: SparkSession, dir: String): DataFrame =
+    lmScoreFrom(Tables.parallelized(spark, Tables.documents(spark, dir)))
+
+  /** Scoring over an arbitrary (doc_id, text) frame; docs shorter
+    * than one trigram are excluded (Spark's `sequence(1, 0)` would
+    * DESCEND, DuckDB's `range(1, 0)` is empty — the guard keeps the
+    * engines identical and the semantics honest). */
+  def lmScoreFrom(docs: DataFrame): DataFrame = {
+    val grams = docs.where(length(col("text")) >= 3)
+      .select(col("doc_id"),
+        explode(expr(
+          "transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))"))
+          .as("g"))
+    val model = grams.groupBy("g").agg(count(lit(1)).as("c3"))
+    val prefix = model.groupBy(substring(col("g"), 1, 2).as("pfx"))
+      .agg(sum(col("c3")).as("c2"))
+    val logp = model
+      .join(prefix, substring(col("g"), 1, 2) === col("pfx"))
+      .select(col("g"),
+        log(col("c3").cast("double") / (col("c2") + lit(Gamma))).as("logp"))
+    grams.join(broadcast(logp), Seq("g"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"), round(avg(col("logp")), 6).as("avg_logp"))
+      .withColumn("suspect", col("avg_logp") < SuspectBar)
+      .orderBy("doc_id")
+  }
+
+  def lmScoreSql: String =
+    s"""WITH d AS (SELECT doc_id, text FROM documents WHERE length(text) >= 3),
+      |g AS (SELECT doc_id, substring(text, CAST(i AS INTEGER), 3) AS g
+      |      FROM (SELECT doc_id, text,
+      |              unnest(range(1, length(text) - 1)) AS i FROM d)),
+      |m AS (SELECT g, count(*) AS c3 FROM g GROUP BY g),
+      |p AS (SELECT substring(g, 1, 2) AS pfx, sum(c3) AS c2 FROM m GROUP BY 1),
+      |lp AS (SELECT m.g, ln(CAST(m.c3 AS DOUBLE) / (p.c2 + $Gamma)) AS logp
+      |       FROM m JOIN p ON substring(m.g, 1, 2) = p.pfx)
+      |SELECT doc_id, count(*) AS n_grams,
+      |  round(avg(logp), 6) AS avg_logp,
+      |  round(avg(logp), 6) < $SuspectBar AS suspect
+      |FROM g JOIN lp USING (g)
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+}

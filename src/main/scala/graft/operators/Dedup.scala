@@ -45,6 +45,49 @@ object Dedup {
       |FROM (SELECT doc_id, ${Portable.bagSignatureSql("text")} AS sig FROM documents) t
       |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- O2
+  /** Repeat-discount exponent: a cluster of c copies trains with
+    * weight c^α (α = 0.5 — sublinear, between hard dedup's c⁰ and no
+    * dedup's c¹). A literal in both engines. */
+  val SoftAlpha = 0.5
+
+  /** O2: SOFT deduplication — C1's clusters re-emitted as a training
+    * WEIGHT instead of a drop verdict. Published scaling-law work
+    * shows hard dedup (keep 1 copy) and no dedup (keep all) are both
+    * wrong ends of a dial: repeated content carries SOME extra signal,
+    * so each cluster's surviving representative trains with weight
+    * `c^α` — duplicates boost their document sublinearly instead of
+    * linearly (α=1) or not at all (α=0). Output is one row per
+    * surviving rep with its cluster size and sampling weight, the
+    * frame H10's mixture resampler or K2's A-ES sampler consumes as
+    * its `w` column.
+    *
+    * Scale shape: identical to C1 — one signature-key aggregation
+    * (map-side partial collapses each task's distinct signatures),
+    * no window, no join-back; output is cluster-count-sized.
+    * `pow(c, 0.5)` of an exact int is IEEE-identical on both engines
+    * (sqrt is correctly rounded); rounded to 6 dp anyway for the
+    * shared-discipline reason. */
+  def softDedup(spark: SparkSession, dir: String): DataFrame =
+    softDedupFrom(Tables.documents(spark, dir))
+
+  /** O2 over an arbitrary (doc_id, text) frame. */
+  def softDedupFrom(documents: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"), Portable.bagSignature(col("text")).as("sig"))
+      .groupBy("sig")
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+      .select(col("doc_id"), col("n_copies"),
+        round(pow(col("n_copies").cast("double"), SoftAlpha), 6).as("weight"))
+      .orderBy("doc_id")
+
+  val softDedupSql: String =
+    s"""SELECT min(doc_id) AS doc_id, count(*) AS n_copies,
+      |  round(pow(CAST(count(*) AS DOUBLE), $SoftAlpha), 6) AS weight
+      |FROM (SELECT doc_id, ${Portable.bagSignatureSql("text")} AS sig FROM documents) t
+      |GROUP BY sig
+      |ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------------------ shared
   /** MinHash parameters, tuned on the planted near-dup pairs: H=12
     * hash functions in B=4 bands of r=3 gives 100% recall at Jaccard
@@ -478,7 +521,26 @@ object Dedup {
     * are always vertex ids within the component and only decrease, so
     * the fixed point (nbr-min ≥ lbl AND lbl[lbl] ≥ lbl) is the
     * component minimum by induction from the min vertex outward —
-    * the jump term accelerates, it cannot change the answer. */
+    * the jump term accelerates, it cannot change the answer.
+    *
+    * STATS RE-ROOTING, found by the 100× full-suite run (round 10):
+    * `localCheckpoint` truncates the execution lineage but PRESERVES
+    * the origin plan's Catalyst statistics on the resulting
+    * `LogicalRDD`. Each round's plan joins the previous round's frame
+    * three ways, and `SizeInBytesOnlyStatsPlanVisitor` estimates a
+    * join as the PRODUCT of its children's `sizeInBytes` — so the
+    * BigInt estimate's digit count TRIPLES per round even though the
+    * real table never grows past n rows. At 10× (few rounds) this is
+    * invisible; at 100× the optimizer's stats walks
+    * (`InjectRuntimeFilter.isProbablyShuffleJoin`, broadcast-size
+    * checks) ended up doing Toom-Cook multiplications on ~10⁶-digit
+    * integers and PLANNING stalled for 35+ minutes on a query whose
+    * execution takes seconds — a driver-side scale-killer no data
+    * metric would ever show. The fix re-roots each round's checkpoint
+    * as a fresh frame over the checkpointed RDD, so every round's
+    * stats start from a leaf again; OSeriesSpec pins
+    * `stats.sizeInBytes.bitLength` staying small after a multi-round
+    * propagation. */
   private[graft] def propagateMinLabels(edges: DataFrame): (DataFrame, Int) = {
     // seed labels with min(id, min neighbor) — one free propagation
     // round folded into the vertex-set build (same groupBy that would
@@ -487,6 +549,9 @@ object Dedup {
     var labels = edges.groupBy(col("src").as("id"))
       .agg(min("dst").as("min_nbr"))
       .select(col("id"), least(col("id"), col("min_nbr")).as("lbl")).persist()
+    // the frame actually holding this round's cache — unpersisted by
+    // handle (unpersisting a PROJECTION of it would not release it)
+    var cached: DataFrame = labels
     var converged = false
     var iter = 0
     val maxIter = 64 // O(log diameter) with jumping; 2^64 exceeds any graph
@@ -509,15 +574,23 @@ object Dedup {
       // change count is a cheap scan of the materialized round — no
       // second labels-vs-labels join per iteration (it used to double
       // every round's cost on the suite's most expensive query)
-      val next = withLbl2.join(prop, col("id") === col("src"), "left")
+      val ck = withLbl2.join(prop, col("id") === col("src"), "left")
         .select(col("id"),
           least(col("lbl"),
             least(col("lbl2"), coalesce(col("nbr_lbl"), col("lbl")))).as("lbl"),
           (least(col("lbl2"), coalesce(col("nbr_lbl"), col("lbl")))
             < col("lbl")).as("chg"))
         .localCheckpoint()
+      // re-root: a plain LogicalRDD leaf over the checkpointed rows,
+      // carrying NO origin statistics (see scaladoc — the origin
+      // stats are the compounding product that stalled 100× planning),
+      // persisted so the row conversion runs once per round (the
+      // convergence count doubles as the materializing action) and the
+      // next round's joins plan against REAL materialized sizes
+      val next = ck.sparkSession.createDataFrame(ck.rdd, ck.schema).persist()
       val changed = next.where(col("chg")).count()
-      labels.unpersist()
+      cached.unpersist()
+      cached = next
       labels = next.select("id", "lbl")
       converged = changed == 0
       iter += 1

@@ -166,8 +166,7 @@ object EventLogOps {
     * a literal so it reaches the parquet scan (PushedFilters). */
   def since(spark: SparkSession, dir: String,
             sinceNs: Long = 1705276800000000000L /* 2024-01-15T00:00:00Z */): DataFrame = {
-    Tables.eventsRaw(spark, dir)
-      .where(col("ts") >= sinceNs)
+    Tables.eventsRawRange(spark, dir, sinceNs)
       .select(col("event_id"), tsUs.as("ts_us"), col("event_type"), col("value"))
       .orderBy("event_id")
   }

@@ -1,0 +1,259 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** O1: BM25 keyword retrieval over the document corpus — the lexical
+  * half of a retrieval stack (the vector half is D1-D6). Training-data
+  * pipelines use exactly this shape for targeted corpus probes
+  * ("find the docs about X"), eval-set sourcing, and hybrid
+  * lexical+vector retrieval; the scoring function is the published
+  * Robertson/Spärck-Jones BM25 with the Lucene-style non-negative
+  * idf `ln(1 + (N - df + 0.5)/(df + 0.5))`.
+  *
+  * Scale shape (the part that matters at 100 TB): the query set is a
+  * constant — its term vocabulary is a broadcast literal — so the
+  * corpus tokenization is FILTERED to query terms map-side, before
+  * any exchange: the only corpus-scale shuffle carries
+  * (doc_id, term, tf) for MATCHING terms only (a ~10⁻⁴ selectivity
+  * projection of the token stream, 24 B/row), never the token stream
+  * itself. Document frequencies are |query-vocab| rows (an
+  * aggregation of that same matched frame) and ride back as a
+  * broadcast; corpus stats (N, avgdl) are one scalar row. Top-k per
+  * query is a `row_number <= k` over query_id — the WindowGroupLimit
+  * rewrite ships k rows per partition, and with |queries| partitions
+  * of k rows the window input is already tiny. No inverted index is
+  * materialized: at this selectivity a scan-side filter IS the
+  * index probe, and the J7/K4 skipping ladder composes in front of
+  * it when the corpus is laid out by source/date.
+  *
+  * Determinism across engines: contributions are summed per
+  * (query, doc) — a ≤|query-terms| float sum whose error is a few
+  * ulp — and the rank orders by the ROUNDED score (6 dp) with doc_id
+  * tiebreak, so Spark and DuckDB rank identically; the raw sum is
+  * never compared or ordered on.
+  */
+object Retrieval {
+
+  /** Fixed probe queries over the synthetic vocabulary; a literal in
+    * both engines so the plans cannot desynchronize. */
+  val Queries: Seq[(Long, String)] = Seq(
+    1L -> "spark join filter",
+    2L -> "window agg batch data",
+    3L -> "customer order line query",
+    4L -> "hash table scan")
+
+  val K1 = 1.2   // BM25 tf saturation
+  val B = 0.75   // BM25 length normalization
+  val TopK = 10
+
+  /** The per-(query,doc,term) BM25 contribution in DuckDB, every
+    * operand explicitly DOUBLE: DuckDB types bare `0.5`/`1.2`
+    * literals as DECIMAL and would route parts of the formula through
+    * decimal arithmetic — exact where Spark's double is not — so the
+    * two engines would disagree below the rounding. Shared by the O1
+    * and O6 oracles. */
+  private def bmTermSql: String =
+    s"ln(CAST(1.0 AS DOUBLE) + (CAST(stats.n_docs - df.df AS DOUBLE) + 0.5) / " +
+      s"(CAST(df.df AS DOUBLE) + 0.5)) * " +
+      s"(CAST(tf.tf AS DOUBLE) * ${K1 + 1.0}) / " +
+      s"(CAST(tf.tf AS DOUBLE) + $K1 * (CAST(${1.0 - B} AS DOUBLE) + " +
+      s"($B * CAST(tf.dl AS DOUBLE)) / stats.avgdl))"
+
+  def bm25TopK(spark: SparkSession, dir: String): DataFrame =
+    bm25TopKFrom(spark, Tables.parallelized(spark, Tables.documents(spark, dir)))
+
+  /** The retrieval over an arbitrary (doc_id, text) frame. */
+  def bm25TopKFrom(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    val qterms = Queries.flatMap { case (qid, q) =>
+      q.split(" ").distinct.map(t => (qid, t))
+    }.toDF("query_id", "term")
+    val vocab = Queries.flatMap(_._2.split(" ")).distinct
+
+    val toks = docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
+        explode(col("toks")).as("term"))
+    // the map-side vocabulary prune: everything downstream is
+    // matched-terms-sized
+    val tf = toks.where(col("term").isin(vocab: _*))
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val stats = docs.agg(count(lit(1)).as("n_docs"),
+      avg(size(split(col("text"), " ")).cast("long")).as("avgdl"))
+
+    val idf = log(lit(1.0) +
+      (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val tfNorm = (col("tf") * lit(K1 + 1.0)) /
+      (col("tf") + lit(K1) * (lit(1.0 - B) + lit(B) * col("dl") / col("avgdl")))
+
+    val scored = tf
+      .join(broadcast(df), Seq("term"))
+      .join(broadcast(qterms), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .groupBy("query_id", "doc_id")
+      .agg(round(sum(idf * tfNorm), 6).as("score"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("doc_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= TopK)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("score"))
+      .orderBy("query_id", "rank")
+  }
+
+  // ---------------------------------------------------------------- O6
+  /** RRF smoothing constant (Cormack/Clarke/Büttcher 2009's k=60). */
+  val RrfK = 60
+
+  /** O6: hybrid retrieval by reciprocal-rank fusion — the published
+    * way to combine ranked lists from heterogeneous scorers without
+    * calibrating their score scales (RRF(d) = Σᵢ 1/(k + rankᵢ(d)),
+    * k = 60): the fusion step of every hybrid lexical+vector stack.
+    * Here it fuses the O1 BM25 list with a K5-style tf·idf-cosine
+    * list over the same probe queries — two genuinely different
+    * lexical rankings (BM25 saturates tf and prices doc length;
+    * tf·idf is linear in tf) — and the SAME operator fuses a D-series
+    * ANN list when query embeddings exist, since it only reads
+    * (query_id, rank, doc_id) columns.
+    *
+    * Scale shape: both input lists are top-k-per-query frames —
+    * |queries|·k rows regardless of corpus size — so the fusion
+    * (full-outer join on (query_id, doc_id) + one rank window) is
+    * constant-sized work dwarfed by the rankers that feed it. Ranks
+    * are small exact integers, so `1/(60+rank)` sums are
+    * engine-identical to the ulp; rounded to 6 dp and ranked on the
+    * rounded value with doc_id tiebreak, the shared discipline. */
+  def rrfFusion(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.parallelized(spark, Tables.documents(spark, dir))
+    rrfFuse(bm25TopKFrom(spark, docs), tfidfTopKFrom(spark, docs))
+  }
+
+  /** Fuse any two (query_id, rank, doc_id, ...) ranked frames. A doc
+    * missing from one list contributes 0 from that list (the
+    * published convention). */
+  def rrfFuse(a: DataFrame, b: DataFrame): DataFrame = {
+    val ra = a.select(col("query_id"), col("doc_id"), col("rank").as("rank_a"))
+    val rb = b.select(col("query_id"), col("doc_id"), col("rank").as("rank_b"))
+    val fused = ra.join(rb, Seq("query_id", "doc_id"), "full_outer")
+      .select(col("query_id"), col("doc_id"),
+        round(coalesce(lit(1.0) / (lit(RrfK) + col("rank_a")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(RrfK) + col("rank_b")), lit(0.0)), 6)
+          .as("rrf_score"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("rrf_score").desc, col("doc_id").asc)
+    fused.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= TopK)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("rrf_score"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** The second ranker: K5's log-free tf·idf (`tf · N / df`, an exact
+    * integer ratio — see CorpusStats K5 for why no logs) summed over
+    * query terms, top-k per query. Same broadcast-vocabulary scale
+    * shape as BM25. */
+  private[operators] def tfidfTopKFrom(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    val qterms = Queries.flatMap { case (qid, q) =>
+      q.split(" ").distinct.map(t => (qid, t))
+    }.toDF("query_id", "term")
+    val vocab = Queries.flatMap(_._2.split(" ")).distinct
+    val tf = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .where(col("term").isin(vocab: _*))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf
+      .join(broadcast(df), Seq("term"))
+      .join(broadcast(qterms), Seq("term"))
+      .crossJoin(broadcast(n))
+      .groupBy("query_id", "doc_id")
+      .agg(round(sum((col("tf") * col("n_docs")).cast("double") / col("df")), 6)
+        .as("score"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("doc_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= TopK)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("score"))
+  }
+
+  def rrfFusionSql: String = {
+    val qvals = Queries.flatMap { case (qid, q) =>
+      q.split(" ").distinct.map(t => s"($qid, '$t')")
+    }.mkString(", ")
+    s"""WITH q(query_id, term) AS (VALUES $qvals),
+      |d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |tok AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+      |               unnest(toks) AS term FROM d),
+      |tf AS (SELECT doc_id, term, count(*) AS tf, max(dl) AS dl
+      |       FROM tok WHERE term IN (SELECT term FROM q)
+      |       GROUP BY doc_id, term),
+      |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+      |stats AS (SELECT count(*) AS n_docs,
+      |                 avg(CAST(len(toks) AS BIGINT)) AS avgdl FROM d),
+      |bm_sc AS (
+      |  SELECT q.query_id, tf.doc_id, round(sum($bmTermSql), 6) AS score
+      |  FROM tf JOIN df USING (term) JOIN q USING (term), stats
+      |  GROUP BY q.query_id, tf.doc_id),
+      |bm AS (SELECT query_id, doc_id,
+      |         row_number() OVER (PARTITION BY query_id
+      |           ORDER BY score DESC, doc_id ASC) AS rank_a
+      |       FROM bm_sc QUALIFY rank_a <= $TopK),
+      |ti_sc AS (
+      |  SELECT q.query_id, tf.doc_id,
+      |    round(sum(CAST(tf.tf * stats.n_docs AS DOUBLE) / df.df), 6) AS score
+      |  FROM tf JOIN df USING (term) JOIN q USING (term), stats
+      |  GROUP BY q.query_id, tf.doc_id),
+      |ti AS (SELECT query_id, doc_id,
+      |         row_number() OVER (PARTITION BY query_id
+      |           ORDER BY score DESC, doc_id ASC) AS rank_b
+      |       FROM ti_sc QUALIFY rank_b <= $TopK),
+      |fused AS (
+      |  SELECT coalesce(bm.query_id, ti.query_id) AS query_id,
+      |         coalesce(bm.doc_id, ti.doc_id) AS doc_id,
+      |         round(coalesce(CAST(1.0 AS DOUBLE) / ($RrfK + bm.rank_a), CAST(0.0 AS DOUBLE)) +
+      |               coalesce(CAST(1.0 AS DOUBLE) / ($RrfK + ti.rank_b), CAST(0.0 AS DOUBLE)), 6) AS rrf_score
+      |  FROM bm FULL OUTER JOIN ti
+      |    ON bm.query_id = ti.query_id AND bm.doc_id = ti.doc_id)
+      |SELECT query_id, rank, doc_id, rrf_score FROM (
+      |  SELECT query_id, doc_id, rrf_score,
+      |    CAST(row_number() OVER (PARTITION BY query_id
+      |      ORDER BY rrf_score DESC, doc_id ASC) AS BIGINT) AS rank
+      |  FROM fused) r
+      |WHERE rank <= $TopK
+      |ORDER BY query_id, rank""".stripMargin
+  }
+
+  def bm25TopKSql: String = {
+    val qvals = Queries.flatMap { case (qid, q) =>
+      q.split(" ").distinct.map(t => s"($qid, '$t')")
+    }.mkString(", ")
+    s"""WITH q(query_id, term) AS (VALUES $qvals),
+      |d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |tok AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+      |               unnest(toks) AS term FROM d),
+      |tf AS (SELECT doc_id, term, count(*) AS tf, max(dl) AS dl
+      |       FROM tok WHERE term IN (SELECT term FROM q)
+      |       GROUP BY doc_id, term),
+      |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+      |stats AS (SELECT count(*) AS n_docs,
+      |                 avg(CAST(len(toks) AS BIGINT)) AS avgdl FROM d),
+      |sc AS (
+      |  SELECT q.query_id, tf.doc_id, round(sum($bmTermSql), 6) AS score
+      |  FROM tf JOIN df USING (term) JOIN q USING (term), stats
+      |  GROUP BY q.query_id, tf.doc_id)
+      |SELECT query_id, rank, doc_id, score FROM (
+      |  SELECT query_id, doc_id, score,
+      |    CAST(row_number() OVER (PARTITION BY query_id
+      |      ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank
+      |  FROM sc) r
+      |WHERE rank <= $TopK
+      |ORDER BY query_id, rank""".stripMargin
+  }
+}

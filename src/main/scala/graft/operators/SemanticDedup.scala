@@ -505,4 +505,48 @@ object SemanticDedup {
         (coalesce(col("n_old_matches"), lit(0L)) === 0).as("keep"))
       .orderBy("vec_id")
   }
+
+  // ---------------------------------------------------------------- O5
+  /** O5: delta-maintained IVF assignment index — the L4/N6 CDC
+    * maintenance pattern applied to the vector index itself. A 100 TB
+    * vector store re-ingests a sliver of its corpus daily; recomputing
+    * every vector's nearest-centroid assignment to serve D2/D3 probes
+    * or I6 incremental dedup would re-pay the full n·k argmax for a
+    * 10⁻³ delta. Under a FROZEN centroid generation the assignment is
+    * per-row independent, so maintenance is even simpler than L4's
+    * (which must re-window touched groups): departed/changed vectors
+    * leave by anti-join on their ids, arrived/changed vectors are the
+    * ONLY rows that touch an embedding — one [[assignTo]] pass over
+    * the delta, O(|delta|·k) work total, zero reads of unchanged
+    * embeddings (the OSeriesSpec poison-proof corrupts every
+    * non-delta embedding and the maintained index must still equal
+    * the intact full rebuild).
+    *
+    * Centroid-generation contract, stated rather than hidden: the
+    * maintained index answers for the centroids it was built with.
+    * Retraining (drift refresh) is a new generation — one full
+    * [[assignTo]] pass, after which delta maintenance resumes. Both
+    * routes of [[assignTo]] share the tie/NaN rule, so maintained and
+    * rebuilt rows are bit-identical, not merely close.
+    *
+    * @param oldAssigned prior (vec_id, embedding, cid, cent_sim) index
+    * @param newEmb      the new corpus (vec_id, embedding)
+    * @param delta       CDC rows (vec_id, change ∈ added|removed|changed)
+    * @param cents       the frozen centroid frame of this generation */
+  def maintainAssignments(spark: SparkSession, oldAssigned: DataFrame,
+                          newEmb: DataFrame, delta: DataFrame,
+                          cents: DataFrame): DataFrame = {
+    val gone = delta.where(col("change").isin("removed", "changed"))
+      .select(col("vec_id"))
+    val arrived = delta.where(col("change").isin("added", "changed"))
+      .select(col("vec_id"))
+    val surviving = oldAssigned.join(gone, Seq("vec_id"), "left_anti")
+      .select("vec_id", "embedding", "cid", "cent_sim")
+    // the only embedding read in the whole maintenance pass
+    val fresh = assignTo(spark,
+      newEmb.join(arrived, Seq("vec_id"), "left_semi")
+        .select("vec_id", "embedding"), cents)
+      .select("vec_id", "embedding", "cid", "cent_sim")
+    surviving.unionByName(fresh)
+  }
 }

@@ -91,6 +91,24 @@ object TextAnalysis {
       |ORDER BY lang_declared, lang_guess""".stripMargin
 
   // ---------------------------------------------------------------- E2
+  /** The blended [0,1] quality score as a reusable per-row expression
+    * (shared by E2's report and O3's curriculum phase binning, so the
+    * two can never disagree on what "quality" means). */
+  def qualityScore(text: Column): Column = {
+    val nTok = Portable.nTokens(text)
+    val nTypes = size(array_distinct(split(text, " "))).cast("long")
+    lit(0.5) * least(lit(1.0), nTok.cast("double") / 100.0) +
+      lit(0.5) * (nTypes.cast("double") / nTok)
+  }
+
+  /** DuckDB twin of [[qualityScore]]. */
+  def qualityScoreSql(text: String): String = {
+    val nTok = Portable.nTokensSql(text)
+    val nTypes = s"CAST(len(list_distinct(string_split($text, ' '))) AS BIGINT)"
+    s"(0.5 * least(1.0, CAST($nTok AS DOUBLE) / 100.0) " +
+      s"+ 0.5 * (CAST($nTypes AS DOUBLE) / $nTok))"
+  }
+
   /** Quality scoring: token count, type-token ratio, mean token
     * length, and a blended [0,1] score. Double math is int-derived
     * with identical operation order on both engines. */
@@ -99,10 +117,10 @@ object TextAnalysis {
     val nTypes = size(array_distinct(split(col("text"), " "))).cast("long")
     val ttr = nTypes.cast("double") / nTok
     val avgTokLen = (length(col("text")) - nTok + 1).cast("double") / nTok
-    val score = lit(0.5) * least(lit(1.0), nTok.cast("double") / 100.0) + lit(0.5) * ttr
     Tables.documents(spark, dir)
       .select(col("doc_id"), nTok.as("n_tokens"), nTypes.as("n_types"),
-        ttr.as("ttr"), avgTokLen.as("avg_token_len"), score.as("quality_score"))
+        ttr.as("ttr"), avgTokLen.as("avg_token_len"),
+        qualityScore(col("text")).as("quality_score"))
       .orderBy("doc_id")
   }
 

@@ -92,7 +92,16 @@ object SkipIndex {
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           Tables.eventsRawSchema)
-      else spark.read.schema(Tables.eventsRawSchema).parquet(files: _*)
+      // candidate re-read goes through the same ts-vintage dispatch as
+      // Tables.apply — a µs-TIMESTAMP file read under the pinned nanos
+      // schema would silently yield µs longs and drop every row here —
+      // with the range restated on the physical column so the
+      // candidate scan still row-group-prunes inside each file
+      else if (Tables.eventsTsIsMicros(spark, dir)) {
+        val raw = spark.read.parquet(files: _*)
+        Tables.normalizeMicrosEvents(
+          raw.where(Tables.microsTsRangePred(raw.schema("ts").dataType, loNs, hiNs)))
+      } else spark.read.schema(Tables.eventsRawSchema).parquet(files: _*)
     base.where(col("ts") >= loNs && col("ts") < hiNs)
       .select(col("event_id"), expr("ts DIV 1000").as("ts_us"),
         col("event_type"), col("value"))

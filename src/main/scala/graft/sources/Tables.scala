@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -11,14 +11,17 @@ import org.apache.spark.sql.types._
   * source (which requires a user-supplied schema) reuses the same
   * StructType.
   *
-  * `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-  * reader rejects ([PARQUET_TYPE_ILLEGAL]); we read it as a nanos
-  * BIGINT via `spark.sql.legacy.parquet.nanosAsLong` and expose a
-  * derived microsecond `ts_us` TimestampType column (truncation, which
-  * is exactly what DuckDB 1.x does when it reads the same file — so the
-  * oracle sees identical instants). Predicates that must reach the
-  * parquet scan should compare the raw `ts` nanos against literal
-  * nanos; everything else can use `ts_us`.
+  * `events.ts` has shipped in two physical vintages (see
+  * [[Tables.eventsTsIsMicros]]): parquet TIMESTAMP(NANOS) — which
+  * Spark's vectorized reader rejects ([PARQUET_TYPE_ILLEGAL]), so it
+  * is read as a nanos BIGINT via `spark.sql.legacy.parquet
+  * .nanosAsLong` — and plain µs TIMESTAMP, normalized to the same
+  * nanos BIGINT at the read. Either way operators see `ts` as
+  * nanos-since-epoch plus a derived microsecond `ts_us` TimestampType
+  * column (truncation, which is exactly what DuckDB 1.x does when it
+  * reads the nanos file — so the oracle sees identical instants).
+  * Predicates that must reach the parquet scan should compare the raw
+  * `ts` nanos against literal nanos; everything else can use `ts_us`.
   *
   * Columns are pruned at call sites (select before shuffle) so the
   * scan's ReadSchema stays minimal; filters are expressed on raw
@@ -121,6 +124,36 @@ object Tables {
   private def partitionedDir: Option[String] =
     sys.env.get("SPARK_GRAFT_PARTITIONED_DIR").filter(_.nonEmpty)
 
+  /** Physical `ts` type probe, memoized per events path: the driver's
+    * testdata has shipped `ts` BOTH as parquet TIMESTAMP(NANOS)
+    * (earlier rounds — read as a nanos BIGINT via `nanosAsLong`) and
+    * as plain µs TIMESTAMP (round-10 regeneration). The internal
+    * contract stays "ts = nanos-since-epoch BIGINT" either way: a µs
+    * file is normalized by `unix_micros(ts) · 1000` at the read, so
+    * every operator, the partitioned layouts (written nanos by
+    * LayoutPrep), and the DuckDB oracle (epoch-function-based, type
+    * agnostic) agree without caring which vintage generated the file.
+    * Footer-only probe — no data job. */
+  private val microsTs = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+  private[graft] def eventsTsIsMicros(spark: SparkSession, dir: String): Boolean =
+    microsTs.computeIfAbsent(path(dir, "events"), p =>
+      spark.read.parquet(p).schema("ts").dataType match {
+        case TimestampType | TimestampNTZType => true
+        case _ => false
+      })
+
+  /** Cast a µs-TIMESTAMP-typed raw events frame onto
+    * [[eventsRawSchema]] (ts → nanos BIGINT). Exact: µs fit 2^63 ns
+    * until year 2262, same bound the nanos vintage already has. */
+  private[graft] def normalizeMicrosEvents(df: DataFrame): DataFrame =
+    df.select(
+      col("event_id").cast(LongType).as("event_id"),
+      (unix_micros(col("ts").cast(TimestampType)) * lit(1000L)).as("ts"),
+      col("user_id").cast(LongType).as("user_id"),
+      col("event_type").cast(StringType).as("event_type"),
+      col("value").cast(DoubleType).as("value"),
+      col("props").cast(StringType).as("props"))
+
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     val schema = schemas.getOrElse(name, sys.error(s"unknown table: $name"))
     if (name == "events")
@@ -129,11 +162,45 @@ object Tables {
       case ("events", Some(p)) =>
         eventsPartitionedRaw(spark, p)
           .select(eventsRawSchema.fieldNames.map(col): _*)
-      case ("documents", Some(p)) =>
-        documentsPartitioned(spark, p)
+      case ("events", None) if eventsTsIsMicros(spark, dir) =>
+        normalizeMicrosEvents(spark.read.parquet(path(dir, name)))
       case _ =>
         spark.read.schema(schema).parquet(path(dir, name))
     }
+  }
+
+  /** events with `ts >= loNs` (and `< hiNs` unless `Long.MaxValue`)
+    * stated on the PHYSICAL column BEFORE normalization, so the
+    * predicate reaches the parquet scan in EITHER ts vintage — a
+    * filter written after [[normalizeMicrosEvents]] sits above the
+    * `unix_micros · 1000` projection and never pushes. On µs files
+    * the nanos bounds translate exactly (`ts_ns ⋈ L ⟺ ts_us ⋈
+    * ⌈L/1000⌉` because every ts_ns is a µs multiple) to foldable
+    * timestamp literals the scan can compare against footer stats;
+    * the A2 since-resume at 100 TB is this pushdown or a full-history
+    * read. Output is the normalized nanos contract either way. */
+  def eventsRawRange(spark: SparkSession, dir: String,
+                     loNs: Long, hiNs: Long = Long.MaxValue): DataFrame = {
+    def nsPred = if (hiNs == Long.MaxValue) col("ts") >= loNs
+                 else col("ts") >= loNs && col("ts") < hiNs
+    (partitionedDir, eventsTsIsMicros(spark, dir)) match {
+      case (Some(_), _) | (None, false) =>
+        apply(spark, dir, "events").where(nsPred)
+      case (None, true) =>
+        val raw = spark.read.parquet(path(dir, "events"))
+        normalizeMicrosEvents(
+          raw.where(microsTsRangePred(raw.schema("ts").dataType, loNs, hiNs)))
+    }
+  }
+
+  /** The nanos range restated against a µs-TIMESTAMP physical `ts`
+    * (exact — see [[eventsRawRange]]); foldable literals, so the
+    * parquet scan compares them against footer stats. */
+  private[graft] def microsTsRangePred(tsType: DataType, loNs: Long,
+                                       hiNs: Long): Column = {
+    def usLit(ns: Long) = timestamp_micros(lit((ns + 999) / 1000)).cast(tsType)
+    if (hiNs == Long.MaxValue) col("ts") >= usLit(loNs)
+    else col("ts") >= usLit(loNs) && col("ts") < usLit(hiNs)
   }
 
   def lineitem(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "lineitem")

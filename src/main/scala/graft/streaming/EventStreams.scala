@@ -36,13 +36,20 @@ object EventStreams {
     // a plain session must not fail here when batch reads succeed
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val path = Tables.path(dir, "events")
-    val reader = spark.readStream.schema(Tables.eventsRawSchema)
+    // vintage dispatch mirrors Tables.apply: a µs-TIMESTAMP file is
+    // read with its own physical schema (the file source requires an
+    // exact user schema) and normalized onto the nanos contract
+    val micros = Tables.eventsTsIsMicros(spark, dir)
+    val srcSchema =
+      if (micros) spark.read.parquet(path).schema else Tables.eventsRawSchema
+    val reader = spark.readStream.schema(srcSchema)
     // the file stream source watches a DIRECTORY: if the table IS a
     // directory (part-file layout) watch it directly; a single-file
     // table is selected out of the shared sf dir by leaf-name glob
-    val stream =
+    val raw =
       if (new java.io.File(path).isDirectory) reader.parquet(path)
       else reader.option("pathGlobFilter", "events.parquet").parquet(dir)
+    val stream = if (micros) Tables.normalizeMicrosEvents(raw) else raw
     stream.withColumn("ts_us", timestamp_micros(expr("ts DIV 1000")))
   }
 

@@ -1,5 +1,7 @@
 package graft
 
+import graft.sources.Tables
+
 import org.apache.spark.sql.functions._
 import graft.operators.AsofJoin
 
@@ -37,7 +39,7 @@ class AsofJoinSpec extends SparkSpec {
     val got = AsofJoin.attribution(spark, sfDir)
       .select("event_id", "asof_click_id").collect()
       .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
-    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+    val ev = Tables.eventsRaw(spark, sfDir)
       .select(col("event_id"), col("user_id"), expr("ts DIV 1000").as("us"), col("event_type"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
     val clicks = ev.filter(_._4 == "click")

@@ -1,0 +1,217 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.{CharLm, Curriculum, Dedup, Retrieval, Sampling, SemanticDedup, SimilaritySearch, TextAnalysis}
+import graft.sources.Tables
+
+/** O-series behavior + plan contracts: BM25 retrieval, soft dedup,
+  * curriculum ordering, char-LM quality, delta-maintained IVF
+  * assignments. */
+class OSeriesSpec extends SparkSpec {
+
+  private def finalPlan(df: DataFrame): String = {
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
+  // ------------------------------------------------------------- O1
+  test("bm25 ranks the all-terms doc first and never returns a zero-match doc") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spark join filter spark join extra words here now"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota"),
+      (3L, "spark filter something else entirely different words pad pad"),
+      (4L, "join join join join join join join join join")
+    ).toDF("doc_id", "text")
+    val rows = Retrieval.bm25TopKFrom(spark, docs).collect()
+    val q1 = rows.filter(_.getLong(0) == 1L)
+    assert(q1.nonEmpty, "query 1 returned nothing")
+    assert(q1.head.getLong(2) == 1L,
+      s"doc 1 holds all of q1's terms and must rank first, got doc ${q1.head.getLong(2)}")
+    assert(!q1.exists(_.getLong(2) == 2L),
+      "doc 2 shares no term with query 1 and must not appear")
+    q1.map(_.getDouble(3)).toSeq.sliding(2).foreach {
+      case Seq(a, b) => assert(a >= b, "scores must descend with rank")
+      case _ =>
+    }
+  }
+
+  test("bm25 corpus plan: every join is broadcast (matched-terms stay map-side)") {
+    val plan = finalPlan(Retrieval.bm25TopK(spark, sfDir))
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"bm25 shuffled a join — the query-vocab sides must broadcast:\n$plan")
+  }
+
+  // ------------------------------------------------------------- O6
+  test("rrf fusion: agreement wins, single-list docs still surface, union semantics hold") {
+    import spark.implicits._
+    // doc 10 is rank 1 in BOTH lists; doc 20 only in A (rank 2);
+    // doc 30 only in B (rank 2): RRF must put 10 first, and
+    // 20/30 tie on 1/62 — broken by doc_id
+    val a = Seq((1L, 1L, 10L), (1L, 2L, 20L)).toDF("query_id", "rank", "doc_id")
+    val b = Seq((1L, 1L, 10L), (1L, 2L, 30L)).toDF("query_id", "rank", "doc_id")
+    val out = Retrieval.rrfFuse(a, b).collect()
+    assert(out.map(_.getLong(2)).toSeq == Seq(10L, 20L, 30L),
+      s"got ${out.map(_.getLong(2)).mkString(",")}")
+    assert(math.abs(out.head.getDouble(3) - 2.0 / 61.0) < 1.01e-6)
+    assert(math.abs(out(1).getDouble(3) - 1.0 / 62.0) < 1.01e-6)
+  }
+
+  // ------------------------------------------------------------- O2
+  test("soft dedup: reps are C1's canonicals, copies sum to corpus, weights are sqrt(c)") {
+    val docs = Tables.documents(spark, sfDir)
+    val soft = Dedup.softDedupFrom(docs).collect()
+    assert(soft.map(_.getLong(1)).sum == docs.count(),
+      "cluster sizes must partition the corpus")
+    val canonicals = Dedup.exactFrom(docs)
+      .select("canonical_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(soft.map(_.getLong(0)).toSet == canonicals,
+      "soft-dedup reps must be exactly C1's canonical ids")
+    soft.foreach { r =>
+      val expected = math.sqrt(r.getLong(1).toDouble)
+      assert(math.abs(r.getDouble(2) - expected) < 1.01e-6,
+        s"weight ${r.getDouble(2)} != c^0.5 of ${r.getLong(1)}")
+    }
+  }
+
+  // ------------------------------------------------------------- O3
+  test("curriculum order is one narrow projection: no join, window, or aggregate") {
+    val plan = finalPlan(
+      Curriculum.curriculumOrderFrom(Tables.documents(spark, sfDir)))
+    assert(!plan.contains("Join") && !plan.contains("Window") &&
+      !plan.contains("HashAggregate") && !plan.contains("SortAggregate"),
+      s"curriculum assignment must be shuffle-free per-row work:\n$plan")
+  }
+
+  test("curriculum phases follow the E2 score thresholds; pos is an exact hash fraction") {
+    val docs = Tables.documents(spark, sfDir)
+    val joined = Curriculum.curriculumOrderFrom(docs)
+      .join(docs.select(col("doc_id"),
+        TextAnalysis.qualityScore(col("text")).as("q")), Seq("doc_id"))
+      .collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      val (phase, pos, q) = (r.getLong(2), r.getDouble(3), r.getDouble(4))
+      val want = if (q >= Curriculum.Hi) 0L else if (q >= Curriculum.Mid) 1L else 2L
+      assert(phase == want, s"doc ${r.getLong(0)}: phase $phase, score $q")
+      assert(pos > 0.0 && pos < 1.0)
+      // pos = (b + 0.5)/65536 for integer b — exact in binary
+      val b = pos * 65536.0 - 0.5
+      assert(b == math.rint(b), s"pos $pos is not an exact half-step fraction")
+    }
+  }
+
+  test("curriculum interleave: in every phase, each source spreads across the pos range") {
+    // deterministic on the fixed corpus + fixed salt: hash-uniform pos
+    // means each source's docs land ~uniformly, so no source can sit
+    // in one end of a phase — the sorted-by-source training-order bug
+    val rows = Curriculum.curriculumOrder(spark, sfDir)
+      .select("source", "phase", "pos").collect()
+    rows.groupBy(r => (r.getString(0), r.getLong(1)))
+      .filter(_._2.length >= 10).foreach { case ((src, phase), rs) =>
+        val ps = rs.map(_.getDouble(2))
+        val firstHalf = ps.count(_ < 0.5).toDouble / ps.length
+        assert(firstHalf > 0.2 && firstHalf < 0.8,
+          s"source $src phase $phase: ${ps.length} docs, " +
+            f"$firstHalf%.2f in the first half — not interleaved")
+      }
+  }
+
+  // ------------------------------------------------------------- O4
+  test("char-LM prices planted gibberish below every clean doc and drops sub-trigram rows") {
+    import spark.implicits._
+    val base = Tables.documents(spark, sfDir).select("doc_id", "text")
+    val planted = Seq(
+      (900001L, "qzxjv wkqpz xvjqz kwpxq zjvkw qpzxk vjqwz"),
+      (900002L, "ab")).toDF("doc_id", "text")
+    val out = CharLm.lmScoreFrom(base.unionByName(planted)).collect()
+    val byId = out.map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(!byId.contains(900002L), "a 2-char doc has no trigram and must drop out")
+    val gib = byId(900001L)
+    val cleanMin = byId.removed(900001L).values.min
+    assert(gib < cleanMin,
+      f"gibberish scored $gib%.3f, not below the cleanest-corpus min $cleanMin%.3f")
+    val suspects = out.filter(_.getBoolean(3)).map(_.getLong(0))
+    assert(suspects.contains(900001L),
+      s"gibberish must cross the $$SuspectBar flag, suspects=${suspects.mkString(",")}")
+  }
+
+  test("char-LM n_grams is exactly length-2 per surviving doc") {
+    val docs = Tables.documents(spark, sfDir).limit(20)
+    val expect = docs.select(col("doc_id"), (length(col("text")) - 2).cast("long").as("e"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    CharLm.lmScoreFrom(docs).collect().foreach { r =>
+      assert(r.getLong(1) == expect(r.getLong(0)),
+        s"doc ${r.getLong(0)}: n_grams ${r.getLong(1)} != len-2 ${expect(r.getLong(0))}")
+    }
+  }
+
+  // ------------------------------------- 100x planning-stall regression
+  test("pointer-jump rounds re-root checkpoint stats (the 100x planning stall)") {
+    import spark.implicits._
+    // 64-node path: needs multiple jump rounds, so compounding origin
+    // stats would have multiplied sizeInBytes digits 3x per round
+    val edges = (0L until 63L).flatMap(i => Seq((i, i + 1), (i + 1, i)))
+      .toDF("src", "dst")
+    val (labels, rounds) = Dedup.propagateMinLabels(edges)
+    assert(rounds >= 3, s"path graph should need several rounds, got $rounds")
+    assert(labels.select(max(col("lbl"))).head().getLong(0) == 0L,
+      "all path vertices must label to component min 0")
+    val bits = labels.queryExecution.optimizedPlan.stats.sizeInBytes.bitLength
+    assert(bits <= 64,
+      s"label-frame sizeInBytes estimate is $bits bits after $rounds rounds — " +
+        "checkpoint origin stats are compounding again (the 100x stall)")
+  }
+
+  // ------------------------------------------------------------- O5
+  test("maintained IVF assignments equal the full rebuild though every non-delta embedding is poisoned") {
+    val emb = Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
+    // snapshots by the K9 hash-band device: ids in the add band are
+    // new, ids in the remove band departed, ids in the change band
+    // re-embedded (sign-flip — same dim, different vector)
+    val b = Sampling.hashBucket(col("vec_id"), "ivfcdc")
+    val flipped = expr("transform(embedding, v -> CAST(-v AS FLOAT))")
+    val oldEmb = emb.where(b >= 8192)
+      .select(col("vec_id"), col("embedding"))
+    val newEmb = emb.where(b < 57344)
+      .select(col("vec_id"),
+        when(b >= 24576 && b < 32768, flipped)
+          .otherwise(col("embedding")).as("embedding"))
+    val delta = oldEmb.select(col("vec_id"), lit("old").as("o"))
+      .join(newEmb.select(col("vec_id"), lit("new").as("n")), Seq("vec_id"), "full_outer")
+      .withColumn("change",
+        when(col("o").isNull, "added")
+          .when(col("n").isNull, "removed")
+          .when(Sampling.hashBucket(col("vec_id"), "ivfcdc").between(24576, 32767), "changed"))
+      .where(col("change").isNotNull)
+      .select("vec_id", "change")
+
+    val cents = SimilaritySearch.trainCentroids(spark, oldEmb, 8, 2).localCheckpoint()
+    val oldAssigned = SemanticDedup.assignTo(spark, oldEmb, cents)
+    val full = SemanticDedup.assignTo(spark, newEmb, cents)
+
+    // poison: zero every embedding the maintenance pass must not read
+    val deltaIds = delta.where(col("change").isin("added", "changed")).select("vec_id")
+    val poisoned = newEmb.join(deltaIds.withColumn("is_delta", lit(true)),
+        Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        when(col("is_delta"), col("embedding"))
+          .otherwise(expr("transform(embedding, v -> CAST(0.0 AS FLOAT))"))
+          .as("embedding"))
+
+    val maintained = SemanticDedup.maintainAssignments(
+      spark, oldAssigned, poisoned, delta, cents)
+
+    assert(maintained.count() == full.count())
+    val diff = maintained
+      .select(col("vec_id"), col("embedding"), col("cid"), round(col("cent_sim"), 9).as("s"))
+      .exceptAll(full.select(col("vec_id"), col("embedding"), col("cid"),
+        round(col("cent_sim"), 9).as("s")))
+      .count()
+    assert(diff == 0,
+      s"$diff maintained rows disagree with the intact full rebuild — " +
+        "maintenance either read a poisoned embedding or mis-derived the survivor set")
+  }
+}

@@ -1,5 +1,7 @@
 package graft
 
+import graft.sources.Tables
+
 import org.apache.spark.sql.functions._
 
 /** Smoke + invariant coverage for every SparkEntry query at sf0.001.
@@ -40,7 +42,7 @@ class QueriesSpec extends SparkSpec {
     val ids = df.select("event_id").collect().map(_.getLong(0))
     // oracle from the RAW table: parse() drops skip-on-error rows and
     // would understate the true max if the newest event had bad props
-    val maxId = spark.read.parquet(s"$sfDir/events.parquet")
+    val maxId = Tables.eventsRaw(spark, sfDir)
       .agg(max("event_id")).collect()(0).getLong(0)
     assert(ids.max == maxId, "newest event must survive capacity retention")
     assert(ids.sorted.sameElements(ids), "output sorted by offset")
@@ -49,7 +51,7 @@ class QueriesSpec extends SparkSpec {
   test("nearest-offset: sparse probes resolve from neighboring hours") {
     import spark.implicits._
     import org.apache.spark.sql.types.TimestampType
-    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+    val ev = Tables.eventsRaw(spark, sfDir)
       .select(col("event_id"), expr("ts DIV 1000").as("us"))
     val Seq(minUs, maxUs) = ev.agg(min("us"), max("us")).collect()(0)
       .toSeq.map(_.asInstanceOf[Long])
@@ -78,7 +80,7 @@ class QueriesSpec extends SparkSpec {
   }
 
   test("sessionize: session counts sum to event count") {
-    val events = spark.read.parquet(s"$sfDir/events.parquet").count()
+    val events = Tables.eventsRaw(spark, sfDir).count()
     val sessions = graft.operators.Relational.qSessionize(spark, sfDir)
     val total = sessions.agg(sum("n_events")).collect()(0).getLong(0)
     assert(total == events)

@@ -1,5 +1,7 @@
 package graft
 
+import graft.sources.Tables
+
 import org.apache.spark.sql.functions._
 import graft.operators.{EventLogOps, EventLogService, Sampling}
 
@@ -10,7 +12,7 @@ class ServiceSpec extends SparkSpec {
     val sinceNs = 1705276800000000000L // 2024-01-15T00:00:00Z
     val got = EventLogService.framesSince(spark, sfDir, route, sinceNs)
     // resolution: first frame's offset = forward-seek result for the route
-    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+    val ev = Tables.eventsRaw(spark, sfDir)
       .where(col("event_type") === route)
     val expectedStart = ev.where(col("ts") >= sinceNs)
       .agg(min("event_id")).collect()(0).getLong(0)
@@ -27,7 +29,7 @@ class ServiceSpec extends SparkSpec {
     // since far beyond the data: no forward match -> newest event only
     val sinceNs = 4102444800000000000L // 2100-01-01
     val got = EventLogService.framesSince(spark, sfDir, "view", sinceNs)
-    val maxId = spark.read.parquet(s"$sfDir/events.parquet")
+    val maxId = Tables.eventsRaw(spark, sfDir)
       .where(col("event_type") === "view")
       .agg(max("event_id")).collect()(0).getLong(0)
     assert(got.select("event_id").collect().map(_.getLong(0)).toSeq == Seq(maxId))

@@ -1,5 +1,7 @@
 package graft
 
+import graft.sources.Tables
+
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
@@ -32,7 +34,7 @@ class StreamingJoinSpec extends SparkSpec {
     val streamed = spark.table(name).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
 
-    val bev = spark.read.parquet(s"$sfDir/events.parquet")
+    val bev = Tables.eventsRaw(spark, sfDir)
       .withColumn("us", expr("ts DIV 1000"))
     val bp = bev.where(col("event_type") === "purchase")
       .select(col("event_id").as("p_id"), col("user_id").as("p_user"), col("us").as("p_us"))

@@ -1,5 +1,7 @@
 package graft
 
+import graft.sources.Tables
+
 import java.io.File
 import java.nio.file.Files
 
@@ -155,7 +157,7 @@ class StreamingLiveSpec extends SparkSpec {
     assert(emitted.nonEmpty, "append mode emitted nothing")
     // the only windows missing are those the final watermark
     // (max event time - 1h delay) had not closed at end of input
-    val maxUs = spark.read.parquet(s"$sfDir/events.parquet")
+    val maxUs = Tables.eventsRaw(spark, sfDir)
       .agg(expr("max(ts DIV 1000)")).collect()(0).getLong(0)
     val wmUs = maxUs - 3600L * 1000000L
     val missing = complete.keySet -- emitted.keySet

@@ -2,6 +2,7 @@ package graft
 
 import java.nio.file.Files
 
+import graft.sources.Tables
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
@@ -18,7 +19,7 @@ class StreamingSessionSpec extends SparkSpec {
     // inter-event delta or the comparison is vacuous-by-luck
     val gapUs = 30L * 60 * 1000000
     val w = Window.partitionBy("user_id").orderBy("us")
-    val exact = spark.read.parquet(s"$sfDir/events.parquet")
+    val exact = Tables.eventsRaw(spark, sfDir)
       .select(col("user_id"), expr("ts DIV 1000").as("us"))
       .withColumn("d", col("us") - lag("us", 1).over(w))
       .where(col("d") === gapUs).count()
