@@ -63,7 +63,7 @@ object EventLogOps {
       .repartitionByRange(col("event_id"))
       .sortWithinPartitions("event_id")
       .select(col("event_id"), tsUs.as("ts_us"), col("props"),
-        Portable.intStrict(get_json_object(col("props"), "$.k")).as("k"))
+        Portable.intStrict(Portable.jsonGetString(col("props"), "$.k")).as("k"))
       .where(col("ts_us").isNotNull && col("props").isNotNull && col("k").isNotNull)
       .select(col("event_id"), col("ts_us"), col("k"), col("props").as("detail"))
 
@@ -87,7 +87,7 @@ object EventLogOps {
   def skipAudit(spark: SparkSession, dir: String): DataFrame =
     Tables.eventsRaw(spark, dir)
       .select(col("event_id"), tsUs.as("ts_us"), col("props"),
-        Portable.intStrict(get_json_object(col("props"), "$.k")).as("k"))
+        Portable.intStrict(Portable.jsonGetString(col("props"), "$.k")).as("k"))
       .withColumn("reason",
         when(col("ts_us").isNull, "missing_time")
           .when(col("props").isNull, "missing_detail")

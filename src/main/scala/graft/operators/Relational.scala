@@ -336,7 +336,7 @@ object Relational {
       // intStrict: a malformed $.k degrades to NULL-and-filtered with
       // IDENTICAL kept-row sets on both engines (their lenient casts
       // disagree on e.g. '3.5' — see Portable.intStrict)
-      .select(Portable.intStrict(get_json_object(col("props"), "$.k")).as("k"),
+      .select(Portable.intStrict(Portable.jsonGetString(col("props"), "$.k")).as("k"),
         col("value"))
       .where(col("k").isNotNull)
       .groupBy(col("k"))

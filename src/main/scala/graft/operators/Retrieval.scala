@@ -66,8 +66,10 @@ object Retrieval {
   def bm25TopK(spark: SparkSession, dir: String): DataFrame =
     bm25TopKFrom(spark, Tables.parallelized(spark, Tables.documents(spark, dir)))
 
-  /** The retrieval over an arbitrary (doc_id, text) frame. */
-  def bm25TopKFrom(spark: SparkSession, docs: DataFrame): DataFrame = {
+  /** The full (query_id, doc_id, score) frame behind [[bm25TopKFrom]]
+    * — one row per query × matching doc. Also the batch truth the O7
+    * streaming scorer is equality-pinned against. */
+  private[graft] def bm25ScoredFrom(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
     val qterms = Queries.flatMap { case (qid, q) =>
       q.split(" ").distinct.map(t => (qid, t))
@@ -92,19 +94,93 @@ object Retrieval {
     val tfNorm = (col("tf") * lit(K1 + 1.0)) /
       (col("tf") + lit(K1) * (lit(1.0 - B) + lit(B) * col("dl") / col("avgdl")))
 
-    val scored = tf
-      .join(broadcast(df), Seq("term"))
+    tf.join(broadcast(df), Seq("term"))
       .join(broadcast(qterms), Seq("term"))
       .crossJoin(broadcast(stats))
       .groupBy("query_id", "doc_id")
       .agg(round(sum(idf * tfNorm), 6).as("score"))
+  }
+
+  /** The retrieval over an arbitrary (doc_id, text) frame. */
+  def bm25TopKFrom(spark: SparkSession, docs: DataFrame): DataFrame = {
     val w = Window.partitionBy("query_id")
       .orderBy(col("score").desc, col("doc_id").asc)
-    scored
+    bm25ScoredFrom(spark, docs)
       .withColumn("rank", row_number().over(w).cast("long"))
       .where(col("rank") <= TopK)
       .select(col("query_id"), col("rank"), col("doc_id"), col("score"))
       .orderBy("query_id", "rank")
+  }
+
+  // ---------------------------------------------------------------- O7
+  /** Frozen BM25 scoring model: per-query (term, idf) pairs over the
+    * query vocabulary plus the corpus avgdl — everything a stateless
+    * scorer needs, O(|query vocab|) numbers. */
+  case class Bm25Model(queries: Seq[(Long, Seq[(String, Double)])], avgdl: Double)
+
+  /** Train the frozen model from a corpus (one aggregation over the
+    * vocabulary-pruned token stream + one stats row — the same
+    * sub-plans the batch ranker runs). Terms absent from the corpus
+    * keep the df=0 idf; they contribute nothing either way (tf=0). */
+  def bm25Model(spark: SparkSession, dir: String): Bm25Model =
+    bm25ModelFrom(spark, Tables.parallelized(spark, Tables.documents(spark, dir)))
+
+  def bm25ModelFrom(spark: SparkSession, docs: DataFrame): Bm25Model = {
+    val vocab = Queries.flatMap(_._2.split(" ")).distinct
+    val dfMap = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .where(col("term").isin(vocab: _*))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .groupBy("term").agg(count(lit(1)).as("df"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val s = docs.agg(count(lit(1)).as("n"),
+      avg(size(split(col("text"), " ")).cast("long")).as("avgdl")).head()
+    val n = s.getLong(0)
+    def idf(t: String): Double = {
+      val df = dfMap.getOrElse(t, 0L).toDouble
+      math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+    }
+    Bm25Model(
+      Queries.map { case (qid, q) =>
+        qid -> q.split(" ").distinct.toSeq.map(t => t -> idf(t))
+      }, s.getDouble(1))
+  }
+
+  /** O7: standing-query BM25 over a document STREAM — live retrieval
+    * against a fixed query set (alerting, routing, eval-set capture
+    * on the ingest path). The df/avgdl statistics are a BATCH
+    * artifact (a stream cannot know corpus-wide document frequencies
+    * — M3's frozen-artifact convention, refreshed on the batch
+    * cadence); scoring is ONE stateless narrow projection: per-term
+    * tf via codegen'd array HOFs against plan-literal model rows,
+    * fanned out per standing query by a constant-width struct explode
+    * — no token explode, no aggregation, no state store, valid in ANY
+    * output mode. Emits (doc_id, query_id, score) for docs matching ≥1
+    * query term; row set and scores are equality-pinned against
+    * [[bm25ScoredFrom]] in OSeriesSpec (the stream sums terms in
+    * query order vs the batch shuffle's order — identical after the
+    * shared 6 dp round). */
+  def bm25ScoreStream(stream: DataFrame, model: Bm25Model): DataFrame = {
+    val toks = split(col("text"), " ")
+    val dl = size(toks).cast("double")
+    val perQuery = model.queries.map { case (qid, terms) =>
+      val tfs = terms.map { case (t, _) =>
+        t -> size(filter(toks, x => x === lit(t))).cast("double")
+      }
+      val score = terms.map { case (t, idfT) =>
+        val tf = tfs.toMap.apply(t)
+        lit(idfT) * (tf * lit(K1 + 1.0)) /
+          (tf + lit(K1) * (lit(1.0 - B) + lit(B) * dl / lit(model.avgdl)))
+      }.reduce(_ + _)
+      val nMatch = tfs.map(_._2).reduce(_ + _)
+      struct(lit(qid).as("query_id"), round(score, 6).as("score"),
+        nMatch.as("n_match"))
+    }
+    stream
+      .select(col("doc_id"), explode(array(perQuery: _*)).as("s"))
+      .where(col("s.n_match") > 0)
+      .select(col("doc_id"), col("s.query_id").as("query_id"),
+        col("s.score").as("score"))
   }
 
   // ---------------------------------------------------------------- O6

@@ -44,6 +44,38 @@ class OSeriesSpec extends SparkSpec {
       s"bm25 shuffled a join — the query-vocab sides must broadcast:\n$plan")
   }
 
+  // ------------------------------------------------------------- O7
+  test("streaming BM25 scorer equals the batch scored frame through a real stream") {
+    import org.apache.spark.sql.streaming.Trigger
+    val model = Retrieval.bm25Model(spark, sfDir)
+    val tmp = java.nio.file.Files.createTempDirectory("o7").toFile.getPath
+    try {
+      Tables.documents(spark, sfDir)
+        .write.mode("overwrite").parquet(s"$tmp/docs")
+      val name = "o7_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = Retrieval.bm25ScoreStream(
+        spark.readStream.schema(Tables.documentsSchema).parquet(s"$tmp/docs"),
+        model)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val got = spark.table(name).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val want = Retrieval
+        .bm25ScoredFrom(spark, Tables.documents(spark, sfDir)).collect()
+        .map(r => (r.getLong(1), r.getLong(0), r.getDouble(2))).toSet
+      assert(got == want,
+        s"stream scores diverged from batch: ${(got diff want).size} extra, " +
+          s"${(want diff got).size} missing")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+      }
+      rm(new java.io.File(tmp))
+    }
+  }
+
   // ------------------------------------------------------------- O6
   test("rrf fusion: agreement wins, single-list docs still surface, union semantics hold") {
     import spark.implicits._

@@ -57,10 +57,10 @@ class PlanSpec extends SparkSpec {
 
   test("json extraction happens before the shuffle (partial agg on k)") {
     val plan = finalPlan(Relational.qJsonExtract(spark, sfDir))
-    // get_json_object must be below the exchange: the partial
+    // the variant extraction must be below the exchange: the partial
     // HashAggregate already groups by the extracted key
     val exchangeIdx = plan.indexOf("Exchange")
-    val jsonIdx = plan.indexOf("get_json_object")
+    val jsonIdx = plan.indexOf("variant_get")
     assert(jsonIdx > exchangeIdx && exchangeIdx > 0,
       s"extraction not map-side:\n$plan")
   }
