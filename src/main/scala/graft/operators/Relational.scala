@@ -329,8 +329,10 @@ object Relational {
 
   // ---------------------------------------------------------------- B12
   /** JSON field extraction from the props payload, then aggregate by
-    * the extracted key. get_json_object is codegen'd; the extraction
-    * happens before the shuffle so only (k, partials) move. */
+    * the extracted key. Extraction rides the variant fast path
+    * ([[Portable.jsonGetString]] — 8.5× over get_json_object at 100×,
+    * see BASELINE round-10 table) and happens before the shuffle so
+    * only (k, partials) move. */
   def qJsonExtract(spark: SparkSession, dir: String): DataFrame =
     Tables.eventsRaw(spark, dir)
       // intStrict: a malformed $.k degrades to NULL-and-filtered with

@@ -96,13 +96,15 @@ object SemanticDedup {
     * ([[literalTopCentroids]], which sorts on -cc) ranks it WORST —
     * the guard keeps the two bit-aligned on the corner as well. */
   private def argmaxBest(scored: DataFrame): DataFrame =
+    // single-DOUBLE encoded rank (SimilaritySearch.argmaxRank): a
+    // primitive buffer keeps this on HashAggregateExec — the struct
+    // form planned as SortAggregate and SORTED the n·k stream per
+    // task (500×: 8·10⁹ rows of spill, dead on disk)
     scored.groupBy("vec_id")
-      .agg(max(struct(
-        when(isnan(col("cc")), lit(Double.NegativeInfinity))
-          .otherwise(col("cc")).as("rank_cc"),
-        (-col("cid")).as("ncid"), col("cc").as("cc"))).as("best"))
+      .agg(max(SimilaritySearch.argmaxRank(col("cc"), col("cid"))).as("rank"))
       .select(col("vec_id"),
-        (-col("best.ncid")).as("cid"), col("best.cc").as("cent_sim"))
+        SimilaritySearch.argmaxDecodeCid(col("rank")).as("cid"),
+        SimilaritySearch.argmaxDecodeSim(col("rank")).as("cent_sim"))
 
   /** Restore the embedding column onto an argmax result — the
     * (vec_id, embedding, cid, cent_sim) shape every consumer expects. */
@@ -145,12 +147,14 @@ object SemanticDedup {
     * embedding restored by [[withEmbedding]]. The only route when the
     * centroid table is too wide to ride the plan as a literal. */
   private[graft] def assignToAgg(spark: SparkSession, emb: DataFrame,
-                          cents: DataFrame): DataFrame =
+                          cents: DataFrame): DataFrame = {
+
     withEmbedding(
       argmaxBest(emb.select("vec_id", "embedding").join(broadcast(cents))
         .select(col("vec_id"), col("cid"),
           round(Vectors.cosineFast(spark, col("embedding"), col("c_emb")), 9).as("cc"))),
       emb)
+  }
 
   /** Dispatch-probe memo: the `limit(513).collect()` head per
     * centroid FRAME INSTANCE, keyed weakly on the Dataset object

@@ -161,9 +161,50 @@ object SimilaritySearch {
     emb.select(col("vec_id"), col("embedding"))
       .orderBy(md5(col("vec_id").cast("string"))).limit(m)
 
+  /** PRIMITIVE-ENCODED argmax rank, found by the 500× ProbeLab rung:
+    * `max(struct(cc, ncid))` has a STRUCT aggregation buffer, which
+    * Spark 4 plans as SortAggregateExec — the n·k candidate stream is
+    * SORTED per task before aggregating, materializing through
+    * UnsafeExternalSorter. Measured at 500× (n=1M, autoK k=8000):
+    * 8·10⁹ candidate rows spilled past the host's 77 GB free disk and
+    * killed the job — on disk volume, not heap, and invisible at
+    * every smaller scale. The same argmax packed into ONE DOUBLE
+    * aggregates through HashAggregateExec (primitive buffer), so the
+    * candidate stream PIPELINES map-side and nothing materializes:
+    *
+    *   rank = rint(cc·10⁹) · 2²¹ − cid
+    *
+    * is order-isomorphic to the struct rule "max round9(cosine), ties
+    * to the smallest cid": equal rounded cosines differ by −cid
+    * (< 2²¹ apart), different ones by ≥ 2²¹. Every value is an exact
+    * integer ≤ 2⁵¹ (|cc| ≤ 1 → |c9| ≤ 10⁹; `cid < 2²¹` required), so
+    * encode/decode are lossless: cid = c9·2²¹ − rank with
+    * c9 = ⌈rank/2²¹⌉ (the /2²¹ is a power-of-two division — exact),
+    * and cent_sim = c9/10⁹ is the SAME double `round(cc, 9)` produced
+    * (both are the correctly-rounded double of the decimal). Callers
+    * pass the ALREADY-round(_, 9)'d cosine, so cc·10⁹ sits within
+    * ~10⁻⁷ of an integer and `rint` is exact recovery — never a
+    * half-way tie-break. NaN cosines map to −2 (below any real
+    * cosine) before encoding — "NaN loses", the rule the struct form
+    * implemented with its −∞ guard. Bit-equality of the decoded
+    * assignment with the literal route stays gated in PackingSpec. */
+  private[graft] val ArgmaxCidCap: Int = 1 << 21
+
+  private[graft] def argmaxRank(cc: Column, cid: Column): Column =
+    rint(when(isnan(cc), lit(-2.0)).otherwise(cc) * lit(1e9)) *
+      lit(2097152.0) - cid
+
+  /** Decode (cid, cent_sim) from a max'd [[argmaxRank]] value. */
+  private[graft] def argmaxDecodeCid(rank: Column): Column =
+    (ceil(rank / lit(2097152.0)) * lit(2097152L) - rank).cast("int")
+
+  private[graft] def argmaxDecodeSim(rank: Column): Column =
+    ceil(rank / lit(2097152.0)).cast("double") / lit(1e9)
+
   def trainCentroids(spark: SparkSession, emb: DataFrame, k: Int,
                      iters: Int = 3): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
+
     // one corpus pass
     val cands: Array[(Long, Array[Float])] =
       hashOrderedSample(emb, 8 * k)
@@ -226,16 +267,27 @@ object SimilaritySearch {
     var cents = spark.createDataFrame(seedRows).toDF("cid", "c_emb")
       .select(col("cid"), col("c_emb").cast("array<float>").as("c_emb"))
 
+    require(k < ArgmaxCidCap, s"k=$k exceeds the encoded-argmax cid cap")
     for (_ <- 1 to iters) {
-      // argmax via max(struct): max cosine, ties to the smallest cid
-      // (-cid maximized) — one n-row shuffle, k·n rows never move
-      val assigned = emb.select("vec_id", "embedding").join(broadcast(cents))
-        .select(col("vec_id"), col("embedding"), col("cid"),
-          round(Vectors.cosineFast(spark, col("embedding"), col("c_emb")), 9).as("cc"))
-        .groupBy("vec_id")
-        .agg(first(col("embedding")).as("embedding"),
-          max(struct(col("cc"), (-col("cid")).as("ncid"))).as("best"))
-        .select(col("embedding"), (-col("best.ncid")).as("cid"))
+      // argmax via the single-DOUBLE encoded rank (argmaxRank): max
+      // cosine, ties to the smallest cid. The former max(struct) form
+      // planned as SortAggregate AND carried the embedding through the
+      // buffer (first(embedding)) — at 500× each Lloyd pass sorted
+      // 8·10⁹ candidate rows and died on spill disk. Now the n·k
+      // stream pipelines through a primitive HashAggregate and the
+      // embedding is restored by an n-row join (the assignToAgg
+      // trade). NaN cosines lose (argmaxRank guard) where the struct
+      // double-ordering let them win — no corpus vector is zero, so
+      // no trained centroid moves; losing is the defensible rule.
+      val best = emb.select("vec_id", "embedding").join(broadcast(cents))
+        .select(col("vec_id"), argmaxRank(
+          round(Vectors.cosineFast(spark, col("embedding"), col("c_emb")), 9),
+          col("cid")).as("r"))
+        .groupBy("vec_id").agg(max(col("r")).as("rank"))
+      val assigned = best
+        .select(col("vec_id"), argmaxDecodeCid(col("rank")).as("cid"))
+        .join(emb.select("vec_id", "embedding"), Seq("vec_id"))
+        .select(col("embedding"), col("cid"))
       cents = assigned
         .select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "v")))
         .groupBy("cid", "pos").agg(avg(col("v").cast("double")).as("c"))
