@@ -224,9 +224,16 @@ object SemanticDedup {
         array(r.getSeq[Any](1).map(v =>
           lit(v.asInstanceOf[Number].doubleValue)): _*).as("c_emb"))
     }: _*)
-    array_sort(transform(arr, c =>
-      struct((-round(call_function("graft_cosine", emb, c.getField("c_emb")), 9))
-        .as("ns"), c.getField("cid").as("cid"))))
+    // NaN cosine → ns sentinel +2.0: sorts LAST like NaN does on the
+    // negated key (so ordering is unchanged), but decodes to the agg
+    // route's all-NaN cent_sim of -2.0 (argmaxRank's NaN→-2 guard)
+    // instead of NaN — the two routes stay bit-equal on the corner
+    // where EVERY candidate cosine is NaN (an all-zero input vector).
+    array_sort(transform(arr, { c =>
+      val c9 = round(call_function("graft_cosine", emb, c.getField("c_emb")), 9)
+      struct(when(isnan(c9), lit(2.0)).otherwise(-c9).as("ns"),
+        c.getField("cid").as("cid"))
+    }))
   }
 
   /** The >10⁷-vector assignment path (the SemDeDup/faiss shape): a

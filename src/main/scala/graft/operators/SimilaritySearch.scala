@@ -190,9 +190,19 @@ object SimilaritySearch {
     * assignment with the literal route stays gated in PackingSpec. */
   private[graft] val ArgmaxCidCap: Int = 1 << 21
 
-  private[graft] def argmaxRank(cc: Column, cid: Column): Column =
+  private[graft] def argmaxRank(cc: Column, cid: Column): Column = {
+    // encode-side cap guard: a cid outside [0, 2^21) would silently
+    // DECODE to a wrong assignment, and only the trainer used to
+    // enforce the cap — assignToAgg/assignViaIvf accept arbitrary
+    // centroid frames. In-plan raise_error (the Boilerplate HotSetCap
+    // pattern): constant per-row cost, fails loudly wherever the
+    // encoding is applied, zero extra jobs.
+    val checked = when(cid < 0 || cid >= ArgmaxCidCap,
+      raise_error(concat(lit("argmax cid outside encodable [0, 2^21): "),
+        cid.cast("string"))).cast("int")).otherwise(cid)
     rint(when(isnan(cc), lit(-2.0)).otherwise(cc) * lit(1e9)) *
-      lit(2097152.0) - cid
+      lit(2097152.0) - checked
+  }
 
   /** Decode (cid, cent_sim) from a max'd [[argmaxRank]] value. */
   private[graft] def argmaxDecodeCid(rank: Column): Column =
