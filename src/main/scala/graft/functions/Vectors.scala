@@ -80,6 +80,17 @@ object Vectors {
     call_function("graft_gram_stats", text, lit(n))
   }
 
+  /** Native sorted-set subtraction ([[graft.plans.SortedExcept]]):
+    * elements of `items` absent from the ascending-sorted (UTF8 binary
+    * order — `sort_array`) `sortedArr`, via binary-search probes in one
+    * fused loop — O(|items|·log|set|) vs the O(|items|·|set|)
+    * `filter(items, x -> !array_contains(set, x))` it replaces. */
+  def sortedExceptFast(spark: org.apache.spark.sql.SparkSession,
+                       items: Column, sortedArr: Column): Column = {
+    graft.plans.GraftFunctions.register(spark)
+    call_function("graft_sorted_except", items, sortedArr)
+  }
+
   /** Native PQ encode ([[graft.plans.PqEncode]]): argmin code per
     * subvector against the trained codebook, passed as a foldable
     * array literal and unpacked once at resolution. */

@@ -186,8 +186,15 @@ object GraftFunctions {
     (children: Seq[Expression]) => BloomMightContain(
       children(0), litBinary(children(1), "graft_might_contain bloom")): Expression)
 
+  private val sortedExceptDesc = (
+    FunctionIdentifier("graft_sorted_except"),
+    new ExpressionInfo(classOf[SortedExcept].getName, null, "graft_sorted_except"),
+    (children: Seq[Expression]) =>
+      SortedExcept(children(0), children(1)): Expression)
+
   private val all = Seq(cosineDesc, srpDesc, minhashDesc, simhashDesc,
-    pqEncodeDesc, shinglesDesc, gramStatsDesc, mightContainDesc)
+    pqEncodeDesc, shinglesDesc, gramStatsDesc, mightContainDesc,
+    sortedExceptDesc)
 
   /** Idempotent per-session registration (for sessions built without
     * the extensions config). */
