@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -205,9 +205,66 @@ object Retrieval {
     * are small exact integers, so `1/(60+rank)` sums are
     * engine-identical to the ulp; rounded to 6 dp and ranked on the
     * rounded value with doc_id tiebreak, the shared discipline. */
-  def rrfFusion(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.parallelized(spark, Tables.documents(spark, dir))
-    rrfFuse(bm25TopKFrom(spark, docs), tfidfTopKFrom(spark, docs))
+  def rrfFusion(spark: SparkSession, dir: String): DataFrame =
+    rrfFusionFrom(spark, Tables.parallelized(spark, Tables.documents(spark, dir)))
+
+  /** O6 in ONE corpus pass: both rankers score out of the SAME
+    * matched-tf aggregation (round 10 ran the tokenize→prune→tf
+    * pipeline once per ranker), both rank windows share the query_id
+    * partitioning (one exchange, two sorts), and the fusion needs no
+    * join at all — a doc's two ranks already sit on one row, so
+    * "missing from a list" is just `rank > TopK` contributing 0 (the
+    * published convention, identical to the full-outer-join form —
+    * OSeriesSpec pins row equality with the composed
+    * `rrfFuse(bm25TopKFrom, tfidfTopKFrom)` path). */
+  def rrfFusionFrom(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    val qterms = Queries.flatMap { case (qid, q) =>
+      q.split(" ").distinct.map(t => (qid, t))
+    }.toDF("query_id", "term")
+    val vocab = Queries.flatMap(_._2.split(" ")).distinct
+
+    val toks = docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
+        explode(col("toks")).as("term"))
+    val tf = toks.where(col("term").isin(vocab: _*))
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val stats = docs.agg(count(lit(1)).as("n_docs"),
+      avg(size(split(col("text"), " ")).cast("long")).as("avgdl"))
+
+    val idf = log(lit(1.0) +
+      (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val tfNorm = (col("tf") * lit(K1 + 1.0)) /
+      (col("tf") + lit(K1) * (lit(1.0 - B) + lit(B) * col("dl") / col("avgdl")))
+
+    val dual = tf.join(broadcast(df), Seq("term"))
+      .join(broadcast(qterms), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .groupBy("query_id", "doc_id")
+      .agg(round(sum(idf * tfNorm), 6).as("score_a"),
+        round(sum((col("tf") * col("n_docs")).cast("double") / col("df")), 6)
+          .as("score_b"))
+    val wa = Window.partitionBy("query_id")
+      .orderBy(col("score_a").desc, col("doc_id").asc)
+    val wb = Window.partitionBy("query_id")
+      .orderBy(col("score_b").desc, col("doc_id").asc)
+    def contrib(rank: Column) =
+      when(rank <= TopK, lit(1.0) / (lit(RrfK) + rank)).otherwise(lit(0.0))
+    val ranked = dual
+      .withColumn("rank_a", row_number().over(wa).cast("long"))
+      .withColumn("rank_b", row_number().over(wb).cast("long"))
+      .where(col("rank_a") <= TopK || col("rank_b") <= TopK)
+      .select(col("query_id"), col("doc_id"),
+        round(contrib(col("rank_a")) + contrib(col("rank_b")), 6).as("rrf_score"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("rrf_score").desc, col("doc_id").asc)
+    ranked.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= TopK)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("rrf_score"))
+      .orderBy("query_id", "rank")
   }
 
   /** Fuse any two (query_id, rank, doc_id, ...) ranked frames. A doc
@@ -233,7 +290,7 @@ object Retrieval {
     * integer ratio — see CorpusStats K5 for why no logs) summed over
     * query terms, top-k per query. Same broadcast-vocabulary scale
     * shape as BM25. */
-  private[operators] def tfidfTopKFrom(spark: SparkSession, docs: DataFrame): DataFrame = {
+  private[graft] def tfidfTopKFrom(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
     val qterms = Queries.flatMap { case (qid, q) =>
       q.split(" ").distinct.map(t => (qid, t))

@@ -91,6 +91,25 @@ class OSeriesSpec extends SparkSpec {
     assert(math.abs(out(1).getDouble(3) - 1.0 / 62.0) < 1.01e-6)
   }
 
+  test("single-pass rrf fusion equals the composed two-ranker path, with one corpus scan") {
+    val docs = Tables.documents(spark, sfDir)
+    val onePass = Retrieval.rrfFusionFrom(spark, docs)
+    val composed = Retrieval.rrfFuse(
+      Retrieval.bm25TopKFrom(spark, docs),
+      Retrieval.tfidfTopKFrom(spark, docs))
+    assert(onePass.exceptAll(composed).isEmpty &&
+      composed.exceptAll(onePass).isEmpty,
+      "single-pass fusion diverged from the composed rankers")
+    // the round-10 finding: the fused plan must tokenize the corpus
+    // ONCE — one documents scan, where the composed path pays two
+    def scans(p: String): Int =
+      "Scan parquet".r.findAllIn(p).length + "Scan ExistingRDD".r.findAllIn(p).length
+    val plan = finalPlan(onePass)
+    val composedPlan = finalPlan(composed)
+    assert(scans(plan) < scans(composedPlan),
+      s"single-pass plan reads the corpus as often as the composed one:\n$plan")
+  }
+
   // ------------------------------------------------------------- O2
   test("soft dedup: reps are C1's canonicals, copies sum to corpus, weights are sqrt(c)") {
     val docs = Tables.documents(spark, sfDir)
