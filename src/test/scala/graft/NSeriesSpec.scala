@@ -88,15 +88,16 @@ class NSeriesSpec extends SparkSpec {
   test("semantic decontamination matches a local brute-force recompute") {
     val got = Dedup.decontaminateSemantic(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
-    // recompute: probe membership by the hash rule, cosines in plain
-    // scala over the collected fixture (500 x ~5% at sf0.001)
+    // recompute: probe membership by the fixed-count hash-order rule
+    // (the SemProbeCount smallest salted md5s), cosines in plain
+    // scala over the collected fixture (500 vectors at sf0.001)
     val all = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("embedding"),
-        Sampling.hashBucket(col("vec_id"), "benchvec").as("b"))
+        md5(concat(col("vec_id").cast("string"), lit(":benchvec"))).as("h"))
       .collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getLong(2)))
-    val probes = all.filter(_._3 < Sampling.pctThreshold(5))
-    assert(probes.nonEmpty && probes.length < all.length / 10)
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getString(2)))
+    val probes = all.sortBy(t => (t._3, t._1)).take(Dedup.SemProbeCount)
+    assert(probes.length == Dedup.SemProbeCount && probes.length < all.length)
     def cos(x: Array[Float], y: Array[Float]): Double = {
       var d = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
       while (i < x.length) {
