@@ -64,6 +64,11 @@ object SparkEntry {
     // F1: multimodal binary + metadata pipeline (real PNG IHDR /
     // JPEG SOF header decode — Multimodal.scala)
     "q_mm_binary_meta" -> (Multimodal.binaryMeta _),
+    // F2/F3: image-CONTENT dedup — real ImageIO PNG encode/decode;
+    // exact layer hashes the PNG bytes, perceptual layer recovers a
+    // dHash from decoded pixels and feeds C3's Manku hamming index
+    "q_mm_dedup_exact" -> (ImageDedup.imageDedupExact _),
+    "q_mm_dedup_near" -> (ImageDedup.imageNearDup _),
     // G. sampling / profiling
     "q_dedup_clusters" -> (Dedup.dupClusters _),
     "q_asof_attribution" -> (AsofJoin.attribution _),
@@ -171,6 +176,8 @@ object SparkEntry {
     "q_ann_ivf" -> SimilaritySearch.ivfTopKSql,
     "q_stream_window_counts" -> graft.streaming.EventStreams.windowCountsSql,
     "q_mm_binary_meta" -> Multimodal.binaryMetaSql,
+    "q_mm_dedup_exact" -> ImageDedup.imageDedupExactSql,
+    "q_mm_dedup_near" -> ImageDedup.imageNearDupSql,
     "q_dedup_clusters" -> Dedup.dupClustersSql,
     "q_asof_attribution" -> AsofJoin.attributionSql,
     "q_sample_hash" -> Sampling.hashSampleSql(),

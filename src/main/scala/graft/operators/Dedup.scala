@@ -377,8 +377,16 @@ object Dedup {
     withShingles(spark, dir, par = true)
       .select(col("doc_id"), Vectors.simhashFast(spark, col("sh")).as("simhash"))
 
-  def simhash(spark: SparkSession, dir: String): DataFrame = {
-    val sigs = simhashSigs(spark, dir)
+  def simhash(spark: SparkSession, dir: String): DataFrame =
+    hammingPairsOf(simhashSigs(spark, dir))
+
+  /** The Manku block-pair hamming index over an ARBITRARY
+    * (doc_id, simhash) frame — C3's candidate generation + ham ≤ 4
+    * filter, factored out so any 60-bit fingerprint source can feed
+    * it (F3 feeds PERCEPTUAL image hashes recovered from decoded
+    * pixels through the same tables — the index doesn't care where
+    * the bits came from). */
+  private[graft] def hammingPairsOf(sigs: DataFrame): DataFrame = {
     val bands = sigs.select(col("doc_id"), col("simhash"),
       explode(expr(simhashTableStructsExpr)).as("bk"))
       .select(col("doc_id"), col("simhash"), col("bk.band"), col("bk.key"))
