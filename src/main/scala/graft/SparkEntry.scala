@@ -133,7 +133,11 @@ object SparkEntry {
     "q_rrf_fusion" -> (Retrieval.rrfFusion _),
     "q_dedup_soft" -> (Dedup.softDedup _),
     "q_curriculum_order" -> (Curriculum.curriculumOrder _),
-    "q_lm_quality" -> (CharLm.lmScore _)
+    "q_lm_quality" -> (CharLm.lmScore _),
+    // P1: in-engine-trained BPE tokenizer; the frozen (word -> count)
+    // model rides the oracle SQL as a VALUES literal, so the learned
+    // model is itself under the oracle gate
+    "q_text_tokens_bpe" -> (Bpe.tokenCountsBpe _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -221,6 +225,7 @@ object SparkEntry {
     "q_rrf_fusion" -> Retrieval.rrfFusionSql,
     "q_dedup_soft" -> Dedup.softDedupSql,
     "q_curriculum_order" -> Curriculum.curriculumOrderSql,
-    "q_lm_quality" -> CharLm.lmScoreSql
+    "q_lm_quality" -> CharLm.lmScoreSql,
+    "q_text_tokens_bpe" -> Bpe.tokenCountsBpeSql
   )
 }

@@ -1,0 +1,221 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.sources.Tables
+
+/** P1: learned subword tokenization — byte-pair encoding trained
+  * IN-ENGINE, so the engine's token numbers (H11 budgets, I1 shards,
+  * M1 token mass) can come from a real learned tokenizer instead of
+  * E3's whitespace heuristic.
+  *
+  * The published BPE algorithm (Sennrich/Haddow/Birch 2016; same core
+  * as GPT-2's tokenizer): start from characters, repeatedly merge the
+  * most frequent adjacent symbol pair, keep the merge table. The
+  * sufficient statistic for training is the WORD FREQUENCY HISTOGRAM —
+  * so the corpus-scale half is one aggregation (explode → count →
+  * top-[[VocabWords]] by TakeOrdered, the same bounded-model-artifact
+  * discipline as the k-means/PQ trainers), and the merge loop runs
+  * driver-local over that bounded histogram (≤ VocabWords·avg_len
+  * symbols per iteration — microseconds where [[NumMerges]] Spark
+  * jobs would be scheduling-bound).
+  *
+  * Scoring contract (what the oracle verifies): CLOSED-vocab BPE with
+  * character fallback — a word in the trained vocabulary costs its
+  * precomputed BPE token count, any other word costs its character
+  * count (the OOV byte-fallback convention of production tokenizers).
+  * Scoring is ONE narrow native pass ([[graft.plans.BpeCount]]:
+  * fused tokenize + binary search per word, no explode/join/shuffle);
+  * the DuckDB twin carries the identical frozen (word → count) table
+  * as a VALUES literal, so the learned model itself is inside the
+  * oracle gate.
+  *
+  * Determinism: top-V ties break on the word, merge ties break on the
+  * lexicographically smallest pair, so the trained table is a pure
+  * function of the corpus and both engines' scoring agrees exactly
+  * (integer arithmetic throughout). */
+object Bpe {
+
+  /** Bounded word dictionary: top-V words by (freq desc, word asc). */
+  val VocabWords = 2000
+  /** Merge-table size — the tokenizer's vocabulary budget (stops
+    * early when no pair repeats). Production corpora run 10⁴-10⁵
+    * merges; the synthetic corpus has a 31-word vocabulary that
+    * SATURATES (every word one token) past ~150 merges, so the
+    * default keeps the Zipf structure visible: frequent words collapse
+    * to single tokens, rare words stay multi-token — the behavior a
+    * real budgeted tokenizer shows. */
+  val NumMerges = 16
+
+  /** Frozen model: ordered merge table, the (word → bpe token count)
+    * vocabulary SORTED in UTF8 binary order (the native scorer's
+    * binary-search contract), and the token-mass coverage of the
+    * vocabulary (what fraction of corpus tokens hit the closed path). */
+  case class BpeModel(merges: Seq[(String, String)],
+                      vocab: IndexedSeq[(String, Long)],
+                      coverage: Double,
+                      trainMillis: Long)
+
+  // ---------------------------------------------------------- trainer
+  /** Driver-local merge training over a word-frequency histogram —
+    * the published algorithm, verbatim: symbols start as characters;
+    * each round counts adjacent pairs weighted by word frequency,
+    * merges the most frequent (ties → lexicographically smallest
+    * pair), and stops at [[NumMerges]] or when no pair occurs twice. */
+  private[graft] def trainMerges(wordFreq: Seq[(String, Long)],
+                                 numMerges: Int = NumMerges): Seq[(String, String)] = {
+    var words: Array[(Array[String], Long)] =
+      wordFreq.map { case (w, f) => (w.map(_.toString).toArray, f) }.toArray
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var done = false
+    while (!done && merges.length < numMerges) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      for ((syms, f) <- words; j <- 0 until syms.length - 1) {
+        val p = (syms(j), syms(j + 1))
+        counts(p) = counts.getOrElse(p, 0L) + f
+      }
+      if (counts.isEmpty) done = true
+      else {
+        val (best, c) = counts.minBy { case ((a, b), n) => (-n, a, b) }
+        if (c < 2) done = true
+        else {
+          merges += best
+          words = words.map { case (syms, f) => (mergePair(syms, best), f) }
+        }
+      }
+    }
+    merges.toSeq
+  }
+
+  /** One left-to-right pass merging every occurrence of `p`. */
+  private def mergePair(syms: Array[String], p: (String, String)): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var j = 0
+    while (j < syms.length) {
+      if (j < syms.length - 1 && syms(j) == p._1 && syms(j + 1) == p._2) {
+        out += p._1 + p._2; j += 2
+      } else { out += syms(j); j += 1 }
+    }
+    out.toArray
+  }
+
+  /** Encode length of one word under the frozen merge ranks: greedy
+    * lowest-rank-first application (the published apply rule). */
+  private[graft] def encodeLen(word: String,
+                               ranks: Map[(String, String), Int]): Int = {
+    var syms: Array[String] = word.map(_.toString).toArray
+    var go = syms.length > 1
+    while (go) {
+      var bestRank = Int.MaxValue
+      var j = 0
+      while (j < syms.length - 1) {
+        ranks.get((syms(j), syms(j + 1))).foreach { r =>
+          if (r < bestRank) bestRank = r
+        }
+        j += 1
+      }
+      if (bestRank == Int.MaxValue) go = false
+      else {
+        val p = ranks.collectFirst {
+          case (pair, r) if r == bestRank => pair
+        }.get
+        syms = mergePair(syms, p)
+        if (syms.length < 2) go = false
+      }
+    }
+    syms.length
+  }
+
+  // ------------------------------------------------------------ model
+  private val modelCache =
+    new java.util.concurrent.ConcurrentHashMap[String, BpeModel]()
+  /** Last trained dir — the oracle dump's fallback key (Verify runs
+    * queries before it serializes oracle SQL, so this is set by then). */
+  private val lastDir = new java.util.concurrent.atomic.AtomicReference[String]()
+
+  /** Train (memoized per dir): one corpus aggregation for the top-V
+    * word histogram + one narrow aggregation for total token mass,
+    * then the driver-local merge loop. */
+  def model(spark: SparkSession, dir: String): BpeModel = {
+    lastDir.set(dir)
+    modelCache.computeIfAbsent(dir, _ => {
+      val t0 = System.nanoTime()
+      val docs = Tables.documents(spark, dir)
+      val wf = docs
+        .select(explode(split(col("text"), " ")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("f"))
+        .orderBy(col("f").desc, col("w").asc)
+        .limit(VocabWords)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      val totalTokens = docs
+        .agg(sum(size(split(col("text"), " ")).cast("long"))).head().getLong(0)
+      val merges = trainMerges(wf)
+      val ranks = merges.zipWithIndex.toMap
+      val vocab = wf.map { case (w, _) => (w, encodeLen(w, ranks).toLong) }
+        .sortWith((a, b) =>
+          UTF8String.fromString(a._1).compareTo(UTF8String.fromString(b._1)) < 0)
+        .toIndexedSeq
+      val coverage =
+        if (totalTokens == 0) 0.0 else wf.map(_._2).sum.toDouble / totalTokens
+      BpeModel(merges, vocab, coverage, (System.nanoTime() - t0) / 1000000L)
+    })
+  }
+
+  // ------------------------------------------------------------ query
+  /** P1's scoring query: per doc, whitespace word count and the BPE
+    * token count under the frozen model — one narrow native pass. */
+  def tokenCountsBpe(spark: SparkSession, dir: String): DataFrame = {
+    val m = model(spark, dir)
+    tokenCountsBpeFrom(spark, Tables.documents(spark, dir), m)
+  }
+
+  /** Scoring over an arbitrary (doc_id, text) frame with a frozen
+    * model — stream-safe (narrow, stateless), the M3 convention. */
+  def tokenCountsBpeFrom(spark: SparkSession, docs: DataFrame,
+                         m: BpeModel): DataFrame = {
+    graft.plans.GraftFunctions.register(spark)
+    val stats = call_function("graft_bpe_count", col("text"),
+      array(m.vocab.map(v => lit(v._1)): _*),
+      array(m.vocab.map(v => lit(v._2)): _*))
+    docs.select(col("doc_id"), stats.as("s"))
+      .select(col("doc_id"),
+        element_at(col("s"), 1).as("n_words"),
+        element_at(col("s"), 2).as("n_bpe_tokens"))
+      .orderBy("doc_id")
+  }
+
+  /** The DuckDB twin — carries the SAME frozen (word → count) table
+    * as a VALUES literal, so the learned model is itself under the
+    * oracle gate. Data-dependent by necessity (the model is trained
+    * from the corpus): resolves the memoized model, training on
+    * demand off the active session for the dump-only path. */
+  def tokenCountsBpeSql: String = {
+    val m = oracleModel()
+    val vals = m.vocab
+      .map { case (w, c) => s"('${w.replace("'", "''")}', $c)" }
+      .mkString(", ")
+    s"""WITH vocab(word, n_tok) AS (VALUES $vals),
+      |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+      |        FROM documents)
+      |SELECT t.doc_id,
+      |  count(*) AS n_words,
+      |  CAST(sum(coalesce(v.n_tok, length(t.w))) AS BIGINT) AS n_bpe_tokens
+      |FROM tok t LEFT JOIN vocab v ON t.w = v.word
+      |GROUP BY t.doc_id
+      |ORDER BY t.doc_id""".stripMargin
+  }
+
+  private def oracleModel(): BpeModel = {
+    val dir = Option(lastDir.get())
+      .orElse(sys.env.get("SPARK_GRAFT_SF_DIR"))
+      .getOrElse("/root/testdata/sf0.01")
+    Option(modelCache.get(dir)).getOrElse {
+      val spark = SparkSession.getActiveSession.getOrElse(
+        throw new IllegalStateException(
+          "BPE oracle SQL requested before any session existed"))
+      model(spark, dir)
+    }
+  }
+}

@@ -186,6 +186,38 @@ object GraftFunctions {
     (children: Seq[Expression]) => BloomMightContain(
       children(0), litBinary(children(1), "graft_might_contain bloom")): Expression)
 
+  /** Foldable string-array extraction (frozen vocabularies). */
+  private def litStringArray(e: Expression, what: String): IndexedSeq[String] =
+    e match {
+      case x if x.foldable => x.eval() match {
+        case a: org.apache.spark.sql.catalyst.util.ArrayData =>
+          (0 until a.numElements()).map(i => a.getUTF8String(i).toString)
+        case other => throw new IllegalArgumentException(
+          s"$what must be a non-null array literal, got $other")
+      }
+      case x => throw new IllegalArgumentException(s"$what must be a literal, got $x")
+    }
+
+  /** Foldable long-array extraction (frozen count tables). */
+  private def litLongArray(e: Expression, what: String): IndexedSeq[Long] =
+    e match {
+      case x if x.foldable => x.eval() match {
+        case a: org.apache.spark.sql.catalyst.util.ArrayData =>
+          a.toLongArray().toIndexedSeq
+        case other => throw new IllegalArgumentException(
+          s"$what must be a non-null array literal, got $other")
+      }
+      case x => throw new IllegalArgumentException(s"$what must be a literal, got $x")
+    }
+
+  private val bpeCountDesc = (
+    FunctionIdentifier("graft_bpe_count"),
+    new ExpressionInfo(classOf[BpeCount].getName, null, "graft_bpe_count"),
+    (children: Seq[Expression]) => BpeCount(
+      children(0),
+      litStringArray(children(1), "graft_bpe_count words"),
+      litLongArray(children(2), "graft_bpe_count counts")): Expression)
+
   private val sortedExceptDesc = (
     FunctionIdentifier("graft_sorted_except"),
     new ExpressionInfo(classOf[SortedExcept].getName, null, "graft_sorted_except"),
@@ -194,7 +226,7 @@ object GraftFunctions {
 
   private val all = Seq(cosineDesc, srpDesc, minhashDesc, simhashDesc,
     pqEncodeDesc, shinglesDesc, gramStatsDesc, mightContainDesc,
-    sortedExceptDesc)
+    sortedExceptDesc, bpeCountDesc)
 
   /** Idempotent per-session registration (for sessions built without
     * the extensions config). */

@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Bpe
+import graft.sources.Tables
+
+/** P1 gates: the merge trainer reproduces the published algorithm on
+  * a hand-computed corpus, encode lengths follow the greedy
+  * rank-order apply, the native scoring pass equals a plain-Scala
+  * recompute under the frozen model, and scoring is narrow (no
+  * explode/join/shuffle). */
+class BpeSpec extends SparkSpec {
+
+  test("merge trainer matches the hand-computed published example") {
+    // the classic BPE walkthrough corpus (HF course / Sennrich fig.):
+    // pair counts round 1: (u,g)=20, (p,u)=17, (u,n)=16, (h,u)=15 ...
+    val wf = Seq("hug" -> 10L, "pug" -> 5L, "pun" -> 12L, "bun" -> 4L,
+      "hugs" -> 5L)
+    val merges = Bpe.trainMerges(wf, numMerges = 3)
+    assert(merges == Seq(("u", "g"), ("u", "n"), ("h", "ug")),
+      s"got $merges")
+    val ranks = merges.zipWithIndex.toMap
+    assert(Bpe.encodeLen("hug", ranks) == 1)   // h u g -> h ug -> hug
+    assert(Bpe.encodeLen("hugs", ranks) == 2)  // -> hug s
+    assert(Bpe.encodeLen("pun", ranks) == 2)   // -> p un
+    assert(Bpe.encodeLen("bug", ranks) == 2)   // -> b ug
+    assert(Bpe.encodeLen("mud", ranks) == 3)   // no merge applies
+  }
+
+  test("merge ties break on the lexicographically smallest pair; rare pairs never merge") {
+    // "ab" and "cd" both occur twice; (a,b) < (c,d) must win round 1.
+    val merges = Bpe.trainMerges(Seq("ab" -> 2L, "cd" -> 2L, "xy" -> 1L),
+      numMerges = 10)
+    assert(merges == Seq(("a", "b"), ("c", "d")), s"got $merges")
+  }
+
+  test("native scoring equals a plain-Scala recompute of the frozen contract") {
+    val m = Bpe.model(spark, sfDir)
+    assert(m.vocab.nonEmpty && m.coverage > 0.5,
+      s"vocab ${m.vocab.size}, coverage ${m.coverage} — top-V should cover most mass")
+    val counts = m.vocab.toMap
+    val got = Bpe.tokenCountsBpe(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val texts = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(got.length == texts.size)
+    got.foreach { case (id, nWords, nBpe) =>
+      val words = texts(id).split(" ", -1)
+      assert(nWords == words.length, s"doc $id word count")
+      val expect = words.map(w =>
+        counts.getOrElse(w, w.codePointCount(0, w.length).toLong)).sum
+      assert(nBpe == expect, s"doc $id: got $nBpe want $expect")
+    }
+    // the learned count must differ from the whitespace heuristic
+    // somewhere, or the "tokenizer" learned nothing
+    assert(got.exists { case (_, nW, nB) => nB != nW },
+      "BPE counts identical to word counts everywhere")
+  }
+
+  test("scoring is one narrow pass: no explode, no join, no aggregate before the sort") {
+    val m = Bpe.model(spark, sfDir)
+    val plan = finalPlan(Bpe.tokenCountsBpeFrom(spark,
+      Tables.documents(spark, sfDir), m))
+    assert(!plan.contains("Join") && !plan.contains("Generate") &&
+      !plan.contains("HashAggregate"),
+      s"BPE scoring must be a narrow projection:\n$plan")
+  }
+
+  private def finalPlan(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+}
