@@ -137,7 +137,10 @@ object SparkEntry {
     // P1: in-engine-trained BPE tokenizer; the frozen (word -> count)
     // model rides the oracle SQL as a VALUES literal, so the learned
     // model is itself under the oracle gate
-    "q_text_tokens_bpe" -> (Bpe.tokenCountsBpe _)
+    "q_text_tokens_bpe" -> (Bpe.tokenCountsBpe _),
+    // P2: in-engine-trained logistic quality classifier (weak labels
+    // from E2 bands); frozen weights ride the oracle as a literal list
+    "q_quality_classifier" -> (QualityClassifier.classify _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -226,6 +229,7 @@ object SparkEntry {
     "q_dedup_soft" -> Dedup.softDedupSql,
     "q_curriculum_order" -> Curriculum.curriculumOrderSql,
     "q_lm_quality" -> CharLm.lmScoreSql,
-    "q_text_tokens_bpe" -> Bpe.tokenCountsBpeSql
+    "q_text_tokens_bpe" -> Bpe.tokenCountsBpeSql,
+    "q_quality_classifier" -> QualityClassifier.classifySql
   )
 }
