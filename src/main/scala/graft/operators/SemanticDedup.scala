@@ -560,4 +560,53 @@ object SemanticDedup {
       .select("vec_id", "embedding", "cid", "cent_sim")
     surviving.unionByName(fresh)
   }
+
+  /** Retrain trigger for [[maintainAssignments]]' frozen-generation
+    * contract — the piece that completes the CDC maintenance story:
+    * delta maintenance is exact FOR THE CENTROIDS IT WAS BUILT WITH,
+    * but a drifting corpus slowly makes those centroids a bad
+    * quantizer, and nothing in the per-row maintenance can see it.
+    * The gate reads two population-level signals off the maintained
+    * index itself (no embedding is touched):
+    *
+    *  - `tv_distance`: total-variation distance between the old and
+    *    maintained per-centroid population distributions (the K6
+    *    drift device applied to assignments) — catches mass MOVING
+    *    between buckets;
+    *  - `mean_sim_old` / `mean_sim_new`: mean assignment cosine —
+    *    catches mass moving AWAY from every centroid (new content in
+    *    a region no centroid covers raises TV little but drops the
+    *    mean residual fit).
+    *
+    * `refresh` fires when TV clears [[DriftTvBar]] or the mean
+    * assignment cosine fell by more than [[DriftSimDrop]]. Cost: two
+    * ≤k-row aggregations off n-row scans + a k-row join — nothing at
+    * corpus scale beyond one pass over each index frame. */
+  val DriftTvBar = 0.20
+  val DriftSimDrop = 0.05
+
+  def assignmentDrift(oldAssigned: DataFrame, newAssigned: DataFrame): DataFrame = {
+    def dist(df: DataFrame, p: String) = df
+      .groupBy("cid").agg(count(lit(1)).as(s"n_$p"))
+      .crossJoin(broadcast(df.agg(count(lit(1)).as(s"tot_$p"))))
+      .select(col("cid"),
+        (col(s"n_$p").cast("double") / col(s"tot_$p")).as(s"p_$p"))
+    val tv = dist(oldAssigned, "old")
+      .join(dist(newAssigned, "new"), Seq("cid"), "full_outer")
+      .agg((sum(abs(coalesce(col("p_old"), lit(0.0)) -
+        coalesce(col("p_new"), lit(0.0)))) / 2.0).as("tv_distance"))
+    val sims = oldAssigned.agg(avg("cent_sim").as("mean_sim_old"))
+      .crossJoin(newAssigned.agg(avg("cent_sim").as("mean_sim_new")))
+    tv.crossJoin(sims)
+      .select(col("tv_distance"), col("mean_sim_old"), col("mean_sim_new"),
+        (col("tv_distance") > DriftTvBar ||
+          col("mean_sim_old") - col("mean_sim_new") > DriftSimDrop)
+          .as("refresh"))
+  }
+
+  /** The boolean the maintenance loop consumes: true ⇒ this
+    * generation is done — retrain centroids (one full [[assignTo]]
+    * pass), then resume delta maintenance. */
+  def needsRefresh(oldAssigned: DataFrame, newAssigned: DataFrame): Boolean =
+    assignmentDrift(oldAssigned, newAssigned).head().getBoolean(3)
 }

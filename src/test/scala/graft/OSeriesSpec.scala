@@ -265,4 +265,34 @@ class OSeriesSpec extends SparkSpec {
       s"$diff maintained rows disagree with the intact full rebuild — " +
         "maintenance either read a poisoned embedding or mis-derived the survivor set")
   }
+
+  test("O5 drift gate: planted drift trips the refresh, a stable stream does not") {
+    val emb = Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
+    val cents = SimilaritySearch.trainCentroids(spark, emb, 8, 2).localCheckpoint()
+    val assigned = SemanticDedup.assignTo(spark, emb, cents).localCheckpoint()
+
+    // stable: a maintained index after a SMALL honest delta (a 5%
+    // hash band re-assigned) — populations barely move, gate stays off
+    val smallBand = Sampling.hashBucket(col("vec_id"), "driftsmall") < 3277
+    val stable = assigned.where(!smallBand)
+      .unionByName(SemanticDedup.assignTo(spark, emb.where(smallBand), cents))
+    val stableRow = SemanticDedup.assignmentDrift(assigned, stable).head()
+    assert(!stableRow.getBoolean(3),
+      s"stable stream tripped the gate: tv=${stableRow.getDouble(0)}")
+
+    // planted drift: the corpus's new vintage is sign-flipped — every
+    // vector lands far from the generation's centroids (populations
+    // reshuffle AND mean assignment cosine collapses)
+    val drifted = SemanticDedup.assignTo(spark,
+      emb.select(col("vec_id"),
+        expr("transform(embedding, v -> CAST(-v AS FLOAT))").as("embedding")),
+      cents)
+    val driftRow = SemanticDedup.assignmentDrift(assigned, drifted).head()
+    assert(driftRow.getBoolean(3),
+      s"planted drift did not trip: tv=${driftRow.getDouble(0)}, " +
+        s"sim ${driftRow.getDouble(1)} -> ${driftRow.getDouble(2)}")
+    assert(driftRow.getDouble(1) - driftRow.getDouble(2) > SemanticDedup.DriftSimDrop,
+      "sign-flip must collapse the mean assignment cosine")
+    assert(SemanticDedup.needsRefresh(assigned, drifted))
+  }
 }
