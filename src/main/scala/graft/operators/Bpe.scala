@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -184,6 +184,17 @@ object Bpe {
         element_at(col("s"), 1).as("n_words"),
         element_at(col("s"), 2).as("n_bpe_tokens"))
       .orderBy("doc_id")
+  }
+
+  /** The learned per-doc token count as a drop-in Column (the second
+    * slot of `graft_bpe_count` over `text`) — what the prefix-sum
+    * consumers (H11 token budgets, I1 shard packing) swap in for the
+    * chars/4 heuristic when the learned-counter flag is on. */
+  def tokenCountCol(spark: SparkSession, m: BpeModel): Column = {
+    graft.plans.GraftFunctions.register(spark)
+    element_at(call_function("graft_bpe_count", col("text"),
+      array(m.vocab.map(v => lit(v._1)): _*),
+      array(m.vocab.map(v => lit(v._2)): _*)), 2)
   }
 
   /** The DuckDB twin — carries the SAME frozen (word → count) table

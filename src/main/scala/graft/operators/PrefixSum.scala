@@ -25,11 +25,17 @@ private[graft] object PrefixSum {
     * `bkt`. NULL text estimates 0 tokens in BOTH engines — without
     * the coalesce, NULL est_tokens rows diverge from the DuckDB
     * twins (windowed SUM over an all-NULL frame is NULL there; and a
-    * NULL-derived sort column orders first in Spark, last in DuckDB). */
+    * NULL-derived sort column orders first in Spark, last in DuckDB).
+    * `tokenCounter` swaps the default chars/4 heuristic for a learned
+    * counter (the P1 BPE column) — the ONE place the token unit is
+    * defined, so every prefix-sum consumer inherits the swap. */
   def hashedBase(docs: DataFrame, salt: String,
-                 extraCols: Seq[String] = Nil): DataFrame =
+                 extraCols: Seq[String] = Nil,
+                 tokenCounter: Option[org.apache.spark.sql.Column] = None)
+      : DataFrame =
     docs.select(Seq(col("doc_id")) ++ extraCols.map(col) ++ Seq(
-      coalesce(ceil(length(col("text")) / lit(4.0)).cast("long"), lit(0L))
+      coalesce(tokenCounter
+          .getOrElse(ceil(length(col("text")) / lit(4.0)).cast("long")), lit(0L))
         .as("est_tokens"),
       md5(concat(col("doc_id").cast("string"), lit(":" + salt))).as("h")): _*)
       .withColumn("bkt", conv(substring(col("h"), 1, 2), 16, 10).cast("int"))

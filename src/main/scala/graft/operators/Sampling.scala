@@ -169,7 +169,9 @@ object Sampling {
     * carrying its bucket's `offset`. Exposed for ScalingStats — its
     * row count is exactly what the final window sorts. */
   private[graft] def tokenBudgetCandidates(spark: SparkSession, dir: String,
-                                           budget: Long, salt: String): DataFrame =
+                                           budget: Long, salt: String,
+                                           tokenCounter: Option[Column] = None)
+      : DataFrame =
     // shared machinery: PrefixSum builds the hash/bucket columns and
     // the per-(source, bucket) offsets (a <= sources x 256 row
     // window). The prune drops whole past-budget buckets BEFORE the
@@ -177,12 +179,29 @@ object Sampling {
     // has cum > budget (est_tokens >= 0), so the final window sorts
     // only the few head buckets that can still emit.
     PrefixSum.withBucketOffsets(
-      PrefixSum.hashedBase(Tables.documents(spark, dir), salt, Seq("source")),
+      PrefixSum.hashedBase(Tables.documents(spark, dir), salt, Seq("source"),
+        tokenCounter),
       Seq("source"),
       _.where(col("offset") <= budget))
 
+  /** H11 under the LEARNED token counter (P1): the same two-level
+    * prefix-sum plan with `est_tokens` swapped from the chars/4
+    * heuristic to the trained BPE count — the flag the verdict asked
+    * for, one Column at the single place the token unit is defined.
+    * Test-verified (BpeSpec recomputes the cut driver-side); the
+    * default [[tokenBudget]] keeps the heuristic and its oracle. */
+  def tokenBudgetBpe(spark: SparkSession, dir: String,
+                     budget: Long = 1000L, salt: String = "budget"): DataFrame =
+    tokenBudgetWith(spark, dir, budget, salt,
+      Some(Bpe.tokenCountCol(spark, Bpe.model(spark, dir))))
+
   def tokenBudget(spark: SparkSession, dir: String,
-                  budget: Long = 1000L, salt: String = "budget"): DataFrame = {
+                  budget: Long = 1000L, salt: String = "budget"): DataFrame =
+    tokenBudgetWith(spark, dir, budget, salt, None)
+
+  private def tokenBudgetWith(spark: SparkSession, dir: String,
+                              budget: Long, salt: String,
+                              tokenCounter: Option[Column]): DataFrame = {
     val W = org.apache.spark.sql.expressions.Window
     val wCum = W.partitionBy("source", "bkt").orderBy(col("h"), col("doc_id"))
       .rowsBetween(W.unboundedPreceding, W.currentRow)
@@ -190,7 +209,7 @@ object Sampling {
     // row whose in-bucket prefix is all-null must get cum = offset
     // (exactly what the single-window form and the DuckDB oracle
     // produce), not a NULL cum that silently drops the row
-    tokenBudgetCandidates(spark, dir, budget, salt)
+    tokenBudgetCandidates(spark, dir, budget, salt, tokenCounter)
       .withColumn("cum_tokens",
         col("offset") + coalesce(sum(col("est_tokens")).over(wCum), lit(0L)))
       .where(col("cum_tokens") <= budget)

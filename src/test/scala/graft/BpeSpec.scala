@@ -59,6 +59,34 @@ class BpeSpec extends SparkSpec {
       "BPE counts identical to word counts everywhere")
   }
 
+  test("token-budget packing under the learned counter matches a driver-side recompute") {
+    val m = Bpe.model(spark, sfDir)
+    val counts = m.vocab.toMap
+    val budget = 1000L
+    val got = graft.operators.Sampling.tokenBudgetBpe(spark, sfDir, budget)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    // recompute: per source, docs in (md5(doc_id:budget), doc_id)
+    // order, running BPE-token sum cut at the budget
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"), col("text"),
+        md5(concat(col("doc_id").cast("string"), lit(":budget"))).as("h"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
+    def bpeTokens(text: String): Long =
+      text.split(" ", -1).map(w =>
+        counts.getOrElse(w, w.codePointCount(0, w.length).toLong)).sum
+    val expect = docs.groupBy(_._2).values.flatMap { rows =>
+      var cum = 0L
+      rows.sortBy(r => (r._4, r._1)).flatMap { case (id, _, text, _) =>
+        cum += bpeTokens(text)
+        if (cum <= budget) Some((id, bpeTokens(text), cum)) else None
+      }
+    }.toSet
+    assert(got.toSet == expect,
+      s"BPE-budget cut diverged: ${got.length} vs ${expect.size} rows")
+    assert(got.nonEmpty, "budget emitted nothing — fixture too tight")
+  }
+
   test("scoring is one narrow pass: no explode, no join, no aggregate before the sort") {
     val m = Bpe.model(spark, sfDir)
     val plan = finalPlan(Bpe.tokenCountsBpeFrom(spark,
