@@ -179,7 +179,8 @@ object Bench {
   /** The production-composition entries (rows-only; no oracle — their
     * equality to the self-contained forms is spec-pinned). */
   private val FromForms = Set(
-    "from_curate", "from_pipeline_pack", "from_corpus_report", "from_drop_ledger")
+    "from_curate", "from_pipeline_pack", "from_corpus_report", "from_drop_ledger",
+    "from_quality_classifier", "from_text_tokens_bpe")
 
   /** Materialize the shared stage outputs once (untimed), then time
     * ONLY the `*From` compositions over the persisted parquet — the
@@ -205,13 +206,22 @@ object Bench {
       val semDrops = persist("sem_drops", Pipeline.semanticDrops(spark, sfDir))
       val curated = persist("curated",
         Curation.curateFrom(docs, quality, exact, decont))
+      // the learned models' steady-state price: train ONCE (untimed —
+      // the refresh-cadence cost), time only the frozen-model scoring
+      // pass every consumer pays
+      val qcModel = QualityClassifier.model(spark, sfDir)
+      val bpeModel = Bpe.model(spark, sfDir)
       val forms: Seq[(String, () => DataFrame)] = Seq(
         "from_curate" -> (() => Curation.curateFrom(docs, quality, exact, decont)),
         "from_pipeline_pack" -> (() => Pipeline.pipelinePackFrom(docs, curated, semDrops)),
         "from_corpus_report" -> (() =>
           Reporting.corpusReportFrom(docs, quality, exact, clusters, decont, drift)),
         "from_drop_ledger" -> (() =>
-          Reporting.dropLedgerFrom(decont, exact, clusters, semDrops, quality)))
+          Reporting.dropLedgerFrom(decont, exact, clusters, semDrops, quality)),
+        "from_quality_classifier" -> (() =>
+          QualityClassifier.classifyFrom(docs, qcModel)),
+        "from_text_tokens_bpe" -> (() =>
+          Bpe.tokenCountsBpeFrom(spark, docs, bpeModel)))
       forms.filter { case (n, _) => only.forall(_.contains(n)) }
         .foreach { case (n, mk) => timeQuery(n, mk) }
     } catch {

@@ -69,6 +69,7 @@ object SparkEntry {
     // dHash from decoded pixels and feeds C3's Manku hamming index
     "q_mm_dedup_exact" -> (ImageDedup.imageDedupExact _),
     "q_mm_dedup_near" -> (ImageDedup.imageNearDup _),
+    "q_mm_dedup_clusters" -> (ImageDedup.imageDupClusters _),
     // G. sampling / profiling
     "q_dedup_clusters" -> (Dedup.dupClusters _),
     "q_asof_attribution" -> (AsofJoin.attribution _),
@@ -185,6 +186,7 @@ object SparkEntry {
     "q_mm_binary_meta" -> Multimodal.binaryMetaSql,
     "q_mm_dedup_exact" -> ImageDedup.imageDedupExactSql,
     "q_mm_dedup_near" -> ImageDedup.imageNearDupSql,
+    "q_mm_dedup_clusters" -> ImageDedup.imageDupClustersSql,
     "q_dedup_clusters" -> Dedup.dupClustersSql,
     "q_asof_attribution" -> AsofJoin.attributionSql,
     "q_sample_hash" -> Sampling.hashSampleSql(),

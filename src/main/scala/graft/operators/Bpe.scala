@@ -135,12 +135,15 @@ object Bpe {
     * queries before it serializes oracle SQL, so this is set by then). */
   private val lastDir = new java.util.concurrent.atomic.AtomicReference[String]()
 
-  /** Train (memoized per dir): one corpus aggregation for the top-V
-    * word histogram + one narrow aggregation for total token mass,
-    * then the driver-local merge loop. */
+  /** Train for `dir` and RECORD the model for the oracle dump: one
+    * corpus aggregation for the top-V word histogram + one narrow
+    * aggregation for total token mass, then the driver-local merge
+    * loop. Always retrains (a bench rep must not silently become
+    * score-only via a warm cache); the cache exists solely so the
+    * oracle SQL embeds the exact model of the LAST run. */
   def model(spark: SparkSession, dir: String): BpeModel = {
     lastDir.set(dir)
-    modelCache.computeIfAbsent(dir, _ => {
+    val trained = {
       val t0 = System.nanoTime()
       val docs = Tables.documents(spark, dir)
       val wf = docs
@@ -160,7 +163,9 @@ object Bpe {
       val coverage =
         if (totalTokens == 0) 0.0 else wf.map(_._2).sum.toDouble / totalTokens
       BpeModel(merges, vocab, coverage, (System.nanoTime() - t0) / 1000000L)
-    })
+    }
+    modelCache.put(dir, trained)
+    trained
   }
 
   // ------------------------------------------------------------ query

@@ -386,10 +386,17 @@ object Dedup {
     * it (F3 feeds PERCEPTUAL image hashes recovered from decoded
     * pixels through the same tables — the index doesn't care where
     * the bits came from). */
-  private[graft] def hammingPairsOf(sigs: DataFrame): DataFrame = {
-    val bands = sigs.select(col("doc_id"), col("simhash"),
+  /** (doc_id, simhash, band, key) block-pair index rows of an
+    * arbitrary (doc_id, simhash) frame — narrow (one explode), so it
+    * applies to batch AND streaming inputs (the [[bandsOf]] device
+    * for the hamming index). */
+  private[graft] def simhashBandsOf(sigs: DataFrame): DataFrame =
+    sigs.select(col("doc_id"), col("simhash"),
       explode(expr(simhashTableStructsExpr)).as("bk"))
       .select(col("doc_id"), col("simhash"), col("bk.band"), col("bk.key"))
+
+  private[graft] def hammingPairsOf(sigs: DataFrame): DataFrame = {
+    val bands = simhashBandsOf(sigs)
     // bucket-collect pair generation: signatures computed once (see
     // lshPairs for the shape rationale and cap)
     bands.groupBy("band", "key")

@@ -226,4 +226,76 @@ object ImageDedup {
       decodedSigs(imageTable(spark, dir)).toDF())
 
   val imageNearDupSql: String = Dedup.simhashSql
+
+  // ---------------------------------------------------------------- F4
+  /** F4: perceptual near-dup CLUSTERS — F3's pair graph closed into
+    * connected components with G4's pointer-jumping min-label
+    * machinery (the J8 composition, on image fingerprints): A≈B≈C
+    * collapses to one canonical survivor even when A, C never shared
+    * a table bucket. Only images with ≥1 near-dup edge appear (the
+    * J8 report convention — isolated images would dilute the report
+    * n-fold). Scale: pairs are F3's (bounded-bucket) output; each CC
+    * round moves the edge-endpoint label table, never a pixel. */
+  def imageDupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val edges = imageNearDup(spark, dir)
+      .select(explode(array(
+        struct(col("doc_a").as("src"), col("doc_b").as("dst")),
+        struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .persist()
+    val (labels, _) = Dedup.propagateMinLabels(edges)
+    edges.unpersist()
+    labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
+      .withColumn("is_canonical", col("doc_id") === col("cluster_id"))
+      .orderBy("doc_id")
+  }
+
+  /** F4's twin: the C3 pair SQL as a CTE under the same recursive
+    * transitive closure the G4/J8 oracles use. */
+  val imageDupClustersSql: String =
+    s"""WITH RECURSIVE sp AS (
+      |${Dedup.simhashSql}
+      |),
+      |edges AS (SELECT doc_a AS src, doc_b AS dst FROM sp
+      |          UNION ALL SELECT doc_b, doc_a FROM sp),
+      |reach(id, lbl) AS (
+      |  SELECT src, src FROM edges
+      |  UNION
+      |  SELECT e.src, r.lbl FROM reach r JOIN edges e ON e.dst = r.id)
+      |SELECT id AS doc_id, min(lbl) AS cluster_id,
+      |  id = min(lbl) AS is_canonical
+      |FROM reach GROUP BY id
+      |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- F5
+  /** (band, key, old_id, old_sim) block-pair index of the existing
+    * image corpus — the static side a streaming match probes. The
+    * fingerprint rides along so the join emits EXACT hamming, not
+    * just band collisions. At scale this is written once, bucketed on
+    * (band, key), and reused across micro-batches (the H9 corpus-
+    * index convention; capped like the batch buckets). */
+  def imageBandIndex(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhashBandsOf(decodedSigs(imageTable(spark, dir)).toDF())
+      .groupBy("band", "key")
+      .agg(expr("slice(array_sort(collect_list(named_struct(" +
+        s"'doc_id', doc_id, 'simhash', simhash))), 1, ${Dedup.BucketCap})")
+        .as("ms"))
+      .select(col("band"), col("key"), explode(col("ms")).as("m"))
+      .select(col("band"), col("key"),
+        col("m.doc_id").as("old_id"), col("m.simhash").as("old_sim"))
+
+  /** F5: STREAMING image near-dup — arriving blobs decode (the same
+    * real codec pass, stream-safe: mapPartitions is narrow), band out
+    * (one explode), and probe the static corpus index with a
+    * stream-static equi-join; ham ≤ 4 filters at emission. Zero
+    * streaming state, append mode, at-least-once per shared band
+    * (H9's contract — distinct downstream). */
+  def imageStreamMatches(stream: Dataset[ImageBlob],
+                         corpusIndex: DataFrame): DataFrame =
+    Dedup.simhashBandsOf(decodedSigs(stream).toDF())
+      .join(corpusIndex, Seq("band", "key"))
+      .where(col("doc_id") =!= col("old_id"))
+      .select(col("doc_id"), col("old_id"),
+        expr("CAST(bit_count(simhash ^ old_sim) AS INT)").as("hamming"))
+      .where(col("hamming") <= 4)
 }

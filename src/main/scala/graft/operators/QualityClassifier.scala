@@ -79,10 +79,17 @@ object QualityClassifier {
     new java.util.concurrent.ConcurrentHashMap[String, QcModel]()
   private val lastDir = new java.util.concurrent.atomic.AtomicReference[String]()
 
+  /** Train for `dir` and RECORD the model for the oracle dump. Always
+    * retrains (the self-contained pricing discipline the composites
+    * use — a bench rep must not silently become score-only via a warm
+    * cache and trip the load guard's spread check); the cache exists
+    * solely so the oracle SQL embeds the exact weights of the LAST
+    * run — the run whose output it is compared against. */
   def model(spark: SparkSession, dir: String): QcModel = {
     lastDir.set(dir)
-    modelCache.computeIfAbsent(dir, _ =>
-      train(spark, Tables.documents(spark, dir)))
+    val m = train(spark, Tables.documents(spark, dir))
+    modelCache.put(dir, m)
+    m
   }
 
   private[graft] def train(spark: SparkSession, docs: DataFrame): QcModel = {

@@ -97,6 +97,62 @@ class ImageDedupSpec extends SparkSpec {
       "planted dup not canonicalized to its original")
   }
 
+  test("image near-dup clusters equal a transitive-closure recompute of the pair graph") {
+    val pairs = ImageDedup.imageNearDup(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    // union-find over the collected pair set
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val members = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+    val expect = members.map(id => (id, find(id), id == find(id))).toSet
+    val got = ImageDedup.imageDupClusters(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(got == expect, "image clusters diverged from the union-find recompute")
+  }
+
+  test("streaming image matches equal the batch pair set through a real stream") {
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("f5").toFile.getPath
+    try {
+      ImageDedup.imageTable(spark, sfDir).toDF()
+        .write.mode("overwrite").parquet(s"$tmp/blobs")
+      val index = ImageDedup.imageBandIndex(spark, sfDir).persist()
+      index.count()
+      val stream = spark.readStream
+        .schema("doc_id BIGINT, png BINARY").parquet(s"$tmp/blobs")
+        .as[ImageDedup.ImageBlob]
+      val name = "f5_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = ImageDedup.imageStreamMatches(stream, index)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val got = spark.table(name).collect()
+        .map(r => (math.min(r.getLong(0), r.getLong(1)),
+          math.max(r.getLong(0), r.getLong(1)))).toSet
+      val want = ImageDedup.imageNearDup(spark, sfDir).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == want,
+        s"stream matches diverged: ${(got diff want).size} extra, " +
+          s"${(want diff got).size} missing")
+      index.unpersist()
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+      }
+      rm(new java.io.File(tmp))
+    }
+  }
+
   test("image near-dup pairs through the decoded-pixel path equal C3's simhash pairs") {
     val img = ImageDedup.imageNearDup(spark, sfDir)
     val txt = Dedup.simhash(spark, sfDir)
