@@ -45,6 +45,7 @@ object SparkEntry {
     "q_dedup_minhash_lsh" -> (Dedup.minhashLsh _),
     "q_dedup_simhash" -> (Dedup.simhash _),
     "q_dedup_ngram_jaccard" -> (Dedup.ngramJaccard _),
+    "q_dedup_containment" -> (Dedup.ngramContainment _),
     "q_dedup_embedding" -> (Dedup.embeddingNearDup _),
     "q_ann_brute_topk" -> (SimilaritySearch.bruteTopK _),
     "q_ann_ivf" -> (SimilaritySearch.ivfTopK _),
@@ -87,6 +88,7 @@ object SparkEntry {
     "q_profile_approx" -> (Sampling.approxProfile _),
     "q_curate" -> (Curation.curate _),
     "q_mix_resample" -> ((s: SparkSession, d: String) => Sampling.mixResample(s, d)),
+    "q_mix_unimax" -> ((s: SparkSession, d: String) => Sampling.mixUnimax(s, d)),
     "q_token_budget" -> ((s: SparkSession, d: String) => Sampling.tokenBudget(s, d)),
     // I. output shaping + corpus-global signals (round 8)
     "q_shard_pack" -> ((s: SparkSession, d: String) => Packing.shardPack(s, d)),
@@ -179,6 +181,7 @@ object SparkEntry {
     "q_dedup_minhash_lsh" -> Dedup.minhashLshSql,
     "q_dedup_simhash" -> Dedup.simhashSql,
     "q_dedup_ngram_jaccard" -> Dedup.ngramJaccardSql,
+    "q_dedup_containment" -> Dedup.ngramContainmentSql,
     "q_dedup_embedding" -> Dedup.embeddingNearDupSql,
     "q_ann_brute_topk" -> SimilaritySearch.bruteTopKSql,
     "q_ann_ivf" -> SimilaritySearch.ivfTopKSql,
@@ -199,6 +202,7 @@ object SparkEntry {
     "q_ann_quantized" -> SimilaritySearch.quantizedTopKSql,
     "q_curate" -> Curation.curateSql,
     "q_mix_resample" -> Sampling.mixResampleSql(),
+    "q_mix_unimax" -> Sampling.mixUnimaxSql(),
     "q_token_budget" -> Sampling.tokenBudgetSql(),
     "q_shard_pack" -> Packing.shardPackSql(),
     "q_sample_stratified" -> Packing.stratifiedSampleSql(),

@@ -490,6 +490,71 @@ object Dedup {
       |           JOIN s sb ON doc_b = sb.doc_id
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  // ---------------------------------------------------------------- C7
+  /** C7: asymmetric CONTAINMENT verification of the LSH candidates —
+    * the crawl-data case Jaccard under-reports: page A = page B plus
+    * boilerplate has inter/union pulled down by A's extra shingles,
+    * but inter/min(|A|,|B|) ≈ 1 ("B is inside A"). Containment is the
+    * published complement to resemblance (Broder's original pair of
+    * measures), and the actionable verdict differs: resemblance drops
+    * either copy, containment drops the CONTAINED doc (the subset adds
+    * nothing the superset lacks). `contained_id` names it (the
+    * smaller shingle set; ties → the larger doc_id, so the kept doc
+    * is the canonical min like C1/G4).
+    *
+    * Same plan as C4 (one signature pass, bucket-collect pairing,
+    * exact set math inside the bucket) — recall is C2's: MinHash LSH
+    * recalls by RESEMBLANCE, so low-Jaccard/high-containment pairs
+    * need the bands to collide anyway; within the candidate set the
+    * containment arithmetic is exact. The honest statement for 100 TB:
+    * this verifies candidates, it does not widen them. */
+  private val ContainmentBar = 0.9
+
+  def ngramContainment(spark: SparkSession, dir: String): DataFrame =
+    containmentOf(minhashSig(spark, dir, carrySh = true))
+
+  /** C7 over an arbitrary (doc_id, text) frame. */
+  def ngramContainmentFrom(spark: SparkSession, docs: DataFrame): DataFrame =
+    containmentOf(minhashSigOf(spark, shingled(docs), carrySh = true))
+
+  private def containmentOf(sig: DataFrame): DataFrame =
+    explodeBands(sig, Seq("sh"))
+      .groupBy("band", "key")
+      .agg(collect_list(struct(col("doc_id"), col("sh"))).as("ms"))
+      .where(size(col("ms")) > 1)
+      .withColumn("sms", expr(s"slice(array_sort(ms), 1, $BucketCap)"))
+      .select(explode(expr(
+        """flatten(transform(sms, (a, i) ->
+          |  transform(slice(sms, i + 2, size(sms)), b ->
+          |    named_struct('doc_a', a.doc_id, 'doc_b', b.doc_id,
+          |      'inter', size(array_intersect(a.sh, b.sh)),
+          |      'na', size(a.sh), 'nb', size(b.sh)))))""".stripMargin)).as("p"))
+      .where(col("p.doc_a") < col("p.doc_b"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
+        (col("p.inter").cast("double") /
+          least(col("p.na"), col("p.nb")).cast("double")).as("containment"),
+        when(col("p.na") < col("p.nb"), col("p.doc_a"))
+          .when(col("p.nb") < col("p.na"), col("p.doc_b"))
+          .otherwise(greatest(col("p.doc_a"), col("p.doc_b")))
+          .as("contained_id"))
+      .distinct()
+      .where(col("containment") >= ContainmentBar)
+      .orderBy("doc_a", "doc_b")
+
+  val ngramContainmentSql: String = {
+    val cont = "CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) / " +
+      "CAST(least(len(sa.sh), len(sb.sh)) AS DOUBLE)"
+    s"""WITH $lshPairsSqlCtes
+      |SELECT doc_a, doc_b, $cont AS containment,
+      |  CASE WHEN len(sa.sh) < len(sb.sh) THEN doc_a
+      |       WHEN len(sb.sh) < len(sa.sh) THEN doc_b
+      |       ELSE greatest(doc_a, doc_b) END AS contained_id
+      |FROM pairs JOIN s sa ON doc_a = sa.doc_id
+      |           JOIN s sb ON doc_b = sb.doc_id
+      |WHERE $cont >= $ContainmentBar
+      |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   // ---------------------------------------------------------------- C6
   /** Transitive dup-cluster canonicalization: connected components over
     * the Jaccard-verified near-dup pairs, each doc labeled with its

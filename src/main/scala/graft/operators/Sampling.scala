@@ -134,6 +134,104 @@ object Sampling {
       |WHERE ${hashBucketSql("d.doc_id", salt)} < thr.thr
       |ORDER BY d.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- P3
+  /** P3: UniMax epoch-capped source mixing (Chung et al. 2023) — the
+    * published successor to temperature/uniform mixing (H10): given a
+    * total training budget of T document draws and an epoch cap E, no
+    * source repeats more than E times, and the budget left after
+    * capping the small sources spreads UNIFORMLY over the rest. H10
+    * can only downsample toward uniform; UniMax also OVERSAMPLES
+    * small high-quality sources (up to the cap) — the regime
+    * multilingual/code mixes actually train in.
+    *
+    * The waterfill is CLOSED-FORM over the per-source counts: sort
+    * sources ascending by capacity e_s = E·n_s; the capped set is a
+    * prefix (if a source's capacity is under its uniform share, every
+    * smaller one's is too — induction on the running remainder), so
+    * one window pass computes it: capped_s ⟺ e_s·(S−i+1) ≤ T −
+    * cum_prev_s, then a = e (capped) or (T − Σcapped) DIV (S−k)
+    * (uncapped; integer division, the ≤S−k leftover draws dropped).
+    * ALL-INTEGER — both engines agree exactly.
+    *
+    * Materialization is deterministic: source s emits a_s draws as
+    * `a DIV n` full copies of every doc plus one extra copy for the
+    * `a MOD n` docs ranking first by salted hash (a WindowGroupLimit-
+    * shape rank) — so `n_copies` is a pure function of the corpus.
+    * Scale: two source-cardinality aggregations + windows over
+    * #sources rows + one broadcast join back; the corpus side is one
+    * narrow pass. Output: every doc with its draw count (0 allowed —
+    * the weight table a shard-packer or K2 sampler consumes). */
+  val UniMaxEpochCap = 4
+  /** T = factor × corpus docs — a 3× oversampling budget, the regime
+    * where the epoch cap actually binds on small sources. */
+  val UniMaxBudgetFactor = 3
+
+  def mixUnimax(spark: SparkSession, dir: String,
+                salt: String = "unimax"): DataFrame =
+    mixUnimaxFrom(Tables.documents(spark, dir), salt)
+
+  def mixUnimaxFrom(docs: DataFrame, salt: String = "unimax"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val src = docs.groupBy("source").agg(count(lit(1)).as("n"))
+    val tot = docs.agg((count(lit(1)) * UniMaxBudgetFactor).as("t"))
+    val wOrd = Window.orderBy(col("e"), col("source"))
+    val wAll = Window.partitionBy() // whole frame: #sources rows
+    val alloc = src
+      .select(col("source"), col("n"), (col("n") * UniMaxEpochCap).as("e"))
+      .crossJoin(broadcast(tot))
+      .withColumn("i", row_number().over(wOrd))
+      .withColumn("s_total", count(lit(1)).over(wAll))
+      .withColumn("cum_prev",
+        coalesce(sum("e").over(wOrd.rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .withColumn("capped",
+        col("e") * (col("s_total") - col("i") + 1) <= col("t") - col("cum_prev"))
+      .withColumn("k", sum(when(col("capped"), 1).otherwise(0)).over(wAll))
+      .withColumn("capped_sum",
+        coalesce(sum(when(col("capped"), col("e"))).over(wAll), lit(0L)))
+      .withColumn("a", when(col("capped"), col("e"))
+        .otherwise(expr("(t - capped_sum) DIV (s_total - k)")))
+      .select(col("source"), col("n"), col("a"))
+    val wRank = Window.partitionBy("source")
+      .orderBy(hashBucket(col("doc_id"), salt), col("doc_id"))
+    docs.select(col("doc_id"), col("source"))
+      .join(broadcast(alloc), Seq("source"))
+      .withColumn("rk", row_number().over(wRank))
+      .select(col("doc_id"), col("source"),
+        (expr("a DIV n") +
+          when(col("rk") <= expr("a % n"), 1L).otherwise(0L)).as("n_copies"))
+      .orderBy("doc_id")
+  }
+
+  def mixUnimaxSql(salt: String = "unimax"): String =
+    s"""WITH tot AS (SELECT count(*) * $UniMaxBudgetFactor AS t FROM documents),
+      |src AS (SELECT source, count(*) AS n, count(*) * $UniMaxEpochCap AS e
+      |        FROM documents GROUP BY 1),
+      |w AS (
+      |  SELECT source, n, e, t,
+      |    row_number() OVER (ORDER BY e, source) AS i,
+      |    count(*) OVER () AS s_total,
+      |    coalesce(sum(e) OVER (ORDER BY e, source
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_prev
+      |  FROM src, tot),
+      |f AS (SELECT *, e * (s_total - i + 1) <= t - cum_prev AS capped FROM w),
+      |alloc AS (
+      |  SELECT source, n,
+      |    CASE WHEN capped THEN e
+      |         ELSE (t - (SELECT coalesce(sum(e) FILTER (WHERE capped), 0) FROM f))
+      |              // (s_total - (SELECT count(*) FILTER (WHERE capped) FROM f))
+      |    END AS a
+      |  FROM f),
+      |rk AS (
+      |  SELECT d.doc_id, d.source, alloc.n, alloc.a,
+      |    row_number() OVER (PARTITION BY d.source
+      |      ORDER BY ${hashBucketSql("d.doc_id", salt)}, d.doc_id) AS rk
+      |  FROM documents d JOIN alloc ON d.source = alloc.source)
+      |SELECT doc_id, source,
+      |  a // n + CASE WHEN rk <= a % n THEN 1 ELSE 0 END AS n_copies
+      |FROM rk
+      |ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------------------- H11
   /** Per-source token-budget packing — "give me ≤B estimated tokens
     * per source": docs are ordered by salted hash (a reproducible

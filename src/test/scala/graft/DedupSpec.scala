@@ -34,6 +34,29 @@ class DedupSpec extends SparkSpec {
     assert(missed == 0, s"LSH missed $missed true near-dup pairs")
   }
 
+  test("containment flags a subset doc that Jaccard misses, naming the contained side") {
+    import spark.implicits._
+    // B is A's 40-token prefix of 60: shingle containment 1.0 but
+    // jaccard ≈ 0.66 — the boilerplate-wrapped-copy case resemblance
+    // under-reports. Tokens fixed so the (deterministic) md5 minhash
+    // bands collide.
+    val toks = (1 to 60).map(i => s"w$i")
+    val a = toks.mkString(" ")
+    val b = toks.take(40).mkString(" ")
+    val docs = Seq((1L, a), (2L, b), (3L, "entirely unrelated text here"))
+      .toDF("doc_id", "text")
+    val got = graft.operators.Dedup.ngramContainmentFrom(spark, docs).collect()
+    assert(got.length == 1, s"want exactly the planted pair, got ${got.length}")
+    val r = got.head
+    assert((r.getLong(0), r.getLong(1)) == (1L, 2L))
+    assert(r.getDouble(2) == 1.0, s"containment ${r.getDouble(2)}")
+    assert(r.getLong(3) == 2L, "the prefix doc is the contained side")
+    // and C4's resemblance verdict on the same frame does NOT flag it
+    val sh = (t: String) => t.split(" ").sliding(3).map(_.mkString(" ")).toSet
+    val j = sh(a).intersect(sh(b)).size.toDouble / sh(a).union(sh(b)).size
+    assert(j < 0.8, f"fixture drifted: jaccard $j%.2f should sit under C4's bar")
+  }
+
   test("source matrix cells are canonical and conserve the pair count") {
     val pairs = Dedup.minhashLsh(spark, sfDir).count()
     val m = Dedup.sourceMatrix(spark, sfDir)
