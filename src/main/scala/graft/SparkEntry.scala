@@ -141,6 +141,7 @@ object SparkEntry {
     // model rides the oracle SQL as a VALUES literal, so the learned
     // model is itself under the oracle gate
     "q_text_tokens_bpe" -> (Bpe.tokenCountsBpe _),
+    "q_bpe_oov_drift" -> (Bpe.oovDrift _),
     // P2: in-engine-trained logistic quality classifier (weak labels
     // from E2 bands); frozen weights ride the oracle as a literal list
     "q_quality_classifier" -> (QualityClassifier.classify _)
@@ -236,6 +237,7 @@ object SparkEntry {
     "q_curriculum_order" -> Curriculum.curriculumOrderSql,
     "q_lm_quality" -> CharLm.lmScoreSql,
     "q_text_tokens_bpe" -> Bpe.tokenCountsBpeSql,
+    "q_bpe_oov_drift" -> Bpe.oovDriftSql,
     "q_quality_classifier" -> QualityClassifier.classifySql
   )
 }

@@ -223,6 +223,64 @@ object Bpe {
       |ORDER BY t.doc_id""".stripMargin
   }
 
+  // ------------------------------------------------------------- P4
+  /** Stale-vocabulary bar: a source whose OOV token mass exceeds this
+    * under the frozen vocab needs a tokenizer refresh (the K6 drift
+    * discipline applied to the LEARNED model — O5's refresh-gate idea
+    * for the tokenizer: per-row maintenance can't see the corpus
+    * drifting away from a frozen artifact, a population monitor can). */
+  val OovStaleBar = 0.1
+
+  /** P4: per-source OOV token-mass fraction under the frozen vocab —
+    * the vocabulary-staleness monitor a deployment runs on each new
+    * crawl before trusting frozen-tokenizer token counts. One narrow
+    * pass (the L2 binary-search subtraction against the sorted vocab
+    * literal gives each doc's OOV tokens in-row) + a #sources-row
+    * aggregation — no corpus-scale shuffle carries tokens. */
+  def oovDrift(spark: SparkSession, dir: String): DataFrame =
+    oovDriftFrom(spark, Tables.documents(spark, dir), model(spark, dir))
+
+  def oovDriftFrom(spark: SparkSession, docs: DataFrame,
+                   m: BpeModel): DataFrame = {
+    val vocabArr =
+      if (m.vocab.isEmpty) lit(Array.empty[String])
+      else sort_array(array(m.vocab.map(v => lit(v._1)): _*))
+    val toks = split(col("text"), " ")
+    docs
+      .select(col("source"), size(toks).cast("long").as("n_tok"),
+        size(graft.functions.Vectors.sortedExceptFast(spark, toks, vocabArr))
+          .cast("long").as("n_oov"))
+      .groupBy("source")
+      .agg(sum("n_tok").as("n_tokens"), sum("n_oov").as("n_oov"))
+      .select(col("source"), col("n_tokens"), col("n_oov"),
+        round(col("n_oov").cast("double") / col("n_tokens").cast("double"), 6)
+          .as("oov_frac"))
+      .withColumn("stale", col("oov_frac") > OovStaleBar)
+      .orderBy("source")
+  }
+
+  /** P4's twin — same frozen vocab as a VALUES literal. */
+  def oovDriftSql: String = {
+    val m = oracleModel()
+    val vals = m.vocab
+      .map { case (w, _) => s"('${w.replace("'", "''")}')" }
+      .mkString(", ")
+    s"""WITH vocab(word) AS (VALUES $vals),
+      |tok AS (SELECT source, unnest(string_split(text, ' ')) AS w
+      |        FROM documents),
+      |agg AS (
+      |  SELECT source, count(*) AS n_tokens,
+      |    CAST(sum(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_oov
+      |  FROM tok LEFT JOIN vocab v ON tok.w = v.word
+      |  GROUP BY source)
+      |SELECT source, n_tokens, n_oov,
+      |  round(CAST(n_oov AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS oov_frac,
+      |  round(CAST(n_oov AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
+      |    > $OovStaleBar AS stale
+      |FROM agg ORDER BY source""".stripMargin
+  }
+
   private def oracleModel(): BpeModel = {
     val dir = Option(lastDir.get())
       .orElse(sys.env.get("SPARK_GRAFT_SF_DIR"))

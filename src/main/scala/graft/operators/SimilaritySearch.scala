@@ -722,4 +722,87 @@ object SimilaritySearch {
       .select(col("query_id"), col("h.id").as("vec_id"))
     exactRescore(spark, emb, cands)
   }
+  // ---------------------------------------------------------------- D7
+  /** D7: partition-pruned ON-DISK IVF index — the J2 layout device
+    * applied to the vector store, which is how a production ANN index
+    * on plain parquet actually serves: assignments are WRITTEN
+    * hive-partitioned by `cid=` so a probe reads ONLY the probed
+    * buckets' FILES (pruned at listing time from a literal cid
+    * predicate), instead of scanning the whole corpus and filtering —
+    * at 10^9 vectors with k=10^4 buckets and probe=16, that is 0.16%
+    * of the files opened per query batch. Centroids persist beside
+    * the index (the bounded model artifact), so serving needs no
+    * retraining and the frozen generation contract is explicit
+    * (O5's maintenance + drift gate apply verbatim to this layout:
+    * delta re-assignments land in their cid directory).
+    *
+    * The probe set is computed DRIVER-SIDE from the collected
+    * centroids with the house rule (round-9 cosine desc, ties to the
+    * smallest cid — bit-matching assignTo/ivfSearchOn), because file
+    * pruning needs the cid predicate to be a LITERAL at plan time;
+    * queries are bounded, so this is k·|queries| driver floats.
+    * IvfLayoutSpec pins the partition filter + strict file-count
+    * reduction AND row equality with the identical search over a
+    * FLAT copy of the same index rows — layout changes I/O, never
+    * the answer. */
+  def writeIvfIndex(spark: SparkSession, dir: String, outDir: String,
+                    k: Int = 16, iters: Int = 2): Unit = {
+    val emb = Tables.parallelized(spark, Tables.embeddings(spark, dir))
+    val cents = trainCentroids(spark, emb, k, iters).localCheckpoint()
+    SemanticDedup.assignTo(spark, emb, cents)
+      .select("vec_id", "embedding", "cid")
+      .write.mode("overwrite").partitionBy("cid")
+      .parquet(s"$outDir/ivf.parquet")
+    cents.write.mode("overwrite").parquet(s"$outDir/ivf_centroids.parquet")
+  }
+
+  private case class IvfProbe(query_id: Long, cid: Int, q_emb: Array[Float])
+
+  /** Top-K search over a written index dir. `flatPath` overrides the
+    * partitioned read (the spec's layout-equality control). */
+  def ivfIndexTopK(spark: SparkSession, indexDir: String,
+                   nQueries: Int = NQueries, nProbe: Int = NProbe,
+                   flatPath: Option[String] = None): DataFrame = {
+    import spark.implicits._
+    val cents = spark.read.parquet(s"$indexDir/ivf_centroids.parquet")
+      .collect().map(r => (r.getInt(0),
+        r.getSeq[Any](1).map(_.asInstanceOf[Number].doubleValue).toArray))
+    val index = flatPath match {
+      case Some(p) => spark.read.parquet(p)
+      case None => spark.read.parquet(s"$indexDir/ivf.parquet")
+    }
+    val queryRows = index.where(col("vec_id") < nQueries)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+
+    // driver-side probe under the house tie rule (round-9 desc, cid asc)
+    def cos(a: Array[Float], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) {
+        val x = a(i).toDouble; val y = b(i)
+        d += x * y; na += x * x; nb += y * y; i += 1
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def round9(v: Double): Double =
+      if (v.isNaN || v.isInfinite) v
+      else BigDecimal(v).setScale(9, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
+    val probes = queryRows.toSeq.flatMap { case (qid, q) =>
+      cents.map { case (cid, c) => (cid, round9(cos(q, c))) }
+        .sortBy { case (cid, cc) => (-cc, cid) }
+        .take(nProbe)
+        .map { case (cid, _) => IvfProbe(qid, cid, q) }
+    }
+    val cidSet = probes.map(_.cid).distinct.sorted
+
+    explodeRanked(
+      index.where(col("cid").isin(cidSet: _*)) // literal => file pruning
+        .join(broadcast(probes.toDS().toDF()), Seq("cid"))
+        .where(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"),
+          Vectors.cosineFast(spark, col("q_emb"), col("embedding")).as("cos_sim"))
+        .groupBy("query_id")
+        .agg(TopK.topk(spark, K, col("vec_id"), col("cos_sim")).as("hits")))
+  }
 }

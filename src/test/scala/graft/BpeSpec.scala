@@ -87,6 +87,25 @@ class BpeSpec extends SparkSpec {
     assert(got.nonEmpty, "budget emitted nothing — fixture too tight")
   }
 
+  test("OOV drift monitor: in-vocab corpus reads 0, a drifted source trips the stale bar") {
+    import spark.implicits._
+    val m = Bpe.model(spark, sfDir)
+    val base = Bpe.oovDriftFrom(spark, Tables.documents(spark, sfDir), m)
+      .collect()
+    assert(base.nonEmpty)
+    // the corpus the vocab was trained on covers itself
+    base.foreach(r => assert(r.getLong(2) == 0L && !r.getBoolean(4),
+      s"source ${r.getString(0)} has phantom OOV mass"))
+    // a drifted source: half its tokens are novel -> frac 0.5 > bar
+    val drifted = Seq(
+      (1L, "the quick zzqj wwxk the vvnm ppqr of", "drifted"),
+      (2L, "a zzqj wwxk and vvnm ppqr to here", "drifted"))
+      .toDF("doc_id", "text", "source")
+    val got = Bpe.oovDriftFrom(spark, drifted, m).collect().head
+    assert(got.getLong(2) > 0 && got.getBoolean(4),
+      s"drifted source not flagged: oov=${got.getLong(2)} frac=${got.getDouble(3)}")
+  }
+
   test("scoring is one narrow pass: no explode, no join, no aggregate before the sort") {
     val m = Bpe.model(spark, sfDir)
     val plan = finalPlan(Bpe.tokenCountsBpeFrom(spark,
