@@ -165,14 +165,18 @@ object ImageDedup {
 
   // ------------------------------------------------------------ frames
   /** (doc_id, png) — each document's synthetic image as real PNG
-    * bytes. The simhash/md5 inputs are computed IN-PLAN (native
-    * expressions); only the codec encode runs in mapPartitions. */
+    * bytes. The simhash/md5 inputs are computed IN-PLAN in ONE narrow
+    * pass (native shingle + simhash expressions composed — the same
+    * chain C3's signature pipeline runs, so the planted hash is
+    * bit-identical to `Dedup.simhashSigs`); only the codec encode
+    * runs in mapPartitions. No join, no shuffle before the encode. */
   def imageTable(spark: SparkSession, dir: String): Dataset[ImageBlob] = {
     import spark.implicits._
-    Dedup.simhashSigs(spark, dir)
-      .join(Tables.documents(spark, dir)
-        .select(col("doc_id"), md5(col("text")).as("m")), Seq("doc_id"))
-      .select(col("doc_id"), col("simhash"), col("m"))
+    val docs = Tables.parallelized(spark, Tables.documents(spark, dir))
+    docs.select(col("doc_id"),
+      Vectors.simhashFast(spark,
+        Vectors.shinglesFast(spark, col("text"), 3, distinct = true)).as("simhash"),
+      md5(col("text")).as("m"))
       .as[(Long, Long, String)]
       .mapPartitions { it =>
         it.map { case (id, sim, m) => ImageBlob(id, renderPng(sim, m)) }

@@ -41,6 +41,45 @@ class AdviceFixSpec extends SparkSpec {
     }
   }
 
+  test("NTZ events vintage normalizes zone-free and keeps the pushdown bound exact") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ntz").toFile.getPath
+    try {
+      // a synthetic NTZ-vintage events file: ts written as
+      // TIMESTAMP_NTZ (wall-clock micros, no zone)
+      val us = Seq(1700000000000000L, 1700000000123456L, 1700003600000000L)
+      us.zipWithIndex.map { case (u, i) =>
+        (i.toLong, u, 10L + i, "evt", 1.0, "{}")
+      }.toDF("event_id", "us", "user_id", "event_type", "value", "props")
+        .selectExpr("event_id",
+          "timestampadd(MICROSECOND, us, TIMESTAMP_NTZ '1970-01-01 00:00:00') AS ts",
+          "user_id", "event_type", "value", "props")
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+      assert(spark.read.parquet(s"$dir/events.parquet").schema("ts").dataType ==
+        org.apache.spark.sql.types.TimestampNTZType, "fixture must be NTZ")
+
+      // the normalized read must yield EXACT epoch nanos regardless of
+      // the session timezone (the zone-free contract)
+      val got = graft.sources.Tables.eventsRaw(spark, dir)
+        .select("event_id", "ts").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      us.zipWithIndex.foreach { case (u, i) =>
+        assert(got(i.toLong) == u * 1000L,
+          s"event $i: ${got(i.toLong)} != ${u * 1000L}")
+      }
+      // and a nanos range bound translates exactly (boundary row kept)
+      val lo = us(1) * 1000L
+      val ranged = graft.sources.Tables.eventsRawRange(spark, dir, lo)
+        .select("event_id").collect().map(_.getLong(0)).toSet
+      assert(ranged == Set(1L, 2L), s"range from boundary got $ranged")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
   test("ceil-div nanos→micros holds for negative (pre-epoch) timestamps") {
     val cases = Seq(0L, 1L, 999L, 1000L, 1001L, -1L, -999L, -1000L, -1001L,
       Long.MaxValue - 1000L, Long.MinValue + 1000L)
