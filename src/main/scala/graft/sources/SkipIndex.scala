@@ -92,16 +92,26 @@ object SkipIndex {
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           Tables.eventsRawSchema)
-      // candidate re-read goes through the same ts-vintage dispatch as
-      // Tables.apply — a µs-TIMESTAMP file read under the pinned nanos
-      // schema would silently yield µs longs and drop every row here —
-      // with the range restated on the physical column so the
-      // candidate scan still row-group-prunes inside each file
-      else if (Tables.eventsTsIsMicros(spark, dir)) {
+      // candidate re-read dispatches on the vintage of the FILES THE
+      // MANIFEST NAMES — not the dir probe: under the partitioned-
+      // layout override the manifest indexes the partitioned copies
+      // (nanos BIGINT) while the flat dir is µs TIMESTAMP, and the
+      // dir-keyed probe mis-typed the re-read (every row dropped —
+      // caught by the layout-override oracle gate). A µs file read
+      // under the pinned nanos schema would silently yield µs longs
+      // the same way; the range is restated on the physical column so
+      // the candidate scan still row-group-prunes inside each file.
+      else {
         val raw = spark.read.parquet(files: _*)
-        Tables.normalizeMicrosEvents(
-          raw.where(Tables.microsTsRangePred(raw.schema("ts").dataType, loNs, hiNs)))
-      } else spark.read.schema(Tables.eventsRawSchema).parquet(files: _*)
+        raw.schema("ts").dataType match {
+          case org.apache.spark.sql.types.TimestampType |
+               org.apache.spark.sql.types.TimestampNTZType =>
+            Tables.normalizeMicrosEvents(
+              raw.where(Tables.microsTsRangePred(raw.schema("ts").dataType, loNs, hiNs)))
+          case _ =>
+            spark.read.schema(Tables.eventsRawSchema).parquet(files: _*)
+        }
+      }
     base.where(col("ts") >= loNs && col("ts") < hiNs)
       .select(col("event_id"), expr("ts DIV 1000").as("ts_us"),
         col("event_type"), col("value"))
