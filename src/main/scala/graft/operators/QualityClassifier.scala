@@ -50,6 +50,14 @@ object QualityClassifier {
   val BandLo = 0.48
   val Iters = 30
   val Lr = 1.0
+  /** Training-set bound: the banded docs are hash-capped at this many
+    * rows (salted-md5 order — the k-means/PQ bounded-sample
+    * discipline). Without it, per-step training cost grows LINEARLY
+    * with the corpus forever; a classifier needs a representative
+    * sample, not the corpus — 10⁵ labeled docs saturate a 513-weight
+    * model by any learning-theory measure. Below the cap (every test
+    * SF) training data is unchanged. */
+  val TrainCap = 100000
   private val Salt = "qc"
 
   case class QcModel(weights: IndexedSeq[Double], nTrain: Long,
@@ -96,8 +104,12 @@ object QualityClassifier {
     val t0 = System.nanoTime()
     val q = TextAnalysis.qualityScore(col("text"))
     val base = docs
-      .select(featsOf(col("text")).as("feats"), q.as("q"))
+      .select(col("doc_id"), featsOf(col("text")).as("feats"), q.as("q"))
       .where(col("q") >= BandHi || col("q") <= BandLo)
+      // bounded sample: smallest TrainCap by salted md5 — TakeOrdered,
+      // deterministic, identical below the cap
+      .orderBy(md5(concat(col("doc_id").cast("string"), lit(":qctrain"))))
+      .limit(TrainCap)
       .select(col("feats"), when(col("q") >= BandHi, 1.0).otherwise(0.0).as("y"))
       .localCheckpoint() // featurize once; 30 steps re-read materialized rows
     val n = base.count()
