@@ -177,18 +177,20 @@ object Bpe {
   }
 
   /** Scoring over an arbitrary (doc_id, text) frame with a frozen
-    * model — stream-safe (narrow, stateless), the M3 convention. */
+    * model — stream-safe (narrow, stateless), the M3 convention; the
+    * presentation sort applies only on batch frames
+    * (StreamingModelScoringSpec pins stream-vs-batch equality). */
   def tokenCountsBpeFrom(spark: SparkSession, docs: DataFrame,
                          m: BpeModel): DataFrame = {
     graft.plans.GraftFunctions.register(spark)
     val stats = call_function("graft_bpe_count", col("text"),
       array(m.vocab.map(v => lit(v._1)): _*),
       array(m.vocab.map(v => lit(v._2)): _*))
-    docs.select(col("doc_id"), stats.as("s"))
+    val scored = docs.select(col("doc_id"), stats.as("s"))
       .select(col("doc_id"),
         element_at(col("s"), 1).as("n_words"),
         element_at(col("s"), 2).as("n_bpe_tokens"))
-      .orderBy("doc_id")
+    if (docs.isStreaming) scored else scored.orderBy("doc_id")
   }
 
   /** The learned per-doc token count as a drop-in Column (the second

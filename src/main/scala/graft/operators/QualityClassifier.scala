@@ -145,14 +145,18 @@ object QualityClassifier {
   }
 
   /** Scoring over an arbitrary (doc_id, text) frame — stream-safe
-    * (narrow, stateless), the frozen-artifact convention. */
-  def classifyFrom(docs: DataFrame, m: QcModel): DataFrame =
-    docs
+    * (narrow, stateless), the frozen-artifact convention; the
+    * presentation sort applies only on batch frames (a global sort is
+    * not append-streamable — StreamingModelScoringSpec pins the
+    * stream-vs-batch row equality). */
+  def classifyFrom(docs: DataFrame, m: QcModel): DataFrame = {
+    val scored = docs
       .select(col("doc_id"),
         round(lit(1.0) / (lit(1.0) + exp(-marginOf(featsOf(col("text")),
           m.weights))), 6).as("qc_score"))
       .withColumn("keep", col("qc_score") >= 0.5)
-      .orderBy("doc_id")
+    if (docs.isStreaming) scored else scored.orderBy("doc_id")
+  }
 
   /** DuckDB twin — frozen weights as a literal list, margin folded
     * over the SAME sorted feature order (data-dependent by necessity,
