@@ -71,6 +71,11 @@ object SparkEntry {
     "q_mm_dedup_exact" -> (ImageDedup.imageDedupExact _),
     "q_mm_dedup_near" -> (ImageDedup.imageNearDup _),
     "q_mm_dedup_clusters" -> (ImageDedup.imageDupClusters _),
+    // F6/F7: audio limb — real RIFF/WAVE chunk walk + 16-bit PCM
+    // decode; RMS-comparison perceptual fingerprint into the same
+    // Manku hamming index
+    "q_audio_meta" -> (AudioDedup.audioMeta _),
+    "q_audio_dedup_near" -> (AudioDedup.audioNearDup _),
     // G. sampling / profiling
     "q_dedup_clusters" -> (Dedup.dupClusters _),
     "q_asof_attribution" -> (AsofJoin.attribution _),
@@ -191,6 +196,8 @@ object SparkEntry {
     "q_mm_dedup_exact" -> ImageDedup.imageDedupExactSql,
     "q_mm_dedup_near" -> ImageDedup.imageNearDupSql,
     "q_mm_dedup_clusters" -> ImageDedup.imageDupClustersSql,
+    "q_audio_meta" -> AudioDedup.audioMetaSql,
+    "q_audio_dedup_near" -> AudioDedup.audioNearDupSql,
     "q_dedup_clusters" -> Dedup.dupClustersSql,
     "q_asof_attribution" -> AsofJoin.attributionSql,
     "q_sample_hash" -> Sampling.hashSampleSql(),
