@@ -76,6 +76,10 @@ object SparkEntry {
     // Manku hamming index
     "q_audio_meta" -> (AudioDedup.audioMeta _),
     "q_audio_dedup_near" -> (AudioDedup.audioNearDup _),
+    // F8/F9: video limb — real animated-GIF container (ImageIO
+    // sequence writer), frame-sampled per-frame dHash
+    "q_video_meta" -> (VideoDedup.videoMeta _),
+    "q_video_dedup_near" -> (VideoDedup.videoNearDup _),
     // G. sampling / profiling
     "q_dedup_clusters" -> (Dedup.dupClusters _),
     "q_asof_attribution" -> (AsofJoin.attribution _),
@@ -198,6 +202,8 @@ object SparkEntry {
     "q_mm_dedup_clusters" -> ImageDedup.imageDupClustersSql,
     "q_audio_meta" -> AudioDedup.audioMetaSql,
     "q_audio_dedup_near" -> AudioDedup.audioNearDupSql,
+    "q_video_meta" -> VideoDedup.videoMetaSql,
+    "q_video_dedup_near" -> VideoDedup.videoNearDupSql,
     "q_dedup_clusters" -> Dedup.dupClustersSql,
     "q_asof_attribution" -> AsofJoin.attributionSql,
     "q_sample_hash" -> Sampling.hashSampleSql(),

@@ -72,6 +72,15 @@ object ImageDedup {
     * base levels carry md5 bytes (7 bits each) — then encode as a
     * REAL PNG via ImageIO. Pure function of (hash, md5hex). */
   private[graft] def renderPng(hash: Long, md5hex: String): Array[Byte] = {
+    val baos = new ByteArrayOutputStream()
+    ImageIO.write(renderGrid(hash, md5hex), "png", baos)
+    baos.toByteArray
+  }
+
+  /** The raster behind [[renderPng]] — shared with the video limb
+    * (F8/F9 encode the same grid per FRAME through a different
+    * codec). */
+  private[graft] def renderGrid(hash: Long, md5hex: String): BufferedImage = {
     val img = new BufferedImage(Cols * S, Rows * S, BufferedImage.TYPE_BYTE_GRAY)
     val raster = img.getRaster
     var r = 0
@@ -97,9 +106,7 @@ object ImageDedup {
       }
       r += 1
     }
-    val baos = new ByteArrayOutputStream()
-    ImageIO.write(img, "png", baos)
-    baos.toByteArray
+    img
   }
 
   /** The published dHash over ANY decodable image: grayscale
@@ -108,8 +115,13 @@ object ImageDedup {
     * undecodable payload (degrade, don't fail the pipeline). */
   private[graft] def dHash(png: Array[Byte]): Option[Long] = {
     val img = ImageIO.read(new ByteArrayInputStream(png))
-    if (img == null) None
-    else {
+    if (img == null) None else dHashOf(img)
+  }
+
+  /** [[dHash]] over an already-decoded raster — shared with the video
+    * limb, whose frames arrive from a container reader. */
+  private[graft] def dHashOf(img: BufferedImage): Option[Long] = {
+    {
       val w = img.getWidth
       val h = img.getHeight
       if (w < Cols || h < Rows) None
@@ -118,8 +130,16 @@ object ImageDedup {
         // exact mean when dimensions divide, standard resample else).
         // RAW raster samples, not getRGB: the latter routes gray
         // through a linear→sRGB colorspace conversion that quantizes
-        // — raster samples are the decoded bytes as written.
+        // — raster samples are the decoded bytes as written. EXCEPT
+        // palette-indexed rasters (GIF frames): their samples are
+        // palette INDICES in arbitrary order — resolve through the
+        // IndexColorModel (sRGB palette entries, exact for the gray
+        // values the writer stored).
         val raster = img.getRaster
+        val icm = img.getColorModel match {
+          case m: java.awt.image.IndexColorModel => m
+          case _ => null
+        }
         val nBands = math.min(raster.getNumBands, 3) // ignore alpha
         val cell = Array.ofDim[Double](Rows, Cols)
         var r = 0
@@ -133,12 +153,17 @@ object ImageDedup {
             while (y < y1) {
               var xx = x0
               while (xx < x1) {
-                var b = 0
-                while (b < nBands) {
-                  sum += raster.getSample(xx, y, b)
-                  b += 1
+                if (icm != null) {
+                  sum += icm.getBlue(raster.getSample(xx, y, 0))
+                  n += 1
+                } else {
+                  var b = 0
+                  while (b < nBands) {
+                    sum += raster.getSample(xx, y, b)
+                    b += 1
+                  }
+                  n += nBands
                 }
-                n += nBands
                 xx += 1
               }
               y += 1

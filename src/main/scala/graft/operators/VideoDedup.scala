@@ -1,0 +1,163 @@
+package graft.operators
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+
+import javax.imageio.{IIOImage, ImageIO, ImageTypeSpecifier}
+import javax.imageio.metadata.IIOMetadataNode
+import javax.imageio.stream.{MemoryCacheImageInputStream, MemoryCacheImageOutputStream}
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Vectors
+import graft.sources.Tables
+
+/** F8/F9: video-content plumbing + perceptual dedup — the third limb
+  * of the multimodal family, through a REAL multi-frame container:
+  * each document renders to an animated GIF (ImageIO's writer
+  * sequence API — logical screen descriptor, per-frame graphic
+  * control blocks, LZW frame streams), and the dedup path does what
+  * production video dedup does: FRAME-SAMPLE the stream (decode only
+  * every [[SampleStride]]-th frame, never the whole video), compute a
+  * per-frame perceptual hash, and key near-dup candidates on the
+  * sampled fingerprint — here frame 0's dHash, which the construction
+  * plants as the document's C3 simhash, so the hamming index and the
+  * DuckDB oracle are C3's own.
+  *
+  * Frames beyond 0 carry rotated variants (a real moving stream, not
+  * N copies of one raster); the frame-sample spec pins that sampling
+  * decodes STRICTLY fewer frames than the container holds — the I/O
+  * property that makes video dedup affordable at 100 TB (decode cost
+  * is per-sampled-frame, not per-stored-frame).
+  */
+object VideoDedup {
+
+  /** Frames per synthetic clip. */
+  val Frames = 4
+  /** Decode every k-th frame in the sampling pass. */
+  val SampleStride = 4
+
+  case class VideoBlob(doc_id: Long, gif: Array[Byte])
+  case class VideoMeta(doc_id: Long, width: Int, height: Int,
+                       n_frames: Int, n_bytes: Long)
+
+  /** Real animated-GIF encode via the ImageWriter sequence API. */
+  private[graft] def renderGif(hash: Long, md5hex: String): Array[Byte] = {
+    val writer = ImageIO.getImageWritersByFormatName("gif").next()
+    val out = new ByteArrayOutputStream()
+    val ios = new MemoryCacheImageOutputStream(out)
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    var i = 0
+    while (i < Frames) {
+      // frame i: the grid of the hash rotated i bytes — a genuinely
+      // changing stream whose frame 0 is the planted fingerprint
+      val img = ImageDedup.renderGrid(java.lang.Long.rotateLeft(hash, 8 * i)
+        & 0x0FFFFFFFFFFFFFFFL, md5hex)
+      val meta = writer.getDefaultImageMetadata(
+        ImageTypeSpecifier.createFromRenderedImage(img), null)
+      // standard per-frame delay via the native metadata tree
+      val root = meta.getAsTree(meta.getNativeMetadataFormatName)
+        .asInstanceOf[IIOMetadataNode]
+      val gce = new IIOMetadataNode("GraphicControlExtension")
+      gce.setAttribute("disposalMethod", "none")
+      gce.setAttribute("userInputFlag", "FALSE")
+      gce.setAttribute("transparentColorFlag", "FALSE")
+      gce.setAttribute("delayTime", "10")
+      gce.setAttribute("transparentColorIndex", "0")
+      root.appendChild(gce)
+      meta.setFromTree(meta.getNativeMetadataFormatName, root)
+      writer.writeToSequence(new IIOImage(img, null, meta), null)
+      i += 1
+    }
+    writer.endWriteSequence()
+    ios.close()
+    writer.dispose()
+    out.toByteArray
+  }
+
+  /** Real container parse: dimensions + frame count from the GIF
+    * reader (None for an unreadable payload). */
+  private[graft] def parseGif(gif: Array[Byte]): Option[(Int, Int, Int)] = {
+    val readers = ImageIO.getImageReadersByFormatName("gif")
+    if (!readers.hasNext) return None
+    val reader = readers.next()
+    try {
+      reader.setInput(new MemoryCacheImageInputStream(
+        new ByteArrayInputStream(gif)))
+      val n = reader.getNumImages(true)
+      if (n < 1) None
+      else Some((reader.getWidth(0), reader.getHeight(0), n))
+    } catch { case _: Exception => None }
+    finally reader.dispose()
+  }
+
+  /** Frame-sampled perceptual fingerprint: decode ONLY frames
+    * 0, stride, 2·stride, … and dHash each; returns the sampled
+    * hashes and how many frames were actually decoded (the spec's
+    * I/O gate). The dedup key is the first sampled frame's hash. */
+  private[graft] def sampledHashes(gif: Array[Byte],
+                                   stride: Int): Option[(Seq[Long], Int)] = {
+    val readers = ImageIO.getImageReadersByFormatName("gif")
+    if (!readers.hasNext) return None
+    val reader = readers.next()
+    try {
+      reader.setInput(new MemoryCacheImageInputStream(
+        new ByteArrayInputStream(gif)))
+      val n = reader.getNumImages(true)
+      val picks = 0 until n by stride
+      val hs = picks.flatMap(i => ImageDedup.dHashOf(reader.read(i)))
+      if (hs.isEmpty) None else Some((hs, picks.size))
+    } catch { case _: Exception => None }
+    finally reader.dispose()
+  }
+
+  // ------------------------------------------------------------ frames
+  /** (doc_id, gif): each document's synthetic clip as real animated-
+    * GIF bytes — one narrow pass, codec encode in mapPartitions. */
+  def videoTable(spark: SparkSession, dir: String): Dataset[VideoBlob] = {
+    import spark.implicits._
+    val docs = Tables.parallelized(spark, Tables.documents(spark, dir))
+    docs.select(col("doc_id"),
+      Vectors.simhashFast(spark,
+        Vectors.shinglesFast(spark, col("text"), 3, distinct = true)).as("simhash"),
+      md5(col("text")).as("m"))
+      .as[(Long, Long, String)]
+      .mapPartitions(_.map { case (id, sim, m) =>
+        VideoBlob(id, renderGif(sim, m))
+      })
+  }
+
+  // ---------------------------------------------------------------- F8
+  /** F8: video container metadata — dimensions, frame count, byte
+    * size from the REAL reader (declared metadata never trusted). */
+  def videoMeta(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    videoTable(spark, dir).mapPartitions(_.flatMap { v =>
+      parseGif(v.gif).map { case (w, h, n) =>
+        VideoMeta(v.doc_id, w, h, n, v.gif.length.toLong)
+      }
+    }).toDF()
+      .select(col("doc_id"), col("width"), col("height"), col("n_frames"))
+      .orderBy("doc_id")
+  }
+
+  val videoMetaSql: String =
+    s"""SELECT doc_id, 72 AS width, 64 AS height, $Frames AS n_frames
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- F9
+  /** F9: perceptual video near-dup by frame sampling — decode every
+    * [[SampleStride]]-th frame only, dHash, key on the first sampled
+    * frame, feed the C3 hamming index unchanged. */
+  def videoNearDup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Dedup.hammingPairsOf(
+      videoTable(spark, dir).mapPartitions(_.flatMap(v =>
+        sampledHashes(v.gif, SampleStride).map(t => (v.doc_id, t._1.head))))
+        .toDF("doc_id", "simhash"))
+  }
+
+  val videoNearDupSql: String = Dedup.simhashSql
+}
