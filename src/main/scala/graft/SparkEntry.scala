@@ -123,6 +123,7 @@ object SparkEntry {
     // K1/K2/K5/K6: chunking, weighted sampling, tf-idf terms, drift
     "q_chunks" -> (Chunking.qChunks _),
     "q_sample_weighted" -> ((s: SparkSession, d: String) => Sampling.weightedSample(s, d)),
+    "q_sample_soft" -> ((s: SparkSession, d: String) => Sampling.softWeightedSample(s, d)),
     "q_tfidf_topterms" -> ((s: SparkSession, d: String) => CorpusStats.tfidfTopTerms(s, d)),
     "q_source_drift" -> (CorpusStats.sourceDrift _),
     // K9: snapshot CDC diff (old snapshot synthesized hash-deterministically)
@@ -231,6 +232,7 @@ object SparkEntry {
     "q_embed_clusters" -> Dedup.embedClustersSql,
     "q_chunks" -> Chunking.chunksSql(),
     "q_sample_weighted" -> Sampling.weightedSampleSql(),
+    "q_sample_soft" -> Sampling.softWeightedSampleSql(),
     "q_tfidf_topterms" -> CorpusStats.tfidfTopTermsSql(),
     "q_source_drift" -> CorpusStats.sourceDriftSql,
     "q_snapshot_diff" -> SnapshotDiff.qSnapshotDiffSql,

@@ -444,6 +444,53 @@ object Sampling {
       .orderBy("source", "rank")
   }
 
+  /** P5: the O2→K2 production composition, PINNED as a query instead
+    * of claimed in prose: sample k training docs per source by A-ES
+    * over the SOFT-DEDUP weights — each duplicate cluster's surviving
+    * rep competes with sampling weight c^0.5, so repeated content is
+    * boosted sublinearly exactly as O2 prescribes, and the sample is
+    * hash-deterministic like every other membership decision. Scale
+    * shape: O2's signature aggregation + one doc_id equi-join to
+    * recover the rep's source + K2's WindowGroupLimit top-k. */
+  def softWeightedSample(spark: SparkSession, dir: String,
+                         k: Int = WeightedK,
+                         salt: String = "softw"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+    val u = (hashBucket(col("doc_id"), salt).cast("double") + 0.5) / 65536.0
+    val w = Window.partitionBy("source")
+      .orderBy(col("es_key").asc, col("doc_id").asc)
+    Dedup.softDedupFrom(docs)
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .withColumn("es_key", -log(u) / col("weight"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("doc_id"), col("source"), col("n_copies"), col("weight"),
+        col("rank").cast("long").as("rank"))
+      .orderBy("source", "rank")
+  }
+
+  def softWeightedSampleSql(k: Int = WeightedK,
+                            salt: String = "softw"): String =
+    s"""WITH soft AS (
+      |  SELECT min(doc_id) AS doc_id, count(*) AS n_copies,
+      |    round(pow(CAST(count(*) AS DOUBLE), 0.5), 6) AS weight
+      |  FROM (SELECT doc_id, ${graft.functions.Portable.bagSignatureSql("text")} AS sig
+      |        FROM documents) t
+      |  GROUP BY sig),
+      |j AS (
+      |  SELECT s.doc_id, d.source, s.n_copies, s.weight,
+      |    -ln((CAST(${hashBucketSql("s.doc_id", salt)} AS DOUBLE) + 0.5)
+      |        / 65536.0) / s.weight AS es_key
+      |  FROM soft s JOIN documents d ON s.doc_id = d.doc_id)
+      |SELECT doc_id, source, n_copies, weight, rank FROM (
+      |  SELECT doc_id, source, n_copies, weight,
+      |    row_number() OVER (PARTITION BY source
+      |                       ORDER BY es_key ASC, doc_id ASC) AS rank
+      |  FROM j) r
+      |WHERE rank <= $k
+      |ORDER BY source, rank""".stripMargin
+
   def weightedSampleSql(k: Int = WeightedK, salt: String = "weighted"): String =
     s"""SELECT doc_id, source, n_chars, rank FROM (
       |  SELECT doc_id, source, n_chars,

@@ -127,6 +127,31 @@ class OSeriesSpec extends SparkSpec {
     }
   }
 
+  // ------------------------------------------------------------- P5
+  test("soft-weighted sample draws only O2 reps, ≤k per source, favoring heavy clusters") {
+    val got = Sampling.softWeightedSample(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3), r.getLong(4)))
+    assert(got.nonEmpty)
+    val reps = Dedup.softDedupFrom(Tables.documents(spark, sfDir))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    got.foreach { case (id, _, _, w, _) =>
+      assert(reps.contains(id), s"sampled $id is not a soft-dedup rep")
+      assert(reps(id) == w, s"weight mismatch for $id")
+    }
+    got.groupBy(_._2).foreach { case (src, rs) =>
+      assert(rs.length <= 20, s"$src drew ${rs.length} > k")
+      assert(rs.map(_._5).sorted.sameElements(1L to rs.length),
+        s"$src ranks not dense")
+    }
+    // A-ES bias sanity: among sampled rows, mean weight must be >=
+    // the corpus mean rep weight (heavier clusters are favored) —
+    // on a corpus with any dup structure at all
+    val meanAll = reps.values.sum / reps.size
+    val meanSampled = got.map(_._4).sum / got.length
+    assert(meanSampled >= meanAll - 1e-9,
+      f"sampled mean weight $meanSampled%.4f below corpus mean $meanAll%.4f")
+  }
+
   // ------------------------------------------------------------- O3
   test("curriculum order is one narrow projection: no join, window, or aggregate") {
     val plan = finalPlan(
