@@ -129,11 +129,9 @@ object Bpe {
   }
 
   // ------------------------------------------------------------ model
-  private val modelCache =
-    new java.util.concurrent.ConcurrentHashMap[String, BpeModel]()
-  /** Last trained dir — the oracle dump's fallback key (Verify runs
-    * queries before it serializes oracle SQL, so this is set by then). */
-  private val lastDir = new java.util.concurrent.atomic.AtomicReference[String]()
+  /** Per-dir last-trained cache + dump-only fallback (shared
+    * [[OracleModelCache]] plumbing). */
+  private val cache = new OracleModelCache[BpeModel](trainModel)
 
   /** Train for `dir` and RECORD the model for the oracle dump: one
     * corpus aggregation for the top-V word histogram + one narrow
@@ -141,9 +139,11 @@ object Bpe {
     * loop. Always retrains (a bench rep must not silently become
     * score-only via a warm cache); the cache exists solely so the
     * oracle SQL embeds the exact model of the LAST run. */
-  def model(spark: SparkSession, dir: String): BpeModel = {
-    lastDir.set(dir)
-    val trained = {
+  def model(spark: SparkSession, dir: String): BpeModel =
+    cache.model(spark, dir)
+
+  private def trainModel(spark: SparkSession, dir: String): BpeModel = {
+    {
       val t0 = System.nanoTime()
       val docs = Tables.documents(spark, dir)
       val wf = docs
@@ -164,8 +164,6 @@ object Bpe {
         if (totalTokens == 0) 0.0 else wf.map(_._2).sum.toDouble / totalTokens
       BpeModel(merges, vocab, coverage, (System.nanoTime() - t0) / 1000000L)
     }
-    modelCache.put(dir, trained)
-    trained
   }
 
   // ------------------------------------------------------------ query
@@ -283,15 +281,5 @@ object Bpe {
       |FROM agg ORDER BY source""".stripMargin
   }
 
-  private def oracleModel(): BpeModel = {
-    val dir = Option(lastDir.get())
-      .orElse(sys.env.get("SPARK_GRAFT_SF_DIR"))
-      .getOrElse("/root/testdata/sf0.01")
-    Option(modelCache.get(dir)).getOrElse {
-      val spark = SparkSession.getActiveSession.getOrElse(
-        throw new IllegalStateException(
-          "BPE oracle SQL requested before any session existed"))
-      model(spark, dir)
-    }
-  }
+  private def oracleModel(): BpeModel = cache.oracleModel()
 }

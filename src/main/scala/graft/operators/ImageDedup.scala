@@ -73,7 +73,12 @@ object ImageDedup {
     * REAL PNG via ImageIO. Pure function of (hash, md5hex). */
   private[graft] def renderPng(hash: Long, md5hex: String): Array[Byte] = {
     val baos = new ByteArrayOutputStream()
-    ImageIO.write(renderGrid(hash, md5hex), "png", baos)
+    // explicit memory-cache stream: ImageIO's default stream factory
+    // honors useCache=true and spools through a TEMP FILE per call —
+    // two disk round trips per document in the hot mapPartitions path
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(baos)
+    ImageIO.write(renderGrid(hash, md5hex), "png", ios)
+    ios.close()
     baos.toByteArray
   }
 
@@ -114,7 +119,10 @@ object ImageDedup {
     * (r, x+1) is brighter than cell (r, x). Returns None for an
     * undecodable payload (degrade, don't fail the pipeline). */
   private[graft] def dHash(png: Array[Byte]): Option[Long] = {
-    val img = ImageIO.read(new ByteArrayInputStream(png))
+    // memory-cache stream for the same temp-file reason as renderPng;
+    // ImageIO.read(ImageInputStream) closes the stream itself
+    val img = ImageIO.read(new javax.imageio.stream.MemoryCacheImageInputStream(
+      new ByteArrayInputStream(png)))
     if (img == null) None else dHashOf(img)
   }
 
@@ -140,7 +148,11 @@ object ImageDedup {
           case m: java.awt.image.IndexColorModel => m
           case _ => null
         }
-        val nBands = math.min(raster.getNumBands, 3) // ignore alpha
+        // COLOR components only: min(numBands, 3) would fold the
+        // alpha band into luminance for gray+alpha (2-band) rasters,
+        // where band 1 IS alpha — numColorComponents excludes alpha
+        // for every layout (gray 1, gray+alpha 1, RGB 3, RGBA 3)
+        val nBands = math.min(img.getColorModel.getNumColorComponents, 3)
         val cell = Array.ofDim[Double](Rows, Cols)
         var r = 0
         while (r < Rows) {

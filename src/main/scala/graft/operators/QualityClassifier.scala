@@ -83,22 +83,14 @@ object QualityClassifier {
       acc + element_at(array(w.map(lit): _*), i + 1))
 
   // --------------------------------------------------------- training
-  private val modelCache =
-    new java.util.concurrent.ConcurrentHashMap[String, QcModel]()
-  private val lastDir = new java.util.concurrent.atomic.AtomicReference[String]()
+  /** Per-dir last-trained cache + dump-only fallback (shared
+    * [[OracleModelCache]] plumbing — see its scaladoc for why model()
+    * always retrains and what the oracle embeds). */
+  private val cache = new OracleModelCache[QcModel](
+    (spark, dir) => train(spark, Tables.documents(spark, dir)))
 
-  /** Train for `dir` and RECORD the model for the oracle dump. Always
-    * retrains (the self-contained pricing discipline the composites
-    * use — a bench rep must not silently become score-only via a warm
-    * cache and trip the load guard's spread check); the cache exists
-    * solely so the oracle SQL embeds the exact weights of the LAST
-    * run — the run whose output it is compared against. */
-  def model(spark: SparkSession, dir: String): QcModel = {
-    lastDir.set(dir)
-    val m = train(spark, Tables.documents(spark, dir))
-    modelCache.put(dir, m)
-    m
-  }
+  def model(spark: SparkSession, dir: String): QcModel =
+    cache.model(spark, dir)
 
   private[graft] def train(spark: SparkSession, docs: DataFrame): QcModel = {
     val t0 = System.nanoTime()
@@ -179,15 +171,5 @@ object QualityClassifier {
       |FROM s ORDER BY doc_id""".stripMargin
   }
 
-  private def oracleModel(): QcModel = {
-    val dir = Option(lastDir.get())
-      .orElse(sys.env.get("SPARK_GRAFT_SF_DIR"))
-      .getOrElse("/root/testdata/sf0.01")
-    Option(modelCache.get(dir)).getOrElse {
-      val spark = SparkSession.getActiveSession.getOrElse(
-        throw new IllegalStateException(
-          "classifier oracle SQL requested before any session existed"))
-      model(spark, dir)
-    }
-  }
+  private def oracleModel(): QcModel = cache.oracleModel()
 }

@@ -474,7 +474,7 @@ object Sampling {
                             salt: String = "softw"): String =
     s"""WITH soft AS (
       |  SELECT min(doc_id) AS doc_id, count(*) AS n_copies,
-      |    round(pow(CAST(count(*) AS DOUBLE), 0.5), 6) AS weight
+      |    round(pow(CAST(count(*) AS DOUBLE), ${Dedup.SoftAlpha}), 6) AS weight
       |  FROM (SELECT doc_id, ${graft.functions.Portable.bagSignatureSql("text")} AS sig
       |        FROM documents) t
       |  GROUP BY sig),

@@ -39,11 +39,18 @@ object VideoDedup {
 
   case class VideoBlob(doc_id: Long, gif: Array[Byte])
   case class VideoMeta(doc_id: Long, width: Int, height: Int,
-                       n_frames: Int, n_bytes: Long)
+                       n_frames: Int)
 
-  /** Real animated-GIF encode via the ImageWriter sequence API. */
-  private[graft] def renderGif(hash: Long, md5hex: String): Array[Byte] = {
-    val writer = ImageIO.getImageWritersByFormatName("gif").next()
+  /** Real animated-GIF encode via the ImageWriter sequence API
+    * (per-record convenience — the pipelines hoist one writer per
+    * partition via [[renderGifWith]]). */
+  private[graft] def renderGif(hash: Long, md5hex: String): Array[Byte] =
+    renderGifWith(ImageIO.getImageWritersByFormatName("gif").next(),
+      hash, md5hex)
+
+  private def renderGifWith(writer: javax.imageio.ImageWriter,
+                            hash: Long, md5hex: String): Array[Byte] = {
+    writer.reset()
     val out = new ByteArrayOutputStream()
     val ios = new MemoryCacheImageOutputStream(out)
     writer.setOutput(ios)
@@ -72,7 +79,6 @@ object VideoDedup {
     }
     writer.endWriteSequence()
     ios.close()
-    writer.dispose()
     out.toByteArray
   }
 
@@ -80,17 +86,20 @@ object VideoDedup {
     * reader (None for an unreadable payload). */
   private[graft] def parseGif(gif: Array[Byte]): Option[(Int, Int, Int)] = {
     val readers = ImageIO.getImageReadersByFormatName("gif")
-    if (!readers.hasNext) return None
-    val reader = readers.next()
+    if (!readers.hasNext) None
+    else parseGifWith(readers.next(), gif)
+  }
+
+  private def parseGifWith(reader: javax.imageio.ImageReader,
+                           gif: Array[Byte]): Option[(Int, Int, Int)] =
     try {
+      reader.reset()
       reader.setInput(new MemoryCacheImageInputStream(
         new ByteArrayInputStream(gif)))
       val n = reader.getNumImages(true)
       if (n < 1) None
       else Some((reader.getWidth(0), reader.getHeight(0), n))
     } catch { case _: Exception => None }
-    finally reader.dispose()
-  }
 
   /** Frame-sampled perceptual fingerprint: decode ONLY frames
     * 0, stride, 2·stride, … and dHash each; returns the sampled
@@ -99,9 +108,15 @@ object VideoDedup {
   private[graft] def sampledHashes(gif: Array[Byte],
                                    stride: Int): Option[(Seq[Long], Int)] = {
     val readers = ImageIO.getImageReadersByFormatName("gif")
-    if (!readers.hasNext) return None
-    val reader = readers.next()
+    if (!readers.hasNext) None
+    else sampledHashesWith(readers.next(), gif, stride)
+  }
+
+  private def sampledHashesWith(reader: javax.imageio.ImageReader,
+                                gif: Array[Byte],
+                                stride: Int): Option[(Seq[Long], Int)] =
     try {
+      reader.reset()
       reader.setInput(new MemoryCacheImageInputStream(
         new ByteArrayInputStream(gif)))
       val n = reader.getNumImages(true)
@@ -109,8 +124,6 @@ object VideoDedup {
       val hs = picks.flatMap(i => ImageDedup.dHashOf(reader.read(i)))
       if (hs.isEmpty) None else Some((hs, picks.size))
     } catch { case _: Exception => None }
-    finally reader.dispose()
-  }
 
   // ------------------------------------------------------------ frames
   /** (doc_id, gif): each document's synthetic clip as real animated-
@@ -123,21 +136,30 @@ object VideoDedup {
         Vectors.shinglesFast(spark, col("text"), 3, distinct = true)).as("simhash"),
       md5(col("text")).as("m"))
       .as[(Long, Long, String)]
-      .mapPartitions(_.map { case (id, sim, m) =>
-        VideoBlob(id, renderGif(sim, m))
-      })
+      .mapPartitions { it =>
+        // ONE writer per partition (the stated mapPartitions
+        // rationale — a per-record registry lookup + construction was
+        // pure overhead); pure-Java writer, reclaimed by GC with the
+        // task
+        val writer = ImageIO.getImageWritersByFormatName("gif").next()
+        it.map { case (id, sim, m) => VideoBlob(id, renderGifWith(writer, sim, m)) }
+      }
   }
 
   // ---------------------------------------------------------------- F8
-  /** F8: video container metadata — dimensions, frame count, byte
-    * size from the REAL reader (declared metadata never trusted). */
+  /** F8: video container metadata — dimensions and frame count from
+    * the REAL reader (declared metadata never trusted). */
   def videoMeta(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    videoTable(spark, dir).mapPartitions(_.flatMap { v =>
-      parseGif(v.gif).map { case (w, h, n) =>
-        VideoMeta(v.doc_id, w, h, n, v.gif.length.toLong)
+    videoTable(spark, dir).mapPartitions { it =>
+      val readers = ImageIO.getImageReadersByFormatName("gif")
+      val reader = if (readers.hasNext) Some(readers.next()) else None
+      it.flatMap { v =>
+        reader.flatMap(parseGifWith(_, v.gif)).map { case (w, h, n) =>
+          VideoMeta(v.doc_id, w, h, n)
+        }
       }
-    }).toDF()
+    }.toDF()
       .select(col("doc_id"), col("width"), col("height"), col("n_frames"))
       .orderBy("doc_id")
   }
@@ -154,9 +176,13 @@ object VideoDedup {
   def videoNearDup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Dedup.hammingPairsOf(
-      videoTable(spark, dir).mapPartitions(_.flatMap(v =>
-        sampledHashes(v.gif, SampleStride).map(t => (v.doc_id, t._1.head))))
-        .toDF("doc_id", "simhash"))
+      videoTable(spark, dir).mapPartitions { it =>
+        val readers = ImageIO.getImageReadersByFormatName("gif")
+        val reader = if (readers.hasNext) Some(readers.next()) else None
+        it.flatMap(v => reader
+          .flatMap(sampledHashesWith(_, v.gif, SampleStride))
+          .map(t => (v.doc_id, t._1.head)))
+      }.toDF("doc_id", "simhash"))
   }
 
   val videoNearDupSql: String = Dedup.simhashSql
