@@ -23,10 +23,20 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 
 def norm_cell(v):
     import datetime, numpy as np
+    # Type-tag numerics: the driver's hasher distinguishes an int-typed
+    # cell from a float-typed one (a DuckDB HUGEINT output column
+    # materializes as float64 in pandas, so an uncast integer aggregate
+    # hashes "3.0" against Spark's "3" and FAILS there). Folding 3.0≡3
+    # here masked exactly that class (q_mix_unimax, round 11) — so
+    # float cells get a "f:" prefix and ints normalize through int().
+    if isinstance(v, bool) or type(v).__name__ == "bool_":
+        return repr(bool(v))
     if isinstance(v, float):
         if v == 0:
-            return "0"  # fold -0.0 and 0.0 together across engines
-        return f"{v:.10g}"
+            return "f:0"  # fold -0.0 and 0.0 together across engines
+        return "f:" + f"{v:.10g}"
+    if isinstance(v, int) or isinstance(v, np.integer):
+        return "i:" + str(int(v))
     if isinstance(v, (pd.Timestamp, datetime.datetime)):
         return pd.Timestamp(v).isoformat()
     if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
@@ -40,7 +50,22 @@ def digest(df: pd.DataFrame) -> str:
         h.update(("|".join(norm_cell(v) for v in row) + "\n").encode())
     return h.hexdigest()
 
+def selftest():
+    """The fixture that would have caught the round-11 q_mix_unimax
+    miss: an int-typed engine column vs a float64 oracle column with
+    numerically identical values MUST hash differently."""
+    a = pd.DataFrame({"k": [1, 2], "n": pd.array([3, 4], dtype="int64")})
+    b = pd.DataFrame({"k": [1, 2], "n": pd.array([3.0, 4.0], dtype="float64")})
+    assert digest(canon(a)) != digest(canon(b)), \
+        "int vs float column folded together — driver hasher is stricter"
+    c = pd.DataFrame({"k": [1, 2], "n": pd.array([3.0, 4.0], dtype="float64")})
+    assert digest(canon(b)) == digest(canon(c)), "float/float must agree"
+    print("selftest OK")
+
 def main():
+    if sys.argv[1:] == ["--selftest"]:
+        selftest()
+        return
     out_dir, sf_dir = sys.argv[1], sys.argv[2]
     only = set(sys.argv[3:])
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))

@@ -14,6 +14,37 @@ import org.apache.spark.sql.functions._
   */
 object Portable {
 
+  // ---------------------------------------------------- zone-free time
+  /** Zone-free instant literal for a UTC wall-clock string ("yyyy-MM-dd
+    * [HH:mm:ss]"): parsed driver-side AS UTC and emitted through
+    * `timestamp_micros`, so the session timezone cannot shift it. A
+    * `lit(str).cast("timestamp")` parses in the SESSION zone — in a
+    * non-UTC consumer session every such boundary literal moves by the
+    * zone offset relative to the oracle's naive-UTC read, flipping
+    * midnight-aligned rows across <=/< filters (TPC-H date predicates
+    * are exactly that shape). */
+  def utcTs(iso: String): Column = {
+    val s = iso.replace(' ', 'T')
+    val ldt = java.time.LocalDateTime.parse(
+      if (s.contains("T")) s else s + "T00:00:00")
+    timestamp_micros(lit(
+      ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
+        ldt.getNano / 1000L))
+  }
+
+  /** UTC calendar date of a µs-since-epoch instant, derived
+    * arithmetically (`to_date` on a timestamp renders in the session
+    * zone). pmod keeps the floor exact for pre-epoch instants. */
+  def utcDateOfMicros(us: Column): Column =
+    date_add(to_date(lit("1970-01-01")),
+      ((us - pmod(us, lit(86400000000L))) / lit(86400000000L)).cast("int"))
+
+  /** UTC hour-truncation of a µs instant, arithmetic — `date_trunc`
+    * truncates in the session zone, which diverges from UTC in
+    * non-whole-hour-offset zones (e.g. +05:45). */
+  def utcHourTruncMicros(us: Column): Column =
+    timestamp_micros(us - pmod(us, lit(3600000000L)))
+
   /** Scalar JSON string-field extraction on the VARIANT fast path.
     * `get_json_object` builds a Jackson parser plus a charset-decoder
     * stream PER ROW — measured 41.7 s vs 4.9 s over the same 10M-row

@@ -213,7 +213,8 @@ object Bpe {
       .map { case (w, c) => s"('${w.replace("'", "''")}', $c)" }
       .mkString(", ")
     s"""WITH vocab(word, n_tok) AS (VALUES $vals),
-      |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+      |tok AS (SELECT doc_id,
+      |          unnest(string_split(coalesce(text, ''), ' ')) AS w
       |        FROM documents)
       |SELECT t.doc_id,
       |  count(*) AS n_words,
@@ -245,7 +246,11 @@ object Bpe {
     val vocabArr =
       if (m.vocab.isEmpty) lit(Array.empty[String])
       else sort_array(array(m.vocab.map(v => lit(v._1)): _*))
-    val toks = split(col("text"), " ")
+    // NULL text scores as EMPTY text (the house convention — the
+    // native graft_bpe_count does the same): without the coalesce,
+    // Spark's split(NULL) nulls the row out of the sums while the
+    // DuckDB twin's unnest drops it — divergent on any NULL corpus.
+    val toks = split(coalesce(col("text"), lit("")), " ")
     docs
       .select(col("source"), size(toks).cast("long").as("n_tok"),
         size(graft.functions.Vectors.sortedExceptFast(spark, toks, vocabArr))
@@ -266,7 +271,8 @@ object Bpe {
       .map { case (w, _) => s"('${w.replace("'", "''")}')" }
       .mkString(", ")
     s"""WITH vocab(word) AS (VALUES $vals),
-      |tok AS (SELECT source, unnest(string_split(text, ' ')) AS w
+      |tok AS (SELECT source,
+      |          unnest(string_split(coalesce(text, ''), ' ')) AS w
       |        FROM documents),
       |agg AS (
       |  SELECT source, count(*) AS n_tokens,

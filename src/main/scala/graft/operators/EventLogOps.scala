@@ -191,9 +191,13 @@ object EventLogOps {
     * PushedFilters) and row-equality with the flat path. */
   def sincePartitioned(spark: SparkSession, dir: String,
                        sinceNs: Long = 1705276800000000000L): DataFrame = {
+    // partition bound computed driver-side as a UTC date: to_date over
+    // a timestamp truncates in the SESSION zone, so a non-UTC session
+    // would prune a different day boundary than the layout wrote
+    val sinceDate = java.time.LocalDate.ofEpochDay(
+      Math.floorDiv(Math.floorDiv(sinceNs, 1000L), 86400000000L))
     Tables.eventsPartitionedRaw(spark, dir)
-      .where(col("event_date") >=
-        to_date(timestamp_micros(lit(sinceNs / 1000L))) &&
+      .where(col("event_date") >= to_date(lit(sinceDate.toString)) &&
         col("ts") >= sinceNs)
       .select(col("event_id"), tsUs.as("ts_us"), col("event_type"), col("value"))
       .orderBy("event_id")
@@ -211,10 +215,13 @@ object EventLogOps {
     * bounded (resume requests), so the unpartitioned window over the
     * grid is a non-issue at any data scale. */
   def nearestOffset(spark: SparkSession, dir: String): DataFrame =
-    nearestOffsetFor(spark, dir, spark.sql(
-      """SELECT explode(sequence(timestamp'2024-01-01 00:00:00',
-        |                        timestamp'2024-01-31 00:00:00',
-        |                        interval 1 hour)) AS probe_ts""".stripMargin))
+    // probe instants built zone-free (a timestamp'...' literal parses
+    // in the SESSION zone — a non-UTC consumer session would shift the
+    // whole probe grid relative to the oracle's naive-UTC sequence)
+    nearestOffsetFor(spark, dir, spark.range(1).select(
+      explode(sequence(
+        Portable.utcTs("2024-01-01"), Portable.utcTs("2024-01-31"),
+        expr("interval 1 hour"))).as("probe_ts")))
 
   /** Parameterized form: answer HOUR-ALIGNED probe instants (column
     * `probe_ts`; enforced by truncation) against the event log — the
@@ -230,12 +237,15 @@ object EventLogOps {
     * (strictly earlier only). */
   def nearestOffsetFor(spark: SparkSession, dir: String, probes: DataFrame): DataFrame = {
     val ev = Tables.events(spark, dir)
+    // UTC hour-truncation, arithmetic: date_trunc runs in the session
+    // zone, which only coincides with UTC truncation in whole-hour
+    // zones (a +05:45 session would land probes between grid lines)
     val hourly = ev
-      .groupBy(date_trunc("hour", col("ts_us")).as("t"))
+      .groupBy(Portable.utcHourTruncMicros(unix_micros(col("ts_us"))).as("t"))
       .agg(min("event_id").as("min_id"), max("event_id").as("max_id"))
       .withColumn("is_probe", lit(0))
     val probeRows = probes
-      .select(date_trunc("hour", col("probe_ts")).as("t"))
+      .select(Portable.utcHourTruncMicros(unix_micros(col("probe_ts"))).as("t"))
       .withColumn("min_id", lit(null).cast("long"))
       .withColumn("max_id", lit(null).cast("long"))
       .withColumn("is_probe", lit(1))

@@ -113,7 +113,10 @@ object Maintenance {
     * over a real `input_file_name()` manifest too. */
   def dailyFileStats(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
-      .select(date_format(col("ts_us"), "yyyy-MM-dd").as("file"),
+      // UTC day, derived arithmetically: date_format on a timestamp
+      // renders in the session zone (date_format on a DATE does not)
+      .select(date_format(graft.functions.Portable.utcDateOfMicros(
+          unix_micros(col("ts_us"))), "yyyy-MM-dd").as("file"),
         col("props"))
       .groupBy("file")
       .agg(count(lit(1)).as("n_rows"),

@@ -37,13 +37,39 @@ object Pipeline {
       .where(!col("keep"))
       .select(col("vec_id").as("doc_id"))
 
+  /** The run's semantic drop-set as a driver-side artifact, cached for
+    * the oracle dump (the P1/P2 [[OracleModelCache]] device applied to
+    * the trained STAGE: k-means is not SQL-expressible, so the oracle
+    * twin embeds the exact drop list of the run it is compared
+    * against — which makes the two composites verify at EVERY SF, not
+    * just a golden-pinned fixture). Bounded: the drop set is the
+    * duplicate tail of the embedded prefix of the corpus (tens of
+    * rows at the verify SFs); the production composition
+    * ([[pipelinePackFrom]], [[Reporting.dropLedgerFrom]]) still takes
+    * the drop frame as a DataFrame and never collects. */
+  private val dropCache = new OracleModelCache[Seq[Long]]((s, d) =>
+    semanticDrops(s, d).orderBy("doc_id").collect().map(_.getLong(0)).toVector)
+
+  /** The cached drop-set as a one-column frame (self-contained
+    * composites' semantic arm — literal-identical to what the oracle
+    * embeds, and computed ONCE per run/dir instead of once per
+    * consuming stage). */
+  def pinnedDrops(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    dropCache.model(spark, dir).toDF("doc_id")
+  }
+
+  /** doc_ids the oracle twin must embed: the drop-set of the last run
+    * (training on demand for a dump-only path). */
+  private[graft] def oracleDropIds: Seq[Long] = dropCache.oracleModel()
+
   /** Self-contained form (recomputes stages; the oracle twin nests
     * the stages' own SQL the same way). */
   def pipelinePack(spark: SparkSession, dir: String): DataFrame =
     pipelinePackFrom(
       Tables.documents(spark, dir),
       Curation.curate(spark, dir),
-      semanticDrops(spark, dir))
+      pinnedDrops(spark, dir))
 
   /** The funnel over MATERIALIZED stage outputs: curated docs minus
     * semantic drops, mix-resampled over the survivor set, packed into
@@ -62,16 +88,12 @@ object Pipeline {
       shardTokens)
   }
 
-  /** The semantic stage's drop-set pinned for the driver's verify
-    * fixture (sf0.01): k-means training is not SQL-expressible, so
-    * the oracle twin consumes the stage's CHECKED-IN output — the
-    * golden-keep-set device the H8 oracle precedent extends to the
-    * trained stage. GoldenSpec re-runs the live operator at sf0.01
-    * and asserts it still equals this resource, so the oracle can
-    * never silently drift from the code. (The other stages' SQL is
-    * dir-independent; this literal makes `pipelinePackSql` valid
-    * exactly at the fixture the driver verifies on.) */
-  private[graft] lazy val pinnedDropIds: Seq[Long] = {
+  /** The sf0.01 golden resource stays as a DRIFT gate only: GoldenSpec
+    * re-runs the live semantic stage at sf0.01 and asserts it still
+    * equals this checked-in list, so the trained stage cannot silently
+    * drift (the oracle itself now embeds the run's own drop-set via
+    * [[oracleDropIds]] and is valid at every SF). */
+  private[graft] lazy val goldenDropIdsSf001: Seq[Long] = {
     val in = getClass.getResourceAsStream("/graft/semantic_drop_sf0.01.csv")
     require(in != null, "missing resource graft/semantic_drop_sf0.01.csv")
     val src = Source.fromInputStream(in)
@@ -80,14 +102,17 @@ object Pipeline {
   }
 
   /** Oracle: the stages' own verified SQL composed as CTEs —
-    * [[Curation.curateSql]] verbatim, the pinned semantic drop list,
-    * then the mix-resample and shard-pack arithmetic re-stated over
-    * the survivor CTE with the exact text of their standalone twins
+    * [[Curation.curateSql]] verbatim, the run's semantic drop list
+    * ([[oracleDropIds]] — evaluated at dump time, AFTER the queries
+    * ran, per the Verify contract), then the mix-resample and
+    * shard-pack arithmetic re-stated over the survivor CTE with the
+    * exact text of their standalone twins
     * ([[Sampling.mixResampleSql]], [[Packing.shardPackSql]]). */
   def pipelinePackSql(shardTokens: Long = 2000L): String = {
+    val ids = oracleDropIds
     val drops =
-      if (pinnedDropIds.isEmpty) "TRUE"
-      else s"doc_id NOT IN (${pinnedDropIds.mkString(", ")})"
+      if (ids.isEmpty) "TRUE"
+      else s"doc_id NOT IN (${ids.mkString(", ")})"
     s"""WITH curated AS (${Curation.curateSql}),
       |surv AS (SELECT doc_id, source FROM curated WHERE $drops),
       |t AS (SELECT count(*) AS n_total, count(DISTINCT source) AS n_sources

@@ -30,7 +30,7 @@ object Relational {
   /** B1: pricing summary (TPC-H Q1 shape). One scan, one shuffle. */
   def q1PricingSummary(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
-      .where(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .where(col("l_shipdate") <= Portable.utcTs("1998-09-02"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
         sum(col("l_quantity").cast(D)).cast("double").as("sum_qty"),
@@ -67,10 +67,10 @@ object Relational {
     val cust = Tables.customer(spark, dir)
       .where(col("c_mktsegment") === "BUILDING").select("c_custkey")
     val ord = Tables.orders(spark, dir)
-      .where(col("o_orderdate") < lit("1996-06-01").cast("timestamp"))
+      .where(col("o_orderdate") < Portable.utcTs("1996-06-01"))
       .select("o_orderkey", "o_custkey", "o_orderdate")
     val li = Tables.lineitem(spark, dir)
-      .where(col("l_shipdate") > lit("1996-06-01").cast("timestamp"))
+      .where(col("l_shipdate") > Portable.utcTs("1996-06-01"))
       .select("l_orderkey", "l_extendedprice", "l_discount")
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
       .join(cust, col("o_custkey") === col("c_custkey"))
@@ -103,8 +103,8 @@ object Relational {
     val cust = Tables.customer(spark, dir).select("c_custkey", "c_nationkey")
     val sup = Tables.supplier(spark, dir).select("s_suppkey", "s_nationkey")
     val ord = Tables.orders(spark, dir)
-      .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
-        col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      .where(col("o_orderdate") >= Portable.utcTs("1996-01-01") &&
+        col("o_orderdate") < Portable.utcTs("1997-01-01"))
       .select("o_orderkey", "o_custkey")
     val li = Tables.lineitem(spark, dir)
       .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")

@@ -129,7 +129,7 @@ object Reporting {
       Dedup.decontaminate(spark, dir),
       Dedup.exact(spark, dir),
       Dedup.dupClusters(spark, dir),
-      Pipeline.semanticDrops(spark, dir),
+      Pipeline.pinnedDrops(spark, dir),
       TextAnalysis.quality(spark, dir))
 
   /** The ledger over MATERIALIZED stage outputs: a union of five
@@ -160,12 +160,15 @@ object Reporting {
   }
 
   /** Oracle: each stage's verified SQL contributes its drop arm; the
-    * semantic stage uses the golden-pinned drop list (the Pipeline/J1
-    * device — k-means is not SQL-expressible). */
-  val dropLedgerSql: String = {
+    * semantic stage embeds the RUN's drop list (the Pipeline/J1
+    * [[OracleModelCache]] device — k-means is not SQL-expressible), so
+    * this twin is valid at every SF. A def: the list must be resolved
+    * at DUMP time, after the queries ran. */
+  def dropLedgerSql: String = {
+    val ids = Pipeline.oracleDropIds
     val semArm =
-      if (Pipeline.pinnedDropIds.isEmpty) ""
-      else Pipeline.pinnedDropIds
+      if (ids.isEmpty) ""
+      else ids
         .map(id => s"($id, 4)").mkString(
           "  UNION ALL SELECT * FROM (VALUES ", ", ", ") sem(doc_id, pri)\n")
     val caseExpr = Reasons

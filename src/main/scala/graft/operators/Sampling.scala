@@ -192,15 +192,44 @@ object Sampling {
       .withColumn("a", when(col("capped"), col("e"))
         .otherwise(expr("(t - capped_sum) DIV (s_total - k)")))
       .select(col("source"), col("n"), col("a"))
-    val wRank = Window.partitionBy("source")
-      .orderBy(hashBucket(col("doc_id"), salt), col("doc_id"))
-    docs.select(col("doc_id"), col("source"))
-      .join(broadcast(alloc), Seq("source"))
-      .withColumn("rk", row_number().over(wRank))
-      .select(col("doc_id"), col("source"),
-        (expr("a DIV n") +
-          when(col("rk") <= expr("a % n"), 1L).otherwise(0L)).as("n_copies"))
-      .orderBy("doc_id")
+    // Materialization rank, TWO-LEVEL (the H11/PrefixSum discipline —
+    // a plain Window.partitionBy(source) would sort each source's
+    // ENTIRE doc set in one task, and at 100 TB a dominant crawl
+    // source is most of the corpus). The extra-copy rule needs only
+    // `rk <= m` (m = a MOD n), so whole hash-prefix buckets decide by
+    // COUNTS alone: bucket `bkt` = first two nibbles of the salted
+    // hash (a PREFIX of the sort key, so bucket order refines
+    // (hash, doc_id) order); per-(source, bkt) counts → exclusive
+    // offsets over a sources×256-row frame; a bucket wholly under m
+    // is all-extra, wholly past m is none, and ONLY the single
+    // straddling bucket per source (~n/256 rows) gets an intra-bucket
+    // row_number. Output is identical to the single-window rank.
+    val base = docs.select(col("doc_id"), col("source"),
+        hashBucket(col("doc_id"), salt).as("hb"))
+      .withColumn("bkt", expr("hb DIV 256"))
+    val wOff = Window.partitionBy("source").orderBy("bkt")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bmeta = base.groupBy("source", "bkt").agg(count(lit(1)).as("c"))
+      .withColumn("off", coalesce(sum("c").over(wOff), lit(0L)))
+      .join(alloc, Seq("source"))
+      .withColumn("m", expr("a % n"))
+    val marked = base.join(broadcast(bmeta), Seq("source", "bkt"))
+    val outCols = Seq(col("doc_id"), col("source"),
+      (expr("a DIV n") + col("extra")).as("n_copies"))
+    val easy = marked
+      .where(col("off") + col("c") <= col("m") || col("off") >= col("m"))
+      .withColumn("extra",
+        when(col("off") + col("c") <= col("m"), 1L).otherwise(0L))
+      .select(outCols: _*)
+    val wIntra = Window.partitionBy("source", "bkt")
+      .orderBy(col("hb"), col("doc_id"))
+    val straddle = marked
+      .where(col("off") + col("c") > col("m") && col("off") < col("m"))
+      .withColumn("extra",
+        when(col("off") + row_number().over(wIntra) <= col("m"), 1L)
+          .otherwise(0L))
+      .select(outCols: _*)
+    easy.unionByName(straddle).orderBy("doc_id")
   }
 
   def mixUnimaxSql(salt: String = "unimax"): String =
@@ -228,7 +257,8 @@ object Sampling {
       |      ORDER BY ${hashBucketSql("d.doc_id", salt)}, d.doc_id) AS rk
       |  FROM documents d JOIN alloc ON d.source = alloc.source)
       |SELECT doc_id, source,
-      |  a // n + CASE WHEN rk <= a % n THEN 1 ELSE 0 END AS n_copies
+      |  CAST(a // n + CASE WHEN rk <= a % n THEN 1 ELSE 0 END AS BIGINT)
+      |    AS n_copies
       |FROM rk
       |ORDER BY doc_id""".stripMargin
 

@@ -609,4 +609,45 @@ object SemanticDedup {
     * pass), then resume delta maintenance. */
   def needsRefresh(oldAssigned: DataFrame, newAssigned: DataFrame): Boolean =
     assignmentDrift(oldAssigned, newAssigned).head().getBoolean(3)
+
+  /** One generation of the maintained index: the assignment frame, the
+    * frozen centroids it answers for, and the generation counter the
+    * refresh bumps. Callers persist `assigned`/`cents` between deltas
+    * (at scale: the D7 `cid=`-partitioned layout). */
+  final case class MaintainedIndex(assigned: DataFrame, cents: DataFrame,
+                                   generation: Int,
+                                   refreshed: Boolean = false)
+
+  /** The maintenance DRIVER that closes O5's loop: apply one CDC delta
+    * (an O(|delta|·k) [[maintainAssignments]] pass), read the drift
+    * gate off the maintained index itself, and on a tripped gate
+    * retrain generation g+1 ON THE MAINTAINED CORPUS and re-assign —
+    * one full [[assignTo]] pass, after which delta maintenance resumes
+    * against the new centroids. Deterministic end to end (the trainer
+    * is seeded, the tie rule shared), so a refresh is bit-identical to
+    * training from scratch on the same corpus — OSeriesSpec drives
+    * drift → refresh → equality with the from-scratch rebuild.
+    *
+    * The gate compares against THIS delta's pre-state, so `refreshed`
+    * reports what this invocation did; a slow multi-delta drift is
+    * caught by the caller retaining a reference generation (the K6
+    * monitoring discipline) — the spec's planted drift is the
+    * single-delta regime. */
+  def maintainWithRefresh(spark: SparkSession, index: MaintainedIndex,
+                          newEmb: DataFrame, delta: DataFrame,
+                          k: Int = 0, iters: Int = 3): MaintainedIndex = {
+    val maintained =
+      maintainAssignments(spark, index.assigned, newEmb, delta, index.cents)
+        .localCheckpoint()
+    if (!needsRefresh(index.assigned, maintained))
+      index.copy(assigned = maintained, refreshed = false)
+    else {
+      val corpus = maintained.select("vec_id", "embedding")
+      val kk = if (k > 0) k else autoK(corpus.count())
+      val nextCents = SimilaritySearch.trainCentroids(spark, corpus, kk, iters)
+        .localCheckpoint()
+      MaintainedIndex(assignTo(spark, corpus, nextCents), nextCents,
+        index.generation + 1, refreshed = true)
+    }
+  }
 }

@@ -304,7 +304,12 @@ object Tables {
   def writeEventsPartitioned(spark: SparkSession, srcDir: String,
                              outDir: String): Unit =
     eventsRaw(spark, srcDir)
-      .withColumn("event_date", to_date(timestamp_micros(expr("ts DIV 1000"))))
+      // UTC truncation stated arithmetically: to_date over a timestamp
+      // truncates in the SESSION zone, so a non-UTC writer session
+      // would place boundary events in different date directories than
+      // the readers' (and the oracle's) UTC day
+      .withColumn("event_date", graft.functions.Portable.utcDateOfMicros(
+        expr("ts DIV 1000")))
       .write.mode("overwrite")
       .partitionBy("event_date")
       .parquet(s"$outDir/events.parquet")

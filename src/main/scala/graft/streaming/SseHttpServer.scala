@@ -30,6 +30,10 @@ import graft.operators.EventLogService
   *    (service.go:254-258), so timestamp ties can't drop events;
   *    present it is RFC3339 or a Go duration, with malformed input
   *    answered 400 before any query runs (service.go:228-242);
+  *  - SSE-spec resume: frames carry `id: <offset>`, and a reconnect
+  *    with `Last-Event-ID: <offset>` replays strictly after it —
+  *    exactly the missed frames (the README.md:46-48 contract the
+  *    reference code never implemented); malformed header → 400;
   *  - per-client disconnect: a failed frame write tears down that
   *    client's query only (service.go:272-274 breaks on write error);
   *    idle connections are detected via SSE comment heartbeats; a
@@ -120,6 +124,29 @@ class SseHttpServer(spark: SparkSession, dir: String,
     ex.getResponseHeaders.add("Access-Control-Allow-Origin", "*")
     val route = ex.getRequestURI.getPath.stripPrefix("/routes/")
     if (route.isEmpty || route.contains("/")) { respond(ex, 404, "Not Found\n"); return }
+    // SSE-spec resume: every delivered frame carries `id: <offset>`, so
+    // a reconnecting client's `Last-Event-ID` header is a strictly-
+    // after OFFSET seek — it wins over `since` (the browser re-sends
+    // the original query string alongside the header; the header is
+    // the more precise position). The reference README names this
+    // contract (README.md:46-48); its code only ever did `?since=`.
+    val lastEventId = Option(ex.getRequestHeaders.getFirst("Last-Event-ID"))
+    lastEventId match {
+      case Some(v) =>
+        v.toLongOption match {
+          case None => respond(ex, 400, "Bad Request\n"); return
+          case Some(off) =>
+            try {
+              if (shared) { hubOrStart(); () } // start before streaming
+              streamTo(ex, route, sinceNs = None, afterOffset = Some(off))
+            } catch {
+              case _: IllegalStateException =>
+                respond(ex, 503, "Service Unavailable\n")
+            }
+            return
+        }
+      case None => ()
+    }
     try queryParam(ex, "since") match {
       case Some(s) => EventLogService.parseSinceNs(s, nowNs()) match {
         case Left(_) => respond(ex, 400, "Bad Request\n") // service.go:237
@@ -197,7 +224,7 @@ class SseHttpServer(spark: SparkSession, dir: String,
       try {
         val queue = SseHttpServer.register(id, maxQueuedFrames)
         q = SseSink.serveLive(spark, dir, new SseHttpServer.QueueTransport(id),
-          pollIntervalMs, sinceNs, Some(route), afterOffset)
+          pollIntervalMs, sinceNs, Some(route), afterOffset, withIds = true)
         active.put(id, q)
         // late registration may have slipped past stop()'s sweep
         if (closed) throw new IOException("server shutting down")

@@ -185,7 +185,7 @@ class SseHub(spark: SparkSession, dir: String,
       val replay = Vector.newBuilder[String]
       rings.get(route).foreach { r =>
         val it = r.ring.tailMap(afterOffset, false).values.iterator()
-        while (it.hasNext) replay += it.next().frame
+        while (it.hasNext) { val e = it.next(); replay += idFrame(e.offset, e.frame) }
       }
       val sub = new Subscription(id, this, route, afterOffset,
         replay.result(), new BoundedQueue(maxQueuedFrames))
@@ -207,7 +207,8 @@ class SseHub(spark: SparkSession, dir: String,
         // fan out only first-time offsets: the foreach sink is
         // at-least-once, and a retried batch must not double-deliver
         subs.values.foreach { s =>
-          if (s.route == route && offset > s.afterOffset) s.queue.add(frame)
+          if (s.route == route && offset > s.afterOffset)
+            s.queue.add(SseHub.idFrame(offset, frame))
         }
       }
     }
@@ -221,6 +222,13 @@ class SseHub(spark: SparkSession, dir: String,
 
 object SseHub {
   private[streaming] case class Entry(offset: Long, ts: Long, frame: String)
+
+  /** Delivered frames carry the SSE `id:` field (offset = event id) so
+    * a client can resume with `Last-Event-ID` after a drop — the ring
+    * stores the bare frame once and the id line is prepended at
+    * delivery, where the offset is in hand anyway. */
+  private[streaming] def idFrame(offset: Long, frame: String): String =
+    "id: " + offset + "\n" + frame
 
   /** Handle a client holds: replay-then-live frame source + close.
     * `poll` drains the replay snapshot first (unbounded by the live

@@ -86,25 +86,38 @@ object SseSink {
                 pollIntervalMs: Long = 100L,
                 sinceNs: Option[Long] = None,
                 route: Option[String] = None,
-                afterOffset: Option[Long] = None): org.apache.spark.sql.streaming.StreamingQuery =
-    framesStream(spark, dir, sinceNs, route, afterOffset).writeStream
+                afterOffset: Option[Long] = None,
+                withIds: Boolean = false): org.apache.spark.sql.streaming.StreamingQuery =
+    framesStream(spark, dir, sinceNs, route, afterOffset, withIds).writeStream
       .foreach(writer(transport))
       .trigger(Trigger.ProcessingTime(pollIntervalMs))
       .start()
 
+  /** `id: <event_id>` line ahead of the frame — the SSE-spec field a
+    * client echoes back as `Last-Event-ID` on reconnect. Offsets ARE
+    * event ids here, so the browser's automatic resume lands on the
+    * same strictly-after offset seek the no-since default uses (the
+    * reference README names this contract, README.md:46-48; its code
+    * never implemented it). */
+  def idFrameCol: org.apache.spark.sql.Column =
+    concat(lit("id: "), col("event_id").cast("string"), lit("\n"), frameCol)
+
   /** `sinceNs` is the timestamp seek; `afterOffset` is the OFFSET seek
     * (strictly-after event_id) — the reference's no-since default
     * resumes at the latest log offset, not the latest timestamp
-    * (service.go:254-258), so timestamp ties never drop events. */
+    * (service.go:254-258), so timestamp ties never drop events.
+    * `withIds` prepends the SSE `id:` field (HTTP serving paths). */
   private def framesStream(spark: org.apache.spark.sql.SparkSession,
                            dir: String,
                            sinceNs: Option[Long] = None,
                            route: Option[String] = None,
-                           afterOffset: Option[Long] = None): DataFrame = {
+                           afterOffset: Option[Long] = None,
+                           withIds: Boolean = false): DataFrame = {
     val ev = EventStreams.readEvents(spark, dir)
     val routed = route.fold(ev)(rt => ev.where(col("event_type") === rt))
     val timed = sinceNs.fold(routed)(n => routed.where(col("ts") >= n))
     afterOffset.fold(timed)(o => timed.where(col("event_id") > o))
-      .select(col("event_type"), frameCol.as("frame"))
+      .select(col("event_type"),
+        (if (withIds) idFrameCol else frameCol).as("frame"))
   }
 }

@@ -92,16 +92,17 @@ class GoldenSpec extends SparkSpec {
     }
   }
 
-  test("pipeline oracle's pinned drop-set equals the live sf0.01 semantic drops") {
-    // the q_pipeline_pack oracle inlines this main resource; if the
-    // semantic stage's output moves, this fails before the driver's
-    // correctness gate ever sees a confusing hash mismatch
+  test("live sf0.01 semantic drop-set still equals the checked-in golden (drift gate)") {
+    // the q_pipeline_pack/q_drop_ledger oracles now embed the RUN's
+    // own drop list (valid at every SF); this golden remains as the
+    // drift gate — the trained stage cannot silently move at the
+    // reviewed fixture without failing here first
     val live = graft.operators.SemanticDedup
       .semanticDedup(spark, GoldenGen.VerifyDir)
       .where(!org.apache.spark.sql.functions.col("keep"))
       .select("vec_id").orderBy("vec_id")
       .collect().map(_.getLong(0)).toSeq
-    assert(graft.operators.Pipeline.pinnedDropIds == live,
+    assert(graft.operators.Pipeline.goldenDropIdsSf001 == live,
       "semantic_drop_sf0.01.csv is stale — re-run GoldenGen and review")
   }
 

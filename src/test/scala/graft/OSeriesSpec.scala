@@ -320,4 +320,41 @@ class OSeriesSpec extends SparkSpec {
       "sign-flip must collapse the mean assignment cosine")
     assert(SemanticDedup.needsRefresh(assigned, drifted))
   }
+
+  test("O5 refresh driver: a tripped gate retrains gen g+1 equal to the from-scratch rebuild") {
+    val emb = Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
+    val cents = SimilaritySearch.trainCentroids(spark, emb, 8, 2).localCheckpoint()
+    val idx = SemanticDedup.MaintainedIndex(
+      SemanticDedup.assignTo(spark, emb, cents).localCheckpoint(), cents, 0)
+
+    // stable 5%-band delta (same embeddings re-delivered): maintenance
+    // only — gate off, generation unchanged, index rows unchanged
+    val smallBand = Sampling.hashBucket(col("vec_id"), "refreshsmall") < 3277
+    val stableDelta = emb.where(smallBand)
+      .select(col("vec_id"), lit("changed").as("change"))
+    val same = SemanticDedup.maintainWithRefresh(
+      spark, idx, emb, stableDelta, k = 8, iters = 2)
+    assert(!same.refreshed && same.generation == 0,
+      "a stable delta must not bump the generation")
+    assert(same.assigned.exceptAll(idx.assigned).count() == 0,
+      "stable maintenance changed index rows")
+
+    // planted drift: the whole corpus re-embeds sign-flipped — the
+    // gate trips, and the refreshed generation must be BIT-IDENTICAL
+    // to training from scratch on the maintained corpus (the trainer
+    // is seeded and the assignment tie rule shared)
+    val flipped = emb.select(col("vec_id"),
+      expr("transform(embedding, v -> CAST(-v AS FLOAT))").as("embedding"))
+    val allChanged = emb.select(col("vec_id"), lit("changed").as("change"))
+    val next = SemanticDedup.maintainWithRefresh(
+      spark, idx, flipped, allChanged, k = 8, iters = 2)
+    assert(next.refreshed && next.generation == 1, "planted drift must refresh")
+    val scratch = SemanticDedup.assignTo(spark, flipped,
+      SimilaritySearch.trainCentroids(spark, flipped, 8, 2))
+    def canon(df: DataFrame) = df.select(col("vec_id"), col("cid"),
+      round(col("cent_sim"), 9).as("s"))
+    assert(canon(next.assigned).exceptAll(canon(scratch)).count() == 0 &&
+      next.assigned.count() == scratch.count(),
+      "refreshed generation diverges from the from-scratch rebuild")
+  }
 }
