@@ -154,7 +154,13 @@ object SparkEntry {
     "q_bpe_oov_drift" -> (Bpe.oovDrift _),
     // P2: in-engine-trained logistic quality classifier (weak labels
     // from E2 bands); frozen weights ride the oracle as a literal list
-    "q_quality_classifier" -> (QualityClassifier.classify _)
+    "q_quality_classifier" -> (QualityClassifier.classify _),
+    // R-series: importance resampling weights (DSIR), fixed-length
+    // sequence packing with boundary spans, excess-loss domain
+    // reweighting (DoReMi objective, fixed-proxy form)
+    "q_dsir_weights" -> (Dsir.dsirWeights _),
+    "q_seq_pack" -> ((s: SparkSession, d: String) => Packing.seqPack(s, d)),
+    "q_domain_reweight" -> (DomainMix.domainReweight _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -253,6 +259,9 @@ object SparkEntry {
     "q_lm_quality" -> CharLm.lmScoreSql,
     "q_text_tokens_bpe" -> Bpe.tokenCountsBpeSql,
     "q_bpe_oov_drift" -> Bpe.oovDriftSql,
-    "q_quality_classifier" -> QualityClassifier.classifySql
+    "q_quality_classifier" -> QualityClassifier.classifySql,
+    "q_dsir_weights" -> Dsir.dsirWeightsSql,
+    "q_seq_pack" -> Packing.seqPackSql(),
+    "q_domain_reweight" -> DomainMix.domainReweightSql
   )
 }

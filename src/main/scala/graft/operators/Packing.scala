@@ -92,6 +92,81 @@ object Packing {
       |        FROM documents) e) c
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** R2: fixed-length training-SEQUENCE packing with document-boundary
+    * spans — the loader-facing refinement of I1. An LM trainer does
+    * not consume token-budget shards; it consumes sequences of exactly
+    * `seqLen` tokens cut from the concatenated corpus, and it needs to
+    * know WHERE the document boundaries fall inside each sequence to
+    * mask cross-document attention (the packing-without-contamination
+    * construction of Krell et al. 2021 and the standard concat-then-
+    * chunk pretraining loader). I1 answers "which block does this doc
+    * START in"; this answers the loader's actual question: for every
+    * (sequence, document) incidence, the within-sequence token span
+    * `[tok_start, tok_end)` the document occupies — a doc longer than
+    * a sequence spans several rows, a sequence usually holds several
+    * docs, and the spans of a sequence tile [0, seqLen) exactly.
+    *
+    * Same deterministic global hash order and TWO-LEVEL prefix sum as
+    * I1 (shared [[PrefixSum]] machinery — no full-corpus single-task
+    * window); the span explode is a codegen'd `sequence()` over the
+    * doc's [start, end) block range — pure arithmetic, zero extra
+    * shuffle, output size O(docs + sequences). ALL-INTEGER, so both
+    * engines agree exactly. */
+  val SeqLen = 512L
+
+  def seqPack(spark: SparkSession, dir: String,
+              seqLen: Long = SeqLen, salt: String = "seq"): DataFrame =
+    seqPackFrom(Tables.documents(spark, dir), seqLen, salt)
+
+  def seqPackFrom(docs: DataFrame,
+                  seqLen: Long = SeqLen, salt: String = "seq"): DataFrame = {
+    val wCum = Window.partitionBy("bkt").orderBy(col("h"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    PrefixSum.withBucketOffsets(
+      PrefixSum.hashedBase(docs, salt), Nil)
+      .withColumn("start_off",
+        col("offset") + coalesce(sum(col("est_tokens")).over(wCum), lit(0L))
+          - col("est_tokens"))
+      // empty docs occupy no tokens: no span rows (both engines)
+      .where(col("est_tokens") > 0)
+      .select(col("doc_id"), col("start_off"), col("est_tokens"),
+        explode(sequence(
+          expr(s"start_off DIV $seqLen"),
+          expr(s"(start_off + est_tokens - 1) DIV $seqLen"))).as("seq_id"))
+      .select(col("seq_id"), col("doc_id"),
+        greatest(col("start_off") - col("seq_id") * seqLen, lit(0L))
+          .as("tok_start"),
+        least(col("start_off") + col("est_tokens") - col("seq_id") * seqLen,
+          lit(seqLen)).as("tok_end"))
+      .orderBy("seq_id", "doc_id")
+  }
+
+  /** DuckDB twin — single global window (equal to the two-level form
+    * because the bucket id is a prefix of the sort key) + inclusive
+    * `generate_series` matching Spark's `sequence`. */
+  def seqPackSql(seqLen: Long = SeqLen, salt: String = "seq"): String =
+    s"""WITH e AS (
+      |  SELECT doc_id,
+      |    coalesce(CAST(ceil(length(text) / 4.0) AS BIGINT), 0) AS est_tokens,
+      |    md5(doc_id || ':$salt') AS h
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, est_tokens,
+      |    CAST(sum(est_tokens) OVER (ORDER BY h, doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      - est_tokens AS start_off
+      |  FROM e),
+      |s AS (
+      |  SELECT doc_id, start_off, est_tokens,
+      |    unnest(generate_series(start_off // $seqLen,
+      |      (start_off + est_tokens - 1) // $seqLen)) AS seq_id
+      |  FROM c WHERE est_tokens > 0)
+      |SELECT seq_id, doc_id,
+      |  CAST(greatest(start_off - seq_id * $seqLen, 0) AS BIGINT) AS tok_start,
+      |  CAST(least(start_off + est_tokens - seq_id * $seqLen, $seqLen)
+      |    AS BIGINT) AS tok_end
+      |FROM s ORDER BY seq_id, doc_id""".stripMargin
+
   /** I2: stratified exact-quota sampling — exactly `quota` docs per
     * source (fewer only when a source is smaller than the quota),
     * chosen by deterministic hash rank so the sample is reproducible
