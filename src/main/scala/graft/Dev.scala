@@ -1,16 +1,17 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Scratch probe main for interactive dev; not part of the contract.
-  * Current probe: the semantic-dedup VERDICT-SENSITIVITY floor — how
-  * much do keep/drop verdicts churn between two equally-legitimate
-  * EXACT clusterings (k vs k-1, both full-corpus-trained)? This is
-  * the baseline any approximate-assignment agreement number must be
-  * judged against: if exact-vs-exact churns comparably, verdict
-  * identity is not a stable property of the operator on this corpus,
-  * and the honest contract is the structural keep/witness properties
-  * plus a bounded-churn note. */
+  * Current probe (round 12): the P3 two-level materialization rank
+  * under a PLANTED 90%-mass source — the exact pathology the round-11
+  * verdict flagged (a full-source row_number window puts a dominant
+  * crawl source in one task). Times mixUnimaxFrom at the given corpus
+  * on (a) the natural uniform source mix and (b) a remapped mix where
+  * ~90% of docs share one source; the two-level rank should price both
+  * the same (the straddling bucket is ~n_s/256 regardless of skew),
+  * where the old single-window shape degrades toward a one-task sort
+  * of 90% of the corpus. Numbers land in BASELINE.md. */
 object Dev {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
@@ -18,41 +19,28 @@ object Dev {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val x = sys.env.get("SPARK_GRAFT_SCALE_X").map(_.toInt).getOrElse(1)
-    val dir = if (x <= 1) base else {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_dev").toFile.getPath
-      ProbeLab.blowUpEmbeddings(spark, base, tmp, x)
-      tmp
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/tmp/graft_x100")
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "source")
+    val skewed = docs.withColumn("source",
+      when(pmod(xxhash64(col("doc_id")), lit(10)) < 9, lit("crawl"))
+        .otherwise(col("source")))
+    def time(name: String)(df: => DataFrame): Unit = {
+      val t0 = System.nanoTime()
+      df.write.mode("overwrite").format("noop").save()
+      println(f"[dev] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
     try {
-      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
-        .select(col("vec_id"), col("embedding"))
-      val n = emb.count()
-      val k = operators.SemanticDedup.autoK(n)
-      def verdicts(kk: Int) = operators.SemanticDedup
-        .dedupAssigned(spark,
-          operators.SemanticDedup.assignTo(spark, emb,
-            operators.SimilaritySearch.trainCentroids(spark, emb, kk, 3)), 0.35)
-        .select(col("vec_id"), col("keep"))
-      for (k2 <- Seq(k - 1, k + 1)) {
-        val a = verdicts(k).select(col("vec_id"), col("keep").as("ka"))
-        val b = verdicts(k2).select(col("vec_id"), col("keep").as("kb"))
-        val agree = a.join(b, Seq("vec_id"))
-          .where(col("ka") === col("kb")).count()
-        println(f"[dev] n=$n exact k=$k vs exact k=$k2: verdict agreement ${agree * 100.0 / n}%6.2f%%")
-      }
-    } finally {
-      if (x > 1) {
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
-        }
-        rm(new java.io.File(dir))
-      }
-      spark.stop()
-    }
+      println(s"[dev] corpus: ${docs.count()} docs at $dir")
+      time("unimax_uniform")(operators.Sampling.mixUnimaxFrom(docs))
+      time("unimax_skew90")(operators.Sampling.mixUnimaxFrom(skewed))
+      // second rep each: steady-state (codegen/footers warm)
+      time("unimax_uniform_rep2")(operators.Sampling.mixUnimaxFrom(docs))
+      time("unimax_skew90_rep2")(operators.Sampling.mixUnimaxFrom(skewed))
+    } finally spark.stop()
   }
 }

@@ -118,12 +118,18 @@ object Packing {
               seqLen: Long = SeqLen, salt: String = "seq"): DataFrame =
     seqPackFrom(Tables.documents(spark, dir), seqLen, salt)
 
+  /** `tokenCounter` swaps the chars/4 heuristic for a learned counter
+    * (the P1 BPE column) through the shared [[PrefixSum]] hook — the
+    * sequences then measure REAL tokenizer lengths, which is what the
+    * trainer's loader actually packs by. */
   def seqPackFrom(docs: DataFrame,
-                  seqLen: Long = SeqLen, salt: String = "seq"): DataFrame = {
+                  seqLen: Long = SeqLen, salt: String = "seq",
+                  tokenCounter: Option[org.apache.spark.sql.Column] = None)
+      : DataFrame = {
     val wCum = Window.partitionBy("bkt").orderBy(col("h"), col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     PrefixSum.withBucketOffsets(
-      PrefixSum.hashedBase(docs, salt), Nil)
+      PrefixSum.hashedBase(docs, salt, tokenCounter = tokenCounter), Nil)
       .withColumn("start_off",
         col("offset") + coalesce(sum(col("est_tokens")).over(wCum), lit(0L))
           - col("est_tokens"))

@@ -756,6 +756,34 @@ object SimilaritySearch {
     cents.write.mode("overwrite").parquet(s"$outDir/ivf_centroids.parquet")
   }
 
+  /** R4 serving core: IVF top-K for an ARBITRARY query frame
+    * `(query_id, q_emb)` against a prebuilt assigned index
+    * `(vec_id, embedding, cid)` + its centroid generation — the shape
+    * a standing-query stream probes per micro-batch (and any caller
+    * with queries that are not corpus prefixes). Query-side probe
+    * selection is a window over C rows PER QUERY (queries are bounded
+    * by construction — a micro-batch or a request set); the corpus is
+    * touched only through the probed cid buckets; the house
+    * round-9-desc/cid-asc tie rule matches every batch form. */
+  def ivfTopKForQueries(spark: SparkSession, queries: DataFrame,
+                        index: DataFrame, cents: DataFrame,
+                        k: Int = K, nProbe: Int = NProbe): DataFrame = {
+    val wQ = Window.partitionBy("query_id")
+      .orderBy(round(col("c_cos"), 9).desc, col("cid"))
+    val probes = queries.crossJoin(broadcast(cents))
+      .select(col("query_id"), col("q_emb"), col("cid"),
+        Vectors.cosineFast(spark, col("q_emb"), col("c_emb")).as("c_cos"))
+      .withColumn("rk", row_number().over(wQ)).where(col("rk") <= nProbe)
+      .select("query_id", "q_emb", "cid")
+    explodeRanked(
+      probes.join(index, Seq("cid"))
+        .where(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"),
+          Vectors.cosineFast(spark, col("q_emb"), col("embedding")).as("cos_sim"))
+        .groupBy("query_id")
+        .agg(TopK.topk(spark, k, col("vec_id"), col("cos_sim")).as("hits")))
+  }
+
   private case class IvfProbe(query_id: Long, cid: Int, q_emb: Array[Float])
 
   /** Top-K search over a written index dir. `flatPath` overrides the

@@ -122,4 +122,29 @@ object VecStreams {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         sink(matchesOfBatch(spark, batch, cents, keptIdx, tau), batchId)
       }
+
+  /** R4: standing-query streaming ANN — the vector twin of O7's
+    * standing BM25: QUERY vectors arrive as a stream and each
+    * micro-batch gets its exact IVF top-k against a static prebuilt
+    * index (the D7 artifact: assigned corpus + frozen centroid
+    * generation). Per-query top-k over the corpus is inherently an
+    * aggregation per QUERY — not a per-row projection like O7's
+    * scoring — so the production form is `foreachBatch` (aggregation
+    * legal per micro-batch; the I7 large-k precedent), with the usual
+    * at-least-once delivery under retries and the batch id for
+    * idempotent downstream writes. Emission equality with the batch
+    * [[SimilaritySearch.ivfTopKForQueries]] over the same query set is
+    * spec-pinned through a real AvailableNow stream. */
+  def annTopKForeachBatch(spark: SparkSession, streamDir: String,
+                          index: DataFrame, cents: DataFrame,
+                          k: Int = 5, nProbe: Int = 2)
+                         (sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    readVecs(spark, streamDir).writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        sink(SimilaritySearch.ivfTopKForQueries(spark,
+          batch.select(col("vec_id").as("query_id"),
+            col("embedding").as("q_emb")),
+          index, cents, k, nProbe), batchId)
+      }
 }

@@ -54,6 +54,26 @@ class RSeriesSpec extends SparkSpec {
       s"expected ${(total + L - 1) / L} sequences, got ${maxSeq + 1}")
   }
 
+  test("seq_pack composes with the learned BPE token counter (P1 -> R2)") {
+    // swap the chars/4 heuristic for the trained tokenizer through the
+    // shared PrefixSum hook: spans must then conserve the BPE counts
+    val m = graft.operators.Bpe.model(spark, sfDir)
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    val spans = Packing.seqPackFrom(docs, tokenCounter =
+      Some(graft.operators.Bpe.tokenCountCol(spark, m)))
+    val bpeCounts = graft.operators.Bpe.tokenCountsBpeFrom(spark, docs, m)
+      .select(col("doc_id"), col("n_bpe_tokens"))
+    val mismatch = spans.groupBy("doc_id")
+      .agg(sum(col("tok_end") - col("tok_start")).as("got"))
+      .join(bpeCounts, Seq("doc_id"))
+      .where(col("got") =!= col("n_bpe_tokens")).count()
+    assert(mismatch == 0, "sequence spans must conserve LEARNED token counts")
+    val maxSeq = spans.agg(max("seq_id")).head().getLong(0)
+    val total = bpeCounts.agg(sum("n_bpe_tokens")).head().getLong(0)
+    assert(maxSeq + 1 == (total + Packing.SeqLen - 1) / Packing.SeqLen,
+      "sequence count must follow the learned token mass")
+  }
+
   // ------------------------------------------------------------- R1
   test("dsir boosts target-vocabulary docs over off-distribution docs") {
     // target band: long, fully-distinct docs (E2 score = 1.0) over

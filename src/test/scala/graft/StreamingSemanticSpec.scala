@@ -125,4 +125,56 @@ class StreamingSemanticSpec extends SparkSpec {
       rm(root)
     }
   }
+
+  test("R4 standing-query ANN: streamed queries emit exactly the batch IVF top-k") {
+    val root = Files.createTempDirectory("graft_sann").toFile
+    val streamDir = s"$root/queries"
+    try {
+      val emb = graft.sources.Tables.embeddings(spark, sfDir)
+        .select("vec_id", "embedding")
+      val cents = graft.operators.SimilaritySearch
+        .trainCentroids(spark, emb, 8, 2).localCheckpoint()
+      val index = graft.operators.SemanticDedup.assignTo(spark, emb, cents)
+        .select("vec_id", "embedding", "cid").persist()
+
+      // six standing queries arrive as TWO stream files (a second
+      // micro-batch proves the late-arrival path)
+      val qAll = graft.sources.Tables.embeddings(spark, sfDir)
+        .where(col("vec_id") < 6)
+      qAll.where(col("vec_id") < 3).coalesce(1).write.parquet(streamDir)
+      qAll.where(col("vec_id") >= 3).coalesce(1)
+        .write.mode("append").parquet(streamDir)
+
+      def canon(rows: Array[org.apache.spark.sql.Row]) = rows.map(r =>
+        (r.getLong(0), r.getInt(1), r.getLong(2),
+          BigDecimal(r.getDouble(3)).setScale(9, BigDecimal.RoundingMode.HALF_UP)))
+        .toSet
+      val expected = canon(graft.operators.SimilaritySearch
+        .ivfTopKForQueries(spark,
+          qAll.select(col("vec_id").as("query_id"), col("embedding").as("q_emb")),
+          index, cents).collect())
+
+      val got = scala.collection.mutable.Set
+        .empty[(Long, Int, Long, BigDecimal)]
+      val q = graft.streaming.VecStreams
+        .annTopKForeachBatch(spark, streamDir, index, cents) { (df, _) =>
+          val rows = canon(df.collect())
+          got.synchronized { got ++= rows }
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+
+      assert(expected.map(_._1) == Set(0L, 1L, 2L, 3L, 4L, 5L),
+        "batch expectation must cover all six queries")
+      assert(got.toSet == expected,
+        s"streamed top-k diverges from batch: only-stream=${got.toSet -- expected} " +
+          s"only-batch=${expected -- got}")
+      index.unpersist()
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+      }
+      rm(root)
+    }
+  }
 }

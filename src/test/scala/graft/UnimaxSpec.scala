@@ -47,4 +47,30 @@ class UnimaxSpec extends SparkSpec {
     val bySrc = got.groupBy(_._1).map { case (s, rs) => s -> rs.map(_._2).sum }
     assert(bySrc.values.toSet == Set(30L), s"uniform share broken: $bySrc")
   }
+
+  test("materialization rank is two-level: no full-source rank window in the plan") {
+    import spark.implicits._
+    // the round-11 scale-killer: a row_number window partitioned by
+    // source ALONE sorts a dominant crawl source in one task. The
+    // two-level form ranks only per (source, bkt); this contract fails
+    // on the old single-window shape.
+    val docs = (0 until 200).map(i =>
+      (i.toLong, if (i < 180) "big" else s"s${i % 4}")).toDF("doc_id", "source")
+    val plan = Sampling.mixUnimaxFrom(docs).queryExecution.optimizedPlan
+    val wins = plan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(wins.nonEmpty, "expected window nodes in the unimax plan")
+    val offenders = wins.filter { w =>
+      w.windowExpressions.exists(_.toString.toLowerCase.contains("row_number")) &&
+        w.partitionSpec.flatMap(_.references.map(_.name)).toSet == Set("source")
+    }
+    assert(offenders.isEmpty,
+      s"full-source rank window found: ${offenders.map(_.partitionSpec)}")
+    // and the intra-bucket rank really is bucketed
+    assert(wins.exists { w =>
+      w.windowExpressions.exists(_.toString.toLowerCase.contains("row_number")) &&
+        w.partitionSpec.flatMap(_.references.map(_.name)).toSet == Set("source", "bkt")
+    }, "expected the (source, bkt)-partitioned straddle rank")
+  }
 }
