@@ -180,7 +180,8 @@ object Bench {
     * equality to the self-contained forms is spec-pinned). */
   private val FromForms = Set(
     "from_curate", "from_pipeline_pack", "from_corpus_report", "from_drop_ledger",
-    "from_quality_classifier", "from_text_tokens_bpe", "from_ann_ivf_index")
+    "from_quality_classifier", "from_text_tokens_bpe", "from_ann_ivf_index",
+    "from_domain_reweight")
 
   /** Materialize the shared stage outputs once (untimed), then time
     * ONLY the `*From` compositions over the persisted parquet — the
@@ -219,6 +220,8 @@ object Bench {
       val wantIvf = only.forall(_.contains("from_ann_ivf_index"))
       if (wantIvf)
         SimilaritySearch.writeIvfIndex(spark, sfDir, s"$fromDir/ivfidx")
+      val lmScores = persist("lm_scores",
+        CharLm.lmScore(spark, sfDir).select("doc_id", "avg_logp"))
       val forms: Seq[(String, () => DataFrame)] = Seq(
         "from_curate" -> (() => Curation.curateFrom(docs, quality, exact, decont)),
         "from_pipeline_pack" -> (() => Pipeline.pipelinePackFrom(docs, curated, semDrops)),
@@ -231,7 +234,13 @@ object Bench {
         "from_text_tokens_bpe" -> (() =>
           Bpe.tokenCountsBpeFrom(spark, docs, bpeModel)),
         "from_ann_ivf_index" -> (() =>
-          SimilaritySearch.ivfIndexTopK(spark, s"$fromDir/ivfidx")))
+          SimilaritySearch.ivfIndexTopK(spark, s"$fromDir/ivfidx")),
+        // R3's steady state: the char-LM scores persist once (the O4
+        // pass every consumer shares); reweighting itself is a join +
+        // #sources-row arithmetic
+        "from_domain_reweight" -> (() =>
+          DomainMix.domainReweightFrom(lmScores,
+            docs.select("doc_id", "source"))))
       forms.filter { case (n, _) => only.forall(_.contains(n)) }
         .foreach { case (n, mk) => timeQuery(n, mk) }
     } catch {

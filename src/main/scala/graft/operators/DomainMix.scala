@@ -38,8 +38,12 @@ object DomainMix {
   val Eta = 1.0
 
   def domainReweight(spark: SparkSession, dir: String): DataFrame =
+    // localCheckpoint: the scored frame is (doc_id, avg_logp) — 16 B a
+    // doc — with TWO aggregate consumers (per-source + corpus means);
+    // without it each re-runs the corpus-×-trigrams LM pipeline
     domainReweightFrom(
-      CharLm.lmScore(spark, dir),
+      CharLm.lmScore(spark, dir).select("doc_id", "avg_logp")
+        .localCheckpoint(),
       Tables.documents(spark, dir).select("doc_id", "source"))
 
   /** Composable form over a scored frame (doc_id, avg_logp) and a
@@ -51,10 +55,13 @@ object DomainMix {
       .agg(count(lit(1)).as("n_docs"),
         round(avg(col("avg_logp")), 6).as("mean_logp"))
     val corpus = scored.agg(round(avg(col("avg_logp")), 6).as("corpus_logp"))
+    // ex is #sources rows with two consumers (normalizer + output):
+    // checkpoint so neither re-derives the doc-grain aggregations
     val ex = per.crossJoin(broadcast(corpus))
       .withColumn("excess",
         round(col("corpus_logp") - col("mean_logp"), 6))
       .withColumn("w_raw", exp(lit(Eta) * col("excess")))
+      .localCheckpoint()
     val z = ex.agg(sum("w_raw").as("z"))
     ex.crossJoin(broadcast(z))
       .select(col("source"), col("n_docs"), col("mean_logp"), col("excess"),

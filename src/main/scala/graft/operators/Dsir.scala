@@ -64,9 +64,15 @@ object Dsir {
           Vectors.shinglesFast(spark, col("text"), 2, distinct = false)))
           .as("g"))
       .select(col("doc_id"), col("is_target"), feat.as("f"))
+    // localCheckpoint: counts is a ≤NBuckets-row model artifact with
+    // TWO consumers (totals + λ) — without it each consumer re-runs
+    // the corpus-scale feature explode (the plan showed three gram
+    // passes; now exactly two: fit + score, the deliberate
+    // recompute-over-materialize floor for a corpus-×-tokens stream)
     val counts = g.groupBy("f")
       .agg(count(lit(1)).as("c_r"),
         sum(when(col("is_target"), 1L).otherwise(0L)).as("c_t"))
+      .localCheckpoint()
     val tot = counts.agg(sum("c_r").as("n_r"), sum("c_t").as("n_t"))
     val lam = counts.crossJoin(broadcast(tot))
       .select(col("f"),
