@@ -160,7 +160,17 @@ object SparkEntry {
     // reweighting (DoReMi objective, fixed-proxy form)
     "q_dsir_weights" -> (Dsir.dsirWeights _),
     "q_seq_pack" -> ((s: SparkSession, d: String) => Packing.seqPack(s, d)),
-    "q_domain_reweight" -> (DomainMix.domainReweight _)
+    "q_domain_reweight" -> (DomainMix.domainReweight _),
+    // S1: exact duplicated-substring span removal (suffix-array dedup
+    // restated as K-gram witness runs)
+    "q_span_dedup" -> (SpanDedup.spanDedup _),
+    // S2: CCNet-style per-language perplexity terciles over the O4 LM
+    "q_ppl_buckets" -> (CharLm.pplBuckets _),
+    // S3: epoch-capped token-budget allocation (weighted waterfill
+    // over the R3 weights — the data-constrained scaling allocator)
+    "q_epoch_alloc" -> (DomainMix.epochAlloc _),
+    // S4: reliability bins for the trained P2 classifier (ECE report)
+    "q_qc_calibration" -> (QualityClassifier.calibration _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -262,6 +272,10 @@ object SparkEntry {
     "q_quality_classifier" -> QualityClassifier.classifySql,
     "q_dsir_weights" -> Dsir.dsirWeightsSql,
     "q_seq_pack" -> Packing.seqPackSql(),
-    "q_domain_reweight" -> DomainMix.domainReweightSql
+    "q_domain_reweight" -> DomainMix.domainReweightSql,
+    "q_span_dedup" -> SpanDedup.spanDedupSql,
+    "q_ppl_buckets" -> CharLm.pplBucketsSql,
+    "q_epoch_alloc" -> DomainMix.epochAllocSql,
+    "q_qc_calibration" -> QualityClassifier.calibrationSql
   )
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
@@ -76,6 +77,88 @@ object CharLm {
       .agg(count(lit(1)).as("n_grams"), round(avg(col("logp")), 6).as("avg_logp"))
       .withColumn("suspect", col("avg_logp") < SuspectBar)
       .orderBy("doc_id")
+  }
+
+  /** Sample share (of 65536 hash buckets) that prices the tercile
+    * cut points — ~25% here; at 100 TB the knob shrinks (CCNet itself
+    * derives cutoffs from a sample, not the full corpus). */
+  val PplSampleBar = 16384
+  private val pplSalt = "ppl"
+
+  /** S2: CCNet-style perplexity bucketing (Wenzek et al. 2020) — score
+    * every document under the LM, split each LANGUAGE into head /
+    * middle / tail terciles by perplexity, keep-or-weight downstream
+    * by bucket. Restated over the self-trained O4 trigram LM (CCNet
+    * uses a Wikipedia-trained KenLM; the bucketing contract is the
+    * same): higher `avg_logp` = lower perplexity = head.
+    *
+    * Cut points are EXACT ORDER STATISTICS (the ⌈n/3⌉-th and ⌈2n/3⌉-th
+    * smallest sample scores), not interpolated percentiles — integer
+    * ranks over 6-dp-rounded scores, so both engines derive
+    * bit-identical cuts and no interpolation ulp can flip a boundary
+    * doc. The ranking window runs over the hash SAMPLE only (the G1
+    * primitive, [[Sampling.hashBucket]] < [[PplSampleBar]]) — the
+    * published practice, and the scale story: the per-lang sort prices
+    * a tunable fraction, the cut table is ≤#langs rows and broadcasts,
+    * and bucketing the full corpus is a map-side comparison. */
+  def pplBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.parallelized(spark, Tables.documents(spark, dir))
+    pplBucketsFrom(lmScoreFrom(docs).select("doc_id", "avg_logp"),
+      docs.select("doc_id", "lang"))
+  }
+
+  /** Bucketing over a scored frame (doc_id, avg_logp) and a
+    * (doc_id, lang) frame. Langs absent from the sample (none at the
+    * fixture fractions) would drop — the inner join states that
+    * honestly rather than inventing a bucket. */
+  def pplBucketsFrom(scored: DataFrame, langs: DataFrame): DataFrame = {
+    val doc = scored.join(langs, Seq("doc_id"))
+    val samp = doc.where(
+      Sampling.hashBucket(col("doc_id"), pplSalt) < PplSampleBar)
+    val wRank = Window.partitionBy("lang").orderBy("avg_logp", "doc_id")
+    val wN = Window.partitionBy("lang")
+    val cuts = samp
+      .withColumn("r", row_number().over(wRank))
+      .withColumn("n", count(lit(1)).over(wN))
+      .groupBy("lang")
+      .agg(
+        max(when(col("r") === ceil(col("n") / 3.0).cast("long"),
+          col("avg_logp"))).as("c1"),
+        max(when(col("r") === ceil(col("n") * 2 / 3.0).cast("long"),
+          col("avg_logp"))).as("c2"))
+    doc.join(broadcast(cuts), Seq("lang"))
+      .select(col("doc_id"), col("lang"), col("avg_logp"),
+        when(col("avg_logp") <= col("c1"), "tail")
+          .when(col("avg_logp") <= col("c2"), "middle")
+          .otherwise("head").as("bucket"))
+      .orderBy("doc_id")
+  }
+
+  def pplBucketsSql: String = {
+    val hb = Sampling.hashBucketSql("CAST(doc_id AS VARCHAR)", pplSalt)
+    s"""WITH scored AS (SELECT doc_id, avg_logp FROM ($lmScoreSql)),
+      |doc AS (
+      |  SELECT s.doc_id, d.lang, s.avg_logp
+      |  FROM scored s JOIN documents d USING (doc_id)),
+      |samp AS (SELECT * FROM doc WHERE $hb < $PplSampleBar),
+      |rk AS (
+      |  SELECT lang, avg_logp,
+      |    row_number() OVER (PARTITION BY lang ORDER BY avg_logp, doc_id) AS r,
+      |    count(*) OVER (PARTITION BY lang) AS n
+      |  FROM samp),
+      |cuts AS (
+      |  SELECT lang,
+      |    max(CASE WHEN r = CAST(ceil(n / 3.0) AS BIGINT)
+      |        THEN avg_logp END) AS c1,
+      |    max(CASE WHEN r = CAST(ceil(n * 2 / 3.0) AS BIGINT)
+      |        THEN avg_logp END) AS c2
+      |  FROM rk GROUP BY lang)
+      |SELECT doc.doc_id, doc.lang, doc.avg_logp,
+      |  CASE WHEN avg_logp <= c1 THEN 'tail'
+      |       WHEN avg_logp <= c2 THEN 'middle'
+      |       ELSE 'head' END AS bucket
+      |FROM doc JOIN cuts USING (lang)
+      |ORDER BY doc_id""".stripMargin
   }
 
   def lmScoreSql: String =

@@ -69,6 +69,138 @@ object DomainMix {
       .orderBy("source")
   }
 
+  /** Repeat cap for [[epochAlloc]] — published data-constrained
+    * scaling work (Muennighoff et al. 2023, Scaling Data-Constrained
+    * Language Models) finds repeating data ~4 epochs near-free and
+    * diminishing after; the cap is the knob. 3 here so the fixture's
+    * ±15% per-source token spread puts the water level mid-pack and
+    * the capped set actually splits. */
+  val AllocEpochCap = 3
+  /** Training budget as a RATIONAL multiple (11/4 = 2.75x) of total
+    * corpus tokens - integer arithmetic in both engines, and strictly
+    * under the Sigma-cap = 3x ceiling so the capped set is a proper
+    * subset (at 3x budget every source caps and the allocator
+    * degenerates to "everything, three times"). */
+  val AllocBudgetNum = 11
+  val AllocBudgetDen = 4
+
+  /** S3: epoch-capped token-budget allocation — the allocator that
+    * turns R3's mixture WEIGHTS into per-source token COUNTS a loader
+    * can consume. Given a budget B = [[AllocBudgetNum]]/[[AllocBudgetDen]] × corpus
+    * tokens, each source wants its weighted share w_s·B but may not
+    * repeat more than [[AllocEpochCap]] epochs of what it has (the
+    * data-constrained regime); surplus from capped sources spreads
+    * over the uncapped PROPORTIONALLY TO WEIGHT. The P3 UniMax
+    * waterfill generalized from uniform-weight doc counts to
+    * arbitrary-weight token counts (UniMax is the w_s = 1/S, unit
+    * token special case).
+    *
+    * Same closed form, weighted: sort sources ascending by
+    * cap_s / w_s (the budget level at which s caps); the capped set is
+    * a prefix, so one #sources-row window pass decides it:
+    * capped_s ⟺ cap_s · W_suffix ≤ w_s · (B − cum_prev_cap), then
+    * alloc = cap (capped) or ⌊w_s · R / W_uncapped⌋. Scale shape: one
+    * per-source token aggregation; everything after is windows over
+    * #sources rows. Float discipline: weights arrive 6-dp rounded,
+    * every weight SUM is re-rounded to 6 dp before use (summation
+    * order must not leak into the comparison), caps and budget stay
+    * integer, so both engines compare identical doubles. */
+  def epochAlloc(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    epochAllocFrom(
+      domainReweight(spark, dir).select("source", "weight"),
+      docs.groupBy("source")
+        .agg(sum(ceil(length(col("text")) / lit(4.0)).cast("long"))
+          .as("avail_tokens")))
+  }
+
+  /** Allocation over a (source, weight) frame (simplex weights,
+    * 6-dp) and a (source, avail_tokens) frame. */
+  def epochAllocFrom(weights: DataFrame, avail: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tot = avail.agg(
+      expr(s"(sum(avail_tokens) * $AllocBudgetNum) DIV $AllocBudgetDen")
+        .as("b"))
+    val wOrd = Window.orderBy(col("ratio"), col("source"))
+    val wPrev = wOrd.rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.partitionBy()
+    avail.join(weights, Seq("source"))
+      .withColumn("cap_tokens", col("avail_tokens") * AllocEpochCap)
+      .withColumn("ratio", col("cap_tokens") / col("weight"))
+      .crossJoin(broadcast(tot))
+      .withColumn("cum_cap_prev",
+        coalesce(sum("cap_tokens").over(wPrev), lit(0L)))
+      .withColumn("w_cum_prev",
+        round(coalesce(sum("weight").over(wPrev), lit(0.0)), 6))
+      .withColumn("w_total", round(sum("weight").over(wAll), 6))
+      .withColumn("w_suffix", round(col("w_total") - col("w_cum_prev"), 6))
+      .withColumn("capped",
+        col("cap_tokens") * col("w_suffix") <=
+          col("weight") * (col("b") - col("cum_cap_prev")))
+      .withColumn("capped_cap",
+        coalesce(sum(when(col("capped"), col("cap_tokens"))).over(wAll),
+          lit(0L)))
+      .withColumn("capped_w",
+        round(coalesce(sum(when(col("capped"), col("weight"))).over(wAll),
+          lit(0.0)), 6))
+      .withColumn("alloc_tokens",
+        when(col("capped"), col("cap_tokens"))
+          .otherwise(floor(col("weight") * (col("b") - col("capped_cap")) /
+            (col("w_total") - col("capped_w")))))
+      .select(col("source"), col("avail_tokens"), col("weight"),
+        col("cap_tokens"), col("alloc_tokens"),
+        round(col("alloc_tokens").cast("double") / col("avail_tokens"), 6)
+          .as("epochs"),
+        col("capped"))
+      .orderBy("source")
+  }
+
+  def epochAllocSql: String = {
+    val wt = domainReweightSql.replace("ORDER BY source", "")
+    s"""WITH wt AS (SELECT source, weight FROM ($wt)),
+      |av AS (
+      |  SELECT source,
+      |    CAST(sum(CAST(ceil(length(text) / 4.0) AS BIGINT)) AS BIGINT)
+      |      AS avail_tokens
+      |  FROM documents GROUP BY source),
+      |tot AS (SELECT CAST((sum(avail_tokens) * $AllocBudgetNum)
+      |          // $AllocBudgetDen AS BIGINT) AS b FROM av),
+      |base AS (
+      |  SELECT av.source, avail_tokens, weight,
+      |    avail_tokens * $AllocEpochCap AS cap_tokens,
+      |    CAST(avail_tokens * $AllocEpochCap AS DOUBLE) / weight AS ratio
+      |  FROM av JOIN wt USING (source)),
+      |w AS (
+      |  SELECT *, b,
+      |    coalesce(sum(cap_tokens) OVER (ORDER BY ratio, source
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS cum_cap_prev,
+      |    round(coalesce(sum(weight) OVER (ORDER BY ratio, source
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0), 6)
+      |      AS w_cum_prev,
+      |    round(sum(weight) OVER (), 6) AS w_total
+      |  FROM base, tot),
+      |f AS (
+      |  SELECT *,
+      |    cap_tokens * round(w_total - w_cum_prev, 6) <=
+      |      weight * (b - cum_cap_prev) AS capped
+      |  FROM w),
+      |agg AS (
+      |  SELECT coalesce(sum(cap_tokens) FILTER (WHERE capped), 0) AS capped_cap,
+      |    round(coalesce(sum(weight) FILTER (WHERE capped), 0), 6) AS capped_w
+      |  FROM f)
+      |SELECT source, avail_tokens, weight, cap_tokens,
+      |  CAST(CASE WHEN capped THEN cap_tokens
+      |       ELSE floor(weight * (b - capped_cap) / (w_total - capped_w))
+      |       END AS BIGINT) AS alloc_tokens,
+      |  round(CAST(CASE WHEN capped THEN cap_tokens
+      |       ELSE floor(weight * (b - capped_cap) / (w_total - capped_w))
+      |       END AS DOUBLE) / avail_tokens, 6) AS epochs,
+      |  capped
+      |FROM f, agg
+      |ORDER BY source""".stripMargin
+  }
+
   /** DuckDB twin — O4's own verified SQL nested as the loss CTE, the
     * same rounded-before-exp discipline. */
   def domainReweightSql: String = {

@@ -172,4 +172,67 @@ object QualityClassifier {
   }
 
   private def oracleModel(): QcModel = cache.oracleModel()
+
+  // ------------------------------------------------------ calibration
+  /** S4: reliability report for the trained classifier — the
+    * model-evaluation step a production quality gate ships with
+    * (Guo et al. 2017, On Calibration of Modern Neural Networks:
+    * fixed-width confidence bins, per-bin mean confidence vs observed
+    * positive rate; Σ n_b/N·|gap_b| is ECE). Evaluated against the E2
+    * weak labels on the CONFIDENT bands only — the universe P2 trains
+    * in; the middle band has no label to calibrate against and is
+    * excluded, stated rather than imputed.
+    *
+    * Scale shape: one narrow scoring pass (frozen literal weights, the
+    * P2 device) + one ≤10-row aggregation; nothing leaves doc grain
+    * until the bin groupBy collapses map-side. Determinism: p is
+    * rounded to 6 dp BEFORE binning (both engines bin identical
+    * doubles; ⌊p·10⌋ clamped to bin 9), per-bin means re-round. */
+  def calibration(spark: SparkSession, dir: String): DataFrame =
+    calibrationFrom(Tables.documents(spark, dir), model(spark, dir))
+
+  def calibrationFrom(docs: DataFrame, m: QcModel): DataFrame = {
+    val q = TextAnalysis.qualityScore(col("text"))
+    docs
+      .select(col("doc_id"),
+        round(lit(1.0) / (lit(1.0) + exp(-marginOf(featsOf(col("text")),
+          m.weights))), 6).as("p"),
+        when(q >= BandHi, 1).when(q <= BandLo, 0).as("y"))
+      .where(col("y").isNotNull)
+      .withColumn("bin", least(floor(col("p") * 10), lit(9L)))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"),
+        round(avg("p"), 6).as("avg_p"),
+        round(avg(col("y").cast("double")), 6).as("frac_pos"))
+      .withColumn("abs_gap", round(abs(col("avg_p") - col("frac_pos")), 6))
+      .orderBy("bin")
+  }
+
+  def calibrationSql: String = {
+    val m = oracleModel()
+    val wlist = m.weights.map(v => java.lang.Double.toString(v))
+      .mkString("[", ", ", "]")
+    val q = TextAnalysis.qualityScoreSql("text")
+    s"""WITH d AS (
+      |  SELECT doc_id, ${featsOfSql("text")} AS feats, $q AS q
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id,
+      |    round(1.0 / (1.0 + exp(-(
+      |      list_sum(list_transform(feats, i -> list_extract($wlist, i + 1)))))), 6)
+      |      AS p,
+      |    CASE WHEN q >= $BandHi THEN 1
+      |         WHEN q <= $BandLo THEN 0 END AS y
+      |  FROM d),
+      |b AS (
+      |  SELECT least(CAST(floor(p * 10) AS BIGINT), 9) AS bin, p, y
+      |  FROM s WHERE y IS NOT NULL)
+      |SELECT bin, count(*) AS n,
+      |  round(avg(p), 6) AS avg_p,
+      |  round(avg(CAST(y AS DOUBLE)), 6) AS frac_pos,
+      |  round(abs(round(avg(p), 6) - round(avg(CAST(y AS DOUBLE)), 6)), 6)
+      |    AS abs_gap
+      |FROM b GROUP BY bin
+      |ORDER BY bin""".stripMargin
+  }
 }

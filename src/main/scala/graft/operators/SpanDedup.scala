@@ -1,0 +1,178 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Vectors
+import graft.sources.Tables
+
+/** S1: exact duplicated-substring SPAN removal — the suffix-array
+  * dedup of published corpus work ("deduplicate any substring of ≥50
+  * tokens that occurs more than once in the corpus", Lee et al. 2021,
+  * Deduplicating Training Data Makes Language Models Better) restated
+  * as a Spark plan. A suffix array is a single-machine data structure;
+  * the distributable equivalent of "substring of ≥K tokens occurring
+  * twice" is its K-gram witness: a maximal duplicated span is exactly
+  * a maximal run of K-token windows whose grams each occur ≥2 times
+  * corpus-wide (any duplicated span of length L ≥ K contains L−K+1
+  * duplicated K-grams at consecutive positions, and conversely).
+  * So: emit every (doc, position, K-gram), keep positions whose gram
+  * repeats ANYWHERE (another doc or the same one — self-repetition is
+  * duplication too, as in the suffix-array original), merge the
+  * surviving [i, i+K) windows per doc into maximal islands
+  * (gaps-and-islands: a window starting ≤K after the previous start
+  * overlaps-or-abuts its coverage), and delete the covered tokens.
+  * Every occurrence is removed, the paper's aggressive-but-published
+  * variant (§4.1: they deduplicate all copies; keep-first is the noted
+  * alternative and composes from this output by exempting the
+  * occurrence with the smallest (doc_id, i)).
+  *
+  * Complementary to the other dedup modes: C1 drops exact WHOLE-doc
+  * copies, C2-C5 drop near-dup DOCS, L2 drops document-frequent TILES
+  * (boilerplate by df), I3 only MEASURES cross-doc gram sharing. This
+  * is the one that edits INSIDE surviving documents — the quotes,
+  * licenses, and templated paragraphs that ride along inside otherwise
+  * unique pages.
+  *
+  * Scale shape: the only corpus-×-tokens exchanges are on the gram
+  * key — a groupBy whose map-side partial agg collapses each task to
+  * its distinct grams, then a co-partitioned join back (both hash on
+  * `gh`; a pathologically hot gram is bounded map-side on the count
+  * path and AQE-skew-split on the join path, the I3 argument). Grams
+  * ship as 8 B xxhash64 keys, never strings (I3's measured 2.6×
+  * shuffle cut; collision math at Dedup/CorpusStats — ~10⁻⁷ of groups
+  * merged at 10¹² grams, noise for a span signal and strictly
+  * CONSERVATIVE here: a collision can only over-mark a span as
+  * duplicated, never resurrect one). Everything after the anchor join
+  * is doc-grain: the island windows partition by doc_id (bounded by
+  * document length), coverage and token filtering are per-row lambda
+  * work inside codegen.
+  *
+  * Engine determinism: all-integer until the final `dup_frac`
+  * (rounded to 6 dp); tokens are the house single-space split keeping
+  * empties; spans at the document tail truncate to n_tokens in both
+  * engines.
+  */
+object SpanDedup {
+
+  /** Span witness width in tokens. Published exact-substring dedup
+    * uses 50-token spans on web text; on this synthetic corpus
+    * (docs of ~30-100 tokens) 8 is the proportionate choice — the
+    * knob is a literal in both plan and oracle. */
+  val SpanK = 8
+
+  def spanDedup(spark: SparkSession, dir: String): DataFrame =
+    spanDedupFrom(spark,
+      Tables.parallelized(spark, Tables.documents(spark, dir)))
+
+  /** Span-dedup over an arbitrary (doc_id, text) frame: doc_id,
+    * n_tokens, n_spans (maximal duplicated spans), dup_tokens /
+    * kept_tokens / dup_frac, and clean_text with every covered token
+    * removed (order kept, single-space rejoin). */
+  def spanDedupFrom(spark: SparkSession, docs: DataFrame): DataFrame = {
+    val base = docs.select(col("doc_id"),
+      split(col("text"), " ", -1).as("tk"))
+      .withColumn("n_tokens", size(col("tk")).cast("long"))
+    // positional K-gram stream; shinglesFast end-truncates to
+    // max(T-K+1, 1) windows so sub-K docs contribute their whole text
+    // as one (truncated) witness — an exact-dup short doc is a span
+    val grams = docs.select(col("doc_id"),
+      posexplode(Vectors.shinglesFast(spark, col("text"), SpanK,
+        distinct = false)).as(Seq("p0", "g")))
+      .select(col("doc_id"), (col("p0") + 1).as("i"),
+        xxhash64(col("g")).as("gh"))
+    val freq = grams.groupBy("gh").agg(count(lit(1)).as("occ"))
+    val anchors = grams
+      .join(freq.where(col("occ") >= 2), Seq("gh"))
+      .select("doc_id", "i")
+    // gaps-and-islands: window [i, i+K) merges with the previous
+    // anchor's window iff i - prev <= K (overlap or abutment)
+    val wDoc = Window.partitionBy("doc_id").orderBy("i")
+    val spans = anchors
+      .withColumn("prev", lag("i", 1).over(wDoc))
+      .withColumn("brk",
+        when(col("prev").isNull || col("i") - col("prev") > SpanK, 1L)
+          .otherwise(0L))
+      .withColumn("isl", sum("brk").over(wDoc))
+      .groupBy("doc_id", "isl")
+      .agg(min("i").as("p0"), max("i").as("p1"))
+    val spansD = spans
+      .join(base.select("doc_id", "n_tokens"), Seq("doc_id"))
+      .select(col("doc_id"), col("p0"),
+        least(col("p1") + lit(SpanK - 1), col("n_tokens")).as("pend"))
+    val agg = spansD.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("pend") - col("p0") + 1).as("dup_tokens"),
+        collect_list(struct(col("p0"), col("pend"))).as("spans"))
+    base.join(agg, Seq("doc_id"), "left")
+      .withColumn("n_spans", coalesce(col("n_spans"), lit(0L)))
+      .withColumn("dup_tokens", coalesce(col("dup_tokens"), lit(0L)))
+      .withColumn("clean_text",
+        when(col("spans").isNull, concat_ws(" ", col("tk")))
+          .otherwise(expr(
+            """concat_ws(' ', filter(tk, (t, x) ->
+              |  not exists(spans, s -> x + 1 >= s.p0 and x + 1 <= s.pend)))"""
+              .stripMargin)))
+      .select(col("doc_id"), col("n_tokens"), col("n_spans"),
+        col("dup_tokens"),
+        (col("n_tokens") - col("dup_tokens")).as("kept_tokens"),
+        round(col("dup_tokens").cast("double") / col("n_tokens"), 6)
+          .as("dup_frac"),
+        col("clean_text"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB twin — same single-space split keeping empties, the house
+    * end-truncated gram window (max(T-K+1, 1) positions; the slice
+    * clamps at the list end), raw gram strings where the plan ships
+    * xxhash64 keys. Integer aggregates CAST back to BIGINT (DuckDB
+    * sums promote to HUGEINT, which the driver hashes as float). */
+  def spanDedupSql: String = {
+    val K = SpanK
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      |n AS (SELECT doc_id, tk, len(tk) AS n_tokens FROM t),
+      |pos AS (
+      |  SELECT doc_id, i, array_to_string(tk[i:i+${K - 1}], ' ') AS g
+      |  FROM (SELECT doc_id, tk,
+      |          unnest(range(1, greatest(len(tk) - ${K - 2}, 2))) AS i
+      |        FROM t)),
+      |freq AS (SELECT g, count(*) AS occ FROM pos GROUP BY g),
+      |a AS (SELECT doc_id, i FROM pos JOIN freq USING (g) WHERE occ >= 2),
+      |lagd AS (SELECT doc_id, i,
+      |    lag(i) OVER (PARTITION BY doc_id ORDER BY i) AS prev FROM a),
+      |isl AS (SELECT doc_id, i,
+      |    sum(CASE WHEN prev IS NULL OR i - prev > $K THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY doc_id ORDER BY i) AS isl
+      |  FROM lagd),
+      |sp AS (SELECT doc_id, isl, min(i) AS p0, max(i) AS p1
+      |       FROM isl GROUP BY doc_id, isl),
+      |spd AS (SELECT sp.doc_id, p0,
+      |          least(p1 + ${K - 1}, n.n_tokens) AS pend
+      |        FROM sp JOIN n USING (doc_id)),
+      |agg AS (SELECT doc_id, count(*) AS n_spans,
+      |          CAST(sum(pend - p0 + 1) AS BIGINT) AS dup_tokens
+      |        FROM spd GROUP BY doc_id),
+      |tokpos AS (SELECT doc_id, j, tk[CAST(j AS INTEGER)] AS tok
+      |           FROM (SELECT doc_id, tk,
+      |                   unnest(range(1, len(tk) + 1)) AS j FROM t)),
+      |cov AS (SELECT doc_id, unnest(range(p0, pend + 1)) AS j FROM spd),
+      |clean AS (SELECT tp.doc_id,
+      |            string_agg(tok, ' ' ORDER BY tp.j) AS clean_text
+      |          FROM tokpos tp LEFT JOIN cov c
+      |            ON tp.doc_id = c.doc_id AND tp.j = c.j
+      |          WHERE c.j IS NULL
+      |          GROUP BY tp.doc_id)
+      |SELECT n.doc_id, n.n_tokens,
+      |  coalesce(agg.n_spans, 0) AS n_spans,
+      |  coalesce(agg.dup_tokens, 0) AS dup_tokens,
+      |  n.n_tokens - coalesce(agg.dup_tokens, 0) AS kept_tokens,
+      |  round(CAST(coalesce(agg.dup_tokens, 0) AS DOUBLE) / n.n_tokens, 6)
+      |    AS dup_frac,
+      |  coalesce(clean.clean_text, '') AS clean_text
+      |FROM n
+      |LEFT JOIN agg USING (doc_id)
+      |LEFT JOIN clean USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+  }
+}

@@ -1,0 +1,166 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{CharLm, DomainMix, QualityClassifier, SpanDedup}
+
+/** S-series: duplicated-substring span removal, perplexity terciles,
+  * epoch-capped budget allocation, classifier calibration. */
+class SSeriesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val K = SpanDedup.SpanK
+
+  private def toks(n: Int, tag: String): String =
+    (1 to n).map(i => s"$tag$i").mkString(" ")
+
+  // ------------------------------------------------------------- S1
+  test("span_dedup removes a planted cross-doc passage from every occurrence") {
+    val shared = toks(2 * K, "dup") // 16-token passage, > K
+    val docs = Seq(
+      (1L, s"${toks(5, "a")} $shared ${toks(5, "b")}"),
+      (2L, s"${toks(7, "c")} $shared"),
+      (3L, toks(30, "uniq"))
+    ).toDF("doc_id", "text")
+    val out = SpanDedup.spanDedupFrom(spark, docs)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+
+    // both carriers lose exactly the shared passage (one merged span)
+    assert(out(1L).getAs[Long]("n_spans") == 1L)
+    assert(out(1L).getAs[Long]("dup_tokens") == 2L * K)
+    assert(out(1L).getAs[String]("clean_text") ==
+      s"${toks(5, "a")} ${toks(5, "b")}")
+    assert(out(2L).getAs[Long]("n_spans") == 1L)
+    assert(out(2L).getAs[String]("clean_text") == toks(7, "c"))
+    // the unique doc is untouched
+    assert(out(3L).getAs[Long]("dup_tokens") == 0L)
+    assert(out(3L).getAs[String]("clean_text") == toks(30, "uniq"))
+  }
+
+  test("span_dedup merges abutting windows and flags within-doc self-repeats") {
+    // one doc that repeats its own K-token phrase twice back-to-back:
+    // self-repetition is duplication (the suffix-array semantics), and
+    // the two occurrences merge into ONE maximal island
+    val phrase = toks(K, "p")
+    val docs = Seq(
+      (1L, s"$phrase $phrase ${toks(6, "tail")}")
+    ).toDF("doc_id", "text")
+    val r = SpanDedup.spanDedupFrom(spark, docs).head()
+    assert(r.getAs[Long]("n_spans") == 1L, "abutting spans must merge")
+    assert(r.getAs[Long]("dup_tokens") == 2L * K)
+    assert(r.getAs[String]("clean_text") == toks(6, "tail"))
+  }
+
+  test("span_dedup conserves token mass and truncates tail spans") {
+    // shared passage ENDS both docs: the island's [p, p+K) windows
+    // truncate at n_tokens instead of overshooting
+    val shared = toks(K + 3, "z")
+    val docs = Seq(
+      (1L, s"${toks(4, "x")} $shared"),
+      (2L, s"${toks(9, "y")} $shared")
+    ).toDF("doc_id", "text")
+    val rows = SpanDedup.spanDedupFrom(spark, docs).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("kept_tokens") +
+        r.getAs[Long]("dup_tokens") == r.getAs[Long]("n_tokens"))
+      assert(r.getAs[Long]("dup_tokens") == K + 3L)
+    }
+    // corpus-level conservation on the real fixture
+    val full = SpanDedup.spanDedup(spark, sfDir)
+    assert(full.where(col("kept_tokens") + col("dup_tokens") =!=
+      col("n_tokens")).count() == 0)
+    // removal actually edits text: every doc with dup_tokens > 0 has a
+    // strictly shorter clean_text token count
+    assert(full.where(col("dup_tokens") > 0 &&
+      size(split(col("clean_text"), " ", -1)) >= col("n_tokens"))
+      .count() == 0)
+  }
+
+  // ------------------------------------------------------------- S2
+  test("ppl_buckets terciles are per-lang monotone and cover every scored doc") {
+    val out = CharLm.pplBuckets(spark, sfDir).cache()
+    // coverage: every scored doc lands in exactly one bucket
+    val scored = CharLm.lmScore(spark, sfDir).count()
+    assert(out.count() == scored, "bucketed rows != scored docs")
+    // all three buckets materialize for every language at the fixture
+    val langs = out.select("lang").distinct().count()
+    assert(out.groupBy("lang", "bucket").count()
+      .groupBy("lang").count().where(col("count") === 3).count() == langs,
+      "a language is missing a tercile")
+    // monotone: within a lang, every tail score < every middle score
+    // < every head score (cuts are order statistics, ties go down)
+    val bounds = out.groupBy("lang").agg(
+      max(when(col("bucket") === "tail", col("avg_logp"))).as("t_hi"),
+      min(when(col("bucket") === "middle", col("avg_logp"))).as("m_lo"),
+      max(when(col("bucket") === "middle", col("avg_logp"))).as("m_hi"),
+      min(when(col("bucket") === "head", col("avg_logp"))).as("h_lo"))
+    assert(bounds.where(col("t_hi") >= col("m_lo") ||
+      col("m_hi") >= col("h_lo")).count() == 0, "tercile overlap")
+  }
+
+  // ------------------------------------------------------------- S3
+  test("epoch_alloc matches an independent iterative waterfill") {
+    val rows = DomainMix.epochAlloc(spark, sfDir).collect()
+    val cap = rows.map(r => r.getAs[String]("source") ->
+      r.getAs[Long]("cap_tokens")).toMap
+    val w = rows.map(r => r.getAs[String]("source") ->
+      r.getAs[Double]("weight")).toMap
+    val totalAvail = rows.map(_.getAs[Long]("avail_tokens")).sum
+    val b = totalAvail * DomainMix.AllocBudgetNum / DomainMix.AllocBudgetDen
+    // reference: repeatedly cap any source whose proportional share
+    // exceeds its capacity, redistribute, until stable
+    var capped = Set.empty[String]
+    var changed = true
+    while (changed) {
+      val r = b - capped.toSeq.map(cap).sum
+      val wu = w.keys.filterNot(capped).map(w).sum
+      val next = w.keys.filterNot(capped)
+        .filter(s => cap(s) <= w(s) * r / wu).toSet
+      changed = next.nonEmpty
+      capped ++= next
+    }
+    val rFin = b - capped.toSeq.map(cap).sum
+    val wuFin = w.keys.filterNot(capped).map(w).sum
+    rows.foreach { row =>
+      val s = row.getAs[String]("source")
+      val expect = if (capped(s)) cap(s)
+        else math.floor(w(s) * rFin / wuFin).toLong
+      val got = row.getAs[Long]("alloc_tokens")
+      // the engine rounds weight sums to 6dp before dividing; the
+      // reference doesn't, so allow the one-token floor boundary
+      assert(math.abs(got - expect) <= 1,
+        s"$s: engine $got vs reference $expect")
+      assert(row.getAs[Boolean]("capped") == capped(s), s"$s capped flag")
+      assert(got <= cap(s), s"$s exceeds epoch cap")
+    }
+    // budget exhausted up to the <#sources floor remainders
+    val alloc = rows.map(_.getAs[Long]("alloc_tokens")).sum
+    assert(alloc <= b && b - alloc <= 2L * rows.length,
+      s"budget not exhausted: $alloc of $b")
+    // non-degenerate at the fixture: the capped set properly splits
+    assert(capped.nonEmpty && capped.size < rows.length)
+  }
+
+  // ------------------------------------------------------------- S4
+  test("qc_calibration bins are well-formed and mass-conserving") {
+    val out = QualityClassifier.calibration(spark, sfDir).collect()
+    out.foreach { r =>
+      val bin = r.getAs[Long]("bin")
+      val avgP = r.getAs[Double]("avg_p")
+      assert(bin >= 0 && bin <= 9)
+      assert(avgP >= bin / 10.0 - 1e-9 &&
+        (avgP < (bin + 1) / 10.0 + 1e-9 || bin == 9),
+        s"bin $bin mean $avgP outside its bin")
+      val frac = r.getAs[Double]("frac_pos")
+      assert(frac >= 0.0 && frac <= 1.0)
+      assert(math.abs(r.getAs[Double]("abs_gap") -
+        math.abs(avgP - frac)) < 1e-6)
+    }
+    // bin mass sums to the banded (labelable) universe
+    val q = graft.operators.TextAnalysis.qualityScore(col("text"))
+    val banded = graft.sources.Tables.documents(spark, sfDir)
+      .where(q >= QualityClassifier.BandHi || q <= QualityClassifier.BandLo)
+      .count()
+    assert(out.map(_.getAs[Long]("n")).sum == banded)
+  }
+}
