@@ -181,7 +181,7 @@ object Bench {
   private val FromForms = Set(
     "from_curate", "from_pipeline_pack", "from_corpus_report", "from_drop_ledger",
     "from_quality_classifier", "from_text_tokens_bpe", "from_ann_ivf_index",
-    "from_domain_reweight")
+    "from_domain_reweight", "from_ppl_buckets", "from_qc_calibration")
 
   /** Materialize the shared stage outputs once (untimed), then time
     * ONLY the `*From` compositions over the persisted parquet — the
@@ -240,7 +240,14 @@ object Bench {
         // #sources-row arithmetic
         "from_domain_reweight" -> (() =>
           DomainMix.domainReweightFrom(lmScores,
-            docs.select("doc_id", "source"))))
+            docs.select("doc_id", "source"))),
+        // S2 steady state over the same persisted scores: sample-cut
+        // derivation + a broadcast-compare bucketing pass
+        "from_ppl_buckets" -> (() =>
+          CharLm.pplBucketsFrom(lmScores, docs.select("doc_id", "lang"))),
+        // S4 steady state: score-and-bin under the already-trained model
+        "from_qc_calibration" -> (() =>
+          QualityClassifier.calibrationFrom(docs, qcModel)))
       forms.filter { case (n, _) => only.forall(_.contains(n)) }
         .foreach { case (n, mk) => timeQuery(n, mk) }
     } catch {

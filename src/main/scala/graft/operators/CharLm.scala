@@ -103,7 +103,11 @@ object CharLm {
     * and bucketing the full corpus is a map-side comparison. */
   def pplBuckets(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.parallelized(spark, Tables.documents(spark, dir))
-    pplBucketsFrom(lmScoreFrom(docs).select("doc_id", "avg_logp"),
+    // localCheckpoint: (doc_id, avg_logp) is 16 B a doc with two
+    // consumers (cut-point sample + full bucketing) — without it each
+    // re-runs the corpus-×-trigrams LM pipeline (the R3 lesson)
+    pplBucketsFrom(lmScoreFrom(docs).select("doc_id", "avg_logp")
+        .localCheckpoint(),
       docs.select("doc_id", "lang"))
   }
 
@@ -112,7 +116,9 @@ object CharLm {
     * fixture fractions) would drop — the inner join states that
     * honestly rather than inventing a bucket. */
   def pplBucketsFrom(scored: DataFrame, langs: DataFrame): DataFrame = {
-    val doc = scored.join(langs, Seq("doc_id"))
+    // two consumers (sample + bucket join): checkpoint the slim
+    // (doc_id, lang, avg_logp) frame so the join runs once
+    val doc = scored.join(langs, Seq("doc_id")).localCheckpoint()
     val samp = doc.where(
       Sampling.hashBucket(col("doc_id"), pplSalt) < PplSampleBar)
     val wRank = Window.partitionBy("lang").orderBy("avg_logp", "doc_id")
