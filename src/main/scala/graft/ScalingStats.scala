@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 import graft.functions.Vectors
-import graft.operators.{Dedup, SemanticDedup}
+import graft.operators.{Dedup, SemanticDedup, SpanDedup}
 
 /** Evidence tool for SURVEY §5's sub-quadratic claims: measures, per
   * scale factor, the candidate-generation geometry of every dedup
@@ -181,6 +181,28 @@ object ScalingStats {
         .agg(sum("pop").as("rows"), count(lit(1)).as("grams"),
           max("pop").as("maxpop")).head()
       row(dir, "dupfrac", nDocs, gf.getLong(0), gf.getLong(1), gf.getLong(2))
+
+      // ---- Span dedup (S1): the POSITIONAL K-gram stream (occurrences
+      // kept — within-doc repeats are duplication). cand = positional
+      // gram rows (the gram-key shuffle volume), bkts = distinct gram
+      // hashes, maxpop = the hottest gram's occurrence count (the skew
+      // key AQE would split on the anchor join-back). The second row
+      // prices the ANCHORS — positions whose gram repeats, i.e. the
+      // rows surviving to the doc-grain island phase; sub-linear anchor
+      // growth is what keeps the expensive tail of the operator small.
+      val spanStats = spark.read.parquet(s"$dir/documents.parquet")
+        .select(explode(Vectors.shinglesFast(spark, col("text"),
+          SpanDedup.SpanK, distinct = false)).as("g"))
+        .select(xxhash64(col("g")).as("gh"))
+        .groupBy("gh").agg(count(lit(1)).as("pop"))
+        .agg(sum("pop").as("rows"), count(lit(1)).as("grams"),
+          max("pop").as("maxpop"),
+          coalesce(sum(when(col("pop") >= 2, col("pop"))), lit(0L))
+            .as("anchors")).head()
+      row(dir, "spangrams", nDocs, spanStats.getLong(0),
+        spanStats.getLong(1), spanStats.getLong(2))
+      row(dir, "spananchor", nDocs, spanStats.getLong(3),
+        spanStats.getLong(1), spanStats.getLong(2))
 
       // ---- Semantic dedup (I4): within-cluster pairwise volume under
       // the operator's OWN k-means assignment. cand = sum of

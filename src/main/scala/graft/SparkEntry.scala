@@ -170,7 +170,9 @@ object SparkEntry {
     // over the R3 weights — the data-constrained scaling allocator)
     "q_epoch_alloc" -> (DomainMix.epochAlloc _),
     // S4: reliability bins for the trained P2 classifier (ECE report)
-    "q_qc_calibration" -> (QualityClassifier.calibration _)
+    "q_qc_calibration" -> (QualityClassifier.calibration _),
+    // T1: incremental span dedup (new batch vs the corpus gram index)
+    "q_span_dedup_incremental" -> (SpanDedup.spanDedupIncremental _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -276,6 +278,7 @@ object SparkEntry {
     "q_span_dedup" -> SpanDedup.spanDedupSql,
     "q_ppl_buckets" -> CharLm.pplBucketsSql,
     "q_epoch_alloc" -> DomainMix.epochAllocSql,
-    "q_qc_calibration" -> QualityClassifier.calibrationSql
+    "q_qc_calibration" -> QualityClassifier.calibrationSql,
+    "q_span_dedup_incremental" -> SpanDedup.spanDedupIncrementalSql
   )
 }

@@ -86,6 +86,14 @@ object SpanDedup {
     val anchors = grams
       .join(freq.where(col("occ") >= 2), Seq("gh"))
       .select("doc_id", "i")
+    sealSpans(base, anchors)
+  }
+
+  /** The doc-grain back half shared by the full and incremental
+    * forms: merge anchor windows into maximal islands, price
+    * coverage, delete covered tokens. `base` = (doc_id, tk,
+    * n_tokens); `anchors` = (doc_id, i). */
+  private def sealSpans(base: DataFrame, anchors: DataFrame): DataFrame = {
     // gaps-and-islands: window [i, i+K) merges with the previous
     // anchor's window iff i - prev <= K (overlap or abutment)
     val wDoc = Window.partitionBy("doc_id").orderBy("i")
@@ -121,6 +129,114 @@ object SpanDedup {
           .as("dup_frac"),
         col("clean_text"))
       .orderBy("doc_id")
+  }
+
+  // ---------------------------------------------------------- T1
+  /** House incremental-batch split (the H4 convention): ~20% of docs
+    * by salted hash are "the new batch", the rest "the existing
+    * corpus". */
+  private val BatchSalt = "batch"
+  private val BatchPct = 20
+
+  /** T1: INCREMENTAL span dedup — the production crawl-ingest mode.
+    * The existing corpus's gram-occurrence index (gh → count; the
+    * persisted artifact at scale, the H4 band-index precedent) prices
+    * each NEW document's spans without touching old text: a new
+    * position anchors iff its gram occurs in the old index at all OR
+    * ≥2× within the batch itself. That condition is EXACTLY the full
+    * recompute's `occ_total ≥ 2` restricted to new rows (the position
+    * itself contributes 1 batch occurrence), so incremental output ==
+    * full span dedup filtered to the batch — pinned by SSeriesSpec,
+    * not asserted. Batch cost: one gram pass over the BATCH + one
+    * bucketed join against the index; the old corpus is never
+    * re-scanned (here the index derives from the old split in-query
+    * for oracle self-containment). */
+  def spanDedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.parallelized(spark, Tables.documents(spark, dir))
+    def isNew(c: org.apache.spark.sql.Column) =
+      Sampling.hashBucket(c, BatchSalt) < Sampling.pctThreshold(BatchPct)
+    val newDocs = docs.where(isNew(col("doc_id")))
+    val oldIndex = docs.where(!isNew(col("doc_id")))
+      .select(posexplode(Vectors.shinglesFast(spark, col("text"), SpanK,
+        distinct = false)).as(Seq("p0", "g")))
+      .groupBy(xxhash64(col("g")).as("gh"))
+      .agg(count(lit(1)).as("occ_old"))
+    val base = newDocs.select(col("doc_id"),
+      split(col("text"), " ", -1).as("tk"))
+      .withColumn("n_tokens", size(col("tk")).cast("long"))
+    val batchGrams = newDocs.select(col("doc_id"),
+      posexplode(Vectors.shinglesFast(spark, col("text"), SpanK,
+        distinct = false)).as(Seq("p0", "g")))
+      .select(col("doc_id"), (col("p0") + 1).as("i"),
+        xxhash64(col("g")).as("gh"))
+    val dupGh = batchGrams.groupBy("gh").agg(count(lit(1)).as("occ_b"))
+      .join(oldIndex, Seq("gh"), "left")
+      .where(coalesce(col("occ_old"), lit(0L)) >= 1 || col("occ_b") >= 2)
+      .select("gh")
+    val anchors = batchGrams.join(dupGh, Seq("gh")).select("doc_id", "i")
+    sealSpans(base, anchors)
+  }
+
+  def spanDedupIncrementalSql: String = {
+    val K = SpanK
+    val isNew = (c: String) =>
+      s"${Sampling.hashBucketSql(c, BatchSalt)} < ${Sampling.pctThreshold(BatchPct)}"
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk
+      |           FROM documents WHERE ${isNew("doc_id")}),
+      |n AS (SELECT doc_id, tk, len(tk) AS n_tokens FROM t),
+      |oldg AS (
+      |  SELECT array_to_string(tk[i:i+${K - 1}], ' ') AS g,
+      |         count(*) AS occ_old
+      |  FROM (SELECT tk,
+      |          unnest(range(1, greatest(len(tk) - ${K - 2}, 2))) AS i
+      |        FROM (SELECT string_split(text, ' ') AS tk FROM documents
+      |              WHERE NOT (${isNew("doc_id")})))
+      |  GROUP BY 1),
+      |pos AS (
+      |  SELECT doc_id, i, array_to_string(tk[i:i+${K - 1}], ' ') AS g
+      |  FROM (SELECT doc_id, tk,
+      |          unnest(range(1, greatest(len(tk) - ${K - 2}, 2))) AS i
+      |        FROM t)),
+      |freqb AS (SELECT g, count(*) AS occ_b FROM pos GROUP BY g),
+      |dup AS (
+      |  SELECT freqb.g FROM freqb LEFT JOIN oldg USING (g)
+      |  WHERE coalesce(occ_old, 0) >= 1 OR occ_b >= 2),
+      |a AS (SELECT doc_id, i FROM pos JOIN dup USING (g)),
+      |lagd AS (SELECT doc_id, i,
+      |    lag(i) OVER (PARTITION BY doc_id ORDER BY i) AS prev FROM a),
+      |isl AS (SELECT doc_id, i,
+      |    sum(CASE WHEN prev IS NULL OR i - prev > $K THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY doc_id ORDER BY i) AS isl
+      |  FROM lagd),
+      |sp AS (SELECT doc_id, isl, min(i) AS p0, max(i) AS p1
+      |       FROM isl GROUP BY doc_id, isl),
+      |spd AS (SELECT sp.doc_id, p0,
+      |          least(p1 + ${K - 1}, n.n_tokens) AS pend
+      |        FROM sp JOIN n USING (doc_id)),
+      |agg AS (SELECT doc_id, count(*) AS n_spans,
+      |          CAST(sum(pend - p0 + 1) AS BIGINT) AS dup_tokens
+      |        FROM spd GROUP BY doc_id),
+      |tokpos AS (SELECT doc_id, j, tk[CAST(j AS INTEGER)] AS tok
+      |           FROM (SELECT doc_id, tk,
+      |                   unnest(range(1, len(tk) + 1)) AS j FROM t)),
+      |cov AS (SELECT doc_id, unnest(range(p0, pend + 1)) AS j FROM spd),
+      |clean AS (SELECT tp.doc_id,
+      |            string_agg(tok, ' ' ORDER BY tp.j) AS clean_text
+      |          FROM tokpos tp LEFT JOIN cov c
+      |            ON tp.doc_id = c.doc_id AND tp.j = c.j
+      |          WHERE c.j IS NULL
+      |          GROUP BY tp.doc_id)
+      |SELECT n.doc_id, n.n_tokens,
+      |  coalesce(agg.n_spans, 0) AS n_spans,
+      |  coalesce(agg.dup_tokens, 0) AS dup_tokens,
+      |  n.n_tokens - coalesce(agg.dup_tokens, 0) AS kept_tokens,
+      |  round(CAST(coalesce(agg.dup_tokens, 0) AS DOUBLE) / n.n_tokens, 6)
+      |    AS dup_frac,
+      |  coalesce(clean.clean_text, '') AS clean_text
+      |FROM n
+      |LEFT JOIN agg USING (doc_id)
+      |LEFT JOIN clean USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
   }
 
   /** DuckDB twin — same single-space split keeping empties, the house

@@ -76,6 +76,22 @@ class SSeriesSpec extends SparkSpec {
       .count() == 0)
   }
 
+  // ------------------------------------------------------------- T1
+  test("span_dedup_incremental equals the full recompute restricted to the batch") {
+    // the incremental anchor rule (old-index hit OR >=2 in batch) is
+    // exactly occ_total >= 2 restricted to batch rows - so the
+    // incremental output must match the full operator's rows for the
+    // batch docs bit-for-bit
+    val inc = SpanDedup.spanDedupIncremental(spark, sfDir).cache()
+    assert(inc.count() > 0)
+    val fullSub = SpanDedup.spanDedup(spark, sfDir)
+      .join(inc.select("doc_id"), Seq("doc_id"), "semi")
+      .select(inc.columns.map(col): _*)
+    assert(fullSub.exceptAll(inc).count() == 0 &&
+      inc.exceptAll(fullSub).count() == 0,
+      "incremental diverges from the full recompute on the batch")
+  }
+
   // ------------------------------------------------------------- S2
   test("ppl_buckets terciles are per-lang monotone and cover every scored doc") {
     val out = CharLm.pplBuckets(spark, sfDir).cache()
