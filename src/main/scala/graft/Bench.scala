@@ -1,5 +1,6 @@
 package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 import java.nio.file.{Files, Paths}
 
 /** Benchmark main: times every SparkEntry query on SPARK_GRAFT_SF_DIR
@@ -181,7 +182,8 @@ object Bench {
   private val FromForms = Set(
     "from_curate", "from_pipeline_pack", "from_corpus_report", "from_drop_ledger",
     "from_quality_classifier", "from_text_tokens_bpe", "from_ann_ivf_index",
-    "from_domain_reweight", "from_ppl_buckets", "from_qc_calibration")
+    "from_domain_reweight", "from_ppl_buckets", "from_qc_calibration",
+    "from_span_incremental")
 
   /** Materialize the shared stage outputs once (untimed), then time
     * ONLY the `*From` compositions over the persisted parquet — the
@@ -222,6 +224,9 @@ object Bench {
         SimilaritySearch.writeIvfIndex(spark, sfDir, s"$fromDir/ivfidx")
       val lmScores = persist("lm_scores",
         CharLm.lmScore(spark, sfDir).select("doc_id", "avg_logp"))
+      val spanIdx = persist("span_index",
+        SpanDedup.spanGramIndex(spark,
+          docs.where(!SpanDedup.isNewBatch(col("doc_id")))))
       val forms: Seq[(String, () => DataFrame)] = Seq(
         "from_curate" -> (() => Curation.curateFrom(docs, quality, exact, decont)),
         "from_pipeline_pack" -> (() => Pipeline.pipelinePackFrom(docs, curated, semDrops)),
@@ -247,7 +252,13 @@ object Bench {
           CharLm.pplBucketsFrom(lmScores, docs.select("doc_id", "lang"))),
         // S4 steady state: score-and-bin under the already-trained model
         "from_qc_calibration" -> (() =>
-          QualityClassifier.calibrationFrom(docs, qcModel)))
+          QualityClassifier.calibrationFrom(docs, qcModel)),
+        // T1 steady state: the per-crawl-batch cost — one gram pass
+        // over the ~20% batch + a bucketed join against the PERSISTED
+        // corpus gram index (built untimed at ingest cadence)
+        "from_span_incremental" -> (() =>
+          SpanDedup.spanDedupIncrementalFrom(spark,
+            docs.where(SpanDedup.isNewBatch(col("doc_id"))), spanIdx)))
       forms.filter { case (n, _) => only.forall(_.contains(n)) }
         .foreach { case (n, mk) => timeQuery(n, mk) }
     } catch {

@@ -151,16 +151,28 @@ object SpanDedup {
     * bucketed join against the index; the old corpus is never
     * re-scanned (here the index derives from the old split in-query
     * for oracle self-containment). */
-  def spanDedupIncremental(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.parallelized(spark, Tables.documents(spark, dir))
-    def isNew(c: org.apache.spark.sql.Column) =
-      Sampling.hashBucket(c, BatchSalt) < Sampling.pctThreshold(BatchPct)
-    val newDocs = docs.where(isNew(col("doc_id")))
-    val oldIndex = docs.where(!isNew(col("doc_id")))
-      .select(posexplode(Vectors.shinglesFast(spark, col("text"), SpanK,
+  private[graft] def isNewBatch(c: org.apache.spark.sql.Column) =
+    Sampling.hashBucket(c, BatchSalt) < Sampling.pctThreshold(BatchPct)
+
+  /** The corpus gram-occurrence index (gh → occ) — the artifact a
+    * deployment persists and maintains at ingest cadence. */
+  def spanGramIndex(spark: SparkSession, docs: DataFrame): DataFrame =
+    docs.select(posexplode(Vectors.shinglesFast(spark, col("text"), SpanK,
         distinct = false)).as(Seq("p0", "g")))
       .groupBy(xxhash64(col("g")).as("gh"))
       .agg(count(lit(1)).as("occ_old"))
+
+  def spanDedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.parallelized(spark, Tables.documents(spark, dir))
+    spanDedupIncrementalFrom(spark,
+      docs.where(isNewBatch(col("doc_id"))),
+      spanGramIndex(spark, docs.where(!isNewBatch(col("doc_id")))))
+  }
+
+  /** Batch-side pass over an arbitrary new-docs frame and a (gh,
+    * occ_old) index — the cost a deployment pays per crawl batch. */
+  def spanDedupIncrementalFrom(spark: SparkSession, newDocs: DataFrame,
+                               oldIndex: DataFrame): DataFrame = {
     val base = newDocs.select(col("doc_id"),
       split(col("text"), " ", -1).as("tk"))
       .withColumn("n_tokens", size(col("tk")).cast("long"))
