@@ -172,7 +172,10 @@ object SparkEntry {
     // S4: reliability bins for the trained P2 classifier (ECE report)
     "q_qc_calibration" -> (QualityClassifier.calibration _),
     // T1: incremental span dedup (new batch vs the corpus gram index)
-    "q_span_dedup_incremental" -> (SpanDedup.spanDedupIncremental _)
+    "q_span_dedup_incremental" -> (SpanDedup.spanDedupIncremental _),
+    // T2: span-level decontamination (GPT-3 Appendix-C protocol —
+    // cut colliding spans out of otherwise-keepable documents)
+    "q_decontaminate_spans" -> (SpanDedup.spanDecontaminate _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -279,6 +282,7 @@ object SparkEntry {
     "q_ppl_buckets" -> CharLm.pplBucketsSql,
     "q_epoch_alloc" -> DomainMix.epochAllocSql,
     "q_qc_calibration" -> QualityClassifier.calibrationSql,
-    "q_span_dedup_incremental" -> SpanDedup.spanDedupIncrementalSql
+    "q_span_dedup_incremental" -> SpanDedup.spanDedupIncrementalSql,
+    "q_decontaminate_spans" -> SpanDedup.spanDecontaminateSql
   )
 }

@@ -93,14 +93,15 @@ object SpanDedup {
     * forms: merge anchor windows into maximal islands, price
     * coverage, delete covered tokens. `base` = (doc_id, tk,
     * n_tokens); `anchors` = (doc_id, i). */
-  private def sealSpans(base: DataFrame, anchors: DataFrame): DataFrame = {
+  private def sealSpans(base: DataFrame, anchors: DataFrame,
+                        k: Int = SpanK): DataFrame = {
     // gaps-and-islands: window [i, i+K) merges with the previous
     // anchor's window iff i - prev <= K (overlap or abutment)
     val wDoc = Window.partitionBy("doc_id").orderBy("i")
     val spans = anchors
       .withColumn("prev", lag("i", 1).over(wDoc))
       .withColumn("brk",
-        when(col("prev").isNull || col("i") - col("prev") > SpanK, 1L)
+        when(col("prev").isNull || col("i") - col("prev") > k, 1L)
           .otherwise(0L))
       .withColumn("isl", sum("brk").over(wDoc))
       .groupBy("doc_id", "isl")
@@ -108,7 +109,7 @@ object SpanDedup {
     val spansD = spans
       .join(base.select("doc_id", "n_tokens"), Seq("doc_id"))
       .select(col("doc_id"), col("p0"),
-        least(col("p1") + lit(SpanK - 1), col("n_tokens")).as("pend"))
+        least(col("p1") + lit(k - 1), col("n_tokens")).as("pend"))
     val agg = spansD.groupBy("doc_id")
       .agg(count(lit(1)).as("n_spans"),
         sum(col("pend") - col("p0") + 1).as("dup_tokens"),
@@ -244,6 +245,122 @@ object SpanDedup {
       |  n.n_tokens - coalesce(agg.dup_tokens, 0) AS kept_tokens,
       |  round(CAST(coalesce(agg.dup_tokens, 0) AS DOUBLE) / n.n_tokens, 6)
       |    AS dup_frac,
+      |  coalesce(clean.clean_text, '') AS clean_text
+      |FROM n
+      |LEFT JOIN agg USING (doc_id)
+      |LEFT JOIN clean USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------- T2
+  /** House benchmark split (the H1 convention): ~5% of docs by salted
+    * hash stand in for the eval suite. */
+  private val BenchSalt = "bench"
+  private val BenchPct = 5
+  /** T2's witness width: 5 tokens — the I3 proportionate-gram choice.
+    * Decontamination wants PARTIAL overlap (a quoted eval question
+    * inside a page), and this corpus's cross-doc sharing lives at the
+    * 5-gram level; the 13-gram GPT-3 width maps to ~K=8 here and
+    * catches only exact twins. */
+  val DecontamK = 5
+
+  /** T2: SPAN-level decontamination — H1 flags whole documents whose
+    * shingle containment against an eval item clears a bar; this is
+    * the published SURGICAL variant (GPT-3's own protocol, Brown et
+    * al. 2020 Appendix C: remove colliding 13-grams and a window
+    * around them, leaving the rest of the page) — contaminated SPANS
+    * are cut out of otherwise-keepable documents instead of dropping
+    * the page. Anchors are positions whose K-gram occurs ANYWHERE in
+    * the benchmark set; the S1 island/coverage machinery seals and
+    * deletes them.
+    *
+    * Scale shape: the benchmark gram set is DISTINCT grams of a
+    * constant-size eval suite (the H1 broadcast argument — eval
+    * suites are 10³-10⁵ items regardless of corpus size), so the
+    * corpus side is one narrow positional-gram pass probed against a
+    * broadcast — NO corpus-scale shuffle at all on the gram side;
+    * only anchor rows (the contamination hits) reach the doc-grain
+    * windows. */
+  def spanDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.parallelized(spark, Tables.documents(spark, dir))
+    val isBench = Sampling.hashBucket(col("doc_id"), BenchSalt) <
+      Sampling.pctThreshold(BenchPct)
+    spanDecontaminateFrom(spark, docs.where(!isBench),
+      docs.where(isBench))
+  }
+
+  /** Scrub over arbitrary corpus and benchmark frames — the
+    * production shape (real eval suites are their own tables). */
+  def spanDecontaminateFrom(spark: SparkSession, corpus: DataFrame,
+                            bench: DataFrame): DataFrame = {
+    val benchGrams = bench
+      .select(explode(Vectors.shinglesFast(spark, col("text"), DecontamK,
+        distinct = true)).as("g"))
+      .select(xxhash64(col("g")).as("gh")).distinct()
+    val base = corpus.select(col("doc_id"),
+      split(col("text"), " ", -1).as("tk"))
+      .withColumn("n_tokens", size(col("tk")).cast("long"))
+    val anchors = corpus.select(col("doc_id"),
+      posexplode(Vectors.shinglesFast(spark, col("text"), DecontamK,
+        distinct = false)).as(Seq("p0", "g")))
+      .select(col("doc_id"), (col("p0") + 1).as("i"),
+        xxhash64(col("g")).as("gh"))
+      .join(broadcast(benchGrams), Seq("gh"))
+      .select("doc_id", "i")
+    sealSpans(base, anchors, DecontamK)
+      .withColumnRenamed("dup_tokens", "contam_tokens")
+      .withColumnRenamed("dup_frac", "contam_frac")
+  }
+
+  def spanDecontaminateSql: String = {
+    val K = DecontamK
+    val isBench = s"${Sampling.hashBucketSql("doc_id", BenchSalt)} < " +
+      s"${Sampling.pctThreshold(BenchPct)}"
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk
+      |           FROM documents WHERE NOT ($isBench)),
+      |n AS (SELECT doc_id, tk, len(tk) AS n_tokens FROM t),
+      |bg AS (
+      |  SELECT DISTINCT array_to_string(tk[i:i+${K - 1}], ' ') AS g
+      |  FROM (SELECT tk,
+      |          unnest(range(1, greatest(len(tk) - ${K - 2}, 2))) AS i
+      |        FROM (SELECT string_split(text, ' ') AS tk FROM documents
+      |              WHERE $isBench))),
+      |pos AS (
+      |  SELECT doc_id, i, array_to_string(tk[i:i+${K - 1}], ' ') AS g
+      |  FROM (SELECT doc_id, tk,
+      |          unnest(range(1, greatest(len(tk) - ${K - 2}, 2))) AS i
+      |        FROM t)),
+      |a AS (SELECT doc_id, i FROM pos JOIN bg USING (g)),
+      |lagd AS (SELECT doc_id, i,
+      |    lag(i) OVER (PARTITION BY doc_id ORDER BY i) AS prev FROM a),
+      |isl AS (SELECT doc_id, i,
+      |    sum(CASE WHEN prev IS NULL OR i - prev > $K THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY doc_id ORDER BY i) AS isl
+      |  FROM lagd),
+      |sp AS (SELECT doc_id, isl, min(i) AS p0, max(i) AS p1
+      |       FROM isl GROUP BY doc_id, isl),
+      |spd AS (SELECT sp.doc_id, p0,
+      |          least(p1 + ${K - 1}, n.n_tokens) AS pend
+      |        FROM sp JOIN n USING (doc_id)),
+      |agg AS (SELECT doc_id, count(*) AS n_spans,
+      |          CAST(sum(pend - p0 + 1) AS BIGINT) AS contam_tokens
+      |        FROM spd GROUP BY doc_id),
+      |tokpos AS (SELECT doc_id, j, tk[CAST(j AS INTEGER)] AS tok
+      |           FROM (SELECT doc_id, tk,
+      |                   unnest(range(1, len(tk) + 1)) AS j FROM t)),
+      |cov AS (SELECT doc_id, unnest(range(p0, pend + 1)) AS j FROM spd),
+      |clean AS (SELECT tp.doc_id,
+      |            string_agg(tok, ' ' ORDER BY tp.j) AS clean_text
+      |          FROM tokpos tp LEFT JOIN cov c
+      |            ON tp.doc_id = c.doc_id AND tp.j = c.j
+      |          WHERE c.j IS NULL
+      |          GROUP BY tp.doc_id)
+      |SELECT n.doc_id, n.n_tokens,
+      |  coalesce(agg.n_spans, 0) AS n_spans,
+      |  coalesce(agg.contam_tokens, 0) AS contam_tokens,
+      |  n.n_tokens - coalesce(agg.contam_tokens, 0) AS kept_tokens,
+      |  round(CAST(coalesce(agg.contam_tokens, 0) AS DOUBLE) / n.n_tokens, 6)
+      |    AS contam_frac,
       |  coalesce(clean.clean_text, '') AS clean_text
       |FROM n
       |LEFT JOIN agg USING (doc_id)

@@ -92,6 +92,38 @@ class SSeriesSpec extends SparkSpec {
       "incremental diverges from the full recompute on the batch")
   }
 
+  // ------------------------------------------------------------- T2
+  test("decontaminate_spans cuts the quoted eval item, keeps the page") {
+    val kd = graft.operators.SpanDedup.DecontamK
+    val evalItem = toks(kd + 4, "ev") // a 9-token "benchmark question"
+    val bench = Seq((100L, evalItem)).toDF("doc_id", "text")
+    val corpus = Seq(
+      // a page QUOTING the eval item mid-text - the GPT-3 case:
+      // cut the quote, keep the page
+      (1L, s"${toks(6, "pre")} $evalItem ${toks(6, "post")}"),
+      // an untouched page
+      (2L, toks(20, "clean"))
+    ).toDF("doc_id", "text")
+    val out = graft.operators.SpanDedup
+      .spanDecontaminateFrom(spark, corpus, bench)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Long]("n_spans") == 1L)
+    assert(out(1L).getAs[Long]("contam_tokens") == kd + 4L)
+    assert(out(1L).getAs[String]("clean_text") ==
+      s"${toks(6, "pre")} ${toks(6, "post")}")
+    assert(out(2L).getAs[Long]("contam_tokens") == 0L)
+    assert(out(2L).getAs[String]("clean_text") == toks(20, "clean"))
+    // partial overlap: only the shared >=K-gram run is cut, not the
+    // whole sentence around it
+    val part = Seq(
+      (3L, s"${toks(8, "x")} ${toks(kd, "ev")} ${toks(8, "y")}")
+    ).toDF("doc_id", "text")
+    val r3 = graft.operators.SpanDedup
+      .spanDecontaminateFrom(spark, part, bench).head()
+    assert(r3.getAs[Long]("contam_tokens") == kd.toLong,
+      "only the shared prefix run should be cut")
+  }
+
   // ------------------------------------------------------------- S2
   test("ppl_buckets terciles are per-lang monotone and cover every scored doc") {
     val out = CharLm.pplBuckets(spark, sfDir).cache()
