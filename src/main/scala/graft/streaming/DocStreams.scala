@@ -67,4 +67,36 @@ object DocStreams {
   def incrementalMatches(spark: SparkSession, streamDir: String,
                          corpusDir: String): DataFrame =
     incrementalMatches(spark, streamDir, corpusBandIndex(spark, corpusDir))
+
+  /** T3: streaming span-level decontamination — the ingest-time form
+    * of [[graft.operators.SpanDedup.spanDecontaminateFrom]]: documents
+    * arrive as a stream and each one leaves with its benchmark-
+    * colliding spans already cut, before it ever lands in the corpus.
+    * The island merge is a per-document windowed computation
+    * (window functions are not append-streamable), so the production
+    * form is `foreachBatch` (the I7/R4 precedent: legal per
+    * micro-batch) running the IDENTICAL batch scrub against the
+    * static bench frame — stream and batch cannot diverge by
+    * construction, and the spec pins the equality through a real
+    * AvailableNow stream anyway. Usual foreachBatch delivery:
+    * at-least-once under retries, batch id for idempotent writes.
+    *
+    * Returns the configured writer; the caller picks trigger /
+    * checkpoint and starts it (the SseSink precedent). */
+  def spanScrubForeachBatch(spark: SparkSession, streamDir: String,
+                            bench: DataFrame)
+                           (sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    // register the native expressions BEFORE the stream starts: the
+    // micro-batch engine clones the session at start and the clone
+    // inherits the function registry as of that moment — a first
+    // registration from inside foreachBatch is too late for the
+    // clone's analyzer
+    graft.plans.GraftFunctions.register(spark)
+    readDocs(spark, streamDir).writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        sink(graft.operators.SpanDedup
+          .spanDecontaminateFrom(batch.sparkSession, batch, bench), batchId)
+      }
+  }
 }
