@@ -175,7 +175,11 @@ object SparkEntry {
     "q_span_dedup_incremental" -> (SpanDedup.spanDedupIncremental _),
     // T2: span-level decontamination (GPT-3 Appendix-C protocol —
     // cut colliding spans out of otherwise-keepable documents)
-    "q_decontaminate_spans" -> (SpanDedup.spanDecontaminate _)
+    "q_decontaminate_spans" -> (SpanDedup.spanDecontaminate _),
+    // S6: the S3 allocation materialized into per-doc draw counts
+    "q_epoch_alloc_materialize" -> (DomainMix.epochAllocMaterialize _),
+    // S5: duplicated-passage report (maximal extents, mass-ranked)
+    "q_span_report" -> (SpanDedup.spanReport _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -283,6 +287,8 @@ object SparkEntry {
     "q_epoch_alloc" -> DomainMix.epochAllocSql,
     "q_qc_calibration" -> QualityClassifier.calibrationSql,
     "q_span_dedup_incremental" -> SpanDedup.spanDedupIncrementalSql,
-    "q_decontaminate_spans" -> SpanDedup.spanDecontaminateSql
+    "q_decontaminate_spans" -> SpanDedup.spanDecontaminateSql,
+    "q_epoch_alloc_materialize" -> DomainMix.epochAllocMaterializeSql,
+    "q_span_report" -> SpanDedup.spanReportSql
   )
 }

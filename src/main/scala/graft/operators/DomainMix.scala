@@ -201,6 +201,87 @@ object DomainMix {
       |ORDER BY source""".stripMargin
   }
 
+  private val AllocMatSalt = "allocmat"
+
+  /** S6: materialize the S3 allocation into per-document draw counts
+    * — the table a shard-packer/loader actually consumes (the P3
+    * materialization contract, token-weighted): source s with
+    * alloc_s tokens over avail_s available emits `alloc DIV avail`
+    * full copies of every doc, plus ONE extra copy for the docs in
+    * the salted-hash-ordered prefix whose inclusive token running
+    * sum fits the residual `alloc MOD avail` (H11's cum ≤ budget
+    * rule, applied per source). Capped sources fall out for free:
+    * alloc = cap ⇒ residual 0, exactly [[AllocEpochCap]] copies.
+    *
+    * Scale shape: the residual rank is the TWO-LEVEL PrefixSum (the
+    * P3 lesson — never a full per-source window): per-(source,
+    * hash-bucket) offsets, whole past-residual buckets pruned BEFORE
+    * the broadcast join, intra-bucket running sums only in the few
+    * straddling buckets. The oracle states the single-window form;
+    * the plans are proven equal by the shared PrefixSum invariants.
+    * ALL-INTEGER — both engines agree exactly. */
+  def epochAllocMaterialize(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+    val allocF = epochAlloc(spark, dir)
+      .select(col("source"),
+        expr("alloc_tokens DIV avail_tokens").as("full_e"),
+        expr("alloc_tokens % avail_tokens").as("resid"))
+      .localCheckpoint() // #sources rows, three consumers below
+    val base = PrefixSum.hashedBase(Tables.parallelized(spark, docs),
+      AllocMatSalt, Seq("source"))
+    // prune: a bucket whose exclusive offset already exceeds the
+    // source's residual cannot emit an extra copy — drop it while the
+    // offsets frame is still sources×256 rows; keep `resid` riding
+    // along so the cum comparison needs no second join
+    val withOff = PrefixSum.withBucketOffsets(base, Seq("source"),
+      offs => offs
+        .join(broadcast(allocF.select("source", "resid")), Seq("source"))
+        .where(col("offset") <= col("resid")))
+    val wCum = Window.partitionBy("source", "bkt")
+      .orderBy(col("h"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val extra = withOff
+      .withColumn("cum",
+        col("offset") + coalesce(sum("est_tokens").over(wCum), lit(0L)))
+      .where(col("cum") <= col("resid"))
+      .select(col("doc_id"), lit(1L).as("extra"))
+    docs.select(col("doc_id"), col("source"),
+        coalesce(ceil(length(col("text")) / lit(4.0)).cast("long"), lit(0L))
+          .as("est_tokens"))
+      .join(broadcast(allocF.select("source", "full_e")), Seq("source"))
+      .join(extra, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"), col("est_tokens"),
+        (col("full_e") + coalesce(col("extra"), lit(0L))).as("n_copies"))
+      .orderBy("doc_id")
+  }
+
+  /** Single-window oracle twin (the form the two-level plan is
+    * proven equal to). */
+  def epochAllocMaterializeSql: String = {
+    val alloc = epochAllocSql.replace("ORDER BY source", "")
+    s"""WITH alloc AS (
+      |  SELECT source, alloc_tokens // avail_tokens AS full_e,
+      |         alloc_tokens % avail_tokens AS resid
+      |  FROM ($alloc)),
+      |est AS (SELECT doc_id, source,
+      |          coalesce(CAST(ceil(length(text) / 4.0) AS BIGINT), 0)
+      |            AS est_tokens
+      |        FROM documents),
+      |cum AS (
+      |  SELECT doc_id, source, est_tokens,
+      |    CAST(sum(est_tokens) OVER (PARTITION BY source
+      |      ORDER BY md5(doc_id || ':$AllocMatSalt'), doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS cum
+      |  FROM est)
+      |SELECT c.doc_id, c.source, c.est_tokens,
+      |  CAST(full_e + CASE WHEN cum <= resid THEN 1 ELSE 0 END AS BIGINT)
+      |    AS n_copies
+      |FROM cum c JOIN alloc USING (source)
+      |ORDER BY doc_id""".stripMargin
+  }
+
   /** DuckDB twin — O4's own verified SQL nested as the loss CTE, the
     * same rounded-before-exp discipline. */
   def domainReweightSql: String = {

@@ -132,6 +132,101 @@ object SpanDedup {
       .orderBy("doc_id")
   }
 
+  // ---------------------------------------------------------- S5
+  /** Report length for [[spanReport]]. */
+  val ReportTopK = 20
+
+  /** S5: the duplicated-PASSAGE report — I5 (top grams by document
+    * frequency) upgraded to maximal extents: which actual passages
+    * (license blocks, templated paragraphs, quoted boilerplate) carry
+    * the most duplicated token mass, ranked by `len × occurrences`.
+    * This is the forensic view a corpus owner reads before deciding
+    * what S1 should cut — the S1 islands grouped by their text.
+    * Near-identical spans whose maximal extents differ stay separate
+    * rows (the report shows extents as observed, it does not cluster).
+    *
+    * Scale shape: S1's anchor pipeline (hashed-gram exchange, measured
+    * linear) + doc-grain islands; the report aggregation ships one row
+    * per ISLAND (the ~9%-of-positions anchor tail, grouped map-side by
+    * passage) and top-ks via TakeOrderedAndProject — k rows per
+    * partition cross the wire, the I5 discipline. */
+  def spanReport(spark: SparkSession, dir: String): DataFrame =
+    spanReportFrom(spark,
+      Tables.parallelized(spark, Tables.documents(spark, dir)))
+
+  def spanReportFrom(spark: SparkSession, docs: DataFrame): DataFrame = {
+    val base = docs.select(col("doc_id"),
+      split(col("text"), " ", -1).as("tk"))
+      .withColumn("n_tokens", size(col("tk")).cast("long"))
+    val grams = docs.select(col("doc_id"),
+      posexplode(Vectors.shinglesFast(spark, col("text"), SpanK,
+        distinct = false)).as(Seq("p0", "g")))
+      .select(col("doc_id"), (col("p0") + 1).as("i"),
+        xxhash64(col("g")).as("gh"))
+    val freq = grams.groupBy("gh").agg(count(lit(1)).as("occ"))
+    val anchors = grams
+      .join(freq.where(col("occ") >= 2), Seq("gh"))
+      .select("doc_id", "i")
+    val wDoc = Window.partitionBy("doc_id").orderBy("i")
+    val spans = anchors
+      .withColumn("prev", lag("i", 1).over(wDoc))
+      .withColumn("brk",
+        when(col("prev").isNull || col("i") - col("prev") > SpanK, 1L)
+          .otherwise(0L))
+      .withColumn("isl", sum("brk").over(wDoc))
+      .groupBy("doc_id", "isl")
+      .agg(min("i").as("p0"), max("i").as("p1"))
+    spans.join(base, Seq("doc_id"))
+      .select(col("p0"),
+        least(col("p1") + lit(SpanK - 1), col("n_tokens")).as("pend"),
+        col("tk"))
+      .select(
+        concat_ws(" ", slice(col("tk"), col("p0"),
+          col("pend") - col("p0") + lit(1))).as("passage"),
+        (col("pend") - col("p0") + 1).as("len"))
+      .groupBy("passage")
+      .agg(count(lit(1)).as("n_occurrences"), max("len").as("len_tokens"))
+      .select(col("passage"), col("len_tokens"), col("n_occurrences"),
+        (col("len_tokens") * col("n_occurrences")).as("dup_mass"))
+      .orderBy(col("dup_mass").desc, col("passage"))
+      .limit(ReportTopK)
+  }
+
+  def spanReportSql: String = {
+    val K = SpanK
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      |n AS (SELECT doc_id, tk, len(tk) AS n_tokens FROM t),
+      |pos AS (
+      |  SELECT doc_id, i, array_to_string(tk[i:i+${K - 1}], ' ') AS g
+      |  FROM (SELECT doc_id, tk,
+      |          unnest(range(1, greatest(len(tk) - ${K - 2}, 2))) AS i
+      |        FROM t)),
+      |freq AS (SELECT g, count(*) AS occ FROM pos GROUP BY g),
+      |a AS (SELECT doc_id, i FROM pos JOIN freq USING (g) WHERE occ >= 2),
+      |lagd AS (SELECT doc_id, i,
+      |    lag(i) OVER (PARTITION BY doc_id ORDER BY i) AS prev FROM a),
+      |isl AS (SELECT doc_id, i,
+      |    sum(CASE WHEN prev IS NULL OR i - prev > $K THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY doc_id ORDER BY i) AS isl
+      |  FROM lagd),
+      |sp AS (SELECT doc_id, isl, min(i) AS p0, max(i) AS p1
+      |       FROM isl GROUP BY doc_id, isl),
+      |pass AS (
+      |  SELECT array_to_string(tk[CAST(p0 AS INTEGER):
+      |           CAST(least(p1 + ${K - 1}, n.n_tokens) AS INTEGER)], ' ')
+      |           AS passage,
+      |         least(p1 + ${K - 1}, n.n_tokens) - p0 + 1 AS len
+      |  FROM sp JOIN n USING (doc_id)),
+      |rep AS (SELECT passage, count(*) AS n_occurrences,
+      |          CAST(max(len) AS BIGINT) AS len_tokens
+      |        FROM pass GROUP BY passage)
+      |SELECT passage, len_tokens, n_occurrences,
+      |  CAST(len_tokens * n_occurrences AS BIGINT) AS dup_mass
+      |FROM rep
+      |ORDER BY dup_mass DESC, passage
+      |LIMIT $ReportTopK""".stripMargin
+  }
+
   // ---------------------------------------------------------- T1
   /** House incremental-batch split (the H4 convention): ~20% of docs
     * by salted hash are "the new batch", the rest "the existing

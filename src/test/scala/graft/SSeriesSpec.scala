@@ -189,6 +189,57 @@ class SSeriesSpec extends SparkSpec {
     assert(capped.nonEmpty && capped.size < rows.length)
   }
 
+  // ------------------------------------------------------------- S5
+  test("span_report surfaces the heaviest duplicated passage with exact mass") {
+    val passage = toks(2 * K, "boiler") // 16 tokens, duplicated 3x
+    val docs = Seq(
+      (1L, s"${toks(4, "a")} $passage"),
+      (2L, s"$passage ${toks(5, "b")}"),
+      (3L, s"${toks(3, "c")} $passage ${toks(3, "d")}"),
+      (4L, toks(25, "uniq"))
+    ).toDF("doc_id", "text")
+    val top = graft.operators.SpanDedup.spanReportFrom(spark, docs).head()
+    assert(top.getAs[String]("passage") == passage)
+    assert(top.getAs[Long]("len_tokens") == 2L * K)
+    assert(top.getAs[Long]("n_occurrences") == 3L)
+    assert(top.getAs[Long]("dup_mass") == 6L * K)
+  }
+
+  // ------------------------------------------------------------- S6
+  test("epoch_alloc_materialize emits draws that fill each source's allocation") {
+    val alloc = DomainMix.epochAlloc(spark, sfDir).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("alloc_tokens"), r.getAs[Long]("avail_tokens"),
+          r.getAs[Boolean]("capped"))).toMap
+    val mat = DomainMix.epochAllocMaterialize(spark, sfDir).cache()
+    // copies are full_e or full_e + 1, nothing else
+    val bad = mat.join(
+      DomainMix.epochAlloc(spark, sfDir)
+        .select(col("source"),
+          expr("alloc_tokens DIV avail_tokens").as("fe")), Seq("source"))
+      .where(col("n_copies") =!= col("fe") &&
+        col("n_copies") =!= col("fe") + 1).count()
+    assert(bad == 0, s"$bad rows with out-of-range copy counts")
+    // per-source materialized token mass fills the allocation up to
+    // one straddling document
+    val bySrc = mat.groupBy("source")
+      .agg(sum(col("n_copies") * col("est_tokens")).as("mass"),
+        max("est_tokens").as("max_est"))
+      .collect()
+    bySrc.foreach { r =>
+      val s = r.getAs[String]("source")
+      val (a, avail, capped) = alloc(s)
+      val mass = r.getAs[Long]("mass")
+      if (capped) assert(mass == a, s"$s capped but mass $mass != alloc $a")
+      else {
+        assert(mass <= a, s"$s overfills: $mass > $a")
+        assert(a - mass < r.getAs[Long]("max_est"),
+          s"$s underfills by more than one doc: $mass of $a")
+      }
+      assert(avail > 0)
+    }
+  }
+
   // ------------------------------------------------------------- S4
   test("qc_calibration bins are well-formed and mass-conserving") {
     val out = QualityClassifier.calibration(spark, sfDir).collect()
