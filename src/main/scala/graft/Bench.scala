@@ -183,7 +183,7 @@ object Bench {
     "from_curate", "from_pipeline_pack", "from_corpus_report", "from_drop_ledger",
     "from_quality_classifier", "from_text_tokens_bpe", "from_ann_ivf_index",
     "from_domain_reweight", "from_ppl_buckets", "from_qc_calibration",
-    "from_span_incremental")
+    "from_span_incremental", "from_alloc_materialize")
 
   /** Materialize the shared stage outputs once (untimed), then time
     * ONLY the `*From` compositions over the persisted parquet — the
@@ -227,6 +227,8 @@ object Bench {
       val spanIdx = persist("span_index",
         SpanDedup.spanGramIndex(spark,
           docs.where(!SpanDedup.isNewBatch(col("doc_id")))))
+      val allocTable = persist("alloc_table",
+        DomainMix.epochAlloc(spark, sfDir))
       val forms: Seq[(String, () => DataFrame)] = Seq(
         "from_curate" -> (() => Curation.curateFrom(docs, quality, exact, decont)),
         "from_pipeline_pack" -> (() => Pipeline.pipelinePackFrom(docs, curated, semDrops)),
@@ -258,7 +260,11 @@ object Bench {
         // corpus gram index (built untimed at ingest cadence)
         "from_span_incremental" -> (() =>
           SpanDedup.spanDedupIncrementalFrom(spark,
-            docs.where(SpanDedup.isNewBatch(col("doc_id"))), spanIdx)))
+            docs.where(SpanDedup.isNewBatch(col("doc_id"))), spanIdx)),
+        // S6 steady state: the two-level residual rank + joins over a
+        // decided allocation table (#sources rows, persisted)
+        "from_alloc_materialize" -> (() =>
+          DomainMix.epochAllocMaterializeFrom(docs, allocTable)))
       forms.filter { case (n, _) => only.forall(_.contains(n)) }
         .foreach { case (n, mk) => timeQuery(n, mk) }
     } catch {

@@ -220,16 +220,23 @@ object DomainMix {
     * straddling buckets. The oracle states the single-window form;
     * the plans are proven equal by the shared PrefixSum invariants.
     * ALL-INTEGER — both engines agree exactly. */
-  def epochAllocMaterialize(spark: SparkSession, dir: String): DataFrame = {
+  def epochAllocMaterialize(spark: SparkSession, dir: String): DataFrame =
+    epochAllocMaterializeFrom(
+      Tables.parallelized(spark, Tables.documents(spark, dir)),
+      epochAlloc(spark, dir))
+
+  /** Materialization over an arbitrary docs frame and a persisted
+    * (source, alloc_tokens, avail_tokens, …) allocation table — the
+    * production shape once the allocation is decided. */
+  def epochAllocMaterializeFrom(docs: DataFrame, alloc: DataFrame)
+      : DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val docs = Tables.documents(spark, dir)
-    val allocF = epochAlloc(spark, dir)
+    val allocF = alloc
       .select(col("source"),
         expr("alloc_tokens DIV avail_tokens").as("full_e"),
         expr("alloc_tokens % avail_tokens").as("resid"))
       .localCheckpoint() // #sources rows, three consumers below
-    val base = PrefixSum.hashedBase(Tables.parallelized(spark, docs),
-      AllocMatSalt, Seq("source"))
+    val base = PrefixSum.hashedBase(docs, AllocMatSalt, Seq("source"))
     // prune: a bucket whose exclusive offset already exceeds the
     // source's residual cannot emit an extra copy — drop it while the
     // offsets frame is still sources×256 rows; keep `resid` riding
