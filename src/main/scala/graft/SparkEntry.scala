@@ -179,7 +179,9 @@ object SparkEntry {
     // S6: the S3 allocation materialized into per-doc draw counts
     "q_epoch_alloc_materialize" -> (DomainMix.epochAllocMaterialize _),
     // S5: duplicated-passage report (maximal extents, mass-ranked)
-    "q_span_report" -> (SpanDedup.spanReport _)
+    "q_span_report" -> (SpanDedup.spanReport _),
+    // O8: retrieval-quality metrics (RR/DCG/nDCG/P@k) for the O1 ranking
+    "q_retrieval_eval" -> (Retrieval.retrievalEval _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -289,6 +291,7 @@ object SparkEntry {
     "q_span_dedup_incremental" -> SpanDedup.spanDedupIncrementalSql,
     "q_decontaminate_spans" -> SpanDedup.spanDecontaminateSql,
     "q_epoch_alloc_materialize" -> DomainMix.epochAllocMaterializeSql,
-    "q_span_report" -> SpanDedup.spanReportSql
+    "q_span_report" -> SpanDedup.spanReportSql,
+    "q_retrieval_eval" -> Retrieval.retrievalEvalSql
   )
 }

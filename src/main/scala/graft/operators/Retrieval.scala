@@ -363,6 +363,177 @@ object Retrieval {
       |ORDER BY query_id, rank""".stripMargin
   }
 
+  // ---------------------------------------------------------------- O8
+  /** O8: retrieval-quality evaluation — per-query reciprocal rank,
+    * DCG/nDCG@k (Järvelin & Kekäläinen 2002, the exponential-gain
+    * form), and precision@k for the O1 BM25 ranking, judged against a
+    * DETERMINISTIC graded weak label: a document's relevance to a
+    * query is graded: 2 if the document contains the query's leading
+    * BIGRAM as an exact token-adjacent phrase (the signal BM25's
+    * orderless bag cannot see — which is precisely what makes the
+    * metric discriminate), 1 if it merely contains every query term,
+    * 0 otherwise; "relevant" for the binary metrics means rel = 2.
+    * Real deployments plug human judgments in; the weak-label device
+    * is the house convention (P2's E2 bands), transparent and
+    * computable in both engines. This is the measurement half every
+    * retrieval stack ships with — the S4 calibration idea applied to
+    * O1. (On this corpus full-coverage docs saturate every top-10 —
+    * a coverage-only label grades every ranking perfect, which is a
+    * statement about the label, not the ranker.)
+    *
+    * Scale shape: the judged pool rides the SAME vocabulary-pruned
+    * projection as the ranker (matched (query, doc, term) rows only);
+    * the ideal ranking is a `row_number ≤ k` per query over that
+    * pool (WindowGroupLimit — k rows per partition cross the wire);
+    * everything else is |queries|·k-row arithmetic. Determinism:
+    * gains/discounts are per-row closed forms over small integers,
+    * per-query sums are ≤k floats rounded to 6 dp, and nDCG divides
+    * the ROUNDED dcg by the ROUNDED idcg. */
+  def retrievalEval(spark: SparkSession, dir: String): DataFrame =
+    retrievalEvalFrom(spark,
+      Tables.parallelized(spark, Tables.documents(spark, dir)))
+
+  def retrievalEvalFrom(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    val qterms = Queries.flatMap { case (qid, q) =>
+      q.split(" ").distinct.map(t => (qid, t))
+    }.toDF("query_id", "term")
+    val nterms = Queries.map { case (qid, q) =>
+      (qid, q.split(" ").distinct.length.toLong)
+    }.toDF("query_id", "n_terms")
+    val vocab = Queries.flatMap(_._2.split(" ")).distinct
+    val log2 = (c: Column) => log(c.cast("double")) / log(lit(2.0))
+
+    // full term coverage (the rel = 1 band)
+    val fc = docs.select(col("doc_id"),
+        explode(array_distinct(split(col("text"), " "))).as("term"))
+      .where(col("term").isin(vocab: _*))
+      .join(broadcast(qterms), Seq("term"))
+      .groupBy("query_id", "doc_id").agg(count(lit(1)).as("c"))
+      .join(broadcast(nterms), Seq("query_id"))
+      .where(col("c") === col("n_terms"))
+      .select("query_id", "doc_id")
+    // leading-bigram phrase hits (the rel = 2 band); padded so the
+    // match is token-adjacent, not an intra-token substring
+    val padded = concat(lit(" "), col("text"), lit(" "))
+    val phrase = docs.select(col("doc_id"),
+        explode(array(Queries.map { case (qid, q) =>
+          val t = q.split(" ")
+          struct(lit(qid).as("query_id"),
+            padded.contains(s" ${t(0)} ${t(1)} ").as("hit"))
+        }: _*)).as("s"))
+      .where(col("s.hit"))
+      .select(col("s.query_id").as("query_id"), col("doc_id"),
+        lit(true).as("ph"))
+    val rel = fc.join(phrase, Seq("query_id", "doc_id"), "full")
+      .select(col("query_id"), col("doc_id"),
+        when(col("ph"), 2L).otherwise(1L).as("rel"))
+    val judged = bm25TopKFrom(spark, docs)
+      .join(rel, Seq("query_id", "doc_id"), "left")
+      .withColumn("rel", coalesce(col("rel"), lit(0L)))
+    val gain = (pow(lit(2.0), col("rel")) - lit(1.0)) / log2(col("rank") + 1)
+    val perQ = judged.groupBy("query_id")
+      .agg(
+        round(coalesce(max(when(col("rel") === 2, lit(1.0) / col("rank"))),
+          lit(0.0)), 6).as("rr"),
+        round(sum(gain), 6).as("dcg"),
+        sum(when(col("rel") === 2, 1L).otherwise(0L)).as("n_hits"))
+    val wIdeal = Window.partitionBy("query_id")
+      .orderBy(col("rel").desc, col("doc_id"))
+    val ideal = rel.withColumn("irank", row_number().over(wIdeal))
+      .where(col("irank") <= TopK)
+      .groupBy("query_id")
+      .agg(round(sum((pow(lit(2.0), col("rel")) - lit(1.0)) /
+        log2(col("irank") + 1)), 6).as("idcg"))
+    perQ.join(ideal, Seq("query_id"))
+      .select(col("query_id"), col("n_hits"), col("rr"),
+        col("dcg"), col("idcg"),
+        round(col("dcg") / col("idcg"), 6).as("ndcg"),
+        round(col("n_hits").cast("double") / TopK, 6).as("p_at_k"))
+      .orderBy("query_id")
+  }
+
+  def retrievalEvalSql: String = {
+    val qvals = Queries.flatMap { case (qid, q) =>
+      q.split(" ").distinct.map(t => s"($qid, '$t')")
+    }.mkString(", ")
+    val bvals = Queries.map { case (qid, q) =>
+      val t = q.split(" ")
+      s"($qid, ' ${t(0)} ${t(1)} ')"
+    }.mkString(", ")
+    val disc = (r: String) =>
+      s"(ln(CAST($r + 1 AS DOUBLE)) / ln(CAST(2 AS DOUBLE)))"
+    s"""WITH q(query_id, term) AS (VALUES $qvals),
+      |bg(query_id, phr) AS (VALUES $bvals),
+      |nt AS (SELECT query_id, count(*) AS n_terms FROM q GROUP BY query_id),
+      |d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |tok AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+      |               unnest(toks) AS term FROM d),
+      |tf AS (SELECT doc_id, term, count(*) AS tf, max(dl) AS dl
+      |       FROM tok WHERE term IN (SELECT term FROM q)
+      |       GROUP BY doc_id, term),
+      |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+      |stats AS (SELECT count(*) AS n_docs,
+      |                 avg(CAST(len(toks) AS BIGINT)) AS avgdl FROM d),
+      |sc AS (
+      |  SELECT q.query_id, tf.doc_id, round(sum($bmTermSql), 6) AS score
+      |  FROM tf JOIN df USING (term) JOIN q USING (term), stats
+      |  GROUP BY q.query_id, tf.doc_id),
+      |topk AS (
+      |  SELECT query_id, doc_id, rank FROM (
+      |    SELECT query_id, doc_id,
+      |      CAST(row_number() OVER (PARTITION BY query_id
+      |        ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank
+      |    FROM sc) r
+      |  WHERE rank <= $TopK),
+      |fc AS (
+      |  SELECT query_id, doc_id FROM (
+      |    SELECT q.query_id, x.doc_id, count(*) AS c
+      |    FROM (SELECT DISTINCT doc_id, term FROM tok
+      |          WHERE term IN (SELECT term FROM q)) x
+      |    JOIN q USING (term)
+      |    GROUP BY q.query_id, x.doc_id) cov
+      |  JOIN nt USING (query_id) WHERE c = n_terms),
+      |ph AS (
+      |  SELECT bg.query_id, doc_id
+      |  FROM documents, bg
+      |  WHERE contains(' ' || text || ' ', bg.phr)),
+      |rel AS (
+      |  SELECT coalesce(fc.query_id, ph.query_id) AS query_id,
+      |         coalesce(fc.doc_id, ph.doc_id) AS doc_id,
+      |         CASE WHEN ph.doc_id IS NOT NULL THEN 2 ELSE 1 END AS rel
+      |  FROM fc FULL JOIN ph
+      |    ON fc.query_id = ph.query_id AND fc.doc_id = ph.doc_id),
+      |judged AS (
+      |  SELECT t.query_id, t.rank, coalesce(rel.rel, 0) AS rel
+      |  FROM topk t
+      |  LEFT JOIN rel ON rel.query_id = t.query_id AND rel.doc_id = t.doc_id),
+      |perq AS (
+      |  SELECT query_id,
+      |    CAST(sum(CASE WHEN rel = 2 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_hits,
+      |    round(coalesce(max(CASE WHEN rel = 2
+      |      THEN CAST(1 AS DOUBLE) / rank END), 0), 6) AS rr,
+      |    round(sum((pow(CAST(2 AS DOUBLE), rel) - 1) / ${disc("rank")}), 6)
+      |      AS dcg
+      |  FROM judged GROUP BY query_id),
+      |irk AS (
+      |  SELECT query_id, rel,
+      |    row_number() OVER (PARTITION BY query_id
+      |      ORDER BY rel DESC, doc_id) AS irank
+      |  FROM rel),
+      |ideal AS (
+      |  SELECT query_id,
+      |    round(sum((pow(CAST(2 AS DOUBLE), rel) - 1) / ${disc("irank")}), 6)
+      |      AS idcg
+      |  FROM irk WHERE irank <= $TopK GROUP BY query_id)
+      |SELECT p.query_id, n_hits, rr, dcg, ideal.idcg,
+      |  round(dcg / ideal.idcg, 6) AS ndcg,
+      |  round(CAST(n_hits AS DOUBLE) / $TopK, 6) AS p_at_k
+      |FROM perq p JOIN ideal USING (query_id)
+      |ORDER BY query_id""".stripMargin
+  }
+
   def bm25TopKSql: String = {
     val qvals = Queries.flatMap { case (qid, q) =>
       q.split(" ").distinct.map(t => s"($qid, '$t')")

@@ -357,4 +357,40 @@ class OSeriesSpec extends SparkSpec {
       next.assigned.count() == scratch.count(),
       "refreshed generation diverges from the from-scratch rebuild")
   }
+
+  // ---------------------------------------------------------------- O8
+  test("retrieval_eval metrics are well-formed and a perfect ranking scores 1") {
+    val out = graft.operators.Retrieval.retrievalEval(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val dcg = r.getAs[Double]("dcg"); val idcg = r.getAs[Double]("idcg")
+      val ndcg = r.getAs[Double]("ndcg")
+      assert(idcg > 0 && dcg <= idcg + 1e-9, "dcg must not exceed ideal")
+      assert(ndcg >= 0 && ndcg <= 1 + 1e-9)
+      assert(math.abs(ndcg - dcg / idcg) < 2e-6)
+      val rr = r.getAs[Double]("rr")
+      assert(rr == 0.0 || (rr > 0 && rr <= 1.0))
+      val p = r.getAs[Double]("p_at_k")
+      assert(math.abs(p - r.getAs[Long]("n_hits").toDouble /
+        graft.operators.Retrieval.TopK) < 1e-9)
+    }
+    // the weak label discriminates at the fixture: not every query
+    // grades the bag-of-words ranking as perfect
+    assert(out.exists(_.getAs[Double]("ndcg") < 0.999),
+      "phrase label failed to discriminate")
+
+    // planted corpus: the one phrase doc carries the highest tf too,
+    // so BM25 ranks it first -> rr = 1 for query 1
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spark join filter spark join filter spark join filter"),
+      (2L, "spark filter other join words here spark"),
+      (3L, "join spark words filter again more"),
+      (4L, "unrelated words entirely here")
+    ).toDF("doc_id", "text")
+    val r1 = graft.operators.Retrieval.retrievalEvalFrom(spark, docs)
+      .where(col("query_id") === 1L).head()
+    assert(r1.getAs[Double]("rr") == 1.0, "phrase+tf doc must rank first")
+    assert(r1.getAs[Long]("n_hits") == 1L)
+  }
 }
