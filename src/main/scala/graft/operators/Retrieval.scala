@@ -381,11 +381,14 @@ object Retrieval {
     * a coverage-only label grades every ranking perfect, which is a
     * statement about the label, not the ranker.)
     *
-    * Scale shape: the judged pool rides the SAME vocabulary-pruned
-    * projection as the ranker (matched (query, doc, term) rows only);
-    * the ideal ranking is a `row_number ≤ k` per query over that
-    * pool (WindowGroupLimit — k rows per partition cross the wire);
-    * everything else is |queries|·k-row arithmetic. Determinism:
+    * Scale shape: the label is ONE narrow per-doc projection (coverage
+    * = array_intersect vs the literal term array, phrase = padded
+    * contains — no explode-join, no shuffle); the ideal ranking is a
+    * `row_number ≤ k` per query over the matched rows (WindowGroupLimit
+    * — k rows per partition cross the wire); the ranked pool is
+    * localCheckpoint-cut (|queries|·k rows, two consumers) and every
+    * join touching it is a broadcast; everything else is |queries|·k-row
+    * arithmetic. Determinism:
     * gains/discounts are per-row closed forms over small integers,
     * per-query sums are ≤k floats rounded to 6 dp, and nDCG divides
     * the ROUNDED dcg by the ROUNDED idcg. */
@@ -395,41 +398,40 @@ object Retrieval {
 
   def retrievalEvalFrom(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
-    val qterms = Queries.flatMap { case (qid, q) =>
-      q.split(" ").distinct.map(t => (qid, t))
-    }.toDF("query_id", "term")
-    val nterms = Queries.map { case (qid, q) =>
-      (qid, q.split(" ").distinct.length.toLong)
-    }.toDF("query_id", "n_terms")
-    val vocab = Queries.flatMap(_._2.split(" ")).distinct
     val log2 = (c: Column) => log(c.cast("double")) / log(lit(2.0))
 
-    // full term coverage (the rel = 1 band)
-    val fc = docs.select(col("doc_id"),
-        explode(array_distinct(split(col("text"), " "))).as("term"))
-      .where(col("term").isin(vocab: _*))
-      .join(broadcast(qterms), Seq("term"))
-      .groupBy("query_id", "doc_id").agg(count(lit(1)).as("c"))
-      .join(broadcast(nterms), Seq("query_id"))
-      .where(col("c") === col("n_terms"))
-      .select("query_id", "doc_id")
-    // leading-bigram phrase hits (the rel = 2 band); padded so the
-    // match is token-adjacent, not an intra-token substring
+    // The graded label as ONE narrow per-doc projection — no explode-
+    // into-shuffle, no join: full-term coverage (the rel = 1 band) is
+    // `array_intersect` against the query's literal term array; the
+    // leading-bigram phrase (the rel = 2 band) is a padded substring
+    // `contains` so the match is token-adjacent, not an intra-token
+    // substring. |Queries| structs per doc, matched rows kept.
+    val toks = array_distinct(split(col("text"), " "))
     val padded = concat(lit(" "), col("text"), lit(" "))
-    val phrase = docs.select(col("doc_id"),
+    val rel = docs.select(col("doc_id"),
         explode(array(Queries.map { case (qid, q) =>
+          val terms = q.split(" ").distinct
           val t = q.split(" ")
+          val cov = size(array_intersect(toks,
+            array(terms.map(lit(_)): _*))) === terms.length
           struct(lit(qid).as("query_id"),
-            padded.contains(s" ${t(0)} ${t(1)} ").as("hit"))
+            when(padded.contains(s" ${t(0)} ${t(1)} "), 2L)
+              .when(cov, 1L).otherwise(0L).as("rel"))
         }: _*)).as("s"))
-      .where(col("s.hit"))
       .select(col("s.query_id").as("query_id"), col("doc_id"),
-        lit(true).as("ph"))
-    val rel = fc.join(phrase, Seq("query_id", "doc_id"), "full")
-      .select(col("query_id"), col("doc_id"),
-        when(col("ph"), 2L).otherwise(1L).as("rel"))
-    val judged = bm25TopKFrom(spark, docs)
-      .join(rel, Seq("query_id", "doc_id"), "left")
+        col("s.rel").as("rel"))
+      .where(col("rel") > 0L)
+    // The ranked pool is a bounded artifact (|queries|·k rows) with
+    // TWO consumers (the judged frame and the rel restriction) — cut
+    // it once so the BM25 pipeline doesn't run twice.
+    val topk = bm25TopKFrom(spark, docs).localCheckpoint()
+    // rel restricted to the pool: broadcast the ≤|queries|·k ids into
+    // a second narrow corpus pass (streamed side, zero shuffle), then
+    // the judged join itself is a broadcast of ≤|queries|·k rows.
+    val relTop = rel.join(broadcast(topk.select("query_id", "doc_id")),
+      Seq("query_id", "doc_id"))
+    val judged = topk
+      .join(broadcast(relTop), Seq("query_id", "doc_id"), "left")
       .withColumn("rel", coalesce(col("rel"), lit(0L)))
     val gain = (pow(lit(2.0), col("rel")) - lit(1.0)) / log2(col("rank") + 1)
     val perQ = judged.groupBy("query_id")
@@ -445,7 +447,7 @@ object Retrieval {
       .groupBy("query_id")
       .agg(round(sum((pow(lit(2.0), col("rel")) - lit(1.0)) /
         log2(col("irank") + 1)), 6).as("idcg"))
-    perQ.join(ideal, Seq("query_id"))
+    perQ.join(broadcast(ideal), Seq("query_id"))
       .select(col("query_id"), col("n_hits"), col("rr"),
         col("dcg"), col("idcg"),
         round(col("dcg") / col("idcg"), 6).as("ndcg"),
