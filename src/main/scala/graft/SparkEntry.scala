@@ -152,6 +152,8 @@ object SparkEntry {
     // model is itself under the oracle gate
     "q_text_tokens_bpe" -> (Bpe.tokenCountsBpe _),
     "q_bpe_oov_drift" -> (Bpe.oovDrift _),
+    // U1: tokenizer fertility / compression monitor (frozen P1 model)
+    "q_tokenizer_fertility" -> (Bpe.fertility _),
     // P2: in-engine-trained logistic quality classifier (weak labels
     // from E2 bands); frozen weights ride the oracle as a literal list
     "q_quality_classifier" -> (QualityClassifier.classify _),
@@ -280,6 +282,7 @@ object SparkEntry {
     "q_lm_quality" -> CharLm.lmScoreSql,
     "q_text_tokens_bpe" -> Bpe.tokenCountsBpeSql,
     "q_bpe_oov_drift" -> Bpe.oovDriftSql,
+    "q_tokenizer_fertility" -> Bpe.fertilitySql,
     "q_quality_classifier" -> QualityClassifier.classifySql,
     "q_dsir_weights" -> Dsir.dsirWeightsSql,
     "q_seq_pack" -> Packing.seqPackSql(),

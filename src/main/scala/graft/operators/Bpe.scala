@@ -287,5 +287,80 @@ object Bpe {
       |FROM agg ORDER BY source""".stripMargin
   }
 
+  // ------------------------------------------------------------- U1
+  /** U1: tokenizer fertility & compression monitor — per source, the
+    * two numbers every tokenizer deployment watches (Rust/HF tokenizer
+    * reports call them fertility and compression ratio): BPE tokens
+    * per whitespace word (`fertility`) and characters per BPE token
+    * (`chars_per_token`) under the frozen P1 model. A source whose
+    * fertility is an outlier is being tokenized badly (wrong language
+    * / OOV-heavy / boilerplate markup) and will pay its token budget
+    * (H11/S3) at the wrong exchange rate — this monitor is how the
+    * budget and the tokenizer stay honest with each other, and the
+    * population-level complement of P4's OOV staleness bar.
+    *
+    * Scale shape: ONE narrow native pass (`graft_bpe_count` fuses
+    * tokenize + vocab binary search in-row; char count is `length`)
+    * into a #sources-row aggregation — no corpus-scale shuffle
+    * carries tokens, same discipline as P4. */
+  def fertility(spark: SparkSession, dir: String): DataFrame =
+    fertilityFrom(spark, Tables.documents(spark, dir), model(spark, dir))
+
+  def fertilityFrom(spark: SparkSession, docs: DataFrame,
+                    m: BpeModel): DataFrame = {
+    graft.plans.GraftFunctions.register(spark)
+    val stats = call_function("graft_bpe_count", col("text"),
+      array(m.vocab.map(v => lit(v._1)): _*),
+      array(m.vocab.map(v => lit(v._2)): _*))
+    docs
+      .select(col("source"),
+        length(coalesce(col("text"), lit(""))).cast("long").as("n_chars"),
+        stats.as("s"))
+      .select(col("source"), col("n_chars"),
+        element_at(col("s"), 1).as("n_words"),
+        element_at(col("s"), 2).as("n_tok"))
+      .groupBy("source")
+      .agg(sum("n_chars").as("n_chars"), sum("n_words").as("n_words"),
+        sum("n_tok").as("n_bpe_tokens"))
+      .select(col("source"), col("n_chars"), col("n_words"),
+        col("n_bpe_tokens"),
+        round(col("n_bpe_tokens").cast("double") /
+          col("n_words").cast("double"), 6).as("fertility"),
+        round(col("n_chars").cast("double") /
+          col("n_bpe_tokens").cast("double"), 6).as("chars_per_token"))
+      .orderBy("source")
+  }
+
+  /** U1's twin — the same frozen (word → token-count) table as a
+    * VALUES literal (the P1 convention: the learned model itself sits
+    * under the hash gate). */
+  def fertilitySql: String = {
+    val m = oracleModel()
+    val vals = m.vocab
+      .map { case (w, c) => s"('${w.replace("'", "''")}', $c)" }
+      .mkString(", ")
+    s"""WITH vocab(word, n_tok) AS (VALUES $vals),
+      |tok AS (SELECT source,
+      |          unnest(string_split(coalesce(text, ''), ' ')) AS w
+      |        FROM documents),
+      |agg AS (
+      |  SELECT source, CAST(count(*) AS BIGINT) AS n_words,
+      |    CAST(sum(coalesce(v.n_tok, length(tok.w))) AS BIGINT)
+      |      AS n_bpe_tokens
+      |  FROM tok LEFT JOIN vocab v ON tok.w = v.word
+      |  GROUP BY source),
+      |ch AS (
+      |  SELECT source,
+      |    CAST(sum(length(coalesce(text, ''))) AS BIGINT) AS n_chars
+      |  FROM documents GROUP BY source)
+      |SELECT agg.source, n_chars, n_words, n_bpe_tokens,
+      |  round(CAST(n_bpe_tokens AS DOUBLE) / CAST(n_words AS DOUBLE), 6)
+      |    AS fertility,
+      |  round(CAST(n_chars AS DOUBLE) / CAST(n_bpe_tokens AS DOUBLE), 6)
+      |    AS chars_per_token
+      |FROM agg JOIN ch USING (source)
+      |ORDER BY source""".stripMargin
+  }
+
   private def oracleModel(): BpeModel = cache.oracleModel()
 }

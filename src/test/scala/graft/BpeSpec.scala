@@ -115,6 +115,40 @@ class BpeSpec extends SparkSpec {
       s"BPE scoring must be a narrow projection:\n$plan")
   }
 
+  test("fertility monitor: hand-computed ratios on a fixture; corpus rows well-formed") {
+    import spark.implicits._
+    val m = Bpe.model(spark, sfDir)
+    val vm = m.vocab.toMap
+    def tok(w: String) = vm.getOrElse(w, w.length.toLong)
+    val docs = Seq(
+      (1L, "the quick zzqj", "s1"),
+      (2L, "of the", "s1"),
+      (3L, "zzqjq wwxkx", "s2")).toDF("doc_id", "text", "source")
+    val got = Bpe.fertilityFrom(spark, docs, m).collect()
+    val exp = Map(
+      "s1" -> (("the quick zzqj".length + "of the".length.toLong, 5L,
+        Seq("the", "quick", "zzqj", "of", "the").map(tok).sum)),
+      "s2" -> (("zzqjq wwxkx".length.toLong, 2L,
+        Seq("zzqjq", "wwxkx").map(tok).sum)))
+    assert(got.map(_.getString(0)).toSeq == Seq("s1", "s2"))
+    got.foreach { r =>
+      val (nc, nw, nt) = exp(r.getString(0))
+      assert(r.getLong(1) == nc && r.getLong(2) == nw && r.getLong(3) == nt,
+        s"sums diverged for ${r.getString(0)}: $r vs ($nc,$nw,$nt)")
+      assert(math.abs(r.getDouble(4) - nt.toDouble / nw) < 1e-6)
+      assert(math.abs(r.getDouble(5) - nc.toDouble / nt) < 1e-6)
+    }
+    val corpus = Bpe.fertility(spark, sfDir).collect()
+    assert(corpus.nonEmpty)
+    corpus.foreach { r =>
+      assert(r.getDouble(4) > 0 && r.getDouble(5) > 0)
+      // the training corpus is covered by its own vocab, so every
+      // whitespace word costs >= 1 BPE token
+      assert(r.getDouble(4) >= 1.0 - 1e-9,
+        s"fertility < 1 for ${r.getString(0)}")
+    }
+  }
+
   private def finalPlan(df: org.apache.spark.sql.DataFrame): String = {
     df.collect()
     df.queryExecution.executedPlan.toString
