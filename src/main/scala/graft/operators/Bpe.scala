@@ -362,5 +362,87 @@ object Bpe {
       |ORDER BY source""".stripMargin
   }
 
+  // ------------------------------------------------------------- U2
+  /** The candidate context windows a truncation report prices — the
+    * usual power-of-two ladder a pretraining run picks from. */
+  val CtxWindows: Seq[Int] = Seq(512, 1024, 2048, 4096)
+
+  /** U2: context-window truncation-loss report — for each candidate
+    * context window W, how many documents exceed W tokens under the
+    * frozen P1 model and what fraction of the corpus's token mass a
+    * naive truncate-at-W pipeline throws away (`loss_frac` =
+    * 1 − Σ min(n_tok, W) / Σ n_tok). This is the sizing study run
+    * BEFORE committing to a context length; R2's sequence packing is
+    * the remedy once chosen — this prices what the remedy saves.
+    *
+    * Scale shape: ONE narrow native pass for per-doc token counts,
+    * ONE partial-aggregating global fold carrying 2·|windows|+2
+    * conditional sums (no per-window row blowup — the window fan-out
+    * happens on the single aggregated row). */
+  def truncationLoss(spark: SparkSession, dir: String): DataFrame =
+    truncationLossFrom(spark, Tables.documents(spark, dir),
+      model(spark, dir))
+
+  def truncationLossFrom(spark: SparkSession, docs: DataFrame,
+                         m: BpeModel): DataFrame = {
+    graft.plans.GraftFunctions.register(spark)
+    val ntok = element_at(call_function("graft_bpe_count", col("text"),
+      array(m.vocab.map(v => lit(v._1)): _*),
+      array(m.vocab.map(v => lit(v._2)): _*)), 2)
+    val perDoc = docs.select(ntok.as("n_tok"))
+    val aggs = count(lit(1)).as("n_docs") +:
+      sum(col("n_tok")).as("total_tokens") +:
+      CtxWindows.flatMap { w =>
+        Seq(sum(when(col("n_tok") > w, 1L).otherwise(0L)).as(s"td_$w"),
+          sum(least(col("n_tok"), lit(w.toLong))).as(s"kept_$w"))
+      }
+    val one = perDoc.agg(aggs.head, aggs.tail: _*)
+    one
+      .select(col("n_docs"), col("total_tokens"),
+        explode(array(CtxWindows.map { w =>
+          struct(lit(w.toLong).as("w"), col(s"td_$w").as("td"),
+            col(s"kept_$w").as("kept"))
+        }: _*)).as("s"))
+      .select(col("s.w").as("ctx_window"), col("n_docs"),
+        col("s.td").as("n_docs_truncated"), col("total_tokens"),
+        col("s.kept").as("kept_tokens"),
+        round(lit(1.0) - col("s.kept").cast("double") /
+          col("total_tokens").cast("double"), 6).as("loss_frac"))
+      .orderBy("ctx_window")
+  }
+
+  /** U2's twin — same frozen vocab literal; the window ladder is a
+    * VALUES cross join against the per-doc counts (row count there is
+    * |docs|·|windows| in DuckDB, fine at oracle scale — the Spark side
+    * deliberately does NOT take that shape). */
+  def truncationLossSql: String = {
+    val m = oracleModel()
+    val vals = m.vocab
+      .map { case (w, c) => s"('${w.replace("'", "''")}', $c)" }
+      .mkString(", ")
+    val wins = CtxWindows.map(w => s"($w)").mkString(", ")
+    s"""WITH vocab(word, n_tok) AS (VALUES $vals),
+      |win(ctx_window) AS (VALUES $wins),
+      |tok AS (SELECT doc_id,
+      |          unnest(string_split(coalesce(text, ''), ' ')) AS w
+      |        FROM documents),
+      |pd AS (SELECT doc_id,
+      |         CAST(sum(coalesce(v.n_tok, length(tok.w))) AS BIGINT)
+      |           AS n_tok
+      |       FROM tok LEFT JOIN vocab v ON tok.w = v.word
+      |       GROUP BY doc_id)
+      |SELECT CAST(ctx_window AS BIGINT) AS ctx_window,
+      |  CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(CASE WHEN n_tok > ctx_window THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_docs_truncated,
+      |  CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+      |  CAST(sum(least(n_tok, ctx_window)) AS BIGINT) AS kept_tokens,
+      |  round(1 - CAST(sum(least(n_tok, ctx_window)) AS DOUBLE) /
+      |    CAST(sum(n_tok) AS DOUBLE), 6) AS loss_frac
+      |FROM pd, win
+      |GROUP BY ctx_window
+      |ORDER BY ctx_window""".stripMargin
+  }
+
   private def oracleModel(): BpeModel = cache.oracleModel()
 }

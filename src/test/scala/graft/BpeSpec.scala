@@ -149,6 +149,43 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("truncation-loss report: hand-computed per-window sums on a fixture; monotone on the corpus") {
+    import spark.implicits._
+    val m = Bpe.model(spark, sfDir)
+    val vm = m.vocab.toMap
+    def bpe(text: String) =
+      text.split(" ").map(w => vm.getOrElse(w, w.length.toLong)).sum
+    // doc token counts straddle the 512 bar via an OOV word fallback
+    // (chars = tokens), so the fixture prices a real truncation
+    val big = "z" * 600                       // OOV -> 600 tokens
+    val docs = Seq(
+      (1L, "the quick", "s"), (2L, big, "s"), (3L, "of", "s"))
+      .toDF("doc_id", "text", "source")
+    val counts = Seq(bpe("the quick"), bpe(big), bpe("of"))
+    val got = Bpe.truncationLossFrom(spark, docs, m).collect()
+    assert(got.map(_.getLong(0)).toSeq ==
+      Bpe.CtxWindows.map(_.toLong))
+    got.foreach { r =>
+      val w = r.getLong(0)
+      assert(r.getLong(1) == 3L)
+      assert(r.getLong(2) == counts.count(_ > w))
+      assert(r.getLong(3) == counts.sum)
+      assert(r.getLong(4) == counts.map(math.min(_, w)).sum)
+      assert(math.abs(r.getDouble(5) -
+        (1.0 - counts.map(math.min(_, w)).sum.toDouble / counts.sum)) < 1e-6)
+    }
+    assert(got.head.getLong(2) == 1L, "600-token doc must truncate at 512")
+    // corpus: kept tokens monotone non-decreasing, loss non-increasing
+    val corpus = Bpe.truncationLoss(spark, sfDir).collect()
+    assert(corpus.nonEmpty)
+    corpus.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getLong(4) <= b.getLong(4))
+        assert(a.getDouble(5) >= b.getDouble(5) - 1e-9)
+      case _ =>
+    }
+  }
+
   private def finalPlan(df: org.apache.spark.sql.DataFrame): String = {
     df.collect()
     df.queryExecution.executedPlan.toString
