@@ -156,6 +156,8 @@ object SparkEntry {
     "q_tokenizer_fertility" -> (Bpe.fertility _),
     // U2: context-window truncation-loss report (frozen P1 model)
     "q_truncation_loss" -> (Bpe.truncationLoss _),
+    // U3: pairwise source-distribution TV distance matrix
+    "q_source_divergence" -> (CorpusStats.sourceDivergence _),
     // P2: in-engine-trained logistic quality classifier (weak labels
     // from E2 bands); frozen weights ride the oracle as a literal list
     "q_quality_classifier" -> (QualityClassifier.classify _),
@@ -286,6 +288,7 @@ object SparkEntry {
     "q_bpe_oov_drift" -> Bpe.oovDriftSql,
     "q_tokenizer_fertility" -> Bpe.fertilitySql,
     "q_truncation_loss" -> Bpe.truncationLossSql,
+    "q_source_divergence" -> CorpusStats.sourceDivergenceSql,
     "q_quality_classifier" -> QualityClassifier.classifySql,
     "q_dsir_weights" -> Dsir.dsirWeightsSql,
     "q_seq_pack" -> Packing.seqPackSql(),

@@ -353,4 +353,102 @@ object CorpusStats {
       |  FROM cnt JOIN tot USING (source) JOIN al USING (token), g
       |  GROUP BY cnt.source, tot.n_src, g.n_all) t
       |ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------------------- U3
+  /** Top-V vocabulary width for the pairwise source-distance matrix:
+    * wide enough that the OTHER bucket is residual mass, small enough
+    * that the pairwise arithmetic is a bounded artifact. */
+  val SrcDivTopV = 256
+
+  /** U3: pairwise source-distribution distance matrix — for every
+    * source pair (a < b), the total-variation distance
+    * `\u00bd\u00b7\u03a3|p_a(t) \u2212 p_b(t)|` between their token distributions,
+    * restricted to the corpus's exact top-V vocabulary (count desc,
+    * token asc \u2014 deterministic ties) plus a single OTHER bucket
+    * carrying each source's residual mass, so every distribution sums
+    * to exactly 1 over V+1 buckets. K6 monitors each source against
+    * the REST; this is the matrix form a mixture designer reads when
+    * deciding which sources are near-redundant (low TV \u2014 R3/S3
+    * budget overlap) and which are genuinely complementary. TV over
+    * KL/JS for the same reason as K6: integer counts, one exact
+    * division per cell, no logs and no zero-mass singularities.
+    *
+    * Scale shape: the only corpus-scale stages are the top-V histogram
+    * (one explode + vocab-grain agg), a SECOND explode pruned by the
+    * broadcast top-V set BEFORE its (tiny) shuffle, and one NARROW
+    * per-source token-total pass; the dense (V+1)\u00b7|sources| frame is
+    * localCheckpoint-cut (bounded, two consumers) and the pairwise
+    * self-join + TV fold are |pairs|\u00b7(V+1)-row arithmetic. */
+  def sourceDivergence(spark: SparkSession, dir: String): DataFrame =
+    sourceDivergenceFrom(spark,
+      Tables.parallelized(spark, Tables.documents(spark, dir)))
+
+  def sourceDivergenceFrom(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    val toks = docs.select(col("source"),
+      explode(split(coalesce(col("text"), lit("")), " ")).as("token"))
+    // exact top-V: a bounded model artifact, collected like the BPE
+    // vocab (count desc, token asc ties)
+    val topv = toks.groupBy("token").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("token").asc).limit(SrcDivTopV)
+      .select("token").collect().map(_.getString(0)).toSeq
+    val tot = docs.groupBy("source")
+      .agg(sum(size(split(coalesce(col("text"), lit("")), " "))
+        .cast("long")).as("n_src"))
+    val rc = toks.where(col("token").isin(topv: _*))
+      .groupBy("source", "token").agg(count(lit(1)).as("c"))
+    val dense = tot.crossJoin(broadcast(topv.toDF("token")))
+      .join(rc, Seq("source", "token"), "left")
+      .select(col("source"), col("token"),
+        coalesce(col("c"), lit(0L)).as("c"), col("n_src"))
+      .localCheckpoint() // bounded (V+1-ish \u00b7 |sources|), two consumers
+    val oth = dense.groupBy("source")
+      .agg((max("n_src") - sum("c")).as("c"), max("n_src").as("n_src"))
+      .select(col("source"), lit("\u0001").as("token"), col("c"),
+        col("n_src"))
+    val all = dense.unionByName(oth)
+      .select(col("source"), col("token"),
+        (col("c").cast("double") / col("n_src")).as("p"))
+    val a = all.select(col("source").as("source_a"), col("token"),
+      col("p").as("pa"))
+    val b = all.select(col("source").as("source_b"), col("token"),
+      col("p").as("pb"))
+    a.join(b, Seq("token")).where(col("source_a") < col("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(round(sum(abs(col("pa") - col("pb"))) / 2, 6).as("tv_distance"))
+      .orderBy("source_a", "source_b")
+  }
+
+  /** U3's twin \u2014 the identical top-V + OTHER-bucket construction in
+    * DuckDB (same deterministic tie order, same sentinel token). */
+  def sourceDivergenceSql: String =
+    s"""WITH tok AS (SELECT source,
+      |         unnest(string_split(coalesce(text, ''), ' ')) AS token
+      |       FROM documents),
+      |gv AS (SELECT token FROM (
+      |         SELECT token, count(*) AS c FROM tok GROUP BY token
+      |         ORDER BY c DESC, token ASC LIMIT $SrcDivTopV)),
+      |tot AS (SELECT source, CAST(count(*) AS BIGINT) AS n_src
+      |        FROM tok GROUP BY source),
+      |rc AS (SELECT source, token, CAST(count(*) AS BIGINT) AS c
+      |       FROM tok WHERE token IN (SELECT token FROM gv)
+      |       GROUP BY source, token),
+      |dense AS (
+      |  SELECT t.source, g.token, coalesce(rc.c, 0) AS c, t.n_src
+      |  FROM tot t CROSS JOIN gv g
+      |  LEFT JOIN rc ON rc.source = t.source AND rc.token = g.token),
+      |alltok AS (
+      |  SELECT source, token, c, n_src FROM dense
+      |  UNION ALL
+      |  SELECT source, chr(1) AS token, max(n_src) - sum(c) AS c,
+      |         max(n_src) AS n_src
+      |  FROM dense GROUP BY source)
+      |SELECT a.source AS source_a, b.source AS source_b,
+      |  round(sum(abs(CAST(a.c AS DOUBLE) / a.n_src
+      |                - CAST(b.c AS DOUBLE) / b.n_src)) / 2, 6)
+      |    AS tv_distance
+      |FROM alltok a JOIN alltok b
+      |  ON a.token = b.token AND a.source < b.source
+      |GROUP BY a.source, b.source
+      |ORDER BY source_a, source_b""".stripMargin
 }
