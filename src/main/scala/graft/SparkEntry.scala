@@ -158,6 +158,8 @@ object SparkEntry {
     "q_truncation_loss" -> (Bpe.truncationLoss _),
     // U3: pairwise source-distribution TV distance matrix
     "q_source_divergence" -> (CorpusStats.sourceDivergence _),
+    // U4: banded hard-negative mining for contrastive training
+    "q_hard_negatives" -> (SimilaritySearch.hardNegatives _),
     // P2: in-engine-trained logistic quality classifier (weak labels
     // from E2 bands); frozen weights ride the oracle as a literal list
     "q_quality_classifier" -> (QualityClassifier.classify _),
@@ -289,6 +291,7 @@ object SparkEntry {
     "q_tokenizer_fertility" -> Bpe.fertilitySql,
     "q_truncation_loss" -> Bpe.truncationLossSql,
     "q_source_divergence" -> CorpusStats.sourceDivergenceSql,
+    "q_hard_negatives" -> SimilaritySearch.hardNegativesSql,
     "q_quality_classifier" -> QualityClassifier.classifySql,
     "q_dsir_weights" -> Dsir.dsirWeightsSql,
     "q_seq_pack" -> Packing.seqPackSql(),

@@ -20,8 +20,12 @@ object SimilaritySearch {
   private val NQueries = 8
   private val NProbe = 2
 
-  private def scoredAgainstQueries(spark: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+  private def scoredAgainstQueries(spark: SparkSession, dir: String): DataFrame =
+    scoredAgainstQueriesFrom(spark,
+      Tables.embeddings(spark, dir).select("vec_id", "embedding"))
+
+  private[operators] def scoredAgainstQueriesFrom(
+      spark: SparkSession, emb: DataFrame): DataFrame = {
     val q = broadcast(emb.where(col("vec_id") < NQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb")))
     emb.join(q, col("vec_id") =!= col("query_id"))
@@ -57,6 +61,55 @@ object SimilaritySearch {
       |               e.vec_id) AS rank
       |  FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
       |  WHERE q.vec_id < $NQueries) t
+      |WHERE rank <= $K
+      |ORDER BY query_id, rank""".stripMargin
+
+  // ---------------------------------------------------------------- U4
+  /** Hard-negative band: a candidate is a HARD negative when it is
+    * similar enough to confuse a contrastive model but below the C5
+    * near-duplicate bar (0.35 on this corpus — at/above it the
+    * "negative" is plausibly a positive, the false-negative poison
+    * ANCE/DPR-style mining must exclude). */
+  val HardNegHi = 0.35
+  val HardNegLo = 0.15
+
+  /** U4: hard-negative mining for contrastive training — per query
+    * vector, the top-k most-similar corpus vectors INSIDE the
+    * [lo, hi) similarity band: the ANCE/DPR recipe (negatives come
+    * from dense retrieval, with a ceiling so near-duplicates of the
+    * positive never become "negatives"). Output feeds a contrastive
+    * batch builder directly.
+    *
+    * Scale shape: identical to D1 — queries broadcast, scoring +
+    * band filter map-side, and the bounded TopK Aggregator's PARTIAL
+    * pass reduces every partition to ≤k rows per query before the
+    * only shuffle. Band boundaries compare round(cos, 9) so an
+    * engine-order ulp can never flip membership. At real scale the
+    * scoring pass swaps for the D2/D3 IVF probe unchanged — the band
+    * filter and TopK compose the same way. */
+  def hardNegatives(spark: SparkSession, dir: String): DataFrame =
+    hardNegativesFrom(spark,
+      Tables.embeddings(spark, dir).select("vec_id", "embedding"))
+
+  def hardNegativesFrom(spark: SparkSession, emb: DataFrame): DataFrame =
+    explodeRanked(
+      scoredAgainstQueriesFrom(spark, emb)
+        .where(round(col("cos_sim"), 9) < HardNegHi &&
+          round(col("cos_sim"), 9) >= HardNegLo)
+        .groupBy("query_id")
+        .agg(TopK.topk(spark, K, col("vec_id"), col("cos_sim")).as("hits")))
+
+  val hardNegativesSql: String =
+    s"""SELECT query_id, rank, vec_id, cos_sim FROM (
+      |  SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
+      |    ${Vectors.cosineSql("q.embedding", "e.embedding")} AS cos_sim,
+      |    row_number() OVER (PARTITION BY q.vec_id
+      |      ORDER BY round(${Vectors.cosineSql("q.embedding", "e.embedding")}, 9) DESC,
+      |               e.vec_id) AS rank
+      |  FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+      |  WHERE q.vec_id < $NQueries
+      |    AND round(${Vectors.cosineSql("q.embedding", "e.embedding")}, 9) < $HardNegHi
+      |    AND round(${Vectors.cosineSql("q.embedding", "e.embedding")}, 9) >= $HardNegLo) t
       |WHERE rank <= $K
       |ORDER BY query_id, rank""".stripMargin
 

@@ -37,4 +37,39 @@ class USeriesSpec extends SparkSpec {
       assert(tv >= 0.0 && tv <= 1.0 + 1e-9, s"TV out of range: $tv")
     }
   }
+
+  // ---------------------------------------------------------------- U4
+  test("hard negatives: band excludes near-dups and dissimilar vectors, keeps the confusable middle") {
+    import spark.implicits._
+    import graft.operators.SimilaritySearch
+    // query 0 plus: an exact twin (cos=1, excluded high), a hard
+    // negative (cos≈0.316), a second softer hard negative (cos≈0.196),
+    // an easy negative (cos≈0.05, excluded low), an orthogonal (0.0)
+    def v(x: Double, y: Double) = Array(x.toFloat, y.toFloat)
+    val emb = Seq(
+      0L -> v(1, 0),
+      10L -> v(1, 0),                    // dup: cos 1 -> excluded
+      11L -> v(1, 3),                    // cos 1/sqrt(10) ≈ .316
+      12L -> v(1, 5),                    // cos 1/sqrt(26) ≈ .196
+      13L -> v(1, 20),                   // cos ≈ .05 -> excluded
+      14L -> v(0, 1)                     // cos 0 -> excluded
+    ).toDF("vec_id", "embedding")
+    val got = SimilaritySearch.hardNegativesFrom(spark, emb)
+      .where(col("query_id") === 0L).collect()
+    assert(got.map(_.getAs[Long]("vec_id")).toSeq == Seq(11L, 12L),
+      s"band picked ${got.map(_.getAs[Long]("vec_id")).toSeq}")
+    assert(got.map(_.getAs[Int]("rank")).toSeq == Seq(1, 2))
+    got.foreach { r =>
+      val c = r.getAs[Double]("cos_sim")
+      assert(c >= SimilaritySearch.HardNegLo && c < SimilaritySearch.HardNegHi)
+    }
+    // corpus: every emitted negative obeys the band
+    val corpus = SimilaritySearch.hardNegatives(spark, sfDir).collect()
+    assert(corpus.nonEmpty)
+    corpus.foreach { r =>
+      val c = math.rint(r.getAs[Double]("cos_sim") * 1e9) / 1e9
+      assert(c >= SimilaritySearch.HardNegLo && c < SimilaritySearch.HardNegHi,
+        s"out-of-band negative: $c")
+    }
+  }
 }
