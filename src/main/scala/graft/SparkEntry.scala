@@ -160,6 +160,8 @@ object SparkEntry {
     "q_source_divergence" -> (CorpusStats.sourceDivergence _),
     // U4: banded hard-negative mining for contrastive training
     "q_hard_negatives" -> (SimilaritySearch.hardNegatives _),
+    // U5: per-source Zipf-slope + type-token audit
+    "q_zipf_audit" -> (CorpusStats.zipfAudit _),
     // P2: in-engine-trained logistic quality classifier (weak labels
     // from E2 bands); frozen weights ride the oracle as a literal list
     "q_quality_classifier" -> (QualityClassifier.classify _),
@@ -292,6 +294,7 @@ object SparkEntry {
     "q_truncation_loss" -> Bpe.truncationLossSql,
     "q_source_divergence" -> CorpusStats.sourceDivergenceSql,
     "q_hard_negatives" -> SimilaritySearch.hardNegativesSql,
+    "q_zipf_audit" -> CorpusStats.zipfAuditSql,
     "q_quality_classifier" -> QualityClassifier.classifySql,
     "q_dsir_weights" -> Dsir.dsirWeightsSql,
     "q_seq_pack" -> Packing.seqPackSql(),

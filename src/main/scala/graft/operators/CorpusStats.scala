@@ -451,4 +451,93 @@ object CorpusStats {
       |  ON a.token = b.token AND a.source < b.source
       |GROUP BY a.source, b.source
       |ORDER BY source_a, source_b""".stripMargin
+
+  // ---------------------------------------------------------------- U5
+  /** Top-R ranks fed to the per-source Zipf least-squares fit. */
+  val ZipfTopR = 64
+
+  /** U5: per-source vocabulary-scaling audit — token count, type
+    * (distinct-token) count, type-token ratio (the Heaps'-law
+    * operating point), and the Zipf slope: the least-squares slope of
+    * ln(freq) against ln(rank) over the source's top-R terms (rank
+    * ties broken token-asc, so the regression inputs are
+    * deterministic). Natural prose sits near slope \u2212 1; a source that
+    * reads \u2212 0.2 (flat: ID-like/templated tokens) or \u2212 3 (a few
+    * tokens dominate: boilerplate) earns a look before it trains.
+    * The E-series quality signals are per-doc; this is the
+    * population-level complement (the K6 philosophy applied to the
+    * frequency CURVE rather than the distribution mass).
+    *
+    * Scale shape: ONE corpus explode into the map-side-combined
+    * (source, token) count; types/totals are a vocab-grain agg; the
+    * top-R cut is a WindowGroupLimit (R rows per source cross the
+    * wire); the regression is closed-form over |sources|\u00b7R bounded
+    * rows \u2014 \u03a3x/\u03a3y/\u03a3xy/\u03a3x\u00b2 folds, no iteration. */
+  def zipfAudit(spark: SparkSession, dir: String): DataFrame =
+    zipfAuditFrom(spark,
+      Tables.parallelized(spark, Tables.documents(spark, dir)))
+
+  def zipfAuditFrom(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cnt = docs.select(col("source"),
+        explode(split(coalesce(col("text"), lit("")), " ")).as("token"))
+      .groupBy("source", "token").agg(count(lit(1)).as("c"))
+      .localCheckpoint() // vocab-grain, two consumers (stats + top-R)
+    val stats = cnt.groupBy("source")
+      .agg(sum("c").as("n_tokens"), count(lit(1)).as("n_types"))
+    val w = Window.partitionBy("source")
+      .orderBy(col("c").desc, col("token").asc)
+    val top = cnt.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= ZipfTopR)
+    val x = log(col("rank").cast("double"))
+    val y = log(col("c").cast("double"))
+    val fit = top.groupBy("source").agg(
+      count(lit(1)).cast("double").as("n"),
+      sum(x).as("sx"), sum(y).as("sy"),
+      sum(x * y).as("sxy"), sum(x * x).as("sxx"))
+    stats.join(fit, Seq("source"))
+      .select(col("source"), col("n_tokens"), col("n_types"),
+        round(col("n_types").cast("double") /
+          col("n_tokens").cast("double"), 6).as("ttr"),
+        when(col("n") * col("sxx") - col("sx") * col("sx") === 0.0,
+          lit(null).cast("double"))
+          .otherwise(round((col("n") * col("sxy") - col("sx") * col("sy")) /
+            (col("n") * col("sxx") - col("sx") * col("sx")), 6))
+          .as("zipf_slope"))
+      .orderBy("source")
+  }
+
+  /** U5's twin \u2014 identical rank ties, identical closed-form fit. */
+  def zipfAuditSql: String =
+    s"""WITH cnt AS (
+      |  SELECT source, token, CAST(count(*) AS BIGINT) AS c
+      |  FROM (SELECT source,
+      |          unnest(string_split(coalesce(text, ''), ' ')) AS token
+      |        FROM documents)
+      |  GROUP BY source, token),
+      |stats AS (
+      |  SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+      |         CAST(count(*) AS BIGINT) AS n_types
+      |  FROM cnt GROUP BY source),
+      |top AS (
+      |  SELECT source, c, rank FROM (
+      |    SELECT source, c,
+      |      row_number() OVER (PARTITION BY source
+      |        ORDER BY c DESC, token ASC) AS rank
+      |    FROM cnt) r
+      |  WHERE rank <= $ZipfTopR),
+      |fit AS (
+      |  SELECT source, CAST(count(*) AS DOUBLE) AS n,
+      |    sum(ln(CAST(rank AS DOUBLE))) AS sx,
+      |    sum(ln(CAST(c AS DOUBLE))) AS sy,
+      |    sum(ln(CAST(rank AS DOUBLE)) * ln(CAST(c AS DOUBLE))) AS sxy,
+      |    sum(ln(CAST(rank AS DOUBLE)) * ln(CAST(rank AS DOUBLE))) AS sxx
+      |  FROM top GROUP BY source)
+      |SELECT stats.source, n_tokens, n_types,
+      |  round(CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS ttr,
+      |  CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+      |       ELSE round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+      |  END AS zipf_slope
+      |FROM stats JOIN fit USING (source)
+      |ORDER BY source""".stripMargin
 }

@@ -72,4 +72,42 @@ class USeriesSpec extends SparkSpec {
         s"out-of-band negative: $c")
     }
   }
+
+  // ---------------------------------------------------------------- U5
+  test("zipf audit: hand-computed slope on an exact-power-law fixture; corpus slopes negative") {
+    import spark.implicits._
+    // source "p" realizes freq(rank) = 8/rank exactly over 4 types:
+    // a:8 b:4 c:2(wait 8/3 not integer) — instead use freqs 8,4,2,1 =
+    // 2^(3-log2 rank)... ln-ln points (ln r, ln 8/2^i): perfect line
+    // only for rank in {1,2,4,8}; with ranks 1..4 the LS slope is
+    // computed below from first principles instead of assumed.
+    val words = Seq("a" -> 8, "b" -> 4, "c" -> 2, "d" -> 1)
+    val text = words.flatMap { case (w, n) => Seq.fill(n)(w) }.mkString(" ")
+    val docs = Seq((1L, text, "p")).toDF("doc_id", "text", "source")
+    val got = graft.operators.CorpusStats.zipfAuditFrom(spark, docs).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getLong(1) == 15L && r.getLong(2) == 4L)
+    assert(math.abs(r.getDouble(3) - 4.0 / 15) < 1e-6)
+    val pts = words.zipWithIndex.map { case ((_, c), i) =>
+      (math.log(i + 1.0), math.log(c.toDouble))
+    }
+    val n = pts.length
+    val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val sxx = pts.map(p => p._1 * p._1).sum
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert(math.abs(r.getDouble(4) - slope) < 1e-6,
+      s"slope ${r.getDouble(4)} vs $slope")
+    assert(slope < 0)
+    // corpus: every source's slope is negative (frequency decreases
+    // with rank by construction of the rank order)
+    val corpus = graft.operators.CorpusStats.zipfAudit(spark, sfDir).collect()
+    assert(corpus.nonEmpty)
+    corpus.foreach { s =>
+      assert(!s.isNullAt(4) && s.getDouble(4) <= 0.0,
+        s"non-negative slope for ${s.getString(0)}")
+      assert(s.getDouble(3) > 0 && s.getDouble(3) <= 1.0)
+    }
+  }
 }
