@@ -532,4 +532,86 @@ object Sampling {
       |        FROM documents) t) r
       |WHERE rank <= $k
       |ORDER BY source, rank""".stripMargin
+
+  // ---------------------------------------------------------------- U6
+  /** U6: split-balance audit \u2014 the measurement half of J5: per split,
+    * the Pearson chi-square statistic of its observed source
+    * composition against the global source mix (expected cell count
+    * e = n_split\u00b7n_src/N). A value-hash split is balanced only in
+    * EXPECTATION; this is the check a pipeline runs before trusting a
+    * 1%% validation slice to represent the corpus \u2014 a large chi2 on
+    * val/test means per-source eval numbers will be noise. Dense over
+    * the literal split ladder \u00d7 observed sources, so an empty split
+    * (tiny corpus) reads n_docs 0 / chi2 0 in both engines rather
+    * than vanishing.
+    *
+    * Scale shape: the J5 assignment is a narrow codegen projection
+    * fused into the scan; the only corpus-scale stage is the
+    * (split, source) cell count (map-side combined); the cell frame
+    * is bounded (|splits|\u00b7|sources|) and localCheckpoint-cut for its
+    * THREE consumers (marginals \u00d7 2 + cells); everything after is
+    * bounded-row arithmetic with exact integer products divided once
+    * (n_split\u00b7n_src exact in BIGINT, ONE double division). */
+  def splitBalance(spark: SparkSession, dir: String): DataFrame =
+    splitBalanceFromAssigned(spark,
+      Tables.documents(spark, dir)
+        .select(col("source"), splitOf(col("doc_id")).as("split")))
+
+  def splitBalanceFromAssigned(spark: SparkSession,
+                               assigned: DataFrame): DataFrame = {
+    import spark.implicits._
+    val cell = assigned.groupBy("split", "source")
+      .agg(count(lit(1)).as("o"))
+      .localCheckpoint() // bounded |splits|\u00b7|sources|, three consumers
+    val bySrc = cell.groupBy("source").agg(sum("o").as("n_src"))
+    val bySplit = cell.groupBy("split").agg(sum("o").as("n_split"))
+    val nTot = cell.agg(sum("o").as("n_total"))
+    val dense = bySrc
+      .crossJoin(broadcast(Seq("train", "val", "test").toDF("split")))
+      .join(broadcast(bySplit), Seq("split"), "left")
+      .join(broadcast(cell.select("split", "source", "o")),
+        Seq("split", "source"), "left")
+      .crossJoin(broadcast(nTot))
+      .select(col("split"), col("source"), col("n_src"),
+        coalesce(col("n_split"), lit(0L)).as("n_split"),
+        coalesce(col("o"), lit(0L)).as("o"), col("n_total"))
+    val e = (col("n_split") * col("n_src")).cast("double") / col("n_total")
+    val term = when(e === 0.0, lit(0.0))
+      .otherwise(pow(col("o").cast("double") - e, 2) / e)
+    dense.groupBy("split")
+      .agg(max("n_split").as("n_docs"), round(sum(term), 6).as("chi2"))
+      .orderBy("split")
+  }
+
+  /** U6's twin \u2014 same dense grid and guards. */
+  def splitBalanceSql: String =
+    s"""WITH a AS (
+      |  SELECT source, ${splitOfSql("doc_id").replace("\n", " ")} AS split
+      |  FROM documents),
+      |cell AS (SELECT split, source, CAST(count(*) AS BIGINT) AS o
+      |         FROM a GROUP BY split, source),
+      |bysrc AS (SELECT source, CAST(sum(o) AS BIGINT) AS n_src
+      |          FROM cell GROUP BY source),
+      |bysplit AS (SELECT split, CAST(sum(o) AS BIGINT) AS n_split
+      |            FROM cell GROUP BY split),
+      |tot AS (SELECT CAST(sum(o) AS BIGINT) AS n_total FROM cell),
+      |dense AS (
+      |  SELECT s.split, b.source, b.n_src,
+      |    coalesce(bs.n_split, 0) AS n_split,
+      |    coalesce(cell.o, 0) AS o, tot.n_total
+      |  FROM bysrc b
+      |  CROSS JOIN (VALUES ('train'), ('val'), ('test')) s(split)
+      |  LEFT JOIN bysplit bs ON bs.split = s.split
+      |  LEFT JOIN cell ON cell.split = s.split AND cell.source = b.source
+      |  CROSS JOIN tot)
+      |SELECT split, CAST(max(n_split) AS BIGINT) AS n_docs,
+      |  round(sum(CASE
+      |    WHEN n_split * n_src = 0 THEN 0
+      |    ELSE pow(CAST(o AS DOUBLE)
+      |           - CAST(n_split * n_src AS DOUBLE) / n_total, 2)
+      |         / (CAST(n_split * n_src AS DOUBLE) / n_total)
+      |  END), 6) AS chi2
+      |FROM dense
+      |GROUP BY split
+      |ORDER BY split""".stripMargin
 }

@@ -110,4 +110,40 @@ class USeriesSpec extends SparkSpec {
       assert(s.getDouble(3) > 0 && s.getDouble(3) <= 1.0)
     }
   }
+
+  // ---------------------------------------------------------------- U6
+  test("split balance: perfectly proportional fixture reads chi2 = 0, a skewed one matches first principles") {
+    import spark.implicits._
+    import graft.operators.Sampling
+    // proportional: each split holds sources a:b at the global 2:1
+    val prop = (Seq.fill(8)(("a", "train")) ++ Seq.fill(4)(("b", "train")) ++
+      Seq.fill(2)(("a", "val")) ++ Seq.fill(1)(("b", "val")) ++
+      Seq.fill(2)(("a", "test")) ++ Seq.fill(1)(("b", "test")))
+      .toDF("source", "split")
+    val p = Sampling.splitBalanceFromAssigned(spark, prop).collect()
+    assert(p.map(_.getString(0)).toSeq == Seq("test", "train", "val"))
+    p.foreach(r => assert(r.getDouble(2) == 0.0,
+      s"proportional split reads chi2 ${r.getDouble(2)}"))
+    // skewed val: all 4 val docs from source a (global mix 12a:6b)
+    val skew = (Seq.fill(10)(("a", "train")) ++ Seq.fill(6)(("b", "train")) ++
+      Seq.fill(2)(("a", "val"))).toDF("source", "split")
+    val s = Sampling.splitBalanceFromAssigned(spark, skew).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val n = 18.0
+    def chi(cells: Seq[(Long, Long, Long)]) = // (o, nSplit, nSrc)
+      cells.map { case (o, ns, nc) =>
+        val e = ns * nc / n; if (e == 0) 0.0 else math.pow(o - e, 2) / e
+      }.sum
+    assert(s("test") == ((0L, 0.0)))
+    assert(math.abs(s("val")._2 -
+      math.rint(chi(Seq((2L, 2L, 12L), (0L, 2L, 6L))) * 1e6) / 1e6) < 1e-9)
+    assert(math.abs(s("train")._2 -
+      math.rint(chi(Seq((10L, 16L, 12L), (6L, 16L, 6L))) * 1e6) / 1e6) < 1e-9)
+    // corpus: well-formed, train carries ~98% of docs
+    val corpus = Sampling.splitBalance(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val total = corpus.values.map(_._1).sum.toDouble
+    assert(corpus("train")._1 / total > 0.9)
+    corpus.values.foreach { case (_, chi2) => assert(chi2 >= 0.0) }
+  }
 }
