@@ -183,7 +183,7 @@ object Bench {
     "from_curate", "from_pipeline_pack", "from_corpus_report", "from_drop_ledger",
     "from_quality_classifier", "from_text_tokens_bpe", "from_ann_ivf_index",
     "from_domain_reweight", "from_ppl_buckets", "from_qc_calibration",
-    "from_span_incremental", "from_alloc_materialize")
+    "from_span_incremental", "from_alloc_materialize", "from_hard_negatives")
 
   /** Materialize the shared stage outputs once (untimed), then time
     * ONLY the `*From` compositions over the persisted parquet — the
@@ -219,7 +219,8 @@ object Bench {
       // then time the PROBE-ONLY search whose literal cid predicate
       // prunes index files at listing time (IvfLayoutSpec pins the
       // pruning; this entry prices it)
-      val wantIvf = only.forall(_.contains("from_ann_ivf_index"))
+      val wantIvf = only.forall(o => o.contains("from_ann_ivf_index")
+        || o.contains("from_hard_negatives"))
       if (wantIvf)
         SimilaritySearch.writeIvfIndex(spark, sfDir, s"$fromDir/ivfidx")
       val lmScores = persist("lm_scores",
@@ -242,6 +243,10 @@ object Bench {
           Bpe.tokenCountsBpeFrom(spark, docs, bpeModel)),
         "from_ann_ivf_index" -> (() =>
           SimilaritySearch.ivfIndexTopK(spark, s"$fromDir/ivfidx")),
+        // U4's serving price: banded hard-negative mining probe-only
+        // over the same prebuilt on-disk IVF index
+        "from_hard_negatives" -> (() =>
+          SimilaritySearch.hardNegativesFromIndex(spark, s"$fromDir/ivfidx")),
         // R3's steady state: the char-LM scores persist once (the O4
         // pass every consumer shares); reweighting itself is a join +
         // #sources-row arithmetic

@@ -843,7 +843,8 @@ object SimilaritySearch {
     * partitioned read (the spec's layout-equality control). */
   def ivfIndexTopK(spark: SparkSession, indexDir: String,
                    nQueries: Int = NQueries, nProbe: Int = NProbe,
-                   flatPath: Option[String] = None): DataFrame = {
+                   flatPath: Option[String] = None,
+                   band: Option[(Double, Double)] = None): DataFrame = {
     import spark.implicits._
     val cents = spark.read.parquet(s"$indexDir/ivf_centroids.parquet")
       .collect().map(r => (r.getInt(0),
@@ -877,13 +878,33 @@ object SimilaritySearch {
     }
     val cidSet = probes.map(_.cid).distinct.sorted
 
-    explodeRanked(
-      index.where(col("cid").isin(cidSet: _*)) // literal => file pruning
-        .join(broadcast(probes.toDS().toDF()), Seq("cid"))
-        .where(col("vec_id") =!= col("query_id"))
-        .select(col("query_id"), col("vec_id"),
-          Vectors.cosineFast(spark, col("q_emb"), col("embedding")).as("cos_sim"))
-        .groupBy("query_id")
-        .agg(TopK.topk(spark, K, col("vec_id"), col("cos_sim")).as("hits")))
+    val scored = index.where(col("cid").isin(cidSet: _*)) // literal => file pruning
+      .join(broadcast(probes.toDS().toDF()), Seq("cid"))
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        Vectors.cosineFast(spark, col("q_emb"), col("embedding")).as("cos_sim"))
+    val banded = band match {
+      case Some((lo, hi)) => scored.where(
+        round(col("cos_sim"), 9) >= lo && round(col("cos_sim"), 9) < hi)
+      case None => scored
+    }
+    explodeRanked(banded
+      .groupBy("query_id")
+      .agg(TopK.topk(spark, K, col("vec_id"), col("cos_sim")).as("hits")))
   }
+
+  /** U4 at serving scale: hard-negative mining as a PROBE-ONLY pass
+    * over the D7 on-disk `cid=`-partitioned index — the band filter
+    * and bounded TopK compose with the IVF probe exactly as promised
+    * in [[hardNegatives]]'s doc: only the probed buckets' files are
+    * listed/read, scoring + band are map-side, ≤k rows per query
+    * shuffle. Approximate like every IVF serve path (negatives
+    * outside the probed buckets are unseen — acceptable for negative
+    * MINING by construction, since any in-band vector is a valid hard
+    * negative); AnnRecallSpec-style band membership is exact. */
+  def hardNegativesFromIndex(spark: SparkSession, indexDir: String,
+                             nQueries: Int = NQueries,
+                             nProbe: Int = NProbe): DataFrame =
+    ivfIndexTopK(spark, indexDir, nQueries, nProbe, None,
+      Some((HardNegLo, HardNegHi)))
 }

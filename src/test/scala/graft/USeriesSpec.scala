@@ -146,4 +146,58 @@ class USeriesSpec extends SparkSpec {
     assert(corpus("train")._1 / total > 0.9)
     corpus.values.foreach { case (_, chi2) => assert(chi2 >= 0.0) }
   }
+
+  // ---------------------------------------------------------------- U7
+  test("hard negatives over the on-disk IVF index: in-band, cosine-exact vs ground truth, and probed-bucket-complete") {
+    import graft.operators.SimilaritySearch
+    val idx = java.nio.file.Files.createTempDirectory("u7idx").toString
+    SimilaritySearch.writeIvfIndex(spark, sfDir, idx)
+    val got = SimilaritySearch.hardNegativesFromIndex(spark, idx).collect()
+    assert(got.nonEmpty, "index path mined no negatives")
+    // driver-side ground truth over the full embeddings table
+    val emb = graft.sources.Tables.embeddings(spark, sfDir)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    got.foreach { r =>
+      val q = r.getAs[Long]("query_id"); val v = r.getAs[Long]("vec_id")
+      val c = r.getAs[Double]("cos_sim")
+      assert(math.abs(c - cos(emb(q), emb(v))) < 1e-12,
+        s"index-path cosine diverges from ground truth for ($q,$v)")
+      val c9 = math.rint(c * 1e9) / 1e9
+      assert(c9 >= SimilaritySearch.HardNegLo &&
+        c9 < SimilaritySearch.HardNegHi, s"out-of-band: $c9")
+    }
+    // completeness within the probed buckets: per query, the result is
+    // exactly the top-k of the in-band vectors in its probed cids
+    val assign = spark.read.parquet(s"$idx/ivf.parquet")
+      .select("vec_id", "cid").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val cents = spark.read.parquet(s"$idx/ivf_centroids.parquet").collect()
+      .map(r => (r.getInt(0),
+        r.getSeq[Any](1).map(_.asInstanceOf[Number].floatValue).toArray))
+    def round9(v: Double) = BigDecimal(v)
+      .setScale(9, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
+    val byQ = got.groupBy(_.getAs[Long]("query_id"))
+    byQ.foreach { case (q, rows) =>
+      val probed = cents.map { case (cid, c) => (cid, round9(cos(emb(q), c))) }
+        .sortBy { case (cid, cc) => (-cc, cid) }.take(2).map(_._1).toSet
+      val want = emb.keys.filter(v => v != q && probed(assign(v)))
+        .map(v => (v, cos(emb(q), emb(v))))
+        .filter { case (_, c) =>
+          val c9 = math.rint(c * 1e9) / 1e9
+          c9 >= SimilaritySearch.HardNegLo && c9 < SimilaritySearch.HardNegHi }
+        .toSeq.sortBy { case (v, c) => (-math.rint(c * 1e9) / 1e9, v) }
+        .take(5).map(_._1)
+      assert(rows.sortBy(_.getAs[Int]("rank")).map(_.getAs[Long]("vec_id"))
+        .toSeq == want, s"query $q: probed-bucket top-k mismatch")
+    }
+  }
 }
