@@ -128,6 +128,8 @@ object SparkEntry {
     "q_source_drift" -> (CorpusStats.sourceDrift _),
     // K9: snapshot CDC diff (old snapshot synthesized hash-deterministically)
     "q_snapshot_diff" -> (SnapshotDiff.qSnapshotDiff _),
+    // U8: CDC snapshot apply (the MERGE half of K9)
+    "q_snapshot_apply" -> (SnapshotDiff.qSnapshotApply _),
     // L-series: survivor selection + in-place boilerplate scrubbing
     "q_quality_topfrac" -> (Selection.qualityTopFrac _),
     "q_cluster_rep" -> (Selection.clusterRepresentatives _),
@@ -275,6 +277,7 @@ object SparkEntry {
     "q_tfidf_topterms" -> CorpusStats.tfidfTopTermsSql(),
     "q_source_drift" -> CorpusStats.sourceDriftSql,
     "q_snapshot_diff" -> SnapshotDiff.qSnapshotDiffSql,
+    "q_snapshot_apply" -> SnapshotDiff.qSnapshotApplySql,
     "q_quality_topfrac" -> Selection.qualityTopFracSql,
     "q_cluster_rep" -> Selection.clusterRepresentativesSql,
     "q_boilerplate_scrub" -> Boilerplate.scrubSql,

@@ -139,6 +139,71 @@ object SnapshotDiff {
     untouched.unionByName(recomputed)
   }
 
+  // ---------------------------------------------------------------- U8
+  /** U8: CDC snapshot APPLY — the MERGE half of K9's diff read, and
+    * the last piece of the CDC story (K9 computes the delta, L4/N6
+    * maintain derived state under it; this materializes the next
+    * BASE snapshot): `old − (removed ∪ changed) ∪ delta-payload
+    * (added ∪ changed)`. Text is read ONLY for delta docs — survivors
+    * are the old snapshot's rows verbatim (anti join), incoming rows
+    * ride a semi join that a J2-partitioned layout turns into file
+    * pruning. Work is O(|old| anti-join + |delta|), one co-partitioned
+    * doc_id shuffle each side, never a corpus re-read of text; the
+    * round-trip theorem apply(old, diff(old, new)) == new is pinned
+    * set-exact by USeriesSpec, with the K8-style poison proof that
+    * non-delta text is never consulted. */
+  def applyDiff(oldDocs: DataFrame, deltaPayload: DataFrame,
+                delta: DataFrame): DataFrame = {
+    val gone = delta.where(col("change").isin("removed", "changed"))
+      .select("doc_id")
+    val incoming = delta.where(col("change").isin("added", "changed"))
+      .select("doc_id")
+    oldDocs.join(gone, Seq("doc_id"), "left_anti")
+      .unionByName(deltaPayload.join(incoming, Seq("doc_id"), "left_semi"))
+  }
+
+  /** The oracle-gated query form over the synthesized (old, new) pair:
+    * applies the freshly-computed diff and emits the next snapshot as
+    * (doc_id, source, digest) — digest rather than text, because the
+    * compare (like the diff itself) never needs to ship text. */
+  def qSnapshotApply(spark: SparkSession, dir: String): DataFrame = {
+    val (oldDocs, newDocs) = synthOldNew(spark, dir)
+    applyDiff(oldDocs, newDocs, diff(oldDocs, newDocs))
+      .select(col("doc_id"), col("source"),
+        md5(coalesce(col("text"), lit(""))).as("digest"))
+      .orderBy("doc_id")
+  }
+
+  val qSnapshotApplySql: String = {
+    val b = Sampling.hashBucketSql("doc_id", "snapshot")
+    s"""WITH docs AS (SELECT doc_id, source, text, $b AS bucket FROM documents),
+      |old AS (
+      |  SELECT doc_id, source,
+      |    CASE WHEN bucket >= $ChangeLo AND bucket < $ChangeHi
+      |         THEN reverse(text) ELSE text END AS text
+      |  FROM docs WHERE bucket >= $AddBand),
+      |new_ AS (SELECT doc_id, source, text FROM docs
+      |         WHERE bucket < $RemoveBand),
+      |od AS (SELECT doc_id, md5(coalesce(text, chr(1))) AS od FROM old),
+      |nd AS (SELECT doc_id, md5(coalesce(text, chr(1))) AS nd FROM new_),
+      |delta AS (
+      |  SELECT coalesce(od.doc_id, nd.doc_id) AS doc_id,
+      |    CASE WHEN od IS NULL THEN 'added'
+      |         WHEN nd IS NULL THEN 'removed'
+      |         WHEN od <> nd THEN 'changed' END AS change
+      |  FROM od FULL OUTER JOIN nd ON od.doc_id = nd.doc_id
+      |  WHERE od IS NULL OR nd IS NULL OR od <> nd)
+      |SELECT doc_id, source, md5(coalesce(text, chr(1))) AS digest FROM (
+      |  SELECT doc_id, source, text FROM old
+      |  WHERE doc_id NOT IN (SELECT doc_id FROM delta
+      |                       WHERE change IN ('removed', 'changed'))
+      |  UNION ALL
+      |  SELECT doc_id, source, text FROM new_
+      |  WHERE doc_id IN (SELECT doc_id FROM delta
+      |                   WHERE change IN ('added', 'changed')))
+      |ORDER BY doc_id""".stripMargin
+  }
+
   val qSnapshotDiffSql: String = {
     val b = Sampling.hashBucketSql("doc_id", "snapshot")
     s"""WITH docs AS (SELECT doc_id, text, $b AS bucket FROM documents),

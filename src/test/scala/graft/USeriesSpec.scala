@@ -200,4 +200,31 @@ class USeriesSpec extends SparkSpec {
         .toSeq == want, s"query $q: probed-bucket top-k mismatch")
     }
   }
+
+  // ---------------------------------------------------------------- U8
+  test("snapshot apply: round-trips the diff, and never reads non-delta text (poison proof)") {
+    import graft.operators.SnapshotDiff
+    val (oldDocs, newDocs) = SnapshotDiff.synthOldNew(spark, sfDir)
+    val delta = SnapshotDiff.diff(oldDocs, newDocs).localCheckpoint()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "source", "text").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    // round-trip theorem: apply(old, diff(old, new)) == new, set-exact
+    val applied = SnapshotDiff.applyDiff(oldDocs, newDocs, delta)
+    assert(rows(applied) == rows(newDocs), "apply(old, diff) != new")
+    // poison proof: corrupt the text of every NON-delta doc in the
+    // payload — the apply must not notice (survivor text comes from
+    // the old snapshot, payload is read only for delta ids)
+    val flagged = delta.select("doc_id").withColumn("in_delta", lit(true))
+    val poisoned = newDocs.join(flagged, Seq("doc_id"), "left")
+      .withColumn("text",
+        when(col("in_delta").isNull, lit("POISON")).otherwise(col("text")))
+      .select("doc_id", "source", "text")
+    val applied2 = SnapshotDiff.applyDiff(oldDocs, poisoned, delta)
+    assert(rows(applied2) == rows(newDocs),
+      "apply consulted non-delta payload text")
+    // and the digest query form is non-degenerate: it changes something
+    assert(SnapshotDiff.qSnapshotApply(spark, sfDir).count() ==
+      newDocs.count())
+  }
 }
