@@ -164,6 +164,8 @@ object SparkEntry {
     "q_hard_negatives" -> (SimilaritySearch.hardNegatives _),
     // U5: per-source Zipf-slope + type-token audit
     "q_zipf_audit" -> (CorpusStats.zipfAudit _),
+    // U9: vocabulary-coverage ladder (tokenizer sizing study)
+    "q_vocab_coverage" -> (CorpusStats.vocabCoverage _),
     // U6: split-balance chi-square audit over the J5 assignment
     "q_split_balance" -> (Sampling.splitBalance _),
     // P2: in-engine-trained logistic quality classifier (weak labels
@@ -300,6 +302,7 @@ object SparkEntry {
     "q_source_divergence" -> CorpusStats.sourceDivergenceSql,
     "q_hard_negatives" -> SimilaritySearch.hardNegativesSql,
     "q_zipf_audit" -> CorpusStats.zipfAuditSql,
+    "q_vocab_coverage" -> CorpusStats.vocabCoverageSql,
     "q_split_balance" -> Sampling.splitBalanceSql,
     "q_quality_classifier" -> QualityClassifier.classifySql,
     "q_dsir_weights" -> Dsir.dsirWeightsSql,

@@ -540,4 +540,80 @@ object CorpusStats {
       |  END AS zipf_slope
       |FROM stats JOIN fit USING (source)
       |ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------------------- U9
+  /** Candidate vocabulary sizes the coverage ladder prices. */
+  val VocabLadder: Seq[Int] = Seq(256, 1024, 4096, 16384)
+
+  /** U9: vocabulary-coverage ladder \u2014 for each candidate vocab size V,
+    * the fraction of the corpus's token MASS covered by the exact
+    * top-V words (count desc, token asc ties). The sizing study run
+    * before training P1's tokenizer: coverage vs V is the curve that
+    * says where the vocab budget stops paying (its complement is the
+    * char-fallback mass U1's fertility then measures). All-integer
+    * numerators: covered and total are exact BIGINT sums, ONE double
+    * division per ladder rung.
+    *
+    * Scale shape: one corpus explode into the map-side-combined token
+    * histogram, cut to the max ladder rung by TakeOrdered (partial
+    * top-k, driver holds \u2264 16384 rows); the rank + conditional-sum
+    * fold runs over that bounded artifact; corpus token totals are a
+    * separate NARROW pass (no second explode shuffle). */
+  def vocabCoverage(spark: SparkSession, dir: String): DataFrame =
+    vocabCoverageFrom(spark,
+      Tables.parallelized(spark, Tables.documents(spark, dir)))
+
+  def vocabCoverageFrom(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val top = docs.select(
+        explode(split(coalesce(col("text"), lit("")), " ")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("token").asc)
+      .limit(VocabLadder.max)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("c").desc, col("token").asc)))
+    val tot = docs.agg(sum(size(split(coalesce(col("text"), lit("")), " "))
+      .cast("long")).as("total_tokens"))
+    val folds = VocabLadder.map(v =>
+      sum(when(col("rank") <= v, col("c")).otherwise(0L)).as(s"cov_$v"))
+    top.agg(folds.head, folds.tail: _*)
+      .crossJoin(tot)
+      .select(col("total_tokens"),
+        explode(array(VocabLadder.map { v =>
+          struct(lit(v.toLong).as("v"), col(s"cov_$v").as("cov"))
+        }: _*)).as("s"))
+      .select(col("s.v").as("vocab_size"), col("s.cov").as("covered_tokens"),
+        col("total_tokens"),
+        round(col("s.cov").cast("double") /
+          col("total_tokens").cast("double"), 6).as("coverage_frac"))
+      .orderBy("vocab_size")
+  }
+
+  /** U9's twin \u2014 identical deterministic rank and integer folds. */
+  def vocabCoverageSql: String = {
+    val folds = VocabLadder.map(v =>
+      s"CAST(sum(CASE WHEN rank <= $v THEN c ELSE 0 END) AS BIGINT) AS cov_$v")
+      .mkString(",\n      |    ")
+    val rungs = VocabLadder.map(v =>
+      s"SELECT CAST($v AS BIGINT) AS vocab_size, cov_$v AS covered_tokens FROM folds")
+      .mkString("\n      |  UNION ALL ")
+    s"""WITH tok AS (SELECT unnest(string_split(coalesce(text, ''), ' '))
+      |        AS token FROM documents),
+      |hist AS (SELECT token, CAST(count(*) AS BIGINT) AS c
+      |         FROM tok GROUP BY token),
+      |ranked AS (
+      |  SELECT c, row_number() OVER (ORDER BY c DESC, token ASC) AS rank
+      |  FROM hist),
+      |folds AS (
+      |  SELECT $folds
+      |  FROM ranked WHERE rank <= ${VocabLadder.max}),
+      |tot AS (SELECT CAST(count(*) AS BIGINT) AS total_tokens FROM tok),
+      |rungs AS (
+      |  $rungs)
+      |SELECT vocab_size, covered_tokens, total_tokens,
+      |  round(CAST(covered_tokens AS DOUBLE)
+      |        / CAST(total_tokens AS DOUBLE), 6) AS coverage_frac
+      |FROM rungs, tot
+      |ORDER BY vocab_size""".stripMargin
+  }
 }

@@ -227,4 +227,36 @@ class USeriesSpec extends SparkSpec {
     assert(SnapshotDiff.qSnapshotApply(spark, sfDir).count() ==
       newDocs.count())
   }
+
+  // ---------------------------------------------------------------- U9
+  test("vocab coverage: hand-computed ladder on a fixture; corpus curve monotone to 1") {
+    import spark.implicits._
+    import graft.operators.CorpusStats
+    // 300 distinct rare words + 2 dominant ones: top-256 must cover
+    // the dominants plus 254 singletons
+    val rare = (1 to 300).map(i => f"w$i%03d")
+    val text = (Seq.fill(100)("aa") ++ Seq.fill(50)("bb") ++ rare)
+      .mkString(" ")
+    val docs = Seq((1L, text, "s")).toDF("doc_id", "text", "source")
+    val got = CorpusStats.vocabCoverageFrom(spark, docs).collect()
+    assert(got.map(_.getLong(0)).toSeq ==
+      CorpusStats.VocabLadder.map(_.toLong))
+    val total = 100 + 50 + 300
+    val r256 = got.head
+    assert(r256.getLong(2) == total)
+    assert(r256.getLong(1) == 100 + 50 + 254, // 2 dominants + 254 singletons
+      s"covered ${r256.getLong(1)}")
+    // the 1024 rung swallows the whole 302-type vocab
+    assert(got(1).getLong(1) == total)
+    assert(math.abs(got(1).getDouble(3) - 1.0) < 1e-9)
+    // corpus: coverage monotone non-decreasing in V, within (0, 1]
+    val corpus = CorpusStats.vocabCoverage(spark, sfDir).collect()
+    assert(corpus.length == CorpusStats.VocabLadder.length)
+    corpus.sliding(2).foreach {
+      case Array(a, b) => assert(a.getDouble(3) <= b.getDouble(3) + 1e-12)
+      case _ =>
+    }
+    corpus.foreach(r =>
+      assert(r.getDouble(3) > 0 && r.getDouble(3) <= 1.0))
+  }
 }
