@@ -158,6 +158,8 @@ object SparkEntry {
     "q_tokenizer_fertility" -> (Bpe.fertility _),
     // U2: context-window truncation-loss report (frozen P1 model)
     "q_truncation_loss" -> (Bpe.truncationLoss _),
+    // U10: tokenize-to-ids export under the frozen BPE model
+    "q_tokenize_export" -> (Bpe.tokenizeExport _),
     // U3: pairwise source-distribution TV distance matrix
     "q_source_divergence" -> (CorpusStats.sourceDivergence _),
     // U4: banded hard-negative mining for contrastive training
@@ -299,6 +301,7 @@ object SparkEntry {
     "q_bpe_oov_drift" -> Bpe.oovDriftSql,
     "q_tokenizer_fertility" -> Bpe.fertilitySql,
     "q_truncation_loss" -> Bpe.truncationLossSql,
+    "q_tokenize_export" -> Bpe.tokenizeExportSql,
     "q_source_divergence" -> CorpusStats.sourceDivergenceSql,
     "q_hard_negatives" -> SimilaritySearch.hardNegativesSql,
     "q_zipf_audit" -> CorpusStats.zipfAuditSql,

@@ -104,7 +104,15 @@ object Bpe {
   /** Encode length of one word under the frozen merge ranks: greedy
     * lowest-rank-first application (the published apply rule). */
   private[graft] def encodeLen(word: String,
-                               ranks: Map[(String, String), Int]): Int = {
+                               ranks: Map[(String, String), Int]): Int =
+    encodePieces(word, ranks).length
+
+  /** The actual BPE pieces of `word` under the frozen merge ranks
+    * (apply the lowest-rank applicable merge until none applies — the
+    * published Sennrich encode loop). [[encodeLen]] is its length, so
+    * the U10 export and the P1 counts can never disagree. */
+  private[graft] def encodePieces(word: String,
+                                  ranks: Map[(String, String), Int]): Seq[String] = {
     var syms: Array[String] = word.map(_.toString).toArray
     var go = syms.length > 1
     while (go) {
@@ -125,7 +133,7 @@ object Bpe {
         if (syms.length < 2) go = false
       }
     }
-    syms.length
+    syms.toSeq
   }
 
   // ------------------------------------------------------------ model
@@ -442,6 +450,104 @@ object Bpe {
       |FROM pd, win
       |GROUP BY ctx_window
       |ORDER BY ctx_window""".stripMargin
+  }
+
+  // ------------------------------------------------------------- U10
+  /** The frozen model's PIECE layer: the sorted distinct pieces every
+    * vocab word encodes to, and each vocab word's piece-id run
+    * (aligned with `m.vocab` order). Bounded driver artifact, derived
+    * deterministically from the merges. */
+  private[graft] case class PieceModel(pieces: IndexedSeq[String],
+                                       wordIds: IndexedSeq[IndexedSeq[Int]])
+
+  private[graft] def pieceModel(m: BpeModel): PieceModel = {
+    val ranks = m.merges.zipWithIndex.toMap
+    val encs = m.vocab.map { case (w, _) => encodePieces(w, ranks) }
+    val pieces = encs.flatten.distinct
+      .sortWith((a, b) =>
+        UTF8String.fromString(a).compareTo(UTF8String.fromString(b)) < 0)
+      .toIndexedSeq
+    val idx = pieces.zipWithIndex.toMap
+    PieceModel(pieces, encs.map(_.map(idx).toIndexedSeq))
+  }
+
+  /** U10: tokenize-to-ids EXPORT — the step that turns curated text
+    * into the integer artifact a training run actually consumes: each
+    * doc's flat BPE piece-id stream under the frozen P1 model
+    * (in-vocab words emit their precomputed piece-id runs; OOV words
+    * fall back per character — the char's piece id when the char is a
+    * learned piece, else `|pieces| + codepoint`). P1 priced tokens
+    * (`graft_bpe_count`); this emits them (`graft_bpe_encode`), and
+    * `BpeSpec` pins the two can never disagree on length.
+    *
+    * Scale shape: ONE narrow native pass (fused tokenize + vocab
+    * binary search + run-table copy, codegen'd, no join/shuffle) into
+    * a posexplode — the per-row array IS the export artifact; the
+    * row-per-piece form exists for the oracle gate. The whole frozen
+    * model (vocab, piece runs, piece table) rides the plan as
+    * literals and the oracle as VALUES, so the learned ENCODING sits
+    * under the hash gate end to end. */
+  def tokenizeExport(spark: SparkSession, dir: String): DataFrame =
+    tokenizeExportFrom(spark, Tables.documents(spark, dir),
+      model(spark, dir))
+
+  def tokenizeExportFrom(spark: SparkSession, docs: DataFrame,
+                         m: BpeModel): DataFrame = {
+    graft.plans.GraftFunctions.register(spark)
+    val pm = pieceModel(m)
+    val offsets = pm.wordIds.scanLeft(0L)((acc, r) => acc + r.length)
+    val flat = pm.wordIds.flatten.map(_.toLong)
+    val idsCol = call_function("graft_bpe_encode", col("text"),
+      array(m.vocab.map(v => lit(v._1)): _*),
+      array(offsets.map(lit(_)): _*),
+      array(flat.map(lit(_)): _*),
+      array(pm.pieces.map(lit(_)): _*))
+    docs.select(col("doc_id"), posexplode(idsCol).as(Seq("p", "piece_id")))
+      .select(col("doc_id"), (col("p") + 1).cast("long").as("pos"),
+        col("piece_id"))
+      .orderBy("doc_id", "pos")
+  }
+
+  /** U10's twin — the frozen word→piece-id runs and the single-char
+    * piece table as VALUES (ASCII corpus: `length = 1` identifies the
+    * single-char pieces the OOV fallback can hit). */
+  def tokenizeExportSql: String = {
+    val m = oracleModel()
+    val pm = pieceModel(m)
+    def esc(x: String) = x.replace("'", "''")
+    val vvals = m.vocab.zipWithIndex.map { case ((w, _), i) =>
+      s"('${esc(w)}', [${pm.wordIds(i).mkString(", ")}])"
+    }.mkString(", ")
+    val pcs = pm.pieces.zipWithIndex
+      .collect { case (p, i) if p.length == 1 => s"('${esc(p)}', $i)" }
+    val pcvals = if (pcs.isEmpty) "('', -1)" else pcs.mkString(", ")
+    val pc = pm.pieces.length
+    s"""WITH v(word, ids) AS (VALUES $vvals),
+      |pc(ch, pid) AS (VALUES $pcvals),
+      |d AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS tk
+      |      FROM documents),
+      |tok AS (SELECT doc_id, unnest(range(1, len(tk) + 1)) AS i, tk
+      |        FROM d),
+      |w AS (SELECT doc_id, i, tk[i] AS w FROM tok),
+      |wv AS (SELECT w.doc_id, w.i, w.w, v.ids
+      |       FROM w LEFT JOIN v ON w.w = v.word),
+      |jx AS (SELECT doc_id, i, w, ids,
+      |         unnest(range(1, CASE WHEN ids IS NULL THEN length(w)
+      |                             ELSE len(ids) END + 1)) AS j
+      |       FROM wv),
+      |pid AS (SELECT jx.doc_id, jx.i, jx.j,
+      |          CASE WHEN jx.ids IS NOT NULL THEN jx.ids[CAST(jx.j AS INTEGER)]
+      |               ELSE coalesce(pc.pid,
+      |                             $pc + unicode(substring(jx.w, CAST(jx.j AS INTEGER), 1)))
+      |          END AS piece_id
+      |        FROM jx LEFT JOIN pc
+      |          ON jx.ids IS NULL AND pc.ch = substring(jx.w, CAST(jx.j AS INTEGER), 1))
+      |SELECT doc_id,
+      |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY i, j) AS BIGINT)
+      |    AS pos,
+      |  CAST(piece_id AS BIGINT) AS piece_id
+      |FROM pid
+      |ORDER BY doc_id, pos""".stripMargin
   }
 
   private def oracleModel(): BpeModel = cache.oracleModel()

@@ -218,6 +218,16 @@ object GraftFunctions {
       litStringArray(children(1), "graft_bpe_count words"),
       litLongArray(children(2), "graft_bpe_count counts")): Expression)
 
+  private val bpeEncodeDesc = (
+    FunctionIdentifier("graft_bpe_encode"),
+    new ExpressionInfo(classOf[BpeEncode].getName, null, "graft_bpe_encode"),
+    (children: Seq[Expression]) => BpeEncode(
+      children(0),
+      litStringArray(children(1), "graft_bpe_encode words"),
+      litLongArray(children(2), "graft_bpe_encode offsets"),
+      litLongArray(children(3), "graft_bpe_encode ids"),
+      litStringArray(children(4), "graft_bpe_encode pieces")): Expression)
+
   private val sortedExceptDesc = (
     FunctionIdentifier("graft_sorted_except"),
     new ExpressionInfo(classOf[SortedExcept].getName, null, "graft_sorted_except"),
@@ -226,7 +236,7 @@ object GraftFunctions {
 
   private val all = Seq(cosineDesc, srpDesc, minhashDesc, simhashDesc,
     pqEncodeDesc, shinglesDesc, gramStatsDesc, mightContainDesc,
-    sortedExceptDesc, bpeCountDesc)
+    sortedExceptDesc, bpeCountDesc, bpeEncodeDesc)
 
   /** Idempotent per-session registration (for sessions built without
     * the extensions config). */

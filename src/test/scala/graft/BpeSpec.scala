@@ -186,6 +186,47 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("tokenize export: piece streams reconstruct text, agree with the count pass, and OOV falls back per char") {
+    import spark.implicits._
+    val m = Bpe.model(spark, sfDir)
+    val pm = Bpe.pieceModel(m)
+    // every vocab word's run has the length encodeLen promised
+    val ranks = m.merges.zipWithIndex.toMap
+    m.vocab.zipWithIndex.foreach { case ((w, n), i) =>
+      assert(pm.wordIds(i).length == n,
+        s"piece run of '$w' is ${pm.wordIds(i).length}, counts said $n")
+      // and the run decodes back to the word
+      assert(pm.wordIds(i).map(pm.pieces).mkString == w)
+      assert(Bpe.encodePieces(w, ranks).mkString == w)
+    }
+    // fixture: one in-vocab word, one OOV word with a char outside
+    // every learned piece ('é' if absent) -> catch-all id
+    val inv = m.vocab.head._1
+    val docs = Seq((1L, s"$inv zqé", "s")).toDF("doc_id", "text", "source")
+    val rows = Bpe.tokenizeExportFrom(spark, docs, m).collect()
+    val expInv = pm.wordIds.head.map(_.toLong)
+    assert(rows.take(expInv.length).map(_.getLong(2)).toSeq == expInv,
+      "in-vocab word must emit its precomputed run")
+    val oov = rows.drop(expInv.length).map(_.getLong(2))
+    assert(oov.length == 3, s"OOV 'zqé' must emit 3 char ids, got ${oov.length}")
+    def charId(c: Char): Long = {
+      val i = pm.pieces.indexOf(c.toString)
+      if (i >= 0) i.toLong else pm.pieces.length.toLong + c.toInt
+    }
+    assert(oov.toSeq == Seq(charId('z'), charId('q'), charId('é')))
+    assert(rows.map(_.getLong(1)).toSeq == (1L to rows.length).toSeq)
+    // corpus consistency theorem: per doc, |export| == n_bpe_tokens
+    val exportLens = Bpe.tokenizeExport(spark, sfDir)
+      .groupBy("doc_id").count()
+    val counts = Bpe.tokenCountsBpe(spark, sfDir)
+      .select(col("doc_id"), col("n_bpe_tokens"))
+    val diff = exportLens.join(counts, Seq("doc_id"), "full")
+      .where(coalesce(col("count"), lit(0L)) =!=
+        coalesce(col("n_bpe_tokens"), lit(0L)))
+      .count()
+    assert(diff == 0L, s"$diff docs where export length != counted tokens")
+  }
+
   private def finalPlan(df: org.apache.spark.sql.DataFrame): String = {
     df.collect()
     df.queryExecution.executedPlan.toString
