@@ -820,7 +820,8 @@ object SimilaritySearch {
     * round-9-desc/cid-asc tie rule matches every batch form. */
   def ivfTopKForQueries(spark: SparkSession, queries: DataFrame,
                         index: DataFrame, cents: DataFrame,
-                        k: Int = K, nProbe: Int = NProbe): DataFrame = {
+                        k: Int = K, nProbe: Int = NProbe,
+                        excludeSelf: Boolean = true): DataFrame = {
     val wQ = Window.partitionBy("query_id")
       .orderBy(round(col("c_cos"), 9).desc, col("cid"))
     val probes = queries.crossJoin(broadcast(cents))
@@ -828,16 +829,22 @@ object SimilaritySearch {
         Vectors.cosineFast(spark, col("q_emb"), col("c_emb")).as("c_cos"))
       .withColumn("rk", row_number().over(wQ)).where(col("rk") <= nProbe)
       .select("query_id", "q_emb", "cid")
+    val candidates = probes.join(index, Seq("cid"))
+    // `excludeSelf` assumes query_id SHARES the corpus vec_id space
+    // (corpus-prefix queries, the R4/spec shape). An external id space
+    // that happens to collide with vec_ids would silently lose the
+    // colliding corpus vector from its candidates — callers with their
+    // own query ids pass excludeSelf = false.
+    val matched =
+      if (excludeSelf) candidates.where(col("vec_id") =!= col("query_id"))
+      else candidates
     explodeRanked(
-      probes.join(index, Seq("cid"))
-        .where(col("vec_id") =!= col("query_id"))
+      matched
         .select(col("query_id"), col("vec_id"),
           Vectors.cosineFast(spark, col("q_emb"), col("embedding")).as("cos_sim"))
         .groupBy("query_id")
         .agg(TopK.topk(spark, k, col("vec_id"), col("cos_sim")).as("hits")))
   }
-
-  private case class IvfProbe(query_id: Long, cid: Int, q_emb: Array[Float])
 
   /** Top-K search over a written index dir. `flatPath` overrides the
     * partitioned read (the spec's layout-equality control). */
@@ -870,16 +877,21 @@ object SimilaritySearch {
     def round9(v: Double): Double =
       if (v.isNaN || v.isInfinite) v
       else BigDecimal(v).setScale(9, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
+    // plain Tuple3 rows, not a nested private case class: the product
+    // encoder for an object-nested private class fails whole-stage
+    // projection codegen (zero-arg accessor lookup) and silently falls
+    // back to interpreter mode — round-12 verdict item 3
     val probes = queryRows.toSeq.flatMap { case (qid, q) =>
       cents.map { case (cid, c) => (cid, round9(cos(q, c))) }
         .sortBy { case (cid, cc) => (-cc, cid) }
         .take(nProbe)
-        .map { case (cid, _) => IvfProbe(qid, cid, q) }
+        .map { case (cid, _) => (qid, cid, q) }
     }
-    val cidSet = probes.map(_.cid).distinct.sorted
+    val cidSet = probes.map(_._2).distinct.sorted
+    val probeDf = probes.toDF("query_id", "cid", "q_emb")
 
     val scored = index.where(col("cid").isin(cidSet: _*)) // literal => file pruning
-      .join(broadcast(probes.toDS().toDF()), Seq("cid"))
+      .join(broadcast(probeDf), Seq("cid"))
       .where(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
         Vectors.cosineFast(spark, col("q_emb"), col("embedding")).as("cos_sim"))

@@ -170,7 +170,7 @@ object SnapshotDiff {
     val (oldDocs, newDocs) = synthOldNew(spark, dir)
     applyDiff(oldDocs, newDocs, diff(oldDocs, newDocs))
       .select(col("doc_id"), col("source"),
-        md5(coalesce(col("text"), lit(""))).as("digest"))
+        md5(coalesce(col("text"), lit("\u0001"))).as("digest"))
       .orderBy("doc_id")
   }
 

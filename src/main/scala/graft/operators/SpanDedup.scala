@@ -72,13 +72,13 @@ object SpanDedup {
     * removed (order kept, single-space rejoin). */
   def spanDedupFrom(spark: SparkSession, docs: DataFrame): DataFrame = {
     val base = docs.select(col("doc_id"),
-      split(col("text"), " ", -1).as("tk"))
+      split(coalesce(col("text"), lit("")), " ", -1).as("tk"))
       .withColumn("n_tokens", size(col("tk")).cast("long"))
     // positional K-gram stream; shinglesFast end-truncates to
     // max(T-K+1, 1) windows so sub-K docs contribute their whole text
     // as one (truncated) witness — an exact-dup short doc is a span
     val grams = docs.select(col("doc_id"),
-      posexplode(Vectors.shinglesFast(spark, col("text"), SpanK,
+      posexplode(Vectors.shinglesFast(spark, coalesce(col("text"), lit("")), SpanK,
         distinct = false)).as(Seq("p0", "g")))
       .select(col("doc_id"), (col("p0") + 1).as("i"),
         xxhash64(col("g")).as("gh"))
@@ -156,10 +156,10 @@ object SpanDedup {
 
   def spanReportFrom(spark: SparkSession, docs: DataFrame): DataFrame = {
     val base = docs.select(col("doc_id"),
-      split(col("text"), " ", -1).as("tk"))
+      split(coalesce(col("text"), lit("")), " ", -1).as("tk"))
       .withColumn("n_tokens", size(col("tk")).cast("long"))
     val grams = docs.select(col("doc_id"),
-      posexplode(Vectors.shinglesFast(spark, col("text"), SpanK,
+      posexplode(Vectors.shinglesFast(spark, coalesce(col("text"), lit("")), SpanK,
         distinct = false)).as(Seq("p0", "g")))
       .select(col("doc_id"), (col("p0") + 1).as("i"),
         xxhash64(col("g")).as("gh"))
@@ -194,7 +194,7 @@ object SpanDedup {
 
   def spanReportSql: String = {
     val K = SpanK
-    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    s"""WITH t AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS tk FROM documents),
       |n AS (SELECT doc_id, tk, len(tk) AS n_tokens FROM t),
       |pos AS (
       |  SELECT doc_id, i, array_to_string(tk[i:i+${K - 1}], ' ') AS g
@@ -253,7 +253,7 @@ object SpanDedup {
   /** The corpus gram-occurrence index (gh → occ) — the artifact a
     * deployment persists and maintains at ingest cadence. */
   def spanGramIndex(spark: SparkSession, docs: DataFrame): DataFrame =
-    docs.select(posexplode(Vectors.shinglesFast(spark, col("text"), SpanK,
+    docs.select(posexplode(Vectors.shinglesFast(spark, coalesce(col("text"), lit("")), SpanK,
         distinct = false)).as(Seq("p0", "g")))
       .groupBy(xxhash64(col("g")).as("gh"))
       .agg(count(lit(1)).as("occ_old"))
@@ -270,10 +270,10 @@ object SpanDedup {
   def spanDedupIncrementalFrom(spark: SparkSession, newDocs: DataFrame,
                                oldIndex: DataFrame): DataFrame = {
     val base = newDocs.select(col("doc_id"),
-      split(col("text"), " ", -1).as("tk"))
+      split(coalesce(col("text"), lit("")), " ", -1).as("tk"))
       .withColumn("n_tokens", size(col("tk")).cast("long"))
     val batchGrams = newDocs.select(col("doc_id"),
-      posexplode(Vectors.shinglesFast(spark, col("text"), SpanK,
+      posexplode(Vectors.shinglesFast(spark, coalesce(col("text"), lit("")), SpanK,
         distinct = false)).as(Seq("p0", "g")))
       .select(col("doc_id"), (col("p0") + 1).as("i"),
         xxhash64(col("g")).as("gh"))
@@ -289,7 +289,7 @@ object SpanDedup {
     val K = SpanK
     val isNew = (c: String) =>
       s"${Sampling.hashBucketSql(c, BatchSalt)} < ${Sampling.pctThreshold(BatchPct)}"
-    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk
+    s"""WITH t AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS tk
       |           FROM documents WHERE ${isNew("doc_id")}),
       |n AS (SELECT doc_id, tk, len(tk) AS n_tokens FROM t),
       |oldg AS (
@@ -297,7 +297,7 @@ object SpanDedup {
       |         count(*) AS occ_old
       |  FROM (SELECT tk,
       |          unnest(range(1, greatest(len(tk) - ${K - 2}, 2))) AS i
-      |        FROM (SELECT string_split(text, ' ') AS tk FROM documents
+      |        FROM (SELECT string_split(coalesce(text, ''), ' ') AS tk FROM documents
       |              WHERE NOT (${isNew("doc_id")})))
       |  GROUP BY 1),
       |pos AS (
@@ -389,14 +389,14 @@ object SpanDedup {
   def spanDecontaminateFrom(spark: SparkSession, corpus: DataFrame,
                             bench: DataFrame): DataFrame = {
     val benchGrams = bench
-      .select(explode(Vectors.shinglesFast(spark, col("text"), DecontamK,
+      .select(explode(Vectors.shinglesFast(spark, coalesce(col("text"), lit("")), DecontamK,
         distinct = true)).as("g"))
       .select(xxhash64(col("g")).as("gh")).distinct()
     val base = corpus.select(col("doc_id"),
-      split(col("text"), " ", -1).as("tk"))
+      split(coalesce(col("text"), lit("")), " ", -1).as("tk"))
       .withColumn("n_tokens", size(col("tk")).cast("long"))
     val anchors = corpus.select(col("doc_id"),
-      posexplode(Vectors.shinglesFast(spark, col("text"), DecontamK,
+      posexplode(Vectors.shinglesFast(spark, coalesce(col("text"), lit("")), DecontamK,
         distinct = false)).as(Seq("p0", "g")))
       .select(col("doc_id"), (col("p0") + 1).as("i"),
         xxhash64(col("g")).as("gh"))
@@ -411,14 +411,14 @@ object SpanDedup {
     val K = DecontamK
     val isBench = s"${Sampling.hashBucketSql("doc_id", BenchSalt)} < " +
       s"${Sampling.pctThreshold(BenchPct)}"
-    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk
+    s"""WITH t AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS tk
       |           FROM documents WHERE NOT ($isBench)),
       |n AS (SELECT doc_id, tk, len(tk) AS n_tokens FROM t),
       |bg AS (
       |  SELECT DISTINCT array_to_string(tk[i:i+${K - 1}], ' ') AS g
       |  FROM (SELECT tk,
       |          unnest(range(1, greatest(len(tk) - ${K - 2}, 2))) AS i
-      |        FROM (SELECT string_split(text, ' ') AS tk FROM documents
+      |        FROM (SELECT string_split(coalesce(text, ''), ' ') AS tk FROM documents
       |              WHERE $isBench))),
       |pos AS (
       |  SELECT doc_id, i, array_to_string(tk[i:i+${K - 1}], ' ') AS g
@@ -470,7 +470,7 @@ object SpanDedup {
     * sums promote to HUGEINT, which the driver hashes as float). */
   def spanDedupSql: String = {
     val K = SpanK
-    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    s"""WITH t AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS tk FROM documents),
       |n AS (SELECT doc_id, tk, len(tk) AS n_tokens FROM t),
       |pos AS (
       |  SELECT doc_id, i, array_to_string(tk[i:i+${K - 1}], ' ') AS g

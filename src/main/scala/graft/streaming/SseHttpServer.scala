@@ -56,7 +56,8 @@ class SseHttpServer(spark: SparkSession, dir: String,
                     heartbeatMs: Long = 500L,
                     maxQueuedFrames: Int = 10000,
                     shared: Boolean = false,
-                    nowNs: () => Long = () => System.currentTimeMillis() * 1000000L) {
+                    nowNs: () => Long = () => System.currentTimeMillis() * 1000000L,
+                    hubCapacity: Int = 100000) {
 
   private val server = HttpServer.create(new InetSocketAddress(port), 0)
   private val pool = Executors.newCachedThreadPool()
@@ -71,8 +72,8 @@ class SseHttpServer(spark: SparkSession, dir: String,
   private def hubOrStart(): SseHub = synchronized {
     if (closed) throw new IllegalStateException("server stopped")
     hubRef.getOrElse {
-      val h = new SseHub(spark, dir, pollIntervalMs = pollIntervalMs,
-        maxQueuedFrames = maxQueuedFrames)
+      val h = new SseHub(spark, dir, capacity = hubCapacity,
+        pollIntervalMs = pollIntervalMs, maxQueuedFrames = maxQueuedFrames)
       hubRef = Some(h)
       h.start()
       h

@@ -264,6 +264,60 @@ class SseHttpSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("shared mode: Last-Event-ID wins over since (header precedence matrix)") {
+    // the per-client mode's precedence case lives in the reconnect test
+    // above (c2 sends BOTH since=T0 and Last-Event-ID: 4 and must not
+    // see 2/4); this is the same matrix cell for the hub serving mode
+    val base = Files.createTempDirectory("graft_http_prec").toFile
+    writeEvents(new File(base, "events.parquet"), 1 to 10, append = false)
+    val srv = new graft.streaming.SseHttpServer(spark, base.getPath,
+      heartbeatMs = 200L, shared = true)
+    srv.start()
+    try {
+      // since=T0 alone would replay clicks 2..10; the header must win
+      // and deliver strictly after offset 6 only
+      val c = new SseClient(srv.boundPort,
+        "/routes/click?since=2024-01-15T00:00:00Z",
+        headers = Seq("Last-Event-ID" -> "6"))
+      assert(c.awaitStatus() == 200)
+      assert(eventually()(c.has(8) && c.has(10)), "post-header frames missing")
+      assert(!c.has(2) && !c.has(4) && !c.has(6),
+        "header did not win over since in shared mode")
+      c.close()
+      // malformed header answers 400 in shared mode too, before any
+      // hub subscription is created
+      val bad = get(srv.boundPort, "/routes/click?since=2024-01-15T00:00:00Z",
+        headers = Seq("Last-Event-ID" -> "4; DROP TABLE"))
+      assert(bad.getResponseCode == 400)
+    } finally srv.stop()
+  }
+
+  test("Last-Event-ID beyond ring eviction resumes from the oldest retained offset") {
+    // memlog semantics (service.go:101, memlog.WithMaxSegmentSize): a
+    // seek before the oldest retained offset replays only what capacity
+    // kept — never an error, never a duplicate of evicted history
+    val base = Files.createTempDirectory("graft_http_evict").toFile
+    writeEvents(new File(base, "events.parquet"), 1 to 10, append = false)
+    val srv = new graft.streaming.SseHttpServer(spark, base.getPath,
+      heartbeatMs = 200L, shared = true, hubCapacity = 2)
+    srv.start()
+    try {
+      // clicks 2,4,6,8,10 ingested; route ring (capacity 2) retains 8,10.
+      // A client that saw offset 2 before a long outage reconnects:
+      val c = new SseClient(srv.boundPort, "/routes/click",
+        headers = Seq("Last-Event-ID" -> "2"))
+      assert(c.awaitStatus() == 200)
+      assert(eventually()(c.has(8) && c.has(10)),
+        "retained frames after the evicted seek not replayed")
+      assert(!c.has(4) && !c.has(6),
+        "evicted frames re-delivered (capacity must bound replay)")
+      // live frames still follow the truncated replay
+      writeEvents(new File(base, "events.parquet"), 11 to 12, append = true)
+      assert(eventually()(c.has(12)), "live tail lost after evicted-seek replay")
+      c.close()
+    } finally srv.stop()
+  }
+
   test("stop() is graceful: client queries stopped, listener closed") {
     val base = Files.createTempDirectory("graft_http2").toFile
     writeEvents(new File(base, "events.parquet"), 1 to 5, append = false)
