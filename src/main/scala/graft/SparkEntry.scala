@@ -49,15 +49,21 @@ object SparkEntry {
     "q_dedup_embedding" -> (Dedup.embeddingNearDup _),
     "q_ann_brute_topk" -> (SimilaritySearch.bruteTopK _),
     "q_ann_ivf" -> (SimilaritySearch.ivfTopK _),
-    // unsupervised IVF (k-means-trained centroids): iterative training
-    // is not SQL-expressible -> no oracle entry, rows-only check;
-    // recall is gated by AnnRecallSpec on a clustered fixture
+    // unsupervised IVF (k-means-trained centroids): the iterative
+    // training is not SQL-expressible but its frozen RESULT is — the
+    // run's centroids ride the oracle as a VALUES literal (the P1/P2
+    // convention), so assignment + probe + top-k sit under the hash
+    // gate; recall additionally gated by AnnRecallSpec
     "q_ann_ivf_trained" -> ((s: SparkSession, d: String) =>
       SimilaritySearch.ivfTopKTrained(s, d)),
-    // product quantization + ADC + exact rescore: trained model state
-    // is not SQL-expressible -> rows-only; recall gated by AnnRecallSpec
+    // product quantization + ADC + exact rescore: trained codebook +
+    // query LUTs ride the oracle as literals; the encode argmin and
+    // ADC sums are restated as identically-ordered IEEE ops, so the
+    // hash gate covers the model end-to-end; recall gated by
+    // AnnRecallSpec
     "q_ann_pq" -> (SimilaritySearch.pqTopK _),
-    // IVF-PQ composition (coarse probe + ADC codes): rows-only, same gate
+    // IVF-PQ composition (coarse probe + residual ADC codes): both
+    // trained structures as oracle literals, same gates
     "q_ann_ivfpq" -> ((s: SparkSession, d: String) =>
       SimilaritySearch.ivfPqTopK(s, d)),
     // A9: structured streaming ingest (AvailableNow, complete mode)
@@ -241,6 +247,9 @@ object SparkEntry {
     "q_dedup_embedding" -> Dedup.embeddingNearDupSql,
     "q_ann_brute_topk" -> SimilaritySearch.bruteTopKSql,
     "q_ann_ivf" -> SimilaritySearch.ivfTopKSql,
+    "q_ann_ivf_trained" -> SimilaritySearch.ivfTopKTrainedSql,
+    "q_ann_pq" -> SimilaritySearch.pqTopKSql,
+    "q_ann_ivfpq" -> SimilaritySearch.ivfPqTopKSql,
     "q_stream_window_counts" -> graft.streaming.EventStreams.windowCountsSql,
     "q_mm_binary_meta" -> Multimodal.binaryMetaSql,
     "q_mm_dedup_exact" -> ImageDedup.imageDedupExactSql,

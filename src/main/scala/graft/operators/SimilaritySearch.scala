@@ -361,13 +361,88 @@ object SimilaritySearch {
     cents
   }
 
+  /** Default centroid count for the [[ivfTopKTrained]] query form. */
+  private[operators] val TrainedK = 10
+
+  /** Frozen D3 artifact for the oracle (the P1/P2 convention): the
+    * run's trained centroids, collected (k rows × d doubles — bounded
+    * at any corpus size) so the oracle SQL can embed them as a VALUES
+    * literal. [[OracleModelCache.model]] ALWAYS retrains, so a bench
+    * rep still pays full training cost and the oracle embeds exactly
+    * the centroids of the run it is compared against. */
+  private val ivfCentCache = new OracleModelCache[Array[(Int, Array[Double])]](
+    (spark, dir) => {
+      val emb = Tables.embeddings(spark, dir)
+      trainCentroids(spark, emb.select("vec_id", "embedding"), TrainedK)
+        .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+        .sortBy(_._1)
+    })
+
+  /** Collected centroids back to the (cid, c_emb) frame shape
+    * [[ivfSearchOn]] consumes — a LocalRelation of the SAME doubles
+    * the lineage form produced (collect/createDataFrame round-trips
+    * doubles exactly), so search semantics are unchanged. */
+  private def centsDf(spark: SparkSession,
+                      cents: Array[(Int, Array[Double])]): DataFrame =
+    spark.createDataFrame(cents.toSeq.map { case (cid, ce) => (cid, ce.toSeq) })
+      .toDF("cid", "c_emb")
+
+  /** Shortest-round-trip decimal (java.lang.Double.toString): DuckDB's
+    * correctly-rounded parse recovers the exact double, so a literal
+    * model artifact crosses engines bit-for-bit. */
+  private def fmtD(v: Double): String = java.lang.Double.toString(v)
+
+  private def dArrSql(a: Seq[Double]): String =
+    a.map(fmtD).mkString("[", ", ", "]")
+
   /** IVF ANN over UNLABELED embeddings: [[trainCentroids]] +
-    * [[ivfSearchOn]]. Not SQL-expressible (iterative training), so it
-    * carries a rows-only check; recall is gated by AnnRecallSpec's
-    * clustered fixture, which never touches `label`. */
-  def ivfTopKTrained(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    * [[ivfSearchOn]]. The iterative training itself is not
+    * SQL-expressible, but its frozen RESULT is: the run's centroids
+    * ride [[ivfTopKTrainedSql]] as a VALUES literal (via
+    * [[ivfCentCache]]), putting assignment + probe + top-k — and,
+    * through the literal, the training — under the DuckDB hash gate.
+    * Recall stays gated by AnnRecallSpec's clustered fixture, which
+    * never touches `label` (that path trains with a non-default k and
+    * bypasses the cache). */
+  def ivfTopKTrained(spark: SparkSession, dir: String, k: Int = TrainedK): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
-    ivfSearchOn(spark, emb, trainCentroids(spark, emb.select("vec_id", "embedding"), k))
+    val cents =
+      if (k == TrainedK) centsDf(spark, ivfCentCache.model(spark, dir))
+      else trainCentroids(spark, emb.select("vec_id", "embedding"), k)
+    ivfSearchOn(spark, emb, cents)
+  }
+
+  /** DuckDB twin of [[ivfTopKTrained]]: the trained centroids as a
+    * VALUES literal, then the [[ivfSearchOn]] semantics restated —
+    * nearest-centroid assignment (round-9 desc, ties to the smallest
+    * cid), NProbe probes per query, exact cosine + round-9/vec_id rank
+    * inside the probed buckets. A `def`: Verify dumps oracle SQL after
+    * the queries run, so the literal is the exact last-run model. */
+  def ivfTopKTrainedSql: String = {
+    val cents = ivfCentCache.oracleModel()
+    val rows = cents.map { case (cid, ce) =>
+      s"($cid, CAST(${dArrSql(ce.toSeq)} AS DOUBLE[]))"
+    }.mkString(",\n    ")
+    s"""WITH cents(cid, c_emb) AS (VALUES
+      |    $rows),
+      |cscore AS (
+      |  SELECT e.vec_id, e.embedding, c.cid,
+      |    row_number() OVER (PARTITION BY e.vec_id
+      |      ORDER BY round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.c_emb), 9) DESC,
+      |               c.cid) AS rk
+      |  FROM embeddings e, cents c),
+      |assign AS (SELECT vec_id, embedding, cid FROM cscore WHERE rk = 1),
+      |probes AS (SELECT vec_id AS query_id, embedding AS q_emb, cid
+      |           FROM cscore WHERE vec_id < $NQueries AND rk <= $NProbe)
+      |SELECT query_id, rank, vec_id, cos_sim FROM (
+      |  SELECT p.query_id, a.vec_id,
+      |    ${Vectors.cosineSql("p.q_emb", "a.embedding")} AS cos_sim,
+      |    row_number() OVER (PARTITION BY p.query_id
+      |      ORDER BY round(${Vectors.cosineSql("p.q_emb", "a.embedding")}, 9) DESC,
+      |               a.vec_id) AS rank
+      |  FROM probes p JOIN assign a ON p.cid = a.cid AND a.vec_id <> p.query_id) t
+      |WHERE rank <= $K
+      |ORDER BY query_id, rank""".stripMargin
   }
 
   val ivfTopKSql: String =
@@ -598,8 +673,18 @@ object SimilaritySearch {
     emb.where(col("vec_id") < NQueries)
       .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
 
-  private def adcQueries(spark: SparkSession, qVecs: Array[(Long, Array[Float])],
-                         model: PqModel): (DataFrame, Column) = {
+  /** The driver-side ADC model state (all bounded): the trained
+    * codebook plus the per-query dot LUTs / norms and the
+    * codebook-constant norm² LUT. One value both the Spark plan AND
+    * the oracle SQL are built from, so the two engines necessarily
+    * score against identical doubles. */
+  private[operators] case class AdcArtifacts(
+      model: PqModel,
+      qRows: Seq[(Long, Seq[Double], Double)],
+      normLut: IndexedSeq[Double])
+
+  private def adcArtifacts(qVecs: Array[(Long, Array[Float])],
+                           model: PqModel): AdcArtifacts = {
     import model.{cb, m, k, d}
     val normLut = Array.tabulate(m * k) { idx =>
       var s = 0.0; var i = 0
@@ -616,9 +701,13 @@ object SimilaritySearch {
       val qn = math.sqrt(v.map(x => x.toDouble * x.toDouble).sum)
       (id, dotLut.toSeq, qn)
     }.toSeq
-    (spark.createDataFrame(qRows).toDF("query_id", "dot_lut", "q_norm"),
-      lit(normLut))
+    AdcArtifacts(model, qRows, normLut.toIndexedSeq)
   }
+
+  private def adcFrames(spark: SparkSession,
+                        art: AdcArtifacts): (DataFrame, Column) =
+    (spark.createDataFrame(art.qRows).toDF("query_id", "dot_lut", "q_norm"),
+      lit(art.normLut.toArray))
 
   /** Σ over subvectors of lut[mi·k + code[mi]] — the m-lookup sum every
     * ADC term (dot, norm, residual cross term) is built from. Requires
@@ -654,20 +743,114 @@ object SimilaritySearch {
         .agg(TopK.topk(spark, K, col("vec_id"), col("cos_sim")).as("hits")))
   }
 
+  /** Frozen D5 artifact for the oracle: trained codebook + query LUTs
+    * + norm² LUT — everything the score depends on, collected once.
+    * Retrains per invocation (bench semantics), records the last run
+    * for the oracle dump. */
+  private val pqCache = new OracleModelCache[AdcArtifacts]((spark, dir) => {
+    val emb = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    adcArtifacts(collectQueryVecs(emb), trainPqCodebook(emb))
+  })
+
   def pqTopK(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir).select("vec_id", "embedding")
-    val model = trainPqCodebook(emb)
+    val art = pqCache.model(spark, dir)
     val codes = emb.select(col("vec_id"),
       Vectors.pqEncodeFast(spark, col("embedding"),
-        model.cb, model.m, model.k, model.d).as("code"))
-    val (queries, normLutCol) = adcQueries(spark, collectQueryVecs(emb), model)
+        art.model.cb, art.model.m, art.model.k, art.model.d).as("code"))
+    val (queries, normLutCol) = adcFrames(spark, art)
     val cands = codes.join(broadcast(queries), col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id"), adcScore(model, normLutCol).as("adc"))
+      .select(col("query_id"), col("vec_id"), adcScore(art.model, normLutCol).as("adc"))
       .groupBy("query_id")
       .agg(TopK.topk(spark, PqShortlist, col("vec_id"), col("adc")).as("hits"))
       .select(col("query_id"), explode(col("hits")).as("h"))
       .select(col("query_id"), col("h.id").as("vec_id"))
     exactRescore(spark, emb, cands)
+  }
+
+  /** SQL restatement of [[graft.plans.PqCodec.encode]] over a CTE
+    * `subName` exposing per-(vec_id, mi) subspace dims x1..xd as
+    * DOUBLEs: flat codebook literal, sequential-order L2 (explicit
+    * left-associated term sum — the engines' IEEE ops in the same
+    * order produce the same bits, so the argmin codes are identical),
+    * ties to the smallest code, per-vec code list ordered by
+    * subspace. */
+  private def encodeCtesSql(model: PqModel, subName: String): String = {
+    val diffs = (1 to model.d).map(i =>
+      s"s.x$i - cb[(s.mi*${model.k} + r.j)*${model.d} + $i] AS d$i")
+      .mkString(",\n      ")
+    val dist = (1 to model.d).map(i => s"d$i*d$i").mkString(" + ")
+    s"""cbv AS (SELECT CAST(${dArrSql(model.cb.map(_.toDouble))} AS DOUBLE[]) AS cb),
+      |js AS (SELECT CAST(range AS INTEGER) AS j FROM range(0, ${model.k})),
+      |dst AS (
+      |  SELECT vec_id, mi, j, ($dist) AS dist FROM (
+      |    SELECT s.vec_id, s.mi, r.j,
+      |      $diffs
+      |    FROM $subName s, js r, cbv) t0),
+      |enc AS (SELECT vec_id, mi, j FROM (
+      |  SELECT vec_id, mi, j,
+      |    row_number() OVER (PARTITION BY vec_id, mi ORDER BY dist, j) AS erk
+      |  FROM dst) t1 WHERE erk = 1),
+      |codes AS (SELECT vec_id, list(j ORDER BY mi) AS code FROM enc GROUP BY vec_id)"""
+      .stripMargin
+  }
+
+  /** Σ over subvectors of lut[mi·k + code[mi]] in SQL — the exact twin
+    * of [[adcLutSum]]'s left fold. */
+  private def adcSumSql(lut: String, code: String, model: PqModel): String =
+    (0 until model.m).map(mi =>
+      s"$lut[${mi * model.k + 1} + $code[${mi + 1}]]").mkString(" + ")
+
+  /** Shared exact-rescore SQL tail over a `short(query_id, vec_id)`
+    * CTE (the twin of [[exactRescore]]). */
+  private def rescoreSql: String =
+    s"""SELECT query_id, rank, vec_id, cos_sim FROM (
+      |  SELECT sh.query_id, sh.vec_id,
+      |    ${Vectors.cosineSql("qe.embedding", "e.embedding")} AS cos_sim,
+      |    row_number() OVER (PARTITION BY sh.query_id
+      |      ORDER BY round(${Vectors.cosineSql("qe.embedding", "e.embedding")}, 9) DESC,
+      |               e.vec_id) AS rank
+      |  FROM short sh
+      |  JOIN embeddings e ON e.vec_id = sh.vec_id
+      |  JOIN embeddings qe ON qe.vec_id = sh.query_id) t
+      |WHERE rank <= $K
+      |ORDER BY query_id, rank""".stripMargin
+
+  /** DuckDB twin of [[pqTopK]]: codebook/LUT literals from the frozen
+    * run artifact, the encode argmin restated ([[encodeCtesSql]]), the
+    * ADC score as the same left-associated lookup sums, shortlist by
+    * (round-9 desc, vec_id), exact rescore. Every floating-point step
+    * is either a shared literal or an identically-ordered IEEE op, so
+    * the hash gate covers the trained model end-to-end. */
+  def pqTopKSql: String = {
+    val art = pqCache.oracleModel()
+    val model = art.model
+    val xs = (1 to model.d).map(i =>
+      s"CAST(embedding[mi*${model.d} + $i] AS DOUBLE) AS x$i").mkString(",\n    ")
+    val qlRows = art.qRows.map { case (id, dl, qn) =>
+      s"($id, CAST(${dArrSql(dl)} AS DOUBLE[]), ${fmtD(qn)})"
+    }.mkString(",\n    ")
+    s"""WITH mis AS (SELECT CAST(range AS INTEGER) AS mi FROM range(0, ${model.m})),
+      |sub AS (
+      |  SELECT vec_id, mi,
+      |    $xs
+      |  FROM embeddings, mis),
+      |${encodeCtesSql(model, "sub")},
+      |nlv AS (SELECT CAST(${dArrSql(art.normLut)} AS DOUBLE[]) AS nl),
+      |ql(query_id, dot_lut, q_norm) AS (VALUES
+      |    $qlRows),
+      |cand AS (
+      |  SELECT q.query_id, c.vec_id,
+      |    (0.0 + (${adcSumSql("q.dot_lut", "c.code", model)})) /
+      |      (q.q_norm * sqrt(0.0 + (${adcSumSql("nl.nl", "c.code", model)}))) AS adc
+      |  FROM codes c, ql q, nlv nl
+      |  WHERE c.vec_id <> q.query_id),
+      |short AS (SELECT query_id, vec_id FROM (
+      |  SELECT query_id, vec_id,
+      |    row_number() OVER (PARTITION BY query_id
+      |      ORDER BY round(adc, 9) DESC, vec_id) AS srk
+      |  FROM cand) t2 WHERE srk <= $PqShortlist)
+      |$rescoreSql""".stripMargin
   }
 
   // ---------------------------------------------------------------- D6
@@ -692,19 +875,24 @@ object SimilaritySearch {
     *   ‖v̂‖²  = ‖c‖² + Σ crossLUT_c[code] + Σ normLUT[code]
     * where crossLUT_c[mi·k+j] = 2·c_mi·cb_mi,j is a per-centroid
     * constant — C·m·k doubles total, broadcast with the probes. */
-  def ivfPqTopK(spark: SparkSession, dir: String, c: Int = 10): DataFrame = {
-    val emb = Tables.embeddings(spark, dir).select("vec_id", "embedding")
-    val cents = trainCentroids(spark, emb, c)
+  /** Frozen D6 artifact for the oracle: coarse centroids, the
+    * residual-trained ADC state, the per-centroid exact terms (‖c‖²,
+    * 2c·cb cross LUT), and q·c per (query, centroid) — every
+    * driver-computed double the score depends on, so the oracle SQL
+    * can embed them as literals and the two engines score identical
+    * bits. */
+  private[operators] case class IvfPqArtifacts(
+      cents: Array[(Int, Array[Double])],
+      adc: AdcArtifacts,
+      centProps: Seq[(Int, Double, Seq[Double])],
+      qcDots: Seq[(Long, Int, Double)])
 
-    // coarse-assign (broadcast centroids, map-side argmax), subtract
-    // the winning centroid, pq-encode the residual. NOTE on lineage:
-    // nothing is cached here, so the corpus-wide assign+residual
-    // lineage executes twice (the codebook's bounded sample collect,
-    // then the candidate scan; the probe side is cheap — its
-    // vec_id < NQueries filter pushes to the scan). A deployment that
-    // cares would checkpoint (vec_id, cid, code) — 8 B/vector — as the
-    // persisted index artifact; a session-lifetime persist() of the
-    // float residuals here would be the wrong shape at 100 TB.
+  /** Coarse-assign (broadcast centroids, map-side argmax), subtract
+    * the winning centroid, keep the residual in FLOAT (the codec's
+    * input type — codebook training uses the SAME cast, so train and
+    * encode see identical bits). */
+  private def ivfPqResiduals(spark: SparkSession, emb: DataFrame,
+                             cents: DataFrame): DataFrame = {
     val centScore = emb.join(broadcast(cents))
       .select(col("vec_id"), col("embedding"), col("cid"),
         round(Vectors.cosineFast(spark, col("embedding"), col("c_emb")), 9).as("cc"))
@@ -713,24 +901,24 @@ object SimilaritySearch {
       .agg(first(col("embedding")).as("embedding"),
         max(struct(col("cc"), (-col("cid")).as("ncid"))).as("best"))
       .select(col("vec_id"), col("embedding"), (-col("best.ncid")).as("cid"))
-    // residual in float (the codec's input type); the codebook below is
-    // trained on the SAME cast, so train and encode see identical bits
-    val residuals = assigned.join(broadcast(cents), "cid")
+    assigned.join(broadcast(cents), "cid")
       .select(col("vec_id"), col("cid"),
         expr("zip_with(embedding, c_emb, (x, y) -> CAST(CAST(x AS DOUBLE) - y AS FLOAT))")
           .as("embedding"))
-    val model = trainPqCodebook(residuals.select("vec_id", "embedding"))
-    val codes = residuals.select(col("vec_id"), col("cid"),
-      Vectors.pqEncodeFast(spark, col("embedding"),
-        model.cb, model.m, model.k, model.d).as("code"))
+  }
 
+  private def ivfPqArtifacts(spark: SparkSession, dir: String,
+                             c: Int): IvfPqArtifacts = {
+    val emb = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    val centArr = trainCentroids(spark, emb, c).collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
+    val model = trainPqCodebook(
+      ivfPqResiduals(spark, emb, centsDf(spark, centArr))
+        .select("vec_id", "embedding"))
+    val qVecs = collectQueryVecs(emb)
     // driver-side exact per-centroid terms (C rows — bounded like the
     // query collect): ‖c‖², the 2c·cb cross LUT, and q·c per probe
-    val centArr = cents.collect().map { r =>
-      (r.getInt(0), r.getSeq[Double](1).toArray)
-    }
-    val qVecs = collectQueryVecs(emb)
-    val centProps = spark.createDataFrame(centArr.toSeq.map { case (cid, ce) =>
+    val centProps = centArr.toSeq.map { case (cid, ce) =>
       val cNorm2 = ce.map(x => x * x).sum
       val crossLut = Array.tabulate(model.m * model.k) { idx =>
         val mi = idx / model.k
@@ -742,15 +930,48 @@ object SimilaritySearch {
         s
       }
       (cid, cNorm2, crossLut.toSeq)
-    }).toDF("cid", "c_norm2", "cross_lut")
-    val qcDots = spark.createDataFrame(for {
-      (qid, qv) <- qVecs.toSeq; (cid, ce) <- centArr
+    }
+    val qcDots = for {
+      (qid, qv) <- qVecs.toSeq; (cid, ce) <- centArr.toSeq
     } yield {
       var s = 0.0; var i = 0
       val n = math.min(qv.length, ce.length)
       while (i < n) { s += qv(i).toDouble * ce(i); i += 1 }
       (qid, cid, s)
-    }).toDF("query_id", "cid", "qc_dot")
+    }
+    IvfPqArtifacts(centArr, adcArtifacts(qVecs, model), centProps, qcDots)
+  }
+
+  private val ivfPqCache = new OracleModelCache[IvfPqArtifacts](
+    (spark, dir) => ivfPqArtifacts(spark, dir, TrainedK))
+
+  def ivfPqTopK(spark: SparkSession, dir: String, c: Int = TrainedK): DataFrame = {
+    val emb = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    val art =
+      if (c == TrainedK) ivfPqCache.model(spark, dir)
+      else ivfPqArtifacts(spark, dir, c)
+    val model = art.adc.model
+    val cents = centsDf(spark, art.cents)
+
+    // NOTE on lineage: nothing is cached here, so the corpus-wide
+    // assign+residual lineage executes twice (once inside the
+    // artifact step's codebook-sample collect, then the candidate
+    // scan; the probe side is cheap — its vec_id < NQueries filter
+    // pushes to the scan). A deployment that cares would checkpoint
+    // (vec_id, cid, code) — 8 B/vector — as the persisted index
+    // artifact; a session-lifetime persist() of the float residuals
+    // here would be the wrong shape at 100 TB.
+    val centScore = emb.join(broadcast(cents))
+      .select(col("vec_id"), col("embedding"), col("cid"),
+        round(Vectors.cosineFast(spark, col("embedding"), col("c_emb")), 9).as("cc"))
+    val residuals = ivfPqResiduals(spark, emb, cents)
+    val codes = residuals.select(col("vec_id"), col("cid"),
+      Vectors.pqEncodeFast(spark, col("embedding"),
+        model.cb, model.m, model.k, model.d).as("code"))
+    val centProps = spark.createDataFrame(art.centProps)
+      .toDF("cid", "c_norm2", "cross_lut")
+    val qcDots = spark.createDataFrame(art.qcDots)
+      .toDF("query_id", "cid", "qc_dot")
 
     // query side: NProbe nearest centroids per query, joined with the
     // ADC LUT frame and the exact centroid terms — ≤ NProbe·|queries|
@@ -760,7 +981,7 @@ object SimilaritySearch {
     val probes = centScore.where(col("vec_id") < NQueries)
       .withColumn("rk", row_number().over(wVec)).where(col("rk") <= NProbe)
       .select(col("vec_id").as("query_id"), col("cid"))
-    val (queryLuts, normLutCol) = adcQueries(spark, qVecs, model)
+    val (queryLuts, normLutCol) = adcFrames(spark, art.adc)
     val queries = broadcast(queryLuts.join(probes, "query_id")
       .join(qcDots, Seq("query_id", "cid")).join(centProps, "cid"))
     val cands = codes.join(queries, Seq("cid"))
@@ -774,6 +995,77 @@ object SimilaritySearch {
       .select(col("query_id"), explode(col("hits")).as("h"))
       .select(col("query_id"), col("h.id").as("vec_id"))
     exactRescore(spark, emb, cands)
+  }
+
+  /** DuckDB twin of [[ivfPqTopK]]: coarse centroids / residual
+    * codebook / LUTs / per-centroid exact terms all as literals from
+    * the frozen run artifact; assignment and probes restated with the
+    * house round-9-desc/cid-asc rule; residuals re-derived with the
+    * identical DOUBLE−DOUBLE→FLOAT cast chain; the encode argmin and
+    * ADC sums as identically-ordered IEEE ops ([[encodeCtesSql]] /
+    * [[adcSumSql]]); shortlist [[PqShortlistIvf]]; exact rescore. */
+  def ivfPqTopKSql: String = {
+    val art = ivfPqCache.oracleModel()
+    val model = art.adc.model
+    val centRows = art.cents.map { case (cid, ce) =>
+      s"($cid, CAST(${dArrSql(ce.toSeq)} AS DOUBLE[]))"
+    }.mkString(",\n    ")
+    val xs = (1 to model.d).map(i =>
+      s"CAST(CAST(CAST(embedding[mi*${model.d} + $i] AS DOUBLE) - c_emb[mi*${model.d} + $i] AS REAL) AS DOUBLE) AS x$i")
+      .mkString(",\n    ")
+    val qlRows = art.adc.qRows.map { case (id, dl, qn) =>
+      s"($id, CAST(${dArrSql(dl)} AS DOUBLE[]), ${fmtD(qn)})"
+    }.mkString(",\n    ")
+    val cpRows = art.centProps.map { case (cid, n2, cl) =>
+      s"($cid, ${fmtD(n2)}, CAST(${dArrSql(cl)} AS DOUBLE[]))"
+    }.mkString(",\n    ")
+    val qcdRows = art.qcDots.map { case (qid, cid, dt) =>
+      s"($qid, $cid, ${fmtD(dt)})"
+    }.mkString(",\n    ")
+    s"""WITH cents(cid, c_emb) AS (VALUES
+      |    $centRows),
+      |cscore AS (
+      |  SELECT e.vec_id, e.embedding, c.cid, c.c_emb,
+      |    row_number() OVER (PARTITION BY e.vec_id
+      |      ORDER BY round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.c_emb), 9) DESC,
+      |               c.cid) AS rk
+      |  FROM embeddings e, cents c),
+      |assign AS (SELECT vec_id, embedding, cid, c_emb FROM cscore WHERE rk = 1),
+      |mis AS (SELECT CAST(range AS INTEGER) AS mi FROM range(0, ${model.m})),
+      |sub AS (
+      |  SELECT vec_id, mi,
+      |    $xs
+      |  FROM assign, mis),
+      |${encodeCtesSql(model, "sub")},
+      |codesc AS (SELECT c.vec_id, a.cid, c.code
+      |           FROM codes c JOIN assign a USING (vec_id)),
+      |probes AS (SELECT vec_id AS query_id, cid
+      |           FROM cscore WHERE vec_id < $NQueries AND rk <= $NProbe),
+      |nlv AS (SELECT CAST(${dArrSql(art.adc.normLut)} AS DOUBLE[]) AS nl),
+      |ql(query_id, dot_lut, q_norm) AS (VALUES
+      |    $qlRows),
+      |cp(cid, c_norm2, cross_lut) AS (VALUES
+      |    $cpRows),
+      |qcd(query_id, cid, qc_dot) AS (VALUES
+      |    $qcdRows),
+      |cand AS (
+      |  SELECT p.query_id, cd.vec_id,
+      |    (qc.qc_dot + (${adcSumSql("q.dot_lut", "cd.code", model)})) /
+      |      (q.q_norm * sqrt((cp.c_norm2 + (${adcSumSql("cp.cross_lut", "cd.code", model)})) +
+      |        (${adcSumSql("nl.nl", "cd.code", model)}))) AS adc
+      |  FROM codesc cd
+      |  JOIN probes p ON cd.cid = p.cid
+      |  JOIN ql q ON q.query_id = p.query_id
+      |  JOIN qcd qc ON qc.query_id = p.query_id AND qc.cid = p.cid
+      |  JOIN cp ON cp.cid = p.cid
+      |  CROSS JOIN nlv nl
+      |  WHERE cd.vec_id <> p.query_id),
+      |short AS (SELECT query_id, vec_id FROM (
+      |  SELECT query_id, vec_id,
+      |    row_number() OVER (PARTITION BY query_id
+      |      ORDER BY round(adc, 9) DESC, vec_id) AS srk
+      |  FROM cand) t3 WHERE srk <= $PqShortlistIvf)
+      |$rescoreSql""".stripMargin
   }
   // ---------------------------------------------------------------- D7
   /** D7: partition-pruned ON-DISK IVF index — the J2 layout device

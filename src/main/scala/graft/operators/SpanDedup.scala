@@ -69,7 +69,18 @@ object SpanDedup {
   /** Span-dedup over an arbitrary (doc_id, text) frame: doc_id,
     * n_tokens, n_spans (maximal duplicated spans), dup_tokens /
     * kept_tokens / dup_frac, and clean_text with every covered token
-    * removed (order kept, single-space rejoin). */
+    * removed (order kept, single-space rejoin).
+    *
+    * NULL text is DELIBERATELY conflated with '' across the whole
+    * span family (coalesce here and in S5/T1/T2, mirrored in every
+    * SQL twin): span dedup is about shared token content, and a
+    * NULL doc and an empty doc share the same (empty) content — two
+    * such docs reporting each other as exact span-dups is the
+    * intended dedup semantics, not an identity statement. This is
+    * the opposite convention from SnapshotDiff's CDC digests, where
+    * NULL vs '' is a real data difference and a \u0001 sentinel
+    * keeps them distinct — content semantics there are identity,
+    * here they are text mass. */
   def spanDedupFrom(spark: SparkSession, docs: DataFrame): DataFrame = {
     val base = docs.select(col("doc_id"),
       split(coalesce(col("text"), lit("")), " ", -1).as("tk"))

@@ -59,6 +59,12 @@ class SseHttpServer(spark: SparkSession, dir: String,
                     nowNs: () => Long = () => System.currentTimeMillis() * 1000000L,
                     hubCapacity: Int = 100000) {
 
+  // fail at construction, not on the first shared-mode connect: a
+  // non-positive capacity would otherwise surface as SseHub's
+  // require() throwing inside the HTTP handler — a dropped client
+  // connection instead of a startup error
+  require(hubCapacity > 0, s"hubCapacity must be positive, got $hubCapacity")
+
   private val server = HttpServer.create(new InetSocketAddress(port), 0)
   private val pool = Executors.newCachedThreadPool()
   private val active = TrieMap.empty[Long, StreamingQuery]
