@@ -205,7 +205,13 @@ object SparkEntry {
     // S5: duplicated-passage report (maximal extents, mass-ranked)
     "q_span_report" -> (SpanDedup.spanReport _),
     // O8: retrieval-quality metrics (RR/DCG/nDCG/P@k) for the O1 ranking
-    "q_retrieval_eval" -> (Retrieval.retrievalEval _)
+    "q_retrieval_eval" -> (Retrieval.retrievalEval _),
+    // R5: RHO-1-style excess-loss selection (target-band reference LM
+    // vs corpus self-LM, top-fraction by excess logp)
+    "q_excess_loss_select" -> ((s: SparkSession, d: String) =>
+      CharLm.excessLossSelect(s, d)),
+    // T4: decontamination width-sensitivity curve over n in {5, 8, 13}
+    "q_decontaminate_widths" -> (SpanDedup.decontaminateWidths _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -328,6 +334,8 @@ object SparkEntry {
     "q_decontaminate_spans" -> SpanDedup.spanDecontaminateSql,
     "q_epoch_alloc_materialize" -> DomainMix.epochAllocMaterializeSql,
     "q_span_report" -> SpanDedup.spanReportSql,
-    "q_retrieval_eval" -> Retrieval.retrievalEvalSql
+    "q_retrieval_eval" -> Retrieval.retrievalEvalSql,
+    "q_excess_loss_select" -> CharLm.excessLossSelectSql,
+    "q_decontaminate_widths" -> SpanDedup.decontaminateWidthsSql
   )
 }

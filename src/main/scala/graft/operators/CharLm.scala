@@ -167,6 +167,132 @@ object CharLm {
       |ORDER BY doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------- R5
+  /** Keep fraction for [[excessLossSelect]] as an exact rational:
+    * top 2/5 by excess log-likelihood. */
+  val ExcessKeepNum = 2L
+  val ExcessKeepDen = 5L
+  private val excessSalt = "xl"
+
+  /** R5: per-document excess-loss data selection — the RHO-1 recipe
+    * (Lin et al. 2024, "Rho-1: Not All Tokens Are What You Need")
+    * at document grain: score every document under TWO LMs — a
+    * REFERENCE model trained only on the high-quality target band
+    * (the R1/DSIR target definition: E2 quality ≥ Dsir.TargetBand)
+    * and the corpus self-model (O4) — and select the top fraction by
+    * excess log-likelihood `avg(logp_ref − logp_corpus)`. Documents
+    * the quality-reference prices far above the corpus model are the
+    * "learnable, high-value" mass RHO-1 keeps; generic crawl text
+    * scores ≈0 and noise scores negative under both models, so the
+    * signal is a likelihood RATIO, not raw perplexity (which S2
+    * already buckets).
+    *
+    * Both models come from ONE shared counting pass: each trigram is
+    * counted with a per-row target flag, so (c3_r, c3_t) and the
+    * prefix totals (c2_r, c2_t) need no second scan and no join
+    * between two trainings. The target numerator takes Dsir.Alpha
+    * pseudo-mass (a corpus trigram can be absent from the band;
+    * the self-model numerator is ≥1 by construction and stays O4's
+    * exact formula).
+    *
+    * Selection cut: the exact ⌈n·2/5⌉-th LARGEST sample score (the
+    * S2 order-statistic device over the G1 hash sample) — an
+    * integer-rank cut on 6-dp-rounded scores, broadcast back as a
+    * map-side threshold. The ranked window runs over the bounded
+    * sample only; at 100 TB the sample bar shrinks like S2's.
+    *
+    * Scale shape: identical to O4/R1 — vocabulary-bounded model,
+    * broadcast scoring join, doc-grain aggregation; plus one
+    * bounded-sample rank and a broadcast 1-row cut. Engine
+    * determinism: integer counts, ln of exact integer-derived
+    * ratios, per-doc mean rounded to 6 dp before output AND before
+    * the threshold comparison. */
+  def excessLossSelect(spark: SparkSession, dir: String): DataFrame =
+    excessLossSelectFrom(Tables.parallelized(spark, Tables.documents(spark, dir)))
+
+  def excessLossSelectFrom(docs: DataFrame): DataFrame = {
+    val grams = docs.where(length(col("text")) >= 3)
+      .select(col("doc_id"),
+        (TextAnalysis.qualityScore(col("text")) >= Dsir.TargetBand).as("is_target"),
+        explode(expr(
+          "transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))"))
+          .as("g"))
+    // one fit pass for BOTH models; the ≤|charset|³-row artifact has
+    // two consumers (prefix totals + λ join) -> localCheckpoint
+    val counts = grams.groupBy("g")
+      .agg(count(lit(1)).as("c3_r"),
+        sum(when(col("is_target"), 1L).otherwise(0L)).as("c3_t"))
+      .localCheckpoint()
+    val prefix = counts.groupBy(substring(col("g"), 1, 2).as("pfx"))
+      .agg(sum(col("c3_r")).as("c2_r"), sum(col("c3_t")).as("c2_t"))
+    val lam = counts
+      .join(prefix, substring(col("g"), 1, 2) === col("pfx"))
+      .select(col("g"),
+        (log((col("c3_t") + lit(Dsir.Alpha)) / (col("c2_t") + lit(Gamma))) -
+          log(col("c3_r").cast("double") / (col("c2_r") + lit(Gamma)))).as("lam"))
+    // doc-grain scores: 16 B/doc with two consumers (cut sample +
+    // final gate) -> localCheckpoint (the R3 lesson)
+    val scored = grams.join(broadcast(lam), Seq("g"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        round(avg(col("lam")), 6).as("excess_logp"))
+      .localCheckpoint()
+    val samp = scored.where(
+      Sampling.hashBucket(col("doc_id"), excessSalt) < PplSampleBar)
+    val wRank = Window.orderBy(col("excess_logp").desc, col("doc_id"))
+    val wN = Window.partitionBy(lit(1))
+    val cut = samp
+      .withColumn("r", row_number().over(wRank))
+      .withColumn("n", count(lit(1)).over(wN))
+      .agg(max(when(
+        col("r") === ceil(col("n") * ExcessKeepNum / lit(ExcessKeepDen.toDouble))
+          .cast("long"),
+        col("excess_logp"))).as("c"))
+    scored.crossJoin(broadcast(cut))
+      .select(col("doc_id"), col("n_grams"), col("excess_logp"),
+        (col("excess_logp") >= col("c")).as("selected"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB twin — the whole recipe (shared fit → λ ratio → score →
+    * order-statistic cut → threshold) is pure counting + `ln` of
+    * exact ratios, so nothing needs the VALUES-literal device. */
+  def excessLossSelectSql: String = {
+    val q = TextAnalysis.qualityScoreSql("text")
+    val hb = Sampling.hashBucketSql("CAST(doc_id AS VARCHAR)", excessSalt)
+    s"""WITH d AS (SELECT doc_id, text, $q >= ${Dsir.TargetBand} AS is_target
+      |           FROM documents WHERE length(text) >= 3),
+      |g AS (SELECT doc_id, is_target,
+      |        substring(text, CAST(i AS INTEGER), 3) AS g
+      |      FROM (SELECT doc_id, is_target, text,
+      |              unnest(range(1, length(text) - 1)) AS i FROM d)),
+      |m AS (SELECT g, count(*) AS c3_r,
+      |        CAST(sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS BIGINT) AS c3_t
+      |      FROM g GROUP BY g),
+      |p AS (SELECT substring(g, 1, 2) AS pfx,
+      |        CAST(sum(c3_r) AS BIGINT) AS c2_r,
+      |        CAST(sum(c3_t) AS BIGINT) AS c2_t
+      |      FROM m GROUP BY 1),
+      |lp AS (SELECT m.g,
+      |         ln((m.c3_t + ${Dsir.Alpha}) / (p.c2_t + $Gamma)) -
+      |           ln(CAST(m.c3_r AS DOUBLE) / (p.c2_r + $Gamma)) AS lam
+      |       FROM m JOIN p ON substring(m.g, 1, 2) = p.pfx),
+      |sc AS (SELECT doc_id, count(*) AS n_grams,
+      |         round(avg(lam), 6) AS excess_logp
+      |       FROM g JOIN lp USING (g) GROUP BY doc_id),
+      |cut AS (SELECT max(CASE WHEN r = CAST(ceil(n * $ExcessKeepNum /
+      |            ${ExcessKeepDen.toDouble}) AS BIGINT)
+      |          THEN excess_logp END) AS c
+      |        FROM (SELECT excess_logp,
+      |                row_number() OVER (ORDER BY excess_logp DESC, doc_id) AS r,
+      |                count(*) OVER () AS n
+      |              FROM sc WHERE $hb < $PplSampleBar) t)
+      |SELECT sc.doc_id, sc.n_grams, sc.excess_logp,
+      |  sc.excess_logp >= cut.c AS selected
+      |FROM sc, cut
+      |ORDER BY doc_id""".stripMargin
+  }
+
   def lmScoreSql: String =
     s"""WITH d AS (SELECT doc_id, text FROM documents WHERE length(text) >= 3),
       |g AS (SELECT doc_id, substring(text, CAST(i AS INTEGER), 3) AS g

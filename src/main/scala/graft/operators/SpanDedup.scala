@@ -396,30 +396,88 @@ object SpanDedup {
   }
 
   /** Scrub over arbitrary corpus and benchmark frames — the
-    * production shape (real eval suites are their own tables). */
+    * production shape (real eval suites are their own tables). `k` is
+    * the witness width (default [[DecontamK]]; [[decontaminateWidths]]
+    * sweeps it). */
   def spanDecontaminateFrom(spark: SparkSession, corpus: DataFrame,
-                            bench: DataFrame): DataFrame = {
+                            bench: DataFrame,
+                            k: Int = DecontamK): DataFrame = {
     val benchGrams = bench
-      .select(explode(Vectors.shinglesFast(spark, coalesce(col("text"), lit("")), DecontamK,
+      .select(explode(Vectors.shinglesFast(spark, coalesce(col("text"), lit("")), k,
         distinct = true)).as("g"))
       .select(xxhash64(col("g")).as("gh")).distinct()
     val base = corpus.select(col("doc_id"),
       split(coalesce(col("text"), lit("")), " ", -1).as("tk"))
       .withColumn("n_tokens", size(col("tk")).cast("long"))
     val anchors = corpus.select(col("doc_id"),
-      posexplode(Vectors.shinglesFast(spark, coalesce(col("text"), lit("")), DecontamK,
+      posexplode(Vectors.shinglesFast(spark, coalesce(col("text"), lit("")), k,
         distinct = false)).as(Seq("p0", "g")))
       .select(col("doc_id"), (col("p0") + 1).as("i"),
         xxhash64(col("g")).as("gh"))
       .join(broadcast(benchGrams), Seq("gh"))
       .select("doc_id", "i")
-    sealSpans(base, anchors, DecontamK)
+    sealSpans(base, anchors, k)
       .withColumnRenamed("dup_tokens", "contam_tokens")
       .withColumnRenamed("dup_frac", "contam_frac")
   }
 
-  def spanDecontaminateSql: String = {
-    val K = DecontamK
+  // ---------------------------------------------------------- T4
+  /** Witness widths for the [[decontaminateWidths]] sensitivity
+    * report: 5 (this corpus's partial-overlap grain, = [[DecontamK]]),
+    * 8 (the S1 exact-twin grain), 13 (the published GPT-3 width). */
+  val DecontamWidths: Seq[Int] = Seq(5, 8, 13)
+
+  /** T4: decontamination width-sensitivity report — the protocol knob
+    * every published decontamination differs on (GPT-3 uses 13-grams,
+    * PaLM 8, Llama-era work down to 5) swept over [[DecontamWidths]]
+    * against the SAME corpus/benchmark split as T2, emitting one row
+    * per width: documents hit, contaminated token mass, and the mass
+    * fraction. The curve is the evidence for choosing T2's production
+    * width — a width where the mass explodes is matching generic
+    * phrases, a width where it vanishes only catches verbatim twins.
+    *
+    * Three corpus gram passes (one per width) by design: widths don't
+    * share gram streams, and a multi-width fused pass would triple
+    * the exchanged anchor volume for the two widths a deployment
+    * would NOT pick; the per-width pass inherits T2's scale shape
+    * (broadcast bench grams, anchors-only to the doc windows). */
+  def decontaminateWidths(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.parallelized(spark, Tables.documents(spark, dir))
+    val isBench = Sampling.hashBucket(col("doc_id"), BenchSalt) <
+      Sampling.pctThreshold(BenchPct)
+    val corpus = docs.where(!isBench)
+    val bench = docs.where(isBench)
+    DecontamWidths.map { k =>
+      spanDecontaminateFrom(spark, corpus, bench, k)
+        .agg(
+          sum(when(col("n_spans") > 0, 1L).otherwise(0L)).as("contaminated_docs"),
+          sum(col("contam_tokens")).as("contam_tokens"),
+          sum(col("n_tokens")).as("total_tokens"))
+        .select(lit(k).as("width"), col("contaminated_docs"),
+          col("contam_tokens"), col("total_tokens"),
+          round(col("contam_tokens").cast("double") / col("total_tokens"), 6)
+            .as("contam_token_frac"))
+    }.reduce(_ unionAll _).orderBy("width")
+  }
+
+  def decontaminateWidthsSql: String =
+    DecontamWidths.map { k =>
+      val inner = spanDecontaminateSqlFor(k)
+        .replaceAll("ORDER BY doc_id\\s*$", "")
+      s"""SELECT $k AS width,
+        |  CAST(sum(CASE WHEN n_spans > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS contaminated_docs,
+        |  CAST(sum(contam_tokens) AS BIGINT) AS contam_tokens,
+        |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        |  round(CAST(sum(contam_tokens) AS DOUBLE) / sum(n_tokens), 6)
+        |    AS contam_token_frac
+        |FROM ($inner) w$k""".stripMargin
+    }.mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY width")
+
+  def spanDecontaminateSql: String = spanDecontaminateSqlFor(DecontamK)
+
+  def spanDecontaminateSqlFor(k: Int): String = {
+    val K = k
     val isBench = s"${Sampling.hashBucketSql("doc_id", BenchSalt)} < " +
       s"${Sampling.pctThreshold(BenchPct)}"
     s"""WITH t AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS tk

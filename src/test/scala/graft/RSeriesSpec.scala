@@ -143,4 +143,36 @@ class RSeriesSpec extends SparkSpec {
       self.exceptAll(fromForm).count() == 0,
       "composable form diverges from the self-contained form")
   }
+  // ------------------------------------------------------------- R5
+  test("excess_loss_select is a clean threshold cut that favors the target band") {
+    val out = graft.operators.CharLm.excessLossSelect(spark, sfDir).cache()
+    // coverage: one row per scoreable doc (>= one trigram)
+    val scoreable = graft.sources.Tables.documents(spark, sfDir)
+      .where(length(col("text")) >= 3).count()
+    assert(out.count() == scoreable, "scored rows != scoreable docs")
+    val sel = out.where(col("selected"))
+    val unsel = out.where(!col("selected"))
+    assert(sel.count() > 0 && unsel.count() > 0, "degenerate selection")
+    // threshold semantics: every selected doc outranks every
+    // unselected one (scores are 6-dp-rounded, cut is >=, so the
+    // separation is strict)
+    val minSel = sel.agg(min("excess_logp")).head().getDouble(0)
+    val maxUnsel = unsel.agg(max("excess_logp")).head().getDouble(0)
+    assert(minSel > maxUnsel,
+      s"selection is not a clean cut: min(sel)=$minSel <= max(unsel)=$maxUnsel")
+    // the sampled order-statistic cut lands the kept share near 2/5
+    val frac = sel.count().toDouble / out.count()
+    assert(frac > 0.2 && frac < 0.6, s"keep fraction $frac far from 2/5")
+    // RHO-1 ordering gate: the band-trained reference model must price
+    // its own band higher than out-of-band mass on average — the
+    // likelihood-ratio direction the selection exists to exploit
+    val withBand = out.join(
+      graft.sources.Tables.documents(spark, sfDir).select(col("doc_id"),
+        (graft.operators.TextAnalysis.qualityScore(col("text")) >=
+          graft.operators.Dsir.TargetBand).as("t")), "doc_id")
+    val m = withBand.groupBy("t").agg(avg("excess_logp").as("m")).collect()
+      .map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+    assert(m(true) > m(false),
+      "target-band docs must carry higher excess logp than non-band docs")
+  }
 }

@@ -262,4 +262,46 @@ class SSeriesSpec extends SparkSpec {
       .count()
     assert(out.map(_.getAs[Long]("n")).sum == banded)
   }
+  // ------------------------------------------------------------- T4
+  test("decontaminate_widths curve is mass-monotone and consistent with T2") {
+    val out = SpanDedup.decontaminateWidths(spark, sfDir).collect()
+      .map(r => r.getAs[Int]("width") -> r).toMap
+    assert(out.keySet == SpanDedup.DecontamWidths.toSet, "missing width row")
+    // the corpus token mass is width-independent
+    assert(out.values.map(_.getAs[Long]("total_tokens")).toSet.size == 1,
+      "total_tokens differs across widths")
+    // a width-w anchor implies anchors at every narrower width whose
+    // coverage contains it (sub-grams of a bench gram are bench
+    // grams), so contaminated mass is non-increasing in width
+    val mass = SpanDedup.DecontamWidths.map(out(_).getAs[Long]("contam_tokens"))
+    assert(mass.zip(mass.tail).forall { case (a, b) => a >= b },
+      s"contaminated mass not monotone in width: $mass")
+    // the width-DecontamK row restates the T2 aggregate exactly
+    val t2 = SpanDedup.spanDecontaminate(spark, sfDir)
+      .agg(sum("contam_tokens"), sum("n_tokens")).head()
+    assert(out(SpanDedup.DecontamK).getAs[Long]("contam_tokens") == t2.getLong(0)
+      && out(SpanDedup.DecontamK).getAs[Long]("total_tokens") == t2.getLong(1),
+      "width-K row diverges from the T2 aggregate")
+  }
+
+  test("decontaminate_widths widths discriminate a planted 8-token quote") {
+    // bench doc of 20 distinct tokens; a page quotes tokens 5..12 —
+    // an 8-token verbatim run. Widths 5 and 8 must cut exactly those
+    // 8 tokens; width 13 must cut nothing (no 13-token run is shared,
+    // and the corpus doc is long enough that no truncated-witness
+    // fallback fires)
+    val benchToks = (0 until 20).map(i => s"ev$i")
+    val bench = Seq((100L, benchToks.mkString(" "))).toDF("doc_id", "text")
+    val quote = benchToks.slice(4, 12).mkString(" ")
+    val corpus = Seq(
+      (1L, s"${toks(6, "pre")} $quote ${toks(6, "post")}"))
+      .toDF("doc_id", "text")
+    val byWidth = Seq(5, 8, 13).map { w =>
+      w -> SpanDedup.spanDecontaminateFrom(spark, corpus, bench, w)
+        .head().getAs[Long]("contam_tokens")
+    }.toMap
+    assert(byWidth(5) == 8L, s"width 5 cut ${byWidth(5)} tokens, want 8")
+    assert(byWidth(8) == 8L, s"width 8 cut ${byWidth(8)} tokens, want 8")
+    assert(byWidth(13) == 0L, s"width 13 cut ${byWidth(13)} tokens, want 0")
+  }
 }
