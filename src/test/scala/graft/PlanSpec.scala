@@ -357,4 +357,28 @@ class PlanSpec extends SparkSpec {
       rm(new java.io.File(dir))
     }
   }
+  test("tokenize export is one narrow pass: no join, only the presentation sort exchange") {
+    val df = graft.SparkEntry.queries("q_tokenize_export")(spark, sfDir)
+    val plan = finalPlan(df)
+    assert(!plan.contains("Join"), s"export plans a join:\n$plan")
+    // the ONLY exchange allowed is the total-order presentation sort
+    // (rangepartitioning); a hash exchange would mean the encode pass
+    // stopped being map-side
+    val exchanges = "Exchange (\\w+)".r.findAllMatchIn(plan).map(_.group(1)).toList
+    assert(exchanges.nonEmpty && exchanges.forall(_ == "rangepartitioning"),
+      s"non-presentation exchange in export plan: $exchanges\n$plan")
+  }
+
+  test("vocab coverage cuts the histogram with TakeOrdered and broadcasts the totals") {
+    val df = graft.SparkEntry.queries("q_vocab_coverage")(spark, sfDir)
+    val plan = finalPlan(df)
+    // the corpus-scale word histogram must be cut to the bounded
+    // candidate table by top-N, never a full sort
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"histogram cut is not top-N:\n$plan")
+    // the token-total side joins in as a broadcast (1-row frame);
+    // nothing corpus-scale crosses a nested-loop join
+    assert(plan.contains("BroadcastExchange"), s"totals not broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"unbounded cross join:\n$plan")
+  }
 }

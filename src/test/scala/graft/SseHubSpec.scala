@@ -162,4 +162,70 @@ class SseHubSpec extends SparkSpec {
         s"restart lost retained history: $all")
     } finally hub.stop()
   }
+  test("eviction under load: concurrent evicting writers, reconnecting readers, gapless suffixes") {
+    // the round-13 eviction case ran at capacity 2 against a quiet
+    // ring; this is the production-shaped version: a 64-frame ring,
+    // writers appending 600 events (the click ring evicts ~5x over),
+    // and readers attaching MID-CHURN with long-evicted seeks. The
+    // pinned property is that replay truncation is race-free: each
+    // reader's delivered set is a CONTIGUOUS SUFFIX of the route's
+    // stream — eviction may cut the front, never punch a hole between
+    // the replay snapshot and the live hand-over (append/subscribe
+    // share one lock) — with no duplicate and nothing at/before the
+    // seek. Per-frame arrival ORDER inside a micro-batch is not
+    // contractual (the foreach sink is task-parallel), so the
+    // assertions are set-level.
+    val base = Files.createTempDirectory("graft_hub_load").toFile
+    val evDir = new File(base, "events.parquet")
+    writeEvents(evDir, 1 to 10, append = false)
+    val hub = new graft.streaming.SseHub(spark, base.getPath, capacity = 64)
+    hub.start()
+    try {
+      assert(eventually()(hub.retainedRange("click").exists(_._2 >= 10L)),
+        "seed ingest never landed")
+      val lastId = 610L // even -> the final click offset
+      val writer = new Thread(() => {
+        var next = 11
+        while (next < lastId) {
+          writeEvents(evDir, next to math.min(next + 19, lastId.toInt),
+            append = true)
+          next += 20
+          Thread.sleep(30)
+        }
+      })
+      writer.setDaemon(true)
+      writer.start()
+      // readers attach at staggered points of the churn, all seeking
+      // offset 2 — evicted by (or soon after) the time they arrive
+      val idRe = "(?m)^id: (\\d+)$".r
+      val readers = (1 to 6).map { _ =>
+        Thread.sleep(150)
+        (hub.subscribe("click", afterOffset = 2L),
+          scala.collection.mutable.ArrayBuffer.empty[Long])
+      }
+      def drainAll(): Unit = readers.foreach { case (sub, buf) =>
+        sub.drain().foreach { f =>
+          idRe.findFirstMatchIn(f).foreach(m => buf += m.group(1).toLong)
+        }
+      }
+      // drain continuously (a stalled reader would overflow its queue
+      // by design) until every reader saw the final head
+      assert(eventually(180000L) {
+        drainAll(); readers.forall(_._2.contains(lastId))
+      }, s"readers never reached head $lastId: got ${readers.map(_._2.size)}")
+      writer.join(10000L)
+      drainAll()
+      readers.foreach { case (sub, got) =>
+        assert(!sub.overflowed, "drained reader still overflowed")
+        assert(got.forall(o => o > 2L && o % 2 == 0),
+          s"at/before-seek or foreign-route frame: ${got.filterNot(o => o > 2L && o % 2 == 0)}")
+        assert(got.distinct.size == got.size,
+          s"duplicate delivery: ${got.diff(got.distinct).take(5)}")
+        val sorted = got.sorted
+        val want = sorted.head to lastId by 2L
+        assert(sorted == want.toBuffer,
+          s"hole inside the delivered suffix: ${sorted.size} ids from ${sorted.head}, want ${want.size}")
+      }
+    } finally hub.stop()
+  }
 }
