@@ -3,15 +3,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Scratch probe main for interactive dev; not part of the contract.
-  * Current probe (round 12): the P3 two-level materialization rank
-  * under a PLANTED 90%-mass source — the exact pathology the round-11
-  * verdict flagged (a full-source row_number window puts a dominant
-  * crawl source in one task). Times mixUnimaxFrom at the given corpus
-  * on (a) the natural uniform source mix and (b) a remapped mix where
-  * ~90% of docs share one source; the two-level rank should price both
-  * the same (the straddling bucket is ~n_s/256 regardless of skew),
-  * where the old single-window shape degrades toward a one-task sort
-  * of 90% of the corpus. Numbers land in BASELINE.md. */
+  * Current probe (round 14): the per-gram flag-projection pathology —
+  * prices the R5/R1 fit shapes at the given corpus. A fit written as
+  * `select(flag_expr, explode(grams))` evaluates flag_expr per GRAM
+  * row (the projection sits above the Generate); the shipped
+  * operators use the two-branch form instead (see BASELINE.md,
+  * round 14). Kept as the reproduction harness. */
 object Dev {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
@@ -24,23 +21,31 @@ object Dev {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/tmp/graft_x100")
-    val docs = spark.read.parquet(s"$dir/documents.parquet")
-      .select("doc_id", "source")
-    val skewed = docs.withColumn("source",
-      when(pmod(xxhash64(col("doc_id")), lit(10)) < 9, lit("crawl"))
-        .otherwise(col("source")))
-    def time(name: String)(df: => DataFrame): Unit = {
+    val docs = graft.sources.Tables.parallelized(spark,
+      graft.sources.Tables.documents(spark, dir))
+    def time[T](name: String)(f: => T): T = {
       val t0 = System.nanoTime()
-      df.write.mode("overwrite").format("noop").save()
+      val r = f
       println(f"[dev] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
     }
-    try {
-      println(s"[dev] corpus: ${docs.count()} docs at $dir")
-      time("unimax_uniform")(operators.Sampling.mixUnimaxFrom(docs))
-      time("unimax_skew90")(operators.Sampling.mixUnimaxFrom(skewed))
-      // second rep each: steady-state (codegen/footers warm)
-      time("unimax_uniform_rep2")(operators.Sampling.mixUnimaxFrom(docs))
-      time("unimax_skew90_rep2")(operators.Sampling.mixUnimaxFrom(skewed))
-    } finally spark.stop()
+    val flagged = docs.where(length(col("text")) >= 3)
+      .select(col("doc_id"),
+        (graft.operators.TextAnalysis.qualityScore(col("text")) >=
+          graft.operators.Dsir.TargetBand).as("is_target"),
+        explode(expr(
+          "transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))"))
+          .as("g"))
+    time("fit_flag_through_explode (pathological)") {
+      flagged.groupBy("g")
+        .agg(count(lit(1)).as("c3_r"),
+          sum(when(col("is_target"), 1L).otherwise(0L)).as("c3_t"))
+        .write.mode("overwrite").format("noop").save()
+    }
+    time("fit_two_branch (shipped shape)") {
+      graft.operators.CharLm.excessLossSelect(spark, dir)
+        .write.mode("overwrite").format("noop").save()
+    }
+    spark.stop()
   }
 }

@@ -211,17 +211,33 @@ object CharLm {
     excessLossSelectFrom(Tables.parallelized(spark, Tables.documents(spark, dir)))
 
   def excessLossSelectFrom(docs: DataFrame): DataFrame = {
-    val grams = docs.where(length(col("text")) >= 3)
+    val corpus3 = docs.where(length(col("text")) >= 3)
+    def gramsOf(d: DataFrame): DataFrame = d
       .select(col("doc_id"),
-        (TextAnalysis.qualityScore(col("text")) >= Dsir.TargetBand).as("is_target"),
         explode(expr(
           "transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))"))
           .as("g"))
-    // one fit pass for BOTH models; the ≤|charset|³-row artifact has
-    // two consumers (prefix totals + λ join) -> localCheckpoint
-    val counts = grams.groupBy("g")
-      .agg(count(lit(1)).as("c3_r"),
-        sum(when(col("is_target"), 1L).otherwise(0L)).as("c3_t"))
+    val grams = gramsOf(corpus3)
+    // Fit as TWO flag-free branches, NOT one pass carrying a per-doc
+    // target flag through the explode: a projection like
+    // `select(is_target, explode(...))` puts the flag expression
+    // ABOVE the Generate, so the quality score's string ops
+    // (split/array_distinct/replace) re-evaluate PER GRAM ROW — ~300×
+    // per doc; measured 187 s of the query's 201 s at 100× before
+    // this split (DSIR shares the pattern at ~3× lower gram rate,
+    // where it stays subcritical). As a WHERE on the doc frame the
+    // predicate evaluates once per doc BELOW the Generate, the full
+    // branch never computes it at all, and the branches meet at
+    // vocabulary grain.
+    val countsR = grams.groupBy("g").agg(count(lit(1)).as("c3_r"))
+    val countsT = gramsOf(corpus3.where(
+        TextAnalysis.qualityScore(col("text")) >= Dsir.TargetBand))
+      .groupBy("g").agg(count(lit(1)).as("c3_t"))
+    // the ≤|charset|³-row artifact has two consumers (prefix totals +
+    // λ join) -> localCheckpoint
+    val counts = countsR.join(countsT, Seq("g"), "left")
+      .select(col("g"), col("c3_r"),
+        coalesce(col("c3_t"), lit(0L)).as("c3_t"))
       .localCheckpoint()
     val prefix = counts.groupBy(substring(col("g"), 1, 2).as("pfx"))
       .agg(sum(col("c3_r")).as("c2_r"), sum(col("c3_t")).as("c2_t"))

@@ -56,22 +56,32 @@ object Dsir {
     // featurize: hashed word unigrams + bigrams, occurrences kept
     // (DSIR counts feature multiplicity), one fused narrow pass
     val feat: Column = Sampling.hashBucket(col("g"), salt) % NBuckets
-    val g = docs
+    def featsOf(d: DataFrame): DataFrame = d
       .select(col("doc_id"),
-        (TextAnalysis.qualityScore(col("text")) >= TargetBand).as("is_target"),
         explode(concat(
           Vectors.shinglesFast(spark, col("text"), 1, distinct = false),
           Vectors.shinglesFast(spark, col("text"), 2, distinct = false)))
           .as("g"))
-      .select(col("doc_id"), col("is_target"), feat.as("f"))
+      .select(col("doc_id"), feat.as("f"))
+    val g = featsOf(docs)
+    // Fit as TWO flag-free branches, not one pass carrying a per-doc
+    // target flag through the explode: the flag projection sits ABOVE
+    // the Generate, so the quality predicate's string ops re-evaluate
+    // PER FEATURE ROW (~100× per doc here; the R5 profile measured
+    // the same shape at 187 s/100× on its 3× denser gram stream). As
+    // a WHERE on the doc frame the predicate runs once per doc below
+    // the Generate and the branches meet at feature grain.
     // localCheckpoint: counts is a ≤NBuckets-row model artifact with
     // TWO consumers (totals + λ) — without it each consumer re-runs
-    // the corpus-scale feature explode (the plan showed three gram
-    // passes; now exactly two: fit + score, the deliberate
-    // recompute-over-materialize floor for a corpus-×-tokens stream)
-    val counts = g.groupBy("f")
-      .agg(count(lit(1)).as("c_r"),
-        sum(when(col("is_target"), 1L).otherwise(0L)).as("c_t"))
+    // the corpus-scale feature explode (fit branches + score = three
+    // explodes total, the deliberate recompute-over-materialize floor
+    // for a corpus-×-tokens stream)
+    val counts = g.groupBy("f").agg(count(lit(1)).as("c_r"))
+      .join(featsOf(docs.where(
+          TextAnalysis.qualityScore(col("text")) >= TargetBand))
+        .groupBy("f").agg(count(lit(1)).as("c_t")), Seq("f"), "left")
+      .select(col("f"), col("c_r"),
+        coalesce(col("c_t"), lit(0L)).as("c_t"))
       .localCheckpoint()
     val tot = counts.agg(sum("c_r").as("n_r"), sum("c_t").as("n_t"))
     val lam = counts.crossJoin(broadcast(tot))
