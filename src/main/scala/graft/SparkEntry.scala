@@ -211,7 +211,11 @@ object SparkEntry {
     "q_excess_loss_select" -> ((s: SparkSession, d: String) =>
       CharLm.excessLossSelect(s, d)),
     // T4: decontamination width-sensitivity curve over n in {5, 8, 13}
-    "q_decontaminate_widths" -> (SpanDedup.decontaminateWidths _)
+    "q_decontaminate_widths" -> (SpanDedup.decontaminateWidths _),
+    // H12: temperature-scaled source mixing (n^alpha sampling law,
+    // exact integer largest-remainder allocation)
+    "q_mix_temperature" -> ((s: SparkSession, d: String) =>
+      DomainMix.mixTemperature(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -336,6 +340,7 @@ object SparkEntry {
     "q_span_report" -> SpanDedup.spanReportSql,
     "q_retrieval_eval" -> Retrieval.retrievalEvalSql,
     "q_excess_loss_select" -> CharLm.excessLossSelectSql,
-    "q_decontaminate_widths" -> SpanDedup.decontaminateWidthsSql
+    "q_decontaminate_widths" -> SpanDedup.decontaminateWidthsSql,
+    "q_mix_temperature" -> DomainMix.mixTemperatureSql
   )
 }

@@ -311,4 +311,87 @@ object DomainMix {
       |FROM ex, z
       |ORDER BY source""".stripMargin
   }
+
+  // ---------------------------------------------------------- H12
+  /** Temperature exponent: the published multilingual default
+    * (XLM-R trains with alpha = 0.3; T5's temperature-scaled mixing is
+    * the same recipe with T = 1/alpha). */
+  val TempAlpha = 0.3
+  /** Weights are fixed at micro-precision before any integer
+    * apportionment, so both engines allocate from identical integers. */
+  val TempWScale = 1000000L
+
+  /** H12: temperature-scaled source mixing (Raffel et al. 2020 §3.4.2;
+    * Conneau et al. 2020) — the third published mixing law next to
+    * H10's uniform cap and P3's UniMax: sampling mass proportional to
+    * n_s^alpha, which flattens the source distribution WITHOUT fully
+    * equalizing it (alpha = 1 is proportional, alpha = 0 uniform). The
+    * output is the per-source draw allocation for a same-size epoch
+    * (budget = n_total): over-represented sources land draw < avail
+    * (downsample), rare sources draw > avail (repetition — `epochs`
+    * makes the repetition factor explicit, the data-constrained
+    * signal S3 then caps).
+    *
+    * Engine determinism: the ONLY float step is pow(n, alpha),
+    * immediately frozen to an integer micro-weight
+    * (round(pow·10⁶)); allocation is the exact largest-remainder
+    * method in pure integers — base = B·w DIV W, remainders ranked
+    * (rem DESC, source ASC) — so cross-engine pow ulps are absorbed
+    * at the freeze and everything after is bit-exact. B·w stays
+    * within Long for corpora to ~10¹¹ docs (w ≤ ~10⁸ micro-units).
+    *
+    * Scale shape: everything after the one source-grain count
+    * aggregation operates on #sources rows; the rank window is over
+    * the bounded source table. */
+  def mixTemperature(spark: SparkSession, dir: String): DataFrame =
+    mixTemperatureFrom(Tables.documents(spark, dir))
+
+  def mixTemperatureFrom(docs: DataFrame): DataFrame = {
+    val w = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+      .select(col("source"), col("n_docs"),
+        round(pow(col("n_docs"), lit(TempAlpha)) * TempWScale, 0)
+          .cast("long").as("w"))
+    val tot = w.agg(sum(col("w")).as("w_tot"), sum(col("n_docs")).as("b"))
+    val alloc = w.crossJoin(broadcast(tot))
+      .withColumn("base", expr("b * w DIV w_tot"))
+      .withColumn("rem", expr("(b * w) % w_tot"))
+      .localCheckpoint() // bounded #sources rows, three consumers
+    val leftover = alloc.agg((first(col("b")) - sum(col("base"))).as("r"))
+    import org.apache.spark.sql.expressions.Window
+    val wRk = Window.orderBy(col("rem").desc, col("source"))
+    alloc.withColumn("rk", row_number().over(wRk))
+      .crossJoin(broadcast(leftover))
+      .select(col("source"), col("n_docs"),
+        round(col("w").cast("double") / TempWScale, 6).as("weight"),
+        (col("base") + when(col("rk") <= col("r"), 1L).otherwise(0L))
+          .as("draw_count"))
+      .withColumn("epochs",
+        round(col("draw_count").cast("double") / col("n_docs"), 6))
+      .orderBy("source")
+  }
+
+  def mixTemperatureSql: String =
+    s"""WITH per AS (SELECT source, count(*) AS n_docs
+      |            FROM documents GROUP BY source),
+      |w AS (SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+      |        CAST(round(pow(n_docs, $TempAlpha) * $TempWScale, 0) AS BIGINT) AS w
+      |      FROM per),
+      |tot AS (SELECT CAST(sum(w) AS BIGINT) AS w_tot,
+      |               CAST(sum(n_docs) AS BIGINT) AS b FROM w),
+      |alloc AS (SELECT source, n_docs, w, b, w_tot,
+      |            (b * w) // w_tot AS base, (b * w) % w_tot AS rem
+      |          FROM w, tot),
+      |lef AS (SELECT CAST(min(b) - sum(base) AS BIGINT) AS r FROM alloc),
+      |rk AS (SELECT source,
+      |         row_number() OVER (ORDER BY rem DESC, source) AS rk
+      |       FROM alloc)
+      |SELECT a.source, a.n_docs,
+      |  round(CAST(a.w AS DOUBLE) / $TempWScale, 6) AS weight,
+      |  CAST(a.base + CASE WHEN rk.rk <= lef.r THEN 1 ELSE 0 END AS BIGINT)
+      |    AS draw_count,
+      |  round(CAST(a.base + CASE WHEN rk.rk <= lef.r THEN 1 ELSE 0 END
+      |        AS DOUBLE) / a.n_docs, 6) AS epochs
+      |FROM alloc a, lef, rk
+      |WHERE rk.source = a.source
+      |ORDER BY a.source""".stripMargin
 }

@@ -304,4 +304,38 @@ class SSeriesSpec extends SparkSpec {
     assert(byWidth(8) == 8L, s"width 8 cut ${byWidth(8)} tokens, want 8")
     assert(byWidth(13) == 0L, s"width 13 cut ${byWidth(13)} tokens, want 0")
   }
+  // ------------------------------------------------------------- H12
+  test("mix_temperature conserves the budget and flattens toward rare sources") {
+    // planted skew: one dominant source, two rare ones
+    val docs = ((1 to 400).map(i => (i.toLong, "crawl")) ++
+      (401 to 450).map(i => (i.toLong, "books")) ++
+      (451 to 500).map(i => (i.toLong, "wiki")))
+      .toDF("doc_id", "source")
+    val out = DomainMix.mixTemperatureFrom(docs).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    val draws = out.view.mapValues(_.getAs[Long]("draw_count")).toMap
+    // budget conservation is exact (largest-remainder property)
+    assert(draws.values.sum == 500L, s"draws $draws must sum to the budget")
+    // independent largest-remainder recomputation in BigInt
+    val n = Map("crawl" -> 400L, "books" -> 50L, "wiki" -> 50L)
+    val w = n.view.mapValues(v =>
+      BigInt(math.round(math.pow(v.toDouble, DomainMix.TempAlpha) * DomainMix.TempWScale))).toMap
+    val wTot = w.values.sum
+    val base = w.view.mapValues(v => BigInt(500) * v / wTot).toMap
+    val rem = w.map { case (k, v) => k -> (BigInt(500) * v % wTot) }
+    val leftover = (BigInt(500) - base.values.sum).toInt
+    val bump = rem.toSeq.sortBy { case (k, r) => (-r, k) }.take(leftover).map(_._1).toSet
+    n.keys.foreach { k =>
+      val want = base(k) + (if (bump(k)) 1 else 0)
+      assert(BigInt(draws(k)) == want, s"$k: draw ${draws(k)} != independent $want")
+    }
+    // flattening: alpha in (0,1) sits strictly between uniform and
+    // proportional for the dominant source, and the repetition factor
+    // (epochs) decreases with source size
+    val crawlShare = draws("crawl").toDouble / 500
+    assert(crawlShare > 1.0 / 3 && crawlShare < 0.8,
+      s"crawl share $crawlShare outside (uniform, proportional)")
+    assert(out("crawl").getAs[Double]("epochs") < out("books").getAs[Double]("epochs"),
+      "dominant source must repeat less than a rare source")
+  }
 }
