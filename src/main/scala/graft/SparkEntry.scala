@@ -215,7 +215,13 @@ object SparkEntry {
     // H12: temperature-scaled source mixing (n^alpha sampling law,
     // exact integer largest-remainder allocation)
     "q_mix_temperature" -> ((s: SparkSession, d: String) =>
-      DomainMix.mixTemperature(s, d))
+      DomainMix.mixTemperature(s, d)),
+    // V1: Gopher rule-based quality filter report
+    "q_gopher_rules" -> ((s: SparkSession, d: String) =>
+      RuleFilters.gopherRules(s, d)),
+    // V2: C4 line-level cleaning (cleaned text hash-gated via md5)
+    "q_c4_clean" -> ((s: SparkSession, d: String) =>
+      RuleFilters.c4Clean(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -341,6 +347,8 @@ object SparkEntry {
     "q_retrieval_eval" -> Retrieval.retrievalEvalSql,
     "q_excess_loss_select" -> CharLm.excessLossSelectSql,
     "q_decontaminate_widths" -> SpanDedup.decontaminateWidthsSql,
-    "q_mix_temperature" -> DomainMix.mixTemperatureSql
+    "q_mix_temperature" -> DomainMix.mixTemperatureSql,
+    "q_gopher_rules" -> RuleFilters.gopherRulesSql,
+    "q_c4_clean" -> RuleFilters.c4CleanSql
   )
 }

@@ -1,0 +1,217 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Portable
+import graft.sources.Tables
+
+/** Published rule-based document filters (V-series): the hand-written
+  * heuristic gates every large public pretraining corpus ships with,
+  * complementing the LEARNED quality models already in the suite (E2's
+  * blended score, P2's trained classifier, O4/S2's LM perplexity).
+  *
+  * - V1 [[gopherRules]]: the Gopher repetition-free quality rule set
+  *   (Rae et al. 2021, appendix A1.1) — word count, mean word length,
+  *   symbol-to-word ratio, bullet/ellipsis line fractions, alphabetic
+  *   word fraction, required-stopword presence.
+  * - V2 [[c4Clean]]: C4's line-level cleaning pass (Raffel et al.
+  *   2020, §2.2) — terminal punctuation, minimum line words,
+  *   lorem-ipsum / brace / "javascript" page-and-line rules.
+  *
+  * Scale shape: every rule is a narrow per-row expression over built-in
+  * string/array functions — a single scan with no shuffle and no UDFs,
+  * one WholeStageCodegen span; 100 TB is just more partitions. All
+  * double ratios are derived from integer counts with the identical
+  * operation order on both engines (IEEE-identical), so the DuckDB
+  * oracle reproduces exact bits.
+  */
+object RuleFilters {
+
+  /** Gopher's required "stop words" — a doc must contain at least
+    * [[GopherMinStopwords]] distinct members (Rae et al. 2021 A1.1). */
+  val GopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+  val GopherMinStopwords = 2
+
+  val GopherMinWords = 50L
+  val GopherMaxWords = 100000L
+  val GopherMinWordLen = 3.0
+  val GopherMaxWordLen = 10.0
+  val GopherMaxSymbolRatio = 0.1
+  val GopherMaxBulletFrac = 0.9
+  val GopherMaxEllipsisFrac = 0.3
+  val GopherMinAlphaFrac = 0.8
+
+  // ---------------------------------------------------------------- V1
+  /** Gopher rule report: per document, every rule's measured statistic,
+    * its boolean verdict, and the conjunction (`pass`). Emitting the
+    * full per-rule breakdown (not just the filter) is deliberate — at
+    * corpus scale the distribution of failure REASONS is the tuning
+    * signal, and M2's drop-provenance ledger can consume the flags. */
+  def gopherRules(spark: SparkSession, dir: String): DataFrame =
+    gopherRulesFrom(Tables.documents(spark, dir))
+
+  def gopherRulesFrom(docs: DataFrame): DataFrame = {
+    val text = col("text")
+    val nWords = Portable.nTokens(text)
+    val meanWordLen = (length(text) - nWords + 1).cast("double") / nWords
+    val symRatio =
+      (Portable.countSubstr(text, "#") + Portable.countSubstr(text, "..."))
+        .cast("double") / nWords
+    val lines = split(text, "\n")
+    val nLines = size(lines).cast("long")
+    val bulletFrac = size(filter(lines, l =>
+      l.startsWith("- ") || l.startsWith("* ") || l.startsWith("• ")))
+      .cast("double") / nLines
+    val ellipsisFrac =
+      size(filter(lines, l => l.endsWith("..."))).cast("double") / nLines
+    // a word is alphabetic iff case-mapping changes it — portable, no
+    // regex-dialect dependence
+    val alphaFrac = size(filter(split(text, " "), w => lower(w) =!= upper(w)))
+      .cast("double") / nWords
+    val p = Portable.padded(text)
+    val nStop = GopherStopwords
+      .map(w => when(Portable.countSubstr(p, s" $w ") > 0, 1L).otherwise(0L))
+      .reduce(_ + _)
+    val rWords = nWords >= GopherMinWords && nWords <= GopherMaxWords
+    val rWordLen =
+      meanWordLen >= GopherMinWordLen && meanWordLen <= GopherMaxWordLen
+    val rSymbol = symRatio < GopherMaxSymbolRatio
+    val rBullet = bulletFrac <= GopherMaxBulletFrac
+    val rEllipsis = ellipsisFrac <= GopherMaxEllipsisFrac
+    val rAlpha = alphaFrac >= GopherMinAlphaFrac
+    val rStop = nStop >= GopherMinStopwords
+    docs.select(col("doc_id"), nWords.as("n_words"),
+      round(meanWordLen, 6).as("mean_word_len"),
+      round(symRatio, 6).as("symbol_ratio"),
+      round(bulletFrac, 6).as("bullet_frac"),
+      round(ellipsisFrac, 6).as("ellipsis_frac"),
+      round(alphaFrac, 6).as("alpha_frac"),
+      nStop.as("n_stopwords"),
+      rWords.as("r_words"), rWordLen.as("r_word_len"),
+      rSymbol.as("r_symbol"), rBullet.as("r_bullet"),
+      rEllipsis.as("r_ellipsis"), rAlpha.as("r_alpha"),
+      rStop.as("r_stopwords"),
+      (rWords && rWordLen && rSymbol && rBullet && rEllipsis && rAlpha &&
+        rStop).as("pass"))
+      .orderBy("doc_id")
+  }
+
+  val gopherRulesSql: String = {
+    val nW = Portable.nTokensSql("text")
+    val mwl = s"(CAST(length(text) - $nW + 1 AS DOUBLE) / $nW)"
+    val sym = s"(CAST(${Portable.countSubstrSql("text", "#")} + " +
+      s"${Portable.countSubstrSql("text", "...")} AS DOUBLE) / $nW)"
+    val lines = "string_split(text, chr(10))"
+    val nL = s"CAST(len($lines) AS BIGINT)"
+    val bullet = s"(CAST(len(list_filter($lines, l -> starts_with(l, '- ')" +
+      s" OR starts_with(l, '* ') OR starts_with(l, '• '))) AS DOUBLE)" +
+      s" / $nL)"
+    val ell = s"(CAST(len(list_filter($lines, l -> ends_with(l, '...')))" +
+      s" AS DOUBLE) / $nL)"
+    val alpha = "(CAST(len(list_filter(string_split(text, ' '), " +
+      s"w -> lower(w) != upper(w))) AS DOUBLE) / $nW)"
+    val p = Portable.paddedSql("text")
+    val nStop = GopherStopwords
+      .map(w => s"(CASE WHEN ${Portable.countSubstrSql(p, s" $w ")} > 0" +
+        " THEN 1 ELSE 0 END)")
+      .mkString("CAST(", " + ", " AS BIGINT)")
+    val rWords = s"(m.n_words >= $GopherMinWords AND " +
+      s"m.n_words <= $GopherMaxWords)"
+    val rWordLen = s"(m.mwl >= $GopherMinWordLen AND " +
+      s"m.mwl <= $GopherMaxWordLen)"
+    val rSymbol = s"(m.sym < $GopherMaxSymbolRatio)"
+    val rBullet = s"(m.bullet <= $GopherMaxBulletFrac)"
+    val rEllipsis = s"(m.ell <= $GopherMaxEllipsisFrac)"
+    val rAlpha = s"(m.alpha >= $GopherMinAlphaFrac)"
+    val rStop = s"(m.n_stopwords >= $GopherMinStopwords)"
+    s"""WITH m AS (
+      |  SELECT doc_id, CAST($nW AS BIGINT) AS n_words, $mwl AS mwl,
+      |    $sym AS sym, $bullet AS bullet, $ell AS ell, $alpha AS alpha,
+      |    $nStop AS n_stopwords
+      |  FROM documents)
+      |SELECT m.doc_id, m.n_words,
+      |  round(m.mwl, 6) AS mean_word_len,
+      |  round(m.sym, 6) AS symbol_ratio,
+      |  round(m.bullet, 6) AS bullet_frac,
+      |  round(m.ell, 6) AS ellipsis_frac,
+      |  round(m.alpha, 6) AS alpha_frac,
+      |  m.n_stopwords,
+      |  $rWords AS r_words, $rWordLen AS r_word_len,
+      |  $rSymbol AS r_symbol, $rBullet AS r_bullet,
+      |  $rEllipsis AS r_ellipsis, $rAlpha AS r_alpha,
+      |  $rStop AS r_stopwords,
+      |  ($rWords AND $rWordLen AND $rSymbol AND $rBullet AND $rEllipsis
+      |   AND $rAlpha AND $rStop) AS pass
+      |FROM m ORDER BY m.doc_id""".stripMargin
+  }
+
+  val C4MinLineWords = 5L
+  val C4MinSentences = 3L
+
+  // ---------------------------------------------------------------- V2
+  /** C4 line-level cleaning (Raffel et al. 2020, §2.2): retain only
+    * lines that end in terminal punctuation, carry ≥ 5 words, and don't
+    * mention "javascript"; drop whole pages containing "lorem ipsum" or
+    * a curly brace, or whose cleaned text has < 3 sentences. The
+    * cleaned text itself rides the output as `cleaned_md5`, so the
+    * TRANSFORM — not just its statistics — sits under the hash gate.
+    * (C4's final step, three-sentence-span dedup, is S1's span-removal
+    * operator; its dirty-word page list is H3's blocklist scrub — this
+    * pass composes with both rather than re-implementing them.) */
+  def c4Clean(spark: SparkSession, dir: String): DataFrame =
+    c4CleanFrom(Tables.documents(spark, dir))
+
+  def c4CleanFrom(docs: DataFrame): DataFrame = {
+    val text = col("text")
+    val lines = split(text, "\n")
+    val kept = filter(lines, l =>
+      (l.endsWith(".") || l.endsWith("!") || l.endsWith("?") ||
+        l.endsWith("\"")) &&
+        Portable.nTokens(l) >= C4MinLineWords &&
+        !lower(l).contains("javascript"))
+    val cleaned = array_join(kept, "\n")
+    val nSent = Portable.countSubstr(cleaned, ".") +
+      Portable.countSubstr(cleaned, "!") + Portable.countSubstr(cleaned, "?")
+    val hasLorem = lower(text).contains("lorem ipsum")
+    val hasBrace = text.contains("{")
+    docs.select(col("doc_id"),
+      size(lines).cast("long").as("n_lines"),
+      size(kept).cast("long").as("n_lines_kept"),
+      length(cleaned).cast("long").as("n_chars_kept"),
+      nSent.as("n_sentences"),
+      hasLorem.as("has_lorem"), hasBrace.as("has_brace"),
+      (!hasLorem && !hasBrace && nSent >= C4MinSentences).as("page_kept"),
+      md5(cleaned).as("cleaned_md5"))
+      .orderBy("doc_id")
+  }
+
+  val c4CleanSql: String = {
+    val lines = "string_split(text, chr(10))"
+    val lineW = Portable.nTokensSql("l")
+    val kept = s"list_filter($lines, l -> (ends_with(l, '.') OR " +
+      "ends_with(l, '!') OR ends_with(l, '?') OR ends_with(l, '\"')) " +
+      s"AND $lineW >= $C4MinLineWords " +
+      "AND NOT contains(lower(l), 'javascript'))"
+    val nSent = s"(${Portable.countSubstrSql("m.cleaned", ".")} + " +
+      s"${Portable.countSubstrSql("m.cleaned", "!")} + " +
+      s"${Portable.countSubstrSql("m.cleaned", "?")})"
+    s"""WITH m AS (
+      |  SELECT doc_id,
+      |    CAST(len($lines) AS BIGINT) AS n_lines,
+      |    CAST(len($kept) AS BIGINT) AS n_lines_kept,
+      |    coalesce(array_to_string($kept, chr(10)), '') AS cleaned,
+      |    contains(lower(text), 'lorem ipsum') AS has_lorem,
+      |    contains(text, '{') AS has_brace
+      |  FROM documents)
+      |SELECT m.doc_id, m.n_lines, m.n_lines_kept,
+      |  CAST(length(m.cleaned) AS BIGINT) AS n_chars_kept,
+      |  $nSent AS n_sentences,
+      |  m.has_lorem, m.has_brace,
+      |  (NOT m.has_lorem AND NOT m.has_brace AND $nSent >= $C4MinSentences)
+      |    AS page_kept,
+      |  md5(m.cleaned) AS cleaned_md5
+      |FROM m ORDER BY m.doc_id""".stripMargin
+  }
+}

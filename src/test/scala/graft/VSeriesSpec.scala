@@ -1,0 +1,105 @@
+package graft
+
+import graft.operators.RuleFilters
+
+/** V-series: published rule-based document filters (Gopher rules, C4
+  * line-level cleaning) over planted fixtures that exercise the rule
+  * dimensions the synthetic corpus can't (bullets, ellipses, symbols,
+  * non-alphabetic words, multi-line structure). */
+class VSeriesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def words(n: Int, w: String = "the"): String =
+    Seq.fill(n)(w).mkString(" ")
+
+  // ------------------------------------------------------------- V1
+  test("gopher_rules evaluates every rule dimension on planted fixtures") {
+    val good = (1 to 60).map(i => if (i % 2 == 0) "with" else s"word$i")
+      .mkString(" ") // 60 words, alphabetic, has {with, the?}.. uses 'with'
+    val docs = Seq(
+      // passes everything: 60 words incl >=2 gopher stopwords
+      (1L, s"the of $good"),
+      // too short: 10 words
+      (2L, s"the of ${words(8, "alpha")}"),
+      // mean word length too high: long tokens
+      (3L, (1 to 60).map(_ => "x" * 15).mkString(" ") + " the of"),
+      // symbol-heavy: '#' on most words
+      (4L, "the of " + (1 to 60).map(i => s"#w$i").mkString(" ")),
+      // bullet-heavy: every line starts with '- '
+      (5L, (1 to 10).map(i => s"- the of ${words(5, s"b$i")}").mkString("\n")),
+      // ellipsis-heavy: every line ends with '...'
+      (6L, (1 to 10).map(i => s"the of ${words(5, s"e$i")}...").mkString("\n")),
+      // numeric soup: words carry no letters
+      (7L, "the of " + (1 to 60).map(i => (i * 37).toString).mkString(" ")),
+      // no required stopwords at all
+      (8L, words(60, "zzz"))
+    ).toDF("doc_id", "text")
+    val out = RuleFilters.gopherRulesFrom(docs)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+
+    assert(out(1L).getAs[Boolean]("pass"), "fixture 1 must pass all rules")
+    def failsOnly(id: Long, rule: String): Unit = {
+      assert(!out(id).getAs[Boolean](rule), s"doc $id must fail $rule")
+      assert(!out(id).getAs[Boolean]("pass"))
+    }
+    failsOnly(2L, "r_words")
+    failsOnly(3L, "r_word_len")
+    failsOnly(4L, "r_symbol")
+    failsOnly(5L, "r_bullet")
+    failsOnly(6L, "r_ellipsis")
+    failsOnly(7L, "r_alpha")
+    failsOnly(8L, "r_stopwords")
+    // measured statistics, hand-computed
+    assert(out(5L).getAs[Double]("bullet_frac") == 1.0)
+    assert(out(6L).getAs[Double]("ellipsis_frac") == 1.0)
+    assert(out(2L).getAs[Long]("n_words") == 10L)
+    assert(out(8L).getAs[Long]("n_stopwords") == 0L)
+    assert(out(1L).getAs[Long]("n_stopwords") >= 3L) // the, of, with
+    // doc 7: 62 words, 2 alphabetic -> alpha_frac ≈ 0.032 < 0.8
+    assert(out(7L).getAs[Double]("alpha_frac") < 0.8)
+  }
+
+  // ------------------------------------------------------------- V2
+  test("c4_clean applies the line and page rules and hashes the transform") {
+    val goodLine = "this line has enough words to survive the cut."
+    val docs = Seq(
+      // clean page: 3 good lines -> 3 sentences, kept
+      (1L, Seq(goodLine, goodLine, goodLine).mkString("\n")),
+      // line rules: no terminal punct / too few words / javascript
+      (2L, Seq(goodLine,
+        "no terminal punctuation on this line at all",
+        "too few.",
+        "enable Javascript to view this page.").mkString("\n")),
+      // page rules: lorem ipsum and curly brace
+      (3L, Seq(goodLine, goodLine, goodLine, "Lorem Ipsum dolor sit amet.")
+        .mkString("\n")),
+      (4L, Seq(goodLine, goodLine, goodLine, "function() { return 1; }")
+        .mkString("\n")),
+      // too few sentences after cleaning
+      (5L, Seq(goodLine, "dropped line with no punct").mkString("\n"))
+    ).toDF("doc_id", "text")
+    val out = RuleFilters.c4CleanFrom(docs)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+
+    assert(out(1L).getAs[Boolean]("page_kept"))
+    assert(out(1L).getAs[Long]("n_lines_kept") == 3L)
+    assert(out(1L).getAs[Long]("n_sentences") == 3L)
+    // doc 2 keeps only the good line: 1 sentence -> page dropped
+    assert(out(2L).getAs[Long]("n_lines") == 4L)
+    assert(out(2L).getAs[Long]("n_lines_kept") == 1L)
+    assert(!out(2L).getAs[Boolean]("page_kept"))
+    assert(out(3L).getAs[Boolean]("has_lorem") &&
+      !out(3L).getAs[Boolean]("page_kept"))
+    assert(out(4L).getAs[Boolean]("has_brace") &&
+      !out(4L).getAs[Boolean]("page_kept"))
+    assert(out(5L).getAs[Long]("n_sentences") == 1L &&
+      !out(5L).getAs[Boolean]("page_kept"))
+    // the transform itself: doc 1's cleaned text is exactly 3 good lines
+    val expectMd5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(Seq(goodLine, goodLine, goodLine).mkString("\n")
+        .getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(out(1L).getAs[String]("cleaned_md5") == expectMd5)
+    // doc 2's single kept line survives verbatim
+    assert(out(2L).getAs[Long]("n_chars_kept") == goodLine.length.toLong)
+  }
+}
