@@ -170,7 +170,15 @@ object Bench {
   private[graft] def skewVerdict(runs: Seq[(String, Seq[Double])],
                                  load1Start: Double, maxLoad: Double,
                                  maxSpread: Double): (Boolean, Seq[String]) = {
+    // The first rep pays one-time codegen/JIT compile for the query's
+    // expression tree (observed 7x on lambda-heavy plans), and the
+    // reported timing is runs.min which never includes it — so the
+    // verdict reads the POST-WARMUP reps. Contention that only touches
+    // rep 1 can't contaminate the min either.
     val skewQueries = runs.collect {
+      case (name, rs0) if rs0.size >= 3 => (name, rs0.tail)
+      case (name, rs0) => (name, rs0)
+    }.collect {
       case (name, rs) if rs.size >= 2 && rs.max >= 1.0 &&
         rs.max / math.max(rs.min, 1e-9) > maxSpread => name
     }

@@ -221,7 +221,10 @@ object SparkEntry {
       RuleFilters.gopherRules(s, d)),
     // V2: C4 line-level cleaning (cleaned text hash-gated via md5)
     "q_c4_clean" -> ((s: SparkSession, d: String) =>
-      RuleFilters.c4Clean(s, d))
+      RuleFilters.c4Clean(s, d)),
+    // V3: prototypicality pruning over D3's trained centroids
+    "q_proto_prune" -> ((s: SparkSession, d: String) =>
+      SimilaritySearch.protoPrune(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -349,6 +352,7 @@ object SparkEntry {
     "q_decontaminate_widths" -> SpanDedup.decontaminateWidthsSql,
     "q_mix_temperature" -> DomainMix.mixTemperatureSql,
     "q_gopher_rules" -> RuleFilters.gopherRulesSql,
-    "q_c4_clean" -> RuleFilters.c4CleanSql
+    "q_c4_clean" -> RuleFilters.c4CleanSql,
+    "q_proto_prune" -> SimilaritySearch.protoPruneSql
   )
 }

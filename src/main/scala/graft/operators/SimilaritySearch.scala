@@ -445,6 +445,107 @@ object SimilaritySearch {
       |ORDER BY query_id, rank""".stripMargin
   }
 
+  // ---------------------------------------------------------------- V3
+  /** Fraction of each cluster pruned as "too prototypical" — the
+    * abundant-data regime of Sorscher et al. 2022, where the EASY
+    * (centroid-like) examples carry the least marginal signal. */
+  val ProtoPruneFrac = 0.2
+  /** Hash-sample share (of 65536 buckets) pricing the per-cluster cut
+    * point — the S2 convention. The bar is THE scale knob: at corpus
+    * scale it is set so each cluster's sample stays
+    * window-over-bounded-rows small; the cut quality degrades only
+    * as 1/√sample. */
+  val ProtoSampleBar = 16384
+  private val protoSalt = "proto"
+
+  /** Prototypicality pruning (Sorscher et al. 2022 "Beyond neural
+    * scaling laws"; the pruning half of D4, Tirumala et al. 2023 —
+    * whose dedup half is I4's SemDeDup): assign every vector to its
+    * nearest trained centroid (D3's frozen artifact — ONE trainer
+    * feeds both queries), score prototypicality as the round-9 cosine
+    * to that centroid, and mark the most-prototypical
+    * [[ProtoPruneFrac]] of each cluster for pruning. The cut is the
+    * exact ⌈n·frac⌉-th largest sampled score per cluster (S2's
+    * order-statistic device), broadcast back as a map-side threshold;
+    * ties at the cut are kept. A cluster absent from the sample prunes
+    * nothing (honest default, keep=true).
+    *
+    * Determinism: assignment is the argmaxRank rule (max round-9
+    * cosine, ties to the smallest cid) and the SAME max() stream also
+    * yields the assigned cosine (max over the round-9 scores IS the
+    * argmax value). No corpus vector is zero (the documented D3
+    * invariant), so no NaN reaches either engine's max. */
+  def protoPrune(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    protoPruneOn(spark, emb, centsDf(spark, ivfCentCache.model(spark, dir)))
+  }
+
+  private[graft] def protoPruneOn(spark: SparkSession, emb: DataFrame,
+                                  cents: DataFrame): DataFrame = {
+    val c9 = round(Vectors.cosineFast(spark, col("embedding"), col("c_emb")), 9)
+    // slim (vec_id, cid, proto9) frame, two consumers (sample + final)
+    val assigned = emb.join(broadcast(cents))
+      .select(col("vec_id"), argmaxRank(c9, col("cid")).as("r"), c9.as("c9"))
+      .groupBy("vec_id")
+      .agg(max(col("r")).as("rank"), max(col("c9")).as("proto9"))
+      .select(col("vec_id"), argmaxDecodeCid(col("rank")).as("cid"),
+        col("proto9"))
+      .localCheckpoint()
+    val samp = assigned.where(
+      Sampling.hashBucket(col("vec_id"), protoSalt) < ProtoSampleBar)
+    val wRank = Window.partitionBy("cid")
+      .orderBy(col("proto9").desc, col("vec_id"))
+    val wN = Window.partitionBy("cid")
+    val cuts = samp.withColumn("rk", row_number().over(wRank))
+      .withColumn("n", count(lit(1)).over(wN))
+      .groupBy("cid")
+      .agg(max(when(
+        col("rk") === ceil(col("n") * ProtoPruneFrac).cast("long"),
+        col("proto9"))).as("cut"))
+    assigned.join(broadcast(cuts), Seq("cid"), "left")
+      .select(col("vec_id"), col("cid"),
+        round(col("proto9"), 6).as("proto"),
+        round(col("cut"), 6).as("cut"),
+        coalesce(col("proto9") <= col("cut"), lit(true)).as("keep"))
+      .orderBy("vec_id")
+  }
+
+  /** DuckDB twin of [[protoPrune]]: D3's frozen centroids as the same
+    * VALUES literal, assignment + sampled order-statistic cut + keep
+    * rule restated. A `def` (the oracle-dump-after-queries rule). */
+  def protoPruneSql: String = {
+    val cents = ivfCentCache.oracleModel()
+    val rows = cents.map { case (cid, ce) =>
+      s"($cid, CAST(${dArrSql(ce.toSeq)} AS DOUBLE[]))"
+    }.mkString(",\n    ")
+    val hb = Sampling.hashBucketSql("CAST(vec_id AS VARCHAR)", protoSalt)
+    s"""WITH cents(cid, c_emb) AS (VALUES
+      |    $rows),
+      |cscore AS (
+      |  SELECT e.vec_id, c.cid,
+      |    round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.c_emb), 9) AS c9,
+      |    row_number() OVER (PARTITION BY e.vec_id
+      |      ORDER BY round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.c_emb), 9) DESC,
+      |               c.cid) AS rk
+      |  FROM embeddings e, cents c),
+      |assign AS (SELECT vec_id, cid, c9 FROM cscore WHERE rk = 1),
+      |samp AS (SELECT * FROM assign WHERE $hb < $ProtoSampleBar),
+      |rk2 AS (
+      |  SELECT cid, vec_id, c9,
+      |    row_number() OVER (PARTITION BY cid ORDER BY c9 DESC, vec_id) AS r,
+      |    count(*) OVER (PARTITION BY cid) AS n
+      |  FROM samp),
+      |cuts AS (
+      |  SELECT cid, max(CASE WHEN r = CAST(ceil(n * $ProtoPruneFrac) AS BIGINT)
+      |      THEN c9 END) AS cut
+      |  FROM rk2 GROUP BY cid)
+      |SELECT a.vec_id, a.cid, round(a.c9, 6) AS proto,
+      |  round(c.cut, 6) AS cut,
+      |  coalesce(a.c9 <= c.cut, true) AS keep
+      |FROM assign a LEFT JOIN cuts c USING (cid)
+      |ORDER BY a.vec_id""".stripMargin
+  }
+
   val ivfTopKSql: String =
     s"""WITH dims AS (
       |  SELECT label, generate_subscripts(embedding, 1) AS pos,

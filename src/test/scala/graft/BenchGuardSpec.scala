@@ -40,6 +40,24 @@ class BenchGuardSpec extends AnyFunSuite {
     assert(!skewed && names.isEmpty)
   }
 
+  test("first-rep JIT warmup alone does not trip the spread bar") {
+    // q_c4_clean's actual shape: one-time codegen compile on rep 1,
+    // tight post-warmup reps; the reported timing (runs.min) never
+    // contains rep 1, so neither should the verdict
+    val (skewed, names) = Bench.skewVerdict(
+      Seq("q_c4_clean" -> Seq(1.96, 0.36, 0.28),
+          "q_big_warm" -> Seq(7.0, 1.2, 1.1)),
+      load1Start = 0.9, maxLoad = 4.0, maxSpread = 5.0)
+    assert(!skewed && names.isEmpty)
+  }
+
+  test("a contention window in the post-warmup reps still flags") {
+    val (skewed, names) = Bench.skewVerdict(
+      Seq("q1" -> Seq(1.0, 1.1, 9.0)),
+      load1Start = 0.9, maxLoad = 4.0, maxSpread = 5.0)
+    assert(skewed && names == Seq("q1"))
+  }
+
   test("single-rep runs cannot produce a spread verdict") {
     val (skewed, names) = Bench.skewVerdict(
       Seq("q1" -> Seq(300.0)), load1Start = 0.5,

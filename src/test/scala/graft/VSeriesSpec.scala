@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.RuleFilters
+import graft.operators.{RuleFilters, SimilaritySearch}
 
 /** V-series: published rule-based document filters (Gopher rules, C4
   * line-level cleaning) over planted fixtures that exercise the rule
@@ -101,5 +101,57 @@ class VSeriesSpec extends SparkSpec {
     assert(out(1L).getAs[String]("cleaned_md5") == expectMd5)
     // doc 2's single kept line survives verbatim
     assert(out(2L).getAs[Long]("n_chars_kept") == goodLine.length.toLong)
+  }
+
+  // ------------------------------------------------------------- V3
+  test("proto_prune drops exactly the above-cut prototypical rows per cluster") {
+    // two planted clusters on the 2-D axes; member i sits at a
+    // deterministic small angle off its axis, so prototypicality
+    // (cosine to the centroid) varies within each cluster
+    val vecs = (0 until 120).map { i =>
+      val a = 0.01 + i * 0.004 // radians, unique per member, < 28 degrees
+      val (x, y) = (math.cos(a).toFloat, math.sin(a).toFloat)
+      if (i % 2 == 0) (i.toLong, Seq(x, y)) else (i.toLong, Seq(y, x))
+    }
+    val emb = vecs.toDF("vec_id", "embedding")
+    val cents = Seq((0, Seq(1.0, 0.0)), (1, Seq(0.0, 1.0)))
+      .toDF("cid", "c_emb")
+    val out = SimilaritySearch.protoPruneOn(spark, emb, cents).collect()
+    assert(out.length == 120)
+    // unambiguous assignment: even ids hug the x axis -> cid 0
+    out.foreach { r =>
+      val want = if (r.getAs[Long]("vec_id") % 2 == 0) 0 else 1
+      assert(r.getAs[Int]("cid") == want, s"wrong assignment: $r")
+    }
+    // keep rule is exactly proto <= cut (ties kept, null cut keeps)
+    out.foreach { r =>
+      val cut = Option(r.get(3)).map(_.asInstanceOf[Double])
+      val expect = cut.forall(c => r.getAs[Double]("proto") <= c)
+      assert(r.getAs[Boolean]("keep") == expect, s"keep rule violated: $r")
+    }
+    // the cut is the ceil(n*0.2)-th largest proto of the hash sample,
+    // recomputed independently in the JVM (sampling + order statistic)
+    def bucket(id: Long): Int = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$id:proto".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      Integer.parseInt(h.take(4), 16)
+    }
+    val byCid = out.groupBy(_.getAs[Int]("cid"))
+    byCid.foreach { case (cid, rows) =>
+      val samp = rows.filter(r => bucket(r.getAs[Long]("vec_id")) < 16384)
+        .map(r => (r.getAs[Double]("proto"), r.getAs[Long]("vec_id")))
+        .sortBy { case (p, id) => (-p, id) }
+      assert(samp.nonEmpty, s"fixture must sample cluster $cid")
+      val wantCut = samp(math.ceil(samp.size * 0.2).toInt - 1)._1
+      val gotCuts = rows.flatMap(r => Option(r.get(3)).map(_.asInstanceOf[Double]))
+      assert(gotCuts.distinct.toSeq == Seq(wantCut),
+        s"cluster $cid cut ${gotCuts.distinct.toSeq} != independent $wantCut")
+      // threshold semantics imply the drops are the cluster's top rows
+      val kept = rows.filter(_.getAs[Boolean]("keep")).map(_.getAs[Double]("proto"))
+      val dropped = rows.filterNot(_.getAs[Boolean]("keep")).map(_.getAs[Double]("proto"))
+      assert(dropped.nonEmpty, s"fixture must prune something in cluster $cid")
+      assert(kept.max <= dropped.min)
+    }
   }
 }
