@@ -224,7 +224,10 @@ object SparkEntry {
       RuleFilters.c4Clean(s, d)),
     // V3: prototypicality pruning over D3's trained centroids
     "q_proto_prune" -> ((s: SparkSession, d: String) =>
-      SimilaritySearch.protoPrune(s, d))
+      SimilaritySearch.protoPrune(s, d)),
+    // W1: GPT-3 Pareto quality-score sampling
+    "q_sample_pareto" -> ((s: SparkSession, d: String) =>
+      Sampling.paretoSample(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -353,6 +356,7 @@ object SparkEntry {
     "q_mix_temperature" -> DomainMix.mixTemperatureSql,
     "q_gopher_rules" -> RuleFilters.gopherRulesSql,
     "q_c4_clean" -> RuleFilters.c4CleanSql,
-    "q_proto_prune" -> SimilaritySearch.protoPruneSql
+    "q_proto_prune" -> SimilaritySearch.protoPruneSql,
+    "q_sample_pareto" -> Sampling.paretoSampleSql
   )
 }

@@ -614,4 +614,66 @@ object Sampling {
       |FROM dense
       |GROUP BY split
       |ORDER BY split""".stripMargin
+
+  // ---------------------------------------------------------------- W1
+  /** GPT-3's Pareto shape parameter (Brown et al. 2020, appendix A). */
+  val ParetoAlpha = 9
+  private val paretoSalt = "pareto"
+
+  /** W1: GPT-3 quality-score Pareto sampling (Brown et al. 2020,
+    * appendix A): keep a document iff a Pareto(α=9) draw exceeds
+    * `1 − score` — high-quality docs are kept almost surely, low
+    * quality docs survive with small probability, so the kept corpus
+    * is quality-TILTED rather than hard-thresholded (the published
+    * softness L1's adaptive gate lacks). The randomness is G1's salted
+    * hash uniform, so membership is a pure function of doc_id —
+    * reproducible, stable under repartitioning, identical on any
+    * engine with md5.
+    *
+    * Exactness: `pareto > 1 − s` with pareto = (1−u)^(−1/α) − 1
+    * rearranges (both sides positive, α integer) to
+    * `(1−u)·(2−s)^α < 1`. (2−s)^9 is evaluated as an EXPLICIT
+    * square-and-multiply chain (b²,b⁴,b⁸,b⁸·b) — plain IEEE
+    * multiplies in a pinned order on both engines — so no libm pow()
+    * ulp can flip a keep decision; u = bucket/2¹⁶ is exact dyadic.
+    * Scale shape: one narrow scan, no shuffle, no state. */
+  def paretoSample(spark: SparkSession, dir: String): DataFrame =
+    paretoSampleFrom(Tables.documents(spark, dir))
+
+  def paretoSampleFrom(docs: DataFrame): DataFrame = {
+    val s = TextAnalysis.qualityScore(col("text"))
+    val u = hashBucket(col("doc_id"), paretoSalt).cast("double") / 65536.0
+    val b = lit(2.0) - s
+    val b2 = b * b
+    val b4 = b2 * b2
+    val b8 = b4 * b4
+    val b9 = b8 * b
+    val margin = (lit(1.0) - u) * b9
+    docs.select(col("doc_id"),
+      round(s, 6).as("quality_score"),
+      hashBucket(col("doc_id"), paretoSalt).as("u_bucket"),
+      round(margin, 6).as("pareto_margin"),
+      (margin < 1.0).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  def paretoSampleSql: String = {
+    val s = TextAnalysis.qualityScoreSql("text")
+    val hb = hashBucketSql("CAST(doc_id AS VARCHAR)", paretoSalt)
+    s"""WITH q AS (
+      |  SELECT doc_id, $s AS s, $hb AS ub FROM documents),
+      |c AS (
+      |  SELECT doc_id, s, ub,
+      |    (2.0 - s) AS b, ((2.0 - s) * (2.0 - s)) AS b2
+      |  FROM q),
+      |c2 AS (SELECT *, (b2 * b2) AS b4 FROM c),
+      |c3 AS (SELECT *, (b4 * b4) AS b8 FROM c2),
+      |m AS (
+      |  SELECT doc_id, s, ub,
+      |    ((1.0 - CAST(ub AS DOUBLE) / 65536.0) * (b8 * b)) AS margin
+      |  FROM c3)
+      |SELECT doc_id, round(s, 6) AS quality_score, ub AS u_bucket,
+      |  round(margin, 6) AS pareto_margin, (margin < 1.0) AS keep
+      |FROM m ORDER BY doc_id""".stripMargin
+  }
 }

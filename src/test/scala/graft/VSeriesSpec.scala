@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{RuleFilters, SimilaritySearch}
+import graft.operators.{RuleFilters, Sampling, SimilaritySearch}
 
 /** V-series: published rule-based document filters (Gopher rules, C4
   * line-level cleaning) over planted fixtures that exercise the rule
@@ -153,5 +153,49 @@ class VSeriesSpec extends SparkSpec {
       assert(dropped.nonEmpty, s"fixture must prune something in cluster $cid")
       assert(kept.max <= dropped.min)
     }
+  }
+
+  // ------------------------------------------------------------- W1
+  test("sample_pareto implements the GPT-3 keep rule bit-exactly and tilts by quality") {
+    // bimodal corpus: diverse 120-word docs vs 10x-repeated-word docs
+    val docs = (0 until 300).map { i =>
+      if (i < 150) (i.toLong, (1 to 120).map(j => s"w${i}x$j").mkString(" "))
+      else (i.toLong, Seq.fill(40)("dup").mkString(" "))
+    }.toDF("doc_id", "text")
+    val out = Sampling.paretoSampleFrom(docs).collect()
+    assert(out.length == 300)
+    // independent JVM recompute of the whole decision path: score ->
+    // hash uniform -> square-and-multiply chain -> margin < 1
+    val textById = (0 until 300).map { i =>
+      if (i < 150) (1 to 120).map(j => s"w${i}x$j").mkString(" ")
+      else Seq.fill(40)("dup").mkString(" ")
+    }
+    out.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val text = textById(id.toInt)
+      val nTok = text.count(_ == ' ').toLong + 1
+      val nTypes = text.split(" ").distinct.length.toLong
+      val s = 0.5 * math.min(1.0, nTok.toDouble / 100.0) +
+        0.5 * (nTypes.toDouble / nTok)
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$id:pareto".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      val ub = Integer.parseInt(h.take(4), 16)
+      assert(r.getAs[Long]("u_bucket") == ub.toLong)
+      val b = 2.0 - s; val b2 = b * b; val b4 = b2 * b2; val b8 = b4 * b4
+      val margin = (1.0 - ub.toDouble / 65536.0) * (b8 * b)
+      assert(r.getAs[Boolean]("keep") == (margin < 1.0),
+        s"keep decision diverges for doc $id")
+      assert(math.abs(r.getAs[Double]("pareto_margin") -
+        BigDecimal(margin).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble) == 0.0)
+    }
+    // quality tilt: near-certain keep at s~1, rare keep at low s
+    val keepOf = out.map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("keep")).toMap
+    val hiRate = (0 until 150).count(i => keepOf(i.toLong)).toDouble / 150
+    val loRate = (150 until 300).count(i => keepOf(i.toLong)).toDouble / 150
+    assert(hiRate > 0.95, s"high-quality keep rate $hiRate")
+    assert(loRate < 0.2, s"low-quality keep rate $loRate")
+    assert(hiRate > loRate + 0.5)
   }
 }
