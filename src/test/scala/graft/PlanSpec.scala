@@ -369,6 +369,29 @@ class PlanSpec extends SparkSpec {
       s"non-presentation exchange in export plan: $exchanges\n$plan")
   }
 
+  test("rule filters and pareto sampling are single narrow scans (no join, presentation sort only)") {
+    for (name <- Seq("q_gopher_rules", "q_c4_clean", "q_sample_pareto")) {
+      val plan = finalPlan(graft.SparkEntry.queries(name)(spark, sfDir))
+      assert(!plan.contains("Join"), s"$name plans a join:\n$plan")
+      val exchanges =
+        "Exchange (\\w+)".r.findAllMatchIn(plan).map(_.group(1)).toList
+      assert(exchanges.nonEmpty && exchanges.forall(_ == "rangepartitioning"),
+        s"$name has a non-presentation exchange: $exchanges\n$plan")
+    }
+  }
+
+  test("proto prune broadcasts centroids and cuts; corpus never nested-loops") {
+    val plan = finalPlan(graft.SparkEntry.queries("q_proto_prune")(spark, sfDir))
+    // centroid scoring and the cut table both ride broadcasts
+    assert(plan.contains("BroadcastExchange"), s"no broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"corpus-scale cartesian in proto prune:\n$plan")
+    // assignment aggregates hash-side (primitive argmaxRank buffers),
+    // never a SortAggregate over the n·k score stream
+    assert(!plan.contains("SortAggregate"),
+      s"assignment fell back to SortAggregate:\n$plan")
+  }
+
   test("vocab coverage cuts the histogram with TakeOrdered and broadcasts the totals") {
     val df = graft.SparkEntry.queries("q_vocab_coverage")(spark, sfDir)
     val plan = finalPlan(df)
