@@ -52,7 +52,15 @@ object RuleFilters {
   def gopherRules(spark: SparkSession, dir: String): DataFrame =
     gopherRulesFrom(Tables.documents(spark, dir))
 
-  def gopherRulesFrom(docs: DataFrame): DataFrame = {
+  def gopherRulesFrom(docs: DataFrame): DataFrame =
+    gopherVerdicts(docs).orderBy("doc_id")
+
+  /** Sort-free verdict projection — stateless per-row, so it is also
+    * the STREAMING form: apply it to a readStream frame and each
+    * arriving doc leaves with its rule verdicts in-flight (the same
+    * columns, so stream and batch cannot diverge; pinned in
+    * StreamingRuleGateSpec). */
+  def gopherVerdicts(docs: DataFrame): DataFrame = {
     val text = col("text")
     val nWords = Portable.nTokens(text)
     val meanWordLen = (length(text) - nWords + 1).cast("double") / nWords
@@ -95,7 +103,6 @@ object RuleFilters {
       rStop.as("r_stopwords"),
       (rWords && rWordLen && rSymbol && rBullet && rEllipsis && rAlpha &&
         rStop).as("pass"))
-      .orderBy("doc_id")
   }
 
   val gopherRulesSql: String = {
@@ -163,7 +170,12 @@ object RuleFilters {
   def c4Clean(spark: SparkSession, dir: String): DataFrame =
     c4CleanFrom(Tables.documents(spark, dir))
 
-  def c4CleanFrom(docs: DataFrame): DataFrame = {
+  def c4CleanFrom(docs: DataFrame): DataFrame =
+    c4Verdicts(docs).orderBy("doc_id")
+
+  /** Sort-free form — stateless per-row, streaming-safe (see
+    * [[gopherVerdicts]]). */
+  def c4Verdicts(docs: DataFrame): DataFrame = {
     val text = col("text")
     val lines = split(text, "\n")
     val kept = filter(lines, l =>
@@ -184,7 +196,6 @@ object RuleFilters {
       hasLorem.as("has_lorem"), hasBrace.as("has_brace"),
       (!hasLorem && !hasBrace && nSent >= C4MinSentences).as("page_kept"),
       md5(cleaned).as("cleaned_md5"))
-      .orderBy("doc_id")
   }
 
   val c4CleanSql: String = {

@@ -640,7 +640,13 @@ object Sampling {
   def paretoSample(spark: SparkSession, dir: String): DataFrame =
     paretoSampleFrom(Tables.documents(spark, dir))
 
-  def paretoSampleFrom(docs: DataFrame): DataFrame = {
+  def paretoSampleFrom(docs: DataFrame): DataFrame =
+    paretoVerdicts(docs).orderBy("doc_id")
+
+  /** Sort-free form — stateless per-row (hash uniform + multiply
+    * chain), so it is also the streaming ingest-gate form (pinned in
+    * StreamingRuleGateSpec). */
+  def paretoVerdicts(docs: DataFrame): DataFrame = {
     val s = TextAnalysis.qualityScore(col("text"))
     val u = hashBucket(col("doc_id"), paretoSalt).cast("double") / 65536.0
     val b = lit(2.0) - s
@@ -654,7 +660,6 @@ object Sampling {
       hashBucket(col("doc_id"), paretoSalt).as("u_bucket"),
       round(margin, 6).as("pareto_margin"),
       (margin < 1.0).as("keep"))
-      .orderBy("doc_id")
   }
 
   def paretoSampleSql: String = {
