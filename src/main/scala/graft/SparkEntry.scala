@@ -227,7 +227,9 @@ object SparkEntry {
       SimilaritySearch.protoPrune(s, d)),
     // W1: GPT-3 Pareto quality-score sampling
     "q_sample_pareto" -> ((s: SparkSession, d: String) =>
-      Sampling.paretoSample(s, d))
+      Sampling.paretoSample(s, d)),
+    // W2: LSH dedup-quality eval (measured S-curve on a fixed probe)
+    "q_lsh_recall" -> (Dedup.lshRecall _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -357,6 +359,7 @@ object SparkEntry {
     "q_gopher_rules" -> RuleFilters.gopherRulesSql,
     "q_c4_clean" -> RuleFilters.c4CleanSql,
     "q_proto_prune" -> SimilaritySearch.protoPruneSql,
-    "q_sample_pareto" -> Sampling.paretoSampleSql
+    "q_sample_pareto" -> Sampling.paretoSampleSql,
+    "q_lsh_recall" -> Dedup.lshRecallSql
   )
 }

@@ -1179,4 +1179,115 @@ object Dedup {
       |WHERE a.rn <= $BucketCap AND b2.rn <= $BucketCap
       |  AND levenshtein(a.pfx, b2.pfx) <= $FuzzyMaxDist
       |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ---------------------------------------------------------------- W2
+  /** Fixed probe size for the LSH recall curve: fixed-COUNT (not
+    * corpus-scaled), so the eval costs the same at any corpus size and
+    * bench curves stay honest (the J3 lesson). */
+  val LshProbeN = 256
+  private val lshRecallSalt = "lshrecall"
+
+  /** W2: LSH dedup-quality eval — the measured S-curve every
+    * banded-MinHash deployment is tuned against (Broder 1997;
+    * Leskovec-Rajaraman-Ullman ch. 3: P(collide) = 1−(1−s^r)^b):
+    * ground-truth exact Jaccard over ALL pairs of a fixed 256-doc hash
+    * probe, against whether C2's band family actually collides the
+    * pair, bucketed by Jaccard decile. Recall@τ for any band-boundary
+    * τ reads directly off the table (e.g. recall@0.5 =
+    * Σ_{d≥5} n_collide / Σ_{d≥5} n_pairs); the complement of the
+    * bottom deciles' p_collide is the false-candidate load C4's
+    * verify pass absorbs. O8 measures retrieval, S4 the classifier —
+    * this measures the dedup family itself.
+    *
+    * Pair collision is a pure pair property (equal band keys), so
+    * evaluating on the probe subset is EXACT for the family — bucket
+    * co-members don't matter ([[BucketCap]] is deliberately absent:
+    * the eval prices the hash family, not the cap).
+    *
+    * Scale shape: corpus work is one narrow scan + TakeOrdered(256);
+    * everything after runs on ≤256 rows / ≤32,640 pairs — constant at
+    * any corpus size. */
+  def lshRecall(spark: SparkSession, dir: String): DataFrame =
+    lshRecallFrom(spark, Tables.documents(spark, dir))
+
+  /** W2 over an arbitrary (doc_id, text) frame. */
+  def lshRecallFrom(spark: SparkSession, docs: DataFrame): DataFrame = {
+    val probe = docs.select("doc_id", "text")
+      .orderBy(Sampling.hashBucket(col("doc_id"), lshRecallSalt),
+        col("doc_id"))
+      .limit(LshProbeN)
+    // bounded (256-row) frame, two consumers: exact pairs + band keys
+    val sh = shingled(probe).localCheckpoint()
+    val pairs = sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+      .join(broadcast(
+        sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))),
+        col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("sh_a"), col("sh_b"))).as("inter"),
+        size(col("sh_a")).as("na"), size(col("sh_b")).as("nb"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter"))).as("jaccard"))
+    val bands = explodeBands(minhashSigOf(spark, sh, carrySh = false), Nil)
+    val coll = bands.select(col("doc_id").as("doc_a"),
+        col("band"), col("key"))
+      .join(bands.select(col("doc_id").as("doc_b"), col("band"), col("key")),
+        Seq("band", "key"))
+      .where(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+      .withColumn("hit", lit(true))
+    pairs.join(broadcast(coll), Seq("doc_a", "doc_b"), "left")
+      .select(least(floor(col("jaccard") * 10).cast("int"), lit(9))
+          .as("jac_decile"),
+        when(coalesce(col("hit"), lit(false)), 1L).otherwise(0L).as("c"))
+      .groupBy("jac_decile")
+      .agg(count(lit(1)).as("n_pairs"), sum(col("c")).as("n_collide"))
+      .select(col("jac_decile"), col("n_pairs"), col("n_collide"),
+        round(col("n_collide").cast("double") / col("n_pairs"), 6)
+          .as("p_collide"))
+      .orderBy("jac_decile")
+  }
+
+  def lshRecallSql: String = {
+    val hb = Sampling.hashBucketSql("CAST(doc_id AS VARCHAR)", lshRecallSalt)
+    val mhs = (0 until H).map(j =>
+      s"list_aggregate(list_transform(sh, x -> md5('$j:' || x)), 'min') AS mh_$j")
+      .mkString(",\n    ")
+    val bandSelects = (0 until Bands).map { b =>
+      val ks = (0 until R).map(i => s"mh_${b * R + i}").mkString(" || '|' || ")
+      s"SELECT doc_id, $b AS band, md5($ks) AS key FROM m"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH probe AS (
+      |  SELECT doc_id, text FROM documents
+      |  ORDER BY $hb, doc_id LIMIT $LshProbeN),
+      |s AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(range(1, greatest(len(toks)-1, 2)),
+      |      i -> array_to_string(toks[i:i+2], ' '))) AS sh
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM probe)),
+      |m AS (SELECT doc_id,
+      |    $mhs
+      |  FROM s),
+      |bands AS (
+      |  $bandSelects),
+      |coll AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+      |    AND a.doc_id < b.doc_id),
+      |pairs AS (
+      |  SELECT sa.doc_id AS doc_a, sb.doc_id AS doc_b,
+      |    CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+      |      (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))
+      |      AS jaccard
+      |  FROM s sa JOIN s sb ON sa.doc_id < sb.doc_id),
+      |j AS (
+      |  SELECT least(CAST(floor(p.jaccard * 10) AS INT), 9) AS jac_decile,
+      |    CASE WHEN c.doc_a IS NOT NULL THEN 1 ELSE 0 END AS coll
+      |  FROM pairs p LEFT JOIN coll c
+      |    ON p.doc_a = c.doc_a AND p.doc_b = c.doc_b)
+      |SELECT jac_decile, CAST(count(*) AS BIGINT) AS n_pairs,
+      |  CAST(sum(coll) AS BIGINT) AS n_collide,
+      |  round(CAST(sum(coll) AS DOUBLE) / count(*), 6) AS p_collide
+      |FROM j GROUP BY jac_decile ORDER BY jac_decile""".stripMargin
+  }
 }

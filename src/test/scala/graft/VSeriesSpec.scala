@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{RuleFilters, Sampling, SimilaritySearch}
+import graft.operators.{Dedup, RuleFilters, Sampling, SimilaritySearch}
 
 /** V-series: published rule-based document filters (Gopher rules, C4
   * line-level cleaning) over planted fixtures that exercise the rule
@@ -197,5 +197,49 @@ class VSeriesSpec extends SparkSpec {
     assert(hiRate > 0.95, s"high-quality keep rate $hiRate")
     assert(loRate < 0.2, s"low-quality keep rate $loRate")
     assert(hiRate > loRate + 0.5)
+  }
+
+  // ------------------------------------------------------------- W2
+  test("lsh_recall buckets ground-truth jaccard correctly and collides exact twins") {
+    // 40 docs: 10 unrelated, then 15 pairs at graded overlap — doc
+    // 2i+10 and 2i+11 share a prefix of the same tokens, so their
+    // jaccard sweeps the mid-deciles as the prefix grows
+    val mk = (tag: String, n: Int) => (1 to n).map(i => s"$tag$i").mkString(" ")
+    val docs = ((0 until 10).map(i => (i.toLong, mk(s"u${i}_", 50))) ++
+      (0 until 15).flatMap { i =>
+        val shared = mk(s"s${i}_", 10 + i * 6)
+        Seq((10L + 2 * i, s"$shared ${mk(s"a${i}_", 20)}"),
+          (11L + 2 * i, s"$shared ${mk(s"b${i}_", 20)}"))
+      } ++ Seq((40L, mk("tw_", 60)), (41L, mk("tw_", 60)))) // exact twins
+      .toDF("doc_id", "text")
+    val out = Dedup.lshRecallFrom(spark, docs).collect()
+      .map(r => r.getAs[Int]("jac_decile") ->
+        (r.getAs[Long]("n_pairs"), r.getAs[Long]("n_collide"))).toMap
+
+    // every pair of the 42-doc probe is graded exactly once
+    assert(out.values.map(_._1).sum == 42L * 41 / 2)
+    // independent JVM ground truth: shingle, jaccard, decile
+    def shingles(text: String): Set[String] = {
+      val t = text.split(" ")
+      val upper = math.max(t.length - 2, 1)
+      (0 until upper).map(i => t.slice(i, i + 3).mkString(" ")).toSet
+    }
+    val texts = docs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val wantHist = (for {
+      a <- texts.keys.toSeq; b <- texts.keys.toSeq if a < b
+      sa = shingles(texts(a)); sb = shingles(texts(b))
+      inter = (sa intersect sb).size
+      jac = inter.toDouble / (sa.size + sb.size - inter)
+    } yield math.min(math.floor(jac * 10).toInt, 9))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(out.view.mapValues(_._1).toMap == wantHist,
+      s"decile histogram diverges: got ${out.view.mapValues(_._1).toMap} want $wantHist")
+    // mid-similarity deciles are actually populated by the fixture
+    assert(wantHist.keys.count(d => d >= 2 && d <= 8) >= 3,
+      s"fixture must sweep mid deciles: $wantHist")
+    // identical shingle sets -> identical signatures -> all bands
+    // collide: the exact-twin decile has full recall
+    assert(out(9)._2 >= 1L && out(9)._1 == out(9)._2,
+      s"exact twins must collide: ${out(9)}")
   }
 }
