@@ -360,6 +360,9 @@ object SparkEntry {
     "q_c4_clean" -> RuleFilters.c4CleanSql,
     "q_proto_prune" -> SimilaritySearch.protoPruneSql,
     "q_sample_pareto" -> Sampling.paretoSampleSql,
-    "q_lsh_recall" -> Dedup.lshRecallSql
+    "q_lsh_recall" -> Dedup.lshRecallSql,
+    // I4 joins the oracle through its frozen-centroid literal (the D3
+    // convention) — formerly rows-only
+    "q_dedup_semantic" -> SemanticDedup.semanticDedupSql
   )
 }

@@ -6,6 +6,9 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
+    // dump-only oracle fallbacks must train on THIS run's dir (see
+    // OracleContext) — set before any query or oracle SQL evaluates
+    graft.operators.OracleContext.dir.set(sfDir)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -27,9 +27,20 @@ private[operators] final class OracleModelCache[M](
   }
 
   /** The model the oracle SQL should embed: the last trained one,
-    * training on demand for a dump-only path. */
+    * training on demand for a dump-only path.
+    *
+    * Fallback order matters: [[OracleContext.dir]] (set by the CLI
+    * mains to THIS run's data dir) outranks this cache's own
+    * `lastDir` stale-ness hazards' root cause — a dump-only fallback
+    * of one cache can NEST into another operator's trainer (e.g.
+    * Pipeline.dropCache → semanticDedup → semCentCache) and trample
+    * that cache's lastDir with the fallback dir; with the context
+    * pinned to the run's dir, every nested (re)train lands on the
+    * same data and retraining is bit-stable within a session, so
+    * order of evaluation cannot change any embedded literal. */
   def oracleModel(): M = {
     val dir = Option(lastDir.get())
+      .orElse(Option(OracleContext.dir.get()))
       .orElse(sys.env.get("SPARK_GRAFT_SF_DIR"))
       .getOrElse("/root/testdata/sf0.01")
     Option(cache.get(dir)).getOrElse {

@@ -410,9 +410,87 @@ object SemanticDedup {
   // additionally gates exact-vs-probed KEEP/DROP verdict agreement at
   // the shipped ProbeAuto default.
   def semanticDedup(spark: SparkSession, dir: String,
-                    k: Int = 0, tau: Double = 0.35,
+                    k: Int = 0, tau: Double = DefaultTau,
                     iters: Int = 3, probeCoarse: Int = 0): DataFrame =
-    dedupAssigned(spark, assigned(spark, dir, k, iters, probeCoarse), tau)
+    if (k <= 0 && iters == 3 && probeCoarse == 0)
+      // the shipped default path routes its (identical) training
+      // through the oracle cache so the run's frozen centroids can
+      // ride semanticDedupSql as a VALUES literal — the D3 upgrade
+      // applied to I4. collect/createDataFrame round-trips the
+      // doubles exactly and assignTo's literal dispatch is the route
+      // this k took anyway (k ≤ LiteralAssignMaxK), so results are
+      // bit-identical to the former inline trainCentroids call.
+      dedupAssigned(spark,
+        assignTo(spark,
+          Tables.parallelized(spark, Tables.embeddings(spark, dir)),
+          semCentsDf(spark, semCentCache.model(spark, dir))), tau)
+    else dedupAssigned(spark, assigned(spark, dir, k, iters, probeCoarse), tau)
+
+  /** Shipped similarity threshold for the dedup verdict. */
+  val DefaultTau = 0.35
+
+  /** Frozen I4 artifact for the oracle (the D3/P1/P2 convention):
+    * autoK + trainCentroids over the run's embeddings, collected
+    * (k rows × d doubles, bounded by MaxClusters at any corpus
+    * size). model() ALWAYS retrains, so a bench rep pays the full
+    * training cost and the oracle embeds exactly the centroids of
+    * the run it is compared against. */
+  private val semCentCache = new OracleModelCache[Array[(Int, Array[Double])]](
+    (spark, dir) => {
+      val emb = Tables.parallelized(spark, Tables.embeddings(spark, dir))
+      val kk = autoK(emb.select("vec_id").count())
+      SimilaritySearch.trainCentroids(spark, emb, kk, 3)
+        .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+        .sortBy(_._1)
+    })
+
+  private def semCentsDf(spark: SparkSession,
+                         cents: Array[(Int, Array[Double])]): DataFrame =
+    spark.createDataFrame(cents.toSeq.map { case (cid, ce) => (cid, ce.toSeq) })
+      .toDF("cid", "c_emb")
+
+  private def fmtD(v: Double): String = java.lang.Double.toString(v)
+
+  /** DuckDB twin of the default-path [[semanticDedup]]: the trained
+    * centroids as a VALUES literal, then assignment (round-9 cosine
+    * DESC, ties to the smallest cid), the per-cluster
+    * lowest-similarity-first rank, the within-cluster
+    * earlier-ranked-witness drop rule at τ = [[DefaultTau]], and the
+    * round-6 presentation — training itself sits under the hash gate
+    * through the literal. A `def`: Verify dumps oracle SQL after the
+    * queries run, so the literal is the exact last-run model.
+    * NaN corner (all-zero vector / degenerate centroid) diverges by
+    * construction and is absent from this data — the documented D3
+    * invariant. */
+  def semanticDedupSql: String = {
+    val cents = semCentCache.oracleModel()
+    val rows = cents.map { case (cid, ce) =>
+      s"($cid, CAST(${ce.map(fmtD).mkString("[", ", ", "]")} AS DOUBLE[]))"
+    }.mkString(",\n    ")
+    val cos = Vectors.cosineSql("e.embedding", "c.c_emb")
+    val pairCos = Vectors.cosineSql("ea.embedding", "eb.embedding")
+    s"""WITH cents(cid, c_emb) AS (VALUES
+      |    $rows),
+      |cscore AS (
+      |  SELECT e.vec_id, c.cid, round($cos, 9) AS cs,
+      |    row_number() OVER (PARTITION BY e.vec_id
+      |      ORDER BY round($cos, 9) DESC, c.cid) AS rk
+      |  FROM embeddings e, cents c),
+      |ranked AS (
+      |  SELECT vec_id, cid, cs AS cent_sim,
+      |    row_number() OVER (PARTITION BY cid ORDER BY cs, vec_id) AS rnk
+      |  FROM cscore WHERE rk = 1),
+      |dropped AS (
+      |  SELECT DISTINCT b.vec_id
+      |  FROM ranked a JOIN ranked b ON a.cid = b.cid AND a.rnk < b.rnk
+      |  JOIN embeddings ea ON ea.vec_id = a.vec_id
+      |  JOIN embeddings eb ON eb.vec_id = b.vec_id
+      |  WHERE round($pairCos, 9) > $DefaultTau)
+      |SELECT r.vec_id, r.cid, round(r.cent_sim, 6) AS cent_sim,
+      |  (d.vec_id IS NULL) AS keep
+      |FROM ranked r LEFT JOIN dropped d ON d.vec_id = r.vec_id
+      |ORDER BY r.vec_id""".stripMargin
+  }
 
   /** The dedup rule over an already-assigned frame (vec_id, embedding,
     * cid, cent_sim). Package-visible so ProbeLab can measure verdict
