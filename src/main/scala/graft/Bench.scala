@@ -65,7 +65,14 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     graft.operators.OracleContext.dir.set(sfDir)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")
+    // Subset probes (SPARK_GRAFT_BENCH_ONLY) must NOT clobber the
+    // committed full-suite artifact — they default to /tmp unless the
+    // caller names an output explicitly. (A 2-query 100× probe
+    // overwrote BENCH.json in two separate rounds before this guard.)
+    def defaultOut: String =
+      if (sys.env.contains("SPARK_GRAFT_BENCH_ONLY")) "/tmp/graft_bench_probe.json"
+      else "BENCH.json"
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", defaultOut)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

@@ -229,7 +229,9 @@ object SparkEntry {
     "q_sample_pareto" -> ((s: SparkSession, d: String) =>
       Sampling.paretoSample(s, d)),
     // W2: LSH dedup-quality eval (measured S-curve on a fixed probe)
-    "q_lsh_recall" -> (Dedup.lshRecall _)
+    "q_lsh_recall" -> (Dedup.lshRecall _),
+    // X1: content-defined chunk dedup (FastCDC at token grain)
+    "q_cdc_dedup" -> (Chunking.cdcDedup _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -363,6 +365,7 @@ object SparkEntry {
     "q_lsh_recall" -> Dedup.lshRecallSql,
     // I4 joins the oracle through its frozen-centroid literal (the D3
     // convention) — formerly rows-only
-    "q_dedup_semantic" -> SemanticDedup.semanticDedupSql
+    "q_dedup_semantic" -> SemanticDedup.semanticDedupSql,
+    "q_cdc_dedup" -> Chunking.cdcDedupSql
   )
 }

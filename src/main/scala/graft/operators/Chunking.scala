@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
@@ -71,5 +71,120 @@ object Chunking {
       |        unnest(range(0, CAST(floor(greatest(length(text) - $overlap - 1, 0) / $stride) AS BIGINT) + 1)) AS ix
       |      FROM documents) t
       |ORDER BY doc_id, chunk_ix""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- X1
+  /** Rolling-hash window (tokens) for the boundary test. */
+  val CdcWindow = 4
+  /** Boundary divisor: a window position ends a chunk when its gram
+    * hash ≡ 0 (mod [[CdcDivisor]]) — expected chunk length ≈ divisor
+    * tokens (the FastCDC/LBFS content-defined rule at token grain). */
+  val CdcDivisor = 8
+  private val cdcSalt = "cdc"
+
+  /** X1: content-defined chunk dedup (the LBFS/FastCDC device —
+    * Muthitacharoen et al. 2001, Xia et al. 2016 — at token grain):
+    * chunk boundaries are a pure function of local CONTENT (the
+    * rolling gram hash), so an insertion near a doc's head shifts
+    * every downstream byte yet leaves all later chunk boundaries —
+    * and therefore their signatures — unchanged. That shift-
+    * robustness is exactly what K1's fixed windows lack and what S1's
+    * exact-substring machinery pays a gram-index join for; CDC gets
+    * it with ONE narrow per-doc pass and a hash-grain groupBy. A
+    * chunk is duplicated iff its signature occurs ≥ 2 times
+    * corpus-wide (cross-doc copies AND self-repetition both count —
+    * both are priced token mass).
+    *
+    * Plan shape: boundaries and chunk texts are built IN-ARRAY per
+    * doc (filter/transform over the token array — no per-token
+    * explode, no window function), then one explode at CHUNK grain
+    * (~n/divisor rows), one md5-key groupBy for occurrence counts,
+    * and the per-doc rollup. Every hash is md5-derived so both
+    * engines agree bit-for-bit. */
+  def cdcDedup(spark: SparkSession, dir: String): DataFrame =
+    cdcDedupFrom(Tables.documents(spark, dir))
+
+  def cdcDedupFrom(docs: DataFrame): DataFrame = {
+    val W = CdcWindow
+    // Catalyst DUPLICATES a sub-expression tree at every reference
+    // site inside a lambda (no CSE in interpreted higher-order
+    // functions), so naively referencing the token array / boundary
+    // list from the chunk builder re-evaluates split+md5 per chunk —
+    // measured quadratic per doc. Binding each array as a
+    // single-element array() lambda argument evaluates it ONCE per
+    // row; all inner references are to the bound variable.
+    def bpsOf(tk: Column): Column =
+      filter(sequence(lit(1), size(tk)), p => (p === size(tk)) ||
+        (p >= W &&
+          Sampling.hashBucket(
+            array_join(slice(tk, p - W + 1, lit(W)), " "), cdcSalt)
+            % CdcDivisor === 0))
+    def chunksOf(tk: Column, bp: Column): Column =
+      transform(sequence(lit(1), size(bp)), { i =>
+        val start = when(i === 1, lit(1))
+          .otherwise(element_at(bp, (i - 1).cast("int")) + 1)
+        array_join(
+          slice(tk, start, element_at(bp, i.cast("int")) - start + 1), " ")
+      })
+    val chunks = flatten(transform(array(split(col("text"), " ")), tk =>
+      flatten(transform(array(bpsOf(tk)), bp => chunksOf(tk, bp)))))
+    val perChunk = docs
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        explode(chunks).as("ctext"))
+      .select(col("doc_id"), col("n_tokens"),
+        md5(col("ctext")).as("sig"),
+        (graft.functions.Portable.countSubstr(col("ctext"), " ") + 1)
+          .as("ctok"))
+    val occ = perChunk.groupBy("sig").agg(count(lit(1)).as("occ"))
+    perChunk.join(occ, Seq("sig"))
+      .groupBy("doc_id")
+      .agg(first(col("n_tokens")).as("n_tokens"),
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("occ") >= 2, 1L).otherwise(0L)).as("dup_chunks"),
+        sum(when(col("occ") >= 2, col("ctok")).otherwise(0L))
+          .as("dup_tokens"))
+      .select(col("doc_id"), col("n_tokens"), col("n_chunks"),
+        col("dup_chunks"), col("dup_tokens"),
+        round(col("dup_tokens").cast("double") / col("n_tokens"), 6)
+          .as("dup_frac"))
+      .orderBy("doc_id")
+  }
+
+  def cdcDedupSql: String = {
+    val W = CdcWindow
+    val gram = s"array_to_string(toks[p - ${W - 1}:p], ' ')"
+    val bucket = Sampling.hashBucketSql(s"($gram)", cdcSalt)
+    val start = "(CASE WHEN i = 1 THEN 1 ELSE bps[i - 1] + 1 END)"
+    val ctext = s"array_to_string(toks[$start:bps[i]], ' ')"
+    s"""WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+      |  FROM documents),
+      |b AS (
+      |  SELECT doc_id, toks, n,
+      |    list_filter(range(1, n + 1), p -> p = n
+      |      OR (p >= $W AND $bucket % $CdcDivisor = 0)) AS bps
+      |  FROM t),
+      |ix AS (
+      |  SELECT doc_id, toks, n, bps,
+      |    generate_subscripts(bps, 1) AS i
+      |  FROM b),
+      |pc AS (
+      |  SELECT doc_id, n AS n_tokens, md5($ctext) AS sig,
+      |    CAST(bps[i] - $start + 1 AS BIGINT) AS ctok
+      |  FROM ix),
+      |occ AS (SELECT sig, count(*) AS occ FROM pc GROUP BY sig)
+      |SELECT pc.doc_id, pc.n_tokens AS n_tokens,
+      |  CAST(count(*) AS BIGINT) AS n_chunks,
+      |  CAST(sum(CASE WHEN occ.occ >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS dup_chunks,
+      |  CAST(sum(CASE WHEN occ.occ >= 2 THEN ctok ELSE 0 END) AS BIGINT)
+      |    AS dup_tokens,
+      |  round(CAST(sum(CASE WHEN occ.occ >= 2 THEN ctok ELSE 0 END)
+      |          AS DOUBLE) / pc.n_tokens, 6) AS dup_frac
+      |FROM pc JOIN occ USING (sig)
+      |GROUP BY pc.doc_id, pc.n_tokens
+      |ORDER BY pc.doc_id""".stripMargin
   }
 }

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Dedup, RuleFilters, Sampling, SimilaritySearch}
+import graft.operators.{Chunking, Dedup, RuleFilters, Sampling, SimilaritySearch}
 
 /** V-series: published rule-based document filters (Gopher rules, C4
   * line-level cleaning) over planted fixtures that exercise the rule
@@ -241,5 +241,53 @@ class VSeriesSpec extends SparkSpec {
     // collide: the exact-twin decile has full recall
     assert(out(9)._2 >= 1L && out(9)._1 == out(9)._2,
       s"exact twins must collide: ${out(9)}")
+  }
+
+  // ------------------------------------------------------------- X1
+  test("cdc_dedup chunking is content-defined: head insertions don't break alignment") {
+    val base = (1 to 80).map(i => s"t$i").mkString(" ")
+    val docs = Seq(
+      (1L, base),
+      (2L, s"x1 x2 x3 $base"), // 3-token head insertion
+      (3L, (1 to 50).map(i => s"u$i").mkString(" ")), // unrelated
+      (4L, base) // exact twin of 1
+    ).toDF("doc_id", "text")
+    val out = Chunking.cdcDedupFrom(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+
+    // exact twins: every chunk duplicated
+    assert(out(1L).getAs[Double]("dup_frac") == 1.0)
+    assert(out(4L).getAs[Double]("dup_frac") == 1.0)
+    // unrelated doc: nothing duplicated
+    assert(out(3L).getAs[Long]("dup_tokens") == 0L)
+    // the shifted doc realigns after its first content boundary: all
+    // chunks but the (insertion-bearing) head chunk are shared with
+    // the base doc — the property fixed-window chunking lacks
+    val d2 = out(2L)
+    assert(d2.getAs[Long]("n_tokens") == 83L)
+    // unique chunks are confined to the insertion region: the head
+    // chunk, plus at most one more if a mixed gram (x-tokens + base
+    // tokens) happens to hit the divisor and split the head early
+    assert(d2.getAs[Long]("dup_chunks") >= d2.getAs[Long]("n_chunks") - 2,
+      s"non-head chunks must realign: $d2")
+    assert(d2.getAs[Long]("dup_chunks") < d2.getAs[Long]("n_chunks"),
+      s"the insertion-bearing head chunk must be unique: $d2")
+    assert(d2.getAs[Double]("dup_frac") > 0.5, s"mass must realign: $d2")
+    // independent JVM recompute of the boundary rule and chunk count
+    // for the unrelated doc (pins the hash, window, divisor, doc-end)
+    def bucket(gram: String): Int = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$gram:cdc".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      Integer.parseInt(h.take(4), 16)
+    }
+    val toks3 = (1 to 50).map(i => s"u$i")
+    val bnds = (1 to 50).filter { p =>
+      p == 50 || (p >= Chunking.CdcWindow &&
+        bucket(toks3.slice(p - Chunking.CdcWindow, p).mkString(" ")) %
+          Chunking.CdcDivisor == 0)
+    }
+    assert(out(3L).getAs[Long]("n_chunks") == bnds.size.toLong,
+      s"chunk count ${out(3L)} != independent ${bnds.size}")
   }
 }
