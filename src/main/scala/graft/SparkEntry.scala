@@ -231,7 +231,9 @@ object SparkEntry {
     // W2: LSH dedup-quality eval (measured S-curve on a fixed probe)
     "q_lsh_recall" -> (Dedup.lshRecall _),
     // X1: content-defined chunk dedup (FastCDC at token grain)
-    "q_cdc_dedup" -> (Chunking.cdcDedup _)
+    "q_cdc_dedup" -> (Chunking.cdcDedup _),
+    // X2: incremental CDC dedup (new batch vs corpus chunk index)
+    "q_cdc_dedup_incremental" -> (Chunking.cdcDedupIncremental _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -366,6 +368,7 @@ object SparkEntry {
     // I4 joins the oracle through its frozen-centroid literal (the D3
     // convention) — formerly rows-only
     "q_dedup_semantic" -> SemanticDedup.semanticDedupSql,
-    "q_cdc_dedup" -> Chunking.cdcDedupSql
+    "q_cdc_dedup" -> Chunking.cdcDedupSql,
+    "q_cdc_dedup_incremental" -> Chunking.cdcDedupIncrementalSql
   )
 }

@@ -104,7 +104,12 @@ object Chunking {
   def cdcDedup(spark: SparkSession, dir: String): DataFrame =
     cdcDedupFrom(Tables.documents(spark, dir))
 
-  def cdcDedupFrom(docs: DataFrame): DataFrame = {
+  /** (doc_id, n_tokens, sig, ctok) — one row per content-defined
+    * chunk of each doc: the shared grain under X1's corpus-wide dup
+    * report and X2's incremental form. Narrow end to end (one
+    * in-array boundary pass, one chunk-grain explode), so it applies
+    * to batch and streaming inputs alike. */
+  private[graft] def cdcChunks(docs: DataFrame): DataFrame = {
     val W = CdcWindow
     // Catalyst DUPLICATES a sub-expression tree at every reference
     // site inside a lambda (no CSE in interpreted higher-order
@@ -128,7 +133,7 @@ object Chunking {
       })
     val chunks = flatten(transform(array(split(col("text"), " ")), tk =>
       flatten(transform(array(bpsOf(tk)), bp => chunksOf(tk, bp)))))
-    val perChunk = docs
+    docs
       .select(col("doc_id"),
         size(split(col("text"), " ")).cast("long").as("n_tokens"),
         explode(chunks).as("ctext"))
@@ -136,6 +141,10 @@ object Chunking {
         md5(col("ctext")).as("sig"),
         (graft.functions.Portable.countSubstr(col("ctext"), " ") + 1)
           .as("ctok"))
+  }
+
+  def cdcDedupFrom(docs: DataFrame): DataFrame = {
+    val perChunk = cdcChunks(docs)
     val occ = perChunk.groupBy("sig").agg(count(lit(1)).as("occ"))
     perChunk.join(occ, Seq("sig"))
       .groupBy("doc_id")
@@ -151,13 +160,75 @@ object Chunking {
       .orderBy("doc_id")
   }
 
-  def cdcDedupSql: String = {
+  /** Deterministic 20% hash split standing in for "a new crawl batch
+    * arrives" — the H4 BatchSalt device at chunk grain. */
+  private val cdcBatchSalt = "cdcbatch"
+  private[graft] def isCdcNew(c: Column): Column =
+    Sampling.hashBucket(c, cdcBatchSalt) < Sampling.pctThreshold(20)
+
+  // ---------------------------------------------------------------- X2
+  /** X2: INCREMENTAL content-defined dedup — a new batch of docs
+    * against the EXISTING corpus at chunk grain (H4's asymmetric
+    * new-vs-old shape lifted to X1's chunks): a new doc's chunk is
+    * duplicated iff its signature already exists in the old corpus's
+    * chunk index. New-vs-new duplication is the batch's own
+    * [[cdcDedupFrom]] pass — composable, out of scope here by the H4
+    * rule. At scale the old side is a PERSISTED distinct-signature
+    * index (written once, bucketed on sig); per batch only the new
+    * chunks shuffle to probe it. */
+  def cdcDedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    cdcDedupIncrementalFrom(
+      docs.where(!isCdcNew(col("doc_id"))),
+      docs.where(isCdcNew(col("doc_id"))))
+  }
+
+  def cdcDedupIncrementalFrom(oldDocs: DataFrame,
+                              newDocs: DataFrame): DataFrame = {
+    val oldSigs = cdcChunks(oldDocs).select("sig").distinct()
+      .withColumn("hit", lit(true))
+    cdcChunks(newDocs).join(oldSigs, Seq("sig"), "left")
+      .groupBy("doc_id")
+      .agg(first(col("n_tokens")).as("n_tokens"),
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("hit"), 1L).otherwise(0L)).as("dup_chunks"),
+        sum(when(col("hit"), col("ctok")).otherwise(0L)).as("dup_tokens"))
+      .select(col("doc_id"), col("n_tokens"), col("n_chunks"),
+        col("dup_chunks"), col("dup_tokens"),
+        round(col("dup_tokens").cast("double") / col("n_tokens"), 6)
+          .as("dup_frac"))
+      .orderBy("doc_id")
+  }
+
+  def cdcDedupIncrementalSql: String = {
+    val isNew = s"${Sampling.hashBucketSql("CAST(doc_id AS VARCHAR)", cdcBatchSalt)}" +
+      s" < ${Sampling.pctThreshold(20)}"
+    val chunksCtes = cdcChunksSqlCtes
+    s"""WITH $chunksCtes,
+      |oldsig AS (SELECT DISTINCT sig FROM pc WHERE NOT ($isNew)),
+      |np AS (SELECT * FROM pc WHERE $isNew)
+      |SELECT np.doc_id, np.n_tokens AS n_tokens,
+      |  CAST(count(*) AS BIGINT) AS n_chunks,
+      |  CAST(sum(CASE WHEN o.sig IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS dup_chunks,
+      |  CAST(sum(CASE WHEN o.sig IS NOT NULL THEN ctok ELSE 0 END) AS BIGINT)
+      |    AS dup_tokens,
+      |  round(CAST(sum(CASE WHEN o.sig IS NOT NULL THEN ctok ELSE 0 END)
+      |          AS DOUBLE) / np.n_tokens, 6) AS dup_frac
+      |FROM np LEFT JOIN oldsig o ON np.sig = o.sig
+      |GROUP BY np.doc_id, np.n_tokens
+      |ORDER BY np.doc_id""".stripMargin
+  }
+
+  /** The shared chunk-grain CTE chain (t → b → ix → pc): one row per
+    * content-defined chunk, the twin of [[cdcChunks]]. */
+  private val cdcChunksSqlCtes: String = {
     val W = CdcWindow
     val gram = s"array_to_string(toks[p - ${W - 1}:p], ' ')"
     val bucket = Sampling.hashBucketSql(s"($gram)", cdcSalt)
     val start = "(CASE WHEN i = 1 THEN 1 ELSE bps[i - 1] + 1 END)"
     val ctext = s"array_to_string(toks[$start:bps[i]], ' ')"
-    s"""WITH t AS (
+    s"""t AS (
       |  SELECT doc_id, string_split(text, ' ') AS toks,
       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n
       |  FROM documents),
@@ -173,7 +244,11 @@ object Chunking {
       |pc AS (
       |  SELECT doc_id, n AS n_tokens, md5($ctext) AS sig,
       |    CAST(bps[i] - $start + 1 AS BIGINT) AS ctok
-      |  FROM ix),
+      |  FROM ix)""".stripMargin
+  }
+
+  def cdcDedupSql: String = {
+    s"""WITH $cdcChunksSqlCtes,
       |occ AS (SELECT sig, count(*) AS occ FROM pc GROUP BY sig)
       |SELECT pc.doc_id, pc.n_tokens AS n_tokens,
       |  CAST(count(*) AS BIGINT) AS n_chunks,

@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions.col
+
 import graft.operators.{Chunking, Dedup, RuleFilters, Sampling, SimilaritySearch}
 
 /** V-series: published rule-based document filters (Gopher rules, C4
@@ -289,5 +291,40 @@ class VSeriesSpec extends SparkSpec {
     }
     assert(out(3L).getAs[Long]("n_chunks") == bnds.size.toLong,
       s"chunk count ${out(3L)} != independent ${bnds.size}")
+  }
+
+  // ------------------------------------------------------------- X2
+  test("cdc_dedup_incremental prices new-batch chunks against the corpus only") {
+    val passage = (1 to 40).map(i => s"p$i").mkString(" ")
+    val old = Seq(
+      (1L, s"$passage ${(1 to 30).map(i => s"o$i").mkString(" ")}"),
+      (2L, (1 to 60).map(i => s"q$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val fresh = Seq(
+      // exact copy of old doc 1: every chunk must hit
+      (10L, s"$passage ${(1 to 30).map(i => s"o$i").mkString(" ")}"),
+      // carries the corpus passage plus fresh tail
+      (11L, s"$passage ${(1 to 30).map(i => s"z$i").mkString(" ")}"),
+      // fully fresh: nothing hits
+      (12L, (1 to 50).map(i => s"w$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val out = Chunking.cdcDedupIncrementalFrom(old, fresh).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+
+    assert(out.keySet == Set(10L, 11L, 12L), "only the new batch is graded")
+    assert(out(10L).getAs[Double]("dup_frac") == 1.0,
+      s"exact old copy must fully hit: ${out(10L)}")
+    assert(out(12L).getAs[Long]("dup_tokens") == 0L)
+    // the passage carrier realigns on the corpus passage's interior
+    // chunks even though its tail diverges
+    val d11 = out(11L)
+    assert(d11.getAs[Long]("dup_tokens") > 0L, s"passage must hit: $d11")
+    assert(d11.getAs[Long]("dup_chunks") < d11.getAs[Long]("n_chunks"),
+      s"fresh tail must not hit: $d11")
+    // X2 agrees with X1 on the exact-copy case: the batch-mode report
+    // over old+copy marks the copy fully duplicated too
+    val both = Chunking.cdcDedupFrom(old.unionByName(fresh.where(col("doc_id") === 10L)))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(both(10L).getAs[Double]("dup_frac") == 1.0)
   }
 }
