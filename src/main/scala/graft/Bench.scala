@@ -199,7 +199,8 @@ object Bench {
     "from_curate", "from_pipeline_pack", "from_corpus_report", "from_drop_ledger",
     "from_quality_classifier", "from_text_tokens_bpe", "from_ann_ivf_index",
     "from_domain_reweight", "from_ppl_buckets", "from_qc_calibration",
-    "from_span_incremental", "from_alloc_materialize", "from_hard_negatives")
+    "from_span_incremental", "from_alloc_materialize", "from_hard_negatives",
+    "from_dedup_semantic")
 
   /** Materialize the shared stage outputs once (untimed), then time
     * ONLY the `*From` compositions over the persisted parquet — the
@@ -239,6 +240,12 @@ object Bench {
         || o.contains("from_hard_negatives"))
       if (wantIvf)
         SimilaritySearch.writeIvfIndex(spark, sfDir, s"$fromDir/ivfidx")
+      // I4's steady state: centroid training + assignment persist at
+      // index-maintenance cadence (untimed); the timed form is the
+      // dedup RULE alone over the persisted assigned frame — the
+      // per-refresh price once the clustering is shared
+      val semAssigned = persist("sem_assigned",
+        SemanticDedup.assigned(spark, sfDir, 0, 3))
       val lmScores = persist("lm_scores",
         CharLm.lmScore(spark, sfDir).select("doc_id", "avg_logp"))
       val spanIdx = persist("span_index",
@@ -263,6 +270,9 @@ object Bench {
         // over the same prebuilt on-disk IVF index
         "from_hard_negatives" -> (() =>
           SimilaritySearch.hardNegativesFromIndex(spark, s"$fromDir/ivfidx")),
+        "from_dedup_semantic" -> (() =>
+          SemanticDedup.dedupAssigned(spark, semAssigned,
+            SemanticDedup.DefaultTau)),
         // R3's steady state: the char-LM scores persist once (the O4
         // pass every consumer shares); reweighting itself is a join +
         // #sources-row arithmetic

@@ -68,6 +68,30 @@ object DocStreams {
                          corpusDir: String): DataFrame =
     incrementalMatches(spark, streamDir, corpusBandIndex(spark, corpusDir))
 
+  /** X3: the corpus's content-defined chunk index — distinct chunk
+    * signatures of the existing corpus ([[graft.operators.Chunking]]
+    * X1 grain). At scale this is WRITTEN once (bucketed on sig) and
+    * reused across micro-batches, like [[corpusBandIndex]]. */
+  def corpusChunkIndex(spark: SparkSession, corpusDir: String): DataFrame =
+    graft.operators.Chunking
+      .cdcChunks(Tables.documents(spark, corpusDir))
+      .select("sig").distinct()
+
+  /** X3: streaming CDC dedup gate — documents arrive as a stream and
+    * each emits one row per chunk it SHARES with the existing corpus
+    * (stream-static equi-join on the chunk signature; append-mode, no
+    * streaming state — H9's shape at X1's chunk grain). The narrow
+    * chunking pass (in-array boundaries → one chunk-grain explode) is
+    * streaming-safe end to end; downstream aggregates the collisions
+    * per doc exactly like the batch X2 report, and the spec pins the
+    * set equality against X2's verdicts through a real AvailableNow
+    * stream. */
+  def cdcMatches(spark: SparkSession, streamDir: String,
+                 corpusIndex: DataFrame): DataFrame =
+    graft.operators.Chunking.cdcChunks(readDocs(spark, streamDir))
+      .join(corpusIndex, Seq("sig"))
+      .select("doc_id", "sig", "ctok")
+
   /** T3: streaming span-level decontamination — the ingest-time form
     * of [[graft.operators.SpanDedup.spanDecontaminateFrom]]: documents
     * arrive as a stream and each one leaves with its benchmark-

@@ -327,4 +327,46 @@ class VSeriesSpec extends SparkSpec {
       .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
     assert(both(10L).getAs[Double]("dup_frac") == 1.0)
   }
+
+  // ------------------------------------------------------------- X3
+  test("streaming cdc gate emits exactly the batch X2 collision mass") {
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.sources.Tables
+    val sf = sfDir
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cdcs").toString
+    try {
+      val docs = Tables.documents(spark, sf)
+      val isNew = Chunking.isCdcNew(col("doc_id"))
+      docs.where(isNew).write.parquet(s"$tmp/new")
+      // static side rebuilt ad hoc here; production persists
+      // corpusChunkIndex once (smoke-checked below)
+      val staticIdx = graft.operators.Chunking
+        .cdcChunks(docs.where(!isNew)).select("sig").distinct()
+      val idx = graft.streaming.DocStreams.corpusChunkIndex(spark, sf)
+      val name = "cdcgate_" + System.nanoTime()
+      val q = graft.streaming.DocStreams
+        .cdcMatches(spark, s"$tmp/new", staticIdx)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val streamed = spark.table(name)
+        .groupBy("doc_id")
+        .agg(org.apache.spark.sql.functions.count(col("sig")).as("dup_chunks"),
+          org.apache.spark.sql.functions.sum(col("ctok")).as("dup_tokens"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val batch = Chunking
+        .cdcDedupIncrementalFrom(docs.where(!isNew), docs.where(isNew))
+        .where(col("dup_chunks") > 0)
+        .select("doc_id", "dup_chunks", "dup_tokens")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(streamed == batch,
+        s"stream diverged from batch X2 on ${(streamed diff batch).size}+${(batch diff streamed).size} rows")
+      assert(idx.count() > 0)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+      }
+      rm(new java.io.File(tmp))
+    }
+  }
 }
