@@ -1,6 +1,6 @@
 package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{ceil, col, length, lit, sum}
 import java.nio.file.{Files, Paths}
 
 /** Benchmark main: times every SparkEntry query on SPARK_GRAFT_SF_DIR
@@ -200,7 +200,7 @@ object Bench {
     "from_quality_classifier", "from_text_tokens_bpe", "from_ann_ivf_index",
     "from_domain_reweight", "from_ppl_buckets", "from_qc_calibration",
     "from_span_incremental", "from_alloc_materialize", "from_hard_negatives",
-    "from_dedup_semantic")
+    "from_dedup_semantic", "from_epoch_alloc")
 
   /** Materialize the shared stage outputs once (untimed), then time
     * ONLY the `*From` compositions over the persisted parquet — the
@@ -253,6 +253,12 @@ object Bench {
           docs.where(!SpanDedup.isNewBatch(col("doc_id")))))
       val allocTable = persist("alloc_table",
         DomainMix.epochAlloc(spark, sfDir))
+      val allocWeights = persist("alloc_weights",
+        DomainMix.domainReweight(spark, sfDir).select("source", "weight"))
+      val allocAvail = persist("alloc_avail",
+        graft.sources.Tables.documents(spark, sfDir).groupBy("source")
+          .agg(sum(ceil(length(col("text")) / lit(4.0)).cast("long"))
+            .as("avail_tokens")))
       val forms: Seq[(String, () => DataFrame)] = Seq(
         "from_curate" -> (() => Curation.curateFrom(docs, quality, exact, decont)),
         "from_pipeline_pack" -> (() => Pipeline.pipelinePackFrom(docs, curated, semDrops)),
@@ -295,7 +301,12 @@ object Bench {
         // S6 steady state: the two-level residual rank + joins over a
         // decided allocation table (#sources rows, persisted)
         "from_alloc_materialize" -> (() =>
-          DomainMix.epochAllocMaterializeFrom(docs, allocTable)))
+          DomainMix.epochAllocMaterializeFrom(docs, allocTable)),
+        // S3's steady state: weights come from the (from_domain_
+        // reweight-priced) trainer and avail from one persisted count
+        // pass; the allocator itself runs on #sources rows
+        "from_epoch_alloc" -> (() =>
+          DomainMix.epochAllocFrom(allocWeights, allocAvail)))
       forms.filter { case (n, _) => only.forall(_.contains(n)) }
         .foreach { case (n, mk) => timeQuery(n, mk) }
     } catch {
