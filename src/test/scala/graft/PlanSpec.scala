@@ -392,6 +392,20 @@ class PlanSpec extends SparkSpec {
       s"assignment fell back to SortAggregate:\n$plan")
   }
 
+  test("cdc dedup aggregates chunk occurrences hash-side with no cartesian") {
+    for (name <- Seq("q_cdc_dedup", "q_cdc_dedup_incremental")) {
+      val plan = finalPlan(graft.SparkEntry.queries(name)(spark, sfDir))
+      assert(!plan.contains("CartesianProduct"),
+        s"$name plans a cartesian:\n$plan")
+      // the signature-grain occurrence count and the per-doc rollup
+      // must both partial-aggregate before their exchanges
+      assert("HashAggregate".r.findAllIn(plan).size >= 2,
+        s"$name missing partial aggregation:\n$plan")
+      assert(!plan.contains("SortAggregate"),
+        s"$name fell back to SortAggregate:\n$plan")
+    }
+  }
+
   test("vocab coverage cuts the histogram with TakeOrdered and broadcasts the totals") {
     val df = graft.SparkEntry.queries("q_vocab_coverage")(spark, sfDir)
     val plan = finalPlan(df)
