@@ -9,6 +9,32 @@ import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.SparkSessionExtensions
 
+/** Static kernel for [[CosineSimilarity]] — one precompiled fused
+  * loop shared by interpreted eval and codegen. Codegen calls this
+  * via `defineCodeGen` (the PqCodec house style) instead of emitting
+  * an inline loop: an inline snippet with fixed local names fails
+  * Janino compilation when the expression appears twice in one
+  * codegen scope ("Redefinition of local variable i") and silently
+  * drops the whole projection to interpreted mode — exactly the
+  * trained-ANN assignment path this expression exists to accelerate.
+  */
+object CosineOps {
+  /** Sequential double accumulation over min(|x|, |y|) elements;
+    * `lf`/`rf` select float vs double element reads and are plan-time
+    * constants, so the branch predicts perfectly. */
+  def cosine(x: ArrayData, y: ArrayData, lf: Boolean, rf: Boolean): Double = {
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < n) {
+      val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
+      val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
+      dot += xv * yv; na += xv * xv; nb += yv * yv
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+}
+
 /** Native codegen'd cosine similarity over array<float>/array<double>
   * columns — the hot-path replacement for the portable
   * zip_with/aggregate formulation in [[graft.functions.Vectors]]
@@ -39,39 +65,16 @@ case class CosineSimilarity(left: Expression, right: Expression)
   private def elemType(e: Expression): DataType =
     e.dataType.asInstanceOf[ArrayType].elementType
 
-  override protected def nullSafeEval(a: Any, b: Any): Any = {
-    val x = a.asInstanceOf[ArrayData]
-    val y = b.asInstanceOf[ArrayData]
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    CosineOps.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      elemType(left) == FloatType, elemType(right) == FloatType)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val lf = elemType(left) == FloatType
     val rf = elemType(right) == FloatType
-    val n = math.min(x.numElements(), y.numElements())
-    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-    while (i < n) {
-      val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
-      val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
-      dot += xv * yv; na += xv * xv; nb += yv * yv
-      i += 1
-    }
-    dot / (math.sqrt(na) * math.sqrt(nb))
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.plans.CosineOps$$.MODULE$$.cosine($a, $b, $lf, $rf)")
   }
-
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, b) => {
-      val getX = if (elemType(left) == FloatType) s"(double) $a.getFloat(i)"
-                 else s"$a.getDouble(i)"
-      val getY = if (elemType(right) == FloatType) s"(double) $b.getFloat(i)"
-                 else s"$b.getDouble(i)"
-      s"""
-         |int n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double dot = 0.0, na = 0.0, nb = 0.0;
-         |for (int i = 0; i < n; i++) {
-         |  double x = $getX;
-         |  double y = $getY;
-         |  dot += x * y; na += x * x; nb += y * y;
-         |}
-         |${ev.value} = dot / (java.lang.Math.sqrt(na) * java.lang.Math.sqrt(nb));
-       """.stripMargin
-    })
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): CosineSimilarity =
