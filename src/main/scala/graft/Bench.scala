@@ -200,7 +200,7 @@ object Bench {
     "from_quality_classifier", "from_text_tokens_bpe", "from_ann_ivf_index",
     "from_domain_reweight", "from_ppl_buckets", "from_qc_calibration",
     "from_span_incremental", "from_alloc_materialize", "from_hard_negatives",
-    "from_dedup_semantic", "from_epoch_alloc")
+    "from_dedup_semantic", "from_epoch_alloc", "from_lm_quality")
 
   /** Materialize the shared stage outputs once (untimed), then time
     * ONLY the `*From` compositions over the persisted parquet — the
@@ -248,6 +248,9 @@ object Bench {
         SemanticDedup.assigned(spark, sfDir, 0, 3))
       val lmScores = persist("lm_scores",
         CharLm.lmScore(spark, sfDir).select("doc_id", "avg_logp"))
+      // O4's trained artifact itself (vocabulary-bounded gram table):
+      // persisted at refresh cadence, broadcast by every consumer
+      val lmLogp = persist("lm_logp", CharLm.lmModelFrom(docs))
       val spanIdx = persist("span_index",
         SpanDedup.spanGramIndex(spark,
           docs.where(!SpanDedup.isNewBatch(col("doc_id")))))
@@ -289,6 +292,9 @@ object Bench {
         // derivation + a broadcast-compare bucketing pass
         "from_ppl_buckets" -> (() =>
           CharLm.pplBucketsFrom(lmScores, docs.select("doc_id", "lang"))),
+        // O4 steady state: score-only under the persisted gram table
+        // (the last trained-artifact query to get a priced from-form)
+        "from_lm_quality" -> (() => CharLm.lmScoreWith(docs, lmLogp)),
         // S4 steady state: score-and-bin under the already-trained model
         "from_qc_calibration" -> (() =>
           QualityClassifier.calibrationFrom(docs, qcModel)),

@@ -37,6 +37,7 @@ object SparkEntry {
     "q_pivot_event_counts" -> (Relational.qPivotEventCounts _),
     // E. text analysis + C1 exact dedup
     "q_text_langid" -> (TextAnalysis.langId _),
+    "q_langid_trained" -> (LangId.langidTrained _),
     "q_text_quality" -> (TextAnalysis.quality _),
     "q_text_tokens" -> (TextAnalysis.tokenCounts _),
     "q_text_fingerprint" -> (TextAnalysis.fingerprint _),
@@ -98,9 +99,11 @@ object SparkEntry {
     "q_text_repetition" -> (TextAnalysis.repetition _),
     "q_pii_scrub" -> (TextAnalysis.scrub _),
     "q_ann_quantized" -> (SimilaritySearch.quantizedTopK _),
-    // sketch profiling: HLL/GK internals are engine-specific -> no
-    // oracle; accuracy gated by ApproxProfileSpec against exact
-    "q_profile_approx" -> (Sampling.approxProfile _),
+    // sketch profiling under the hash gate: the AUDIT form — exact
+    // stats + each engine's own sketch-within-bounds verdicts (raw
+    // HLL/GK estimates stay engine-specific; their raw-value accuracy
+    // is spec-gated in PipelineOpsSpec against exact answers)
+    "q_profile_approx" -> (Sampling.approxProfileAudit _),
     "q_curate" -> (Curation.curate _),
     "q_mix_resample" -> ((s: SparkSession, d: String) => Sampling.mixResample(s, d)),
     "q_mix_unimax" -> ((s: SparkSession, d: String) => Sampling.mixUnimax(s, d)),
@@ -114,6 +117,7 @@ object SparkEntry {
     // not SQL-expressible -> rows-only; properties + golden file gated
     // by PackingSpec / GoldenSpec
     "q_dedup_semantic" -> ((s: SparkSession, d: String) => SemanticDedup.semanticDedup(s, d)),
+    "q_semantic_recall" -> (SemanticDedup.semanticRecall _),
     "q_dedup_source_matrix" -> (Dedup.sourceMatrix _),
     // J1: composed funnel (curate -> semantic survivors -> mix
     // resample -> shard pack); oracle nests the stages' own SQL with
@@ -264,6 +268,7 @@ object SparkEntry {
     "q_percentiles" -> Relational.qPercentilesSql,
     "q_pivot_event_counts" -> Relational.qPivotEventCountsSql,
     "q_text_langid" -> TextAnalysis.langIdSql,
+    "q_langid_trained" -> LangId.langidTrainedSql,
     "q_text_quality" -> TextAnalysis.qualitySql,
     "q_text_tokens" -> TextAnalysis.tokenCountsSql,
     "q_text_fingerprint" -> TextAnalysis.fingerprintSql,
@@ -290,6 +295,7 @@ object SparkEntry {
     "q_dedup_clusters" -> Dedup.dupClustersSql,
     "q_asof_attribution" -> AsofJoin.attributionSql,
     "q_sample_hash" -> Sampling.hashSampleSql(),
+    "q_profile_approx" -> Sampling.approxProfileAuditSql,
     "q_source_profile" -> Sampling.sourceProfileSql,
     "q_decontaminate" -> Dedup.decontaminateSql,
     "q_dedup_incremental" -> Dedup.incrementalDedupSql,
@@ -368,6 +374,7 @@ object SparkEntry {
     // I4 joins the oracle through its frozen-centroid literal (the D3
     // convention) — formerly rows-only
     "q_dedup_semantic" -> SemanticDedup.semanticDedupSql,
+    "q_semantic_recall" -> SemanticDedup.semanticRecallSql,
     "q_cdc_dedup" -> Chunking.cdcDedupSql,
     "q_cdc_dedup_incremental" -> Chunking.cdcDedupIncrementalSql
   )

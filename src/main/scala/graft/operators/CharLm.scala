@@ -59,25 +59,46 @@ object CharLm {
     * than one trigram are excluded (Spark's `sequence(1, 0)` would
     * DESCEND, DuckDB's `range(1, 0)` is empty — the guard keeps the
     * engines identical and the semantics honest). */
-  def lmScoreFrom(docs: DataFrame): DataFrame = {
-    val grams = docs.where(length(col("text")) >= 3)
+  def lmScoreFrom(docs: DataFrame): DataFrame =
+    lmScoreWith(docs, lmModelFrom(docs))
+
+  private def lmGramsOf(docs: DataFrame): DataFrame =
+    docs.where(length(col("text")) >= 3)
       .select(col("doc_id"),
         explode(expr(
           "transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))"))
           .as("g"))
-    val model = grams.groupBy("g").agg(count(lit(1)).as("c3"))
+
+  /** The trained O4 artifact — the `(trigram, logp)` table, bounded
+    * by |charset|³ (never corpus size), i.e. the thing a steady-state
+    * pipeline PERSISTS at refresh cadence and every scoring consumer
+    * broadcast-joins. */
+  def lmModelFrom(docs: DataFrame): DataFrame = {
+    val model = lmGramsOf(docs).groupBy("g").agg(count(lit(1)).as("c3"))
     val prefix = model.groupBy(substring(col("g"), 1, 2).as("pfx"))
       .agg(sum(col("c3")).as("c2"))
-    val logp = model
+    model
       .join(prefix, substring(col("g"), 1, 2) === col("pfx"))
       .select(col("g"),
         log(col("c3").cast("double") / (col("c2") + lit(Gamma))).as("logp"))
-    grams.join(broadcast(logp), Seq("g"))
+  }
+
+  /** O4 steady state: score a doc frame under an already-trained
+    * `(g, logp)` table — one broadcast join + doc-grain aggregation;
+    * grams absent from the table (impossible when self-trained,
+    * possible under a persisted model on NEW docs) price as the
+    * γ-floor ln(1/γ), the same "rare transition" mass the smoothing
+    * assigns a hapax — an unknown trigram must not score BETTER than
+    * a rare known one, and dropping it would silently shorten the
+    * stream. */
+  def lmScoreWith(docs: DataFrame, logp: DataFrame): DataFrame =
+    lmGramsOf(docs).join(broadcast(logp), Seq("g"), "left")
+      .select(col("doc_id"),
+        coalesce(col("logp"), log(lit(1.0 / Gamma))).as("logp"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_grams"), round(avg(col("logp")), 6).as("avg_logp"))
       .withColumn("suspect", col("avg_logp") < SuspectBar)
       .orderBy("doc_id")
-  }
 
   /** Sample share (of 65536 hash buckets) that prices the tercile
     * cut points — ~25% here; at 100 TB the knob shrinks (CCNet itself
@@ -115,12 +136,16 @@ object CharLm {
     * (doc_id, lang) frame. Langs absent from the sample (none at the
     * fixture fractions) would drop — the inner join states that
     * honestly rather than inventing a bucket. */
-  def pplBucketsFrom(scored: DataFrame, langs: DataFrame): DataFrame = {
+  def pplBucketsFrom(scored: DataFrame, langs: DataFrame,
+                     sortCap: Long = Sampling.SampleSortCap): DataFrame = {
     // two consumers (sample + bucket join): checkpoint the slim
     // (doc_id, lang, avg_logp) frame so the join runs once
     val doc = scored.join(langs, Seq("doc_id")).localCheckpoint()
-    val samp = doc.where(
-      Sampling.hashBucket(col("doc_id"), pplSalt) < PplSampleBar)
+    // cap-guarded: the per-lang rank sorts the whole sample of a
+    // dominant language in one task — fail loudly past the cap
+    val samp = Sampling.sampleSortGuard(
+      doc.where(Sampling.hashBucket(col("doc_id"), pplSalt) < PplSampleBar),
+      sortCap, "pplBuckets cut-point")
     val wRank = Window.partitionBy("lang").orderBy("avg_logp", "doc_id")
     val wN = Window.partitionBy("lang")
     val cuts = samp
@@ -210,7 +235,8 @@ object CharLm {
   def excessLossSelect(spark: SparkSession, dir: String): DataFrame =
     excessLossSelectFrom(Tables.parallelized(spark, Tables.documents(spark, dir)))
 
-  def excessLossSelectFrom(docs: DataFrame): DataFrame = {
+  def excessLossSelectFrom(docs: DataFrame,
+                           sortCap: Long = Sampling.SampleSortCap): DataFrame = {
     val corpus3 = docs.where(length(col("text")) >= 3)
     def gramsOf(d: DataFrame): DataFrame = d
       .select(col("doc_id"),
@@ -253,20 +279,28 @@ object CharLm {
       .agg(count(lit(1)).as("n_grams"),
         round(avg(col("lam")), 6).as("excess_logp"))
       .localCheckpoint()
-    val samp = scored.where(
-      Sampling.hashBucket(col("doc_id"), excessSalt) < PplSampleBar)
+    // cap-guarded (in-plan raise BEFORE the single-task rank sort);
+    // the guard's broadcast n_samp doubles as the window's total
+    // count, saving the count-over-frame pass
+    val samp = Sampling.sampleSortGuard(
+      scored.where(
+        Sampling.hashBucket(col("doc_id"), excessSalt) < PplSampleBar),
+      sortCap, "excessLossSelect cut")
     val wRank = Window.orderBy(col("excess_logp").desc, col("doc_id"))
-    val wN = Window.partitionBy(lit(1))
     val cut = samp
       .withColumn("r", row_number().over(wRank))
-      .withColumn("n", count(lit(1)).over(wN))
       .agg(max(when(
-        col("r") === ceil(col("n") * ExcessKeepNum / lit(ExcessKeepDen.toDouble))
-          .cast("long"),
+        col("r") === ceil(col("n_samp") * ExcessKeepNum /
+          lit(ExcessKeepDen.toDouble)).cast("long"),
         col("excess_logp"))).as("c"))
+    // coalesce: an EMPTY hash sample yields a NULL cut, and
+    // `excess_logp >= NULL` is NULL — every row silently unselected.
+    // With no sample evidence the honest verdict is "select all"
+    // (threshold -inf), stated as a literal both engines share.
     scored.crossJoin(broadcast(cut))
       .select(col("doc_id"), col("n_grams"), col("excess_logp"),
-        (col("excess_logp") >= col("c")).as("selected"))
+        (col("excess_logp") >= coalesce(col("c"), lit(-1e18)))
+          .as("selected"))
       .orderBy("doc_id")
   }
 
@@ -304,7 +338,7 @@ object CharLm {
       |                count(*) OVER () AS n
       |              FROM sc WHERE $hb < $PplSampleBar) t)
       |SELECT sc.doc_id, sc.n_grams, sc.excess_logp,
-      |  sc.excess_logp >= cut.c AS selected
+      |  sc.excess_logp >= coalesce(cut.c, -1e18) AS selected
       |FROM sc, cut
       |ORDER BY doc_id""".stripMargin
   }

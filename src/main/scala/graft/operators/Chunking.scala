@@ -131,11 +131,15 @@ object Chunking {
         array_join(
           slice(tk, start, element_at(bp, i.cast("int")) - start + 1), " ")
       })
-    val chunks = flatten(transform(array(split(col("text"), " ")), tk =>
+    // coalesce: split(NULL) is a NULL array and explode(NULL) emits
+    // NO rows — a NULL-text doc would silently vanish from the dup
+    // report. As '' it contributes one empty chunk in both engines.
+    val txt = coalesce(col("text"), lit(""))
+    val chunks = flatten(transform(array(split(txt, " ")), tk =>
       flatten(transform(array(bpsOf(tk)), bp => chunksOf(tk, bp)))))
     docs
       .select(col("doc_id"),
-        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        size(split(txt, " ")).cast("long").as("n_tokens"),
         explode(chunks).as("ctext"))
       .select(col("doc_id"), col("n_tokens"),
         md5(col("ctext")).as("sig"),
@@ -229,8 +233,8 @@ object Chunking {
     val start = "(CASE WHEN i = 1 THEN 1 ELSE bps[i - 1] + 1 END)"
     val ctext = s"array_to_string(toks[$start:bps[i]], ' ')"
     s"""t AS (
-      |  SELECT doc_id, string_split(text, ' ') AS toks,
-      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+      |  SELECT doc_id, string_split(coalesce(text, ''), ' ') AS toks,
+      |    CAST(len(string_split(coalesce(text, ''), ' ')) AS BIGINT) AS n
       |  FROM documents),
       |b AS (
       |  SELECT doc_id, toks, n,

@@ -343,14 +343,47 @@ object DomainMix {
     * Scale shape: everything after the one source-grain count
     * aggregation operates on #sources rows; the rank window is over
     * the bounded source table. */
-  def mixTemperature(spark: SparkSession, dir: String): DataFrame =
-    mixTemperatureFrom(Tables.documents(spark, dir))
+  /** Frozen per-source micro-weights (source, n_docs, w): the ONE
+    * float step — pow(n, alpha) — runs driver-side over the bounded
+    * #sources count table and is frozen to integers HERE, so the
+    * Spark plan and the DuckDB oracle both allocate from the same
+    * literal integers and no engine ever re-evaluates pow (a 1-ulp
+    * libm difference at a .5 rounding boundary would otherwise flip
+    * a micro-weight between engines). */
+  private[operators] val tempWeightCache =
+    new OracleModelCache[Seq[(String, Long, Long)]]((spark, dir) =>
+      Tables.documents(spark, dir).groupBy("source")
+        .agg(count(lit(1)).as("n_docs")).orderBy("source")
+        .collect().toSeq.map { r =>
+          val n = r.getLong(1)
+          (r.getString(0), n,
+            Math.round(Math.pow(n.toDouble, TempAlpha) * TempWScale))
+        })
 
+  def mixTemperature(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val m = tempWeightCache.model(spark, dir)
+    mixTempAlloc(m.toDF("source", "n_docs", "w"))
+  }
+
+  /** From-form over an arbitrary docs frame (spec/composition use):
+    * same allocation, weights frozen through the identical
+    * driver-side Math.pow/Math.round path as [[mixTemperature]]. */
   def mixTemperatureFrom(docs: DataFrame): DataFrame = {
-    val w = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
-      .select(col("source"), col("n_docs"),
-        round(pow(col("n_docs"), lit(TempAlpha)) * TempWScale, 0)
-          .cast("long").as("w"))
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val counts = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+      .orderBy("source").collect().toSeq.map { r =>
+        val n = r.getLong(1)
+        (r.getString(0), n,
+          Math.round(Math.pow(n.toDouble, TempAlpha) * TempWScale))
+      }
+    mixTempAlloc(counts.toDF("source", "n_docs", "w"))
+  }
+
+  /** Exact largest-remainder apportionment in pure integers over the
+    * frozen (source, n_docs, w) table. */
+  private def mixTempAlloc(w: DataFrame): DataFrame = {
     val tot = w.agg(sum(col("w")).as("w_tot"), sum(col("n_docs")).as("b"))
     val alloc = w.crossJoin(broadcast(tot))
       .withColumn("base", expr("b * w DIV w_tot"))
@@ -370,12 +403,17 @@ object DomainMix {
       .orderBy("source")
   }
 
-  def mixTemperatureSql: String =
-    s"""WITH per AS (SELECT source, count(*) AS n_docs
-      |            FROM documents GROUP BY source),
-      |w AS (SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
-      |        CAST(round(pow(n_docs, $TempAlpha) * $TempWScale, 0) AS BIGINT) AS w
-      |      FROM per),
+  /** Oracle twin: the frozen (source, n_docs, w) integers ride the
+    * SQL as VALUES literals (the P1/P2 frozen-model convention), so
+    * DuckDB never evaluates pow — cross-engine libm ulps cannot flip
+    * a micro-weight. */
+  def mixTemperatureSql: String = {
+    val m = tempWeightCache.oracleModel()
+    val rows = m.map { case (s, n, w) =>
+      s"('${s.replace("'", "''")}', CAST($n AS BIGINT), CAST($w AS BIGINT))"
+    }.mkString(",\n        ")
+    s"""WITH w(source, n_docs, w) AS (VALUES
+      |        $rows),
       |tot AS (SELECT CAST(sum(w) AS BIGINT) AS w_tot,
       |               CAST(sum(n_docs) AS BIGINT) AS b FROM w),
       |alloc AS (SELECT source, n_docs, w, b, w_tot,
@@ -394,4 +432,5 @@ object DomainMix {
       |FROM alloc a, lef, rk
       |WHERE rk.source = a.source
       |ORDER BY a.source""".stripMargin
+  }
 }

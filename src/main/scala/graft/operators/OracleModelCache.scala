@@ -39,8 +39,8 @@ private[operators] final class OracleModelCache[M](
     * same data and retraining is bit-stable within a session, so
     * order of evaluation cannot change any embedded literal. */
   def oracleModel(): M = {
-    val dir = Option(lastDir.get())
-      .orElse(Option(OracleContext.dir.get()))
+    val dir = Option(OracleContext.dir.get())
+      .orElse(Option(lastDir.get()))
       .orElse(sys.env.get("SPARK_GRAFT_SF_DIR"))
       .getOrElse("/root/testdata/sf0.01")
     Option(cache.get(dir)).getOrElse {

@@ -85,7 +85,9 @@ object RuleFilters {
     val rWords = nWords >= GopherMinWords && nWords <= GopherMaxWords
     val rWordLen =
       meanWordLen >= GopherMinWordLen && meanWordLen <= GopherMaxWordLen
-    val rSymbol = symRatio < GopherMaxSymbolRatio
+    // Rae et al. 2021 (Gopher, A1.1) REMOVES docs with symbol ratio
+    // GREATER than 0.1, so a doc exactly at the bound is kept: <=
+    val rSymbol = symRatio <= GopherMaxSymbolRatio
     val rBullet = bulletFrac <= GopherMaxBulletFrac
     val rEllipsis = ellipsisFrac <= GopherMaxEllipsisFrac
     val rAlpha = alphaFrac >= GopherMinAlphaFrac
@@ -128,7 +130,7 @@ object RuleFilters {
       s"m.n_words <= $GopherMaxWords)"
     val rWordLen = s"(m.mwl >= $GopherMinWordLen AND " +
       s"m.mwl <= $GopherMaxWordLen)"
-    val rSymbol = s"(m.sym < $GopherMaxSymbolRatio)"
+    val rSymbol = s"(m.sym <= $GopherMaxSymbolRatio)"
     val rBullet = s"(m.bullet <= $GopherMaxBulletFrac)"
     val rEllipsis = s"(m.ell <= $GopherMaxEllipsisFrac)"
     val rAlpha = s"(m.alpha >= $GopherMinAlphaFrac)"

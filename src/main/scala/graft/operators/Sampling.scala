@@ -40,6 +40,34 @@ object Sampling {
   /** Bucket threshold for a ~pct% sample. */
   def pctThreshold(pct: Int): Int = 65536 * pct / 100
 
+  /** Loud cap on sample frames destined for a rank window whose sort
+    * lands in one task (cut-point samples in CharLm's S2/R5): a
+    * 25%-of-corpus sample bar is fine at test SFs but at 100 TB a
+    * single-task sort of it is a silent scale-killer. Sized to what
+    * one task sorts comfortably (~tens of MB at the 16-24 B/row
+    * cut-sample grain); corpora past it must shrink the sample bar
+    * (the published practice — cut-point precision needs a bounded
+    * sample, not a fraction). */
+  val SampleSortCap = 4000000L
+
+  /** In-plan guard (the Boilerplate HotSetCap discipline): crossJoin
+    * the sample with a broadcast 1-row count that `raise_error`s when
+    * the sample exceeds `cap`. The broadcast side materializes BEFORE
+    * the downstream window's sort executes, so an oversized sample
+    * fails the job loudly instead of silently single-task-sorting.
+    * Adds an `n_samp` column (callers may reuse it as the window's
+    * total-count — it saves a count-over-frame window pass). */
+  def sampleSortGuard(samp: DataFrame, cap: Long, what: String): DataFrame = {
+    val n = samp.agg(count(lit(1)).as("n_samp"))
+      .select(
+        when(col("n_samp") <= cap, col("n_samp"))
+          .otherwise(raise_error(concat(
+            lit(s"$what sample "), col("n_samp").cast("string"),
+            lit(s" rows exceeds single-sort cap $cap — shrink the sample bar"))))
+          .as("n_samp"))
+    samp.crossJoin(broadcast(n))
+  }
+
   /** G1: ~`pct`% per language (stratified): keep docs whose salted
     * md5's first 4 hex digits fall under pct% of 16^4. Being
     * value-hash based, the sample is stable under repartitioning and
@@ -365,9 +393,9 @@ object Sampling {
     * are constant-memory, merge in partial aggregation, and never
     * shuffle raw values the way exact count-distinct / percentile
     * must. Sketch internals are engine-specific by design, so there is
-    * no DuckDB oracle — the rows-only gate covers shape, and
-    * ApproxProfileSpec asserts each estimate against the exact answer
-    * (±2% distinct, ±5% quantile rank). */
+    * no DuckDB oracle for the raw estimates — PipelineOpsSpec asserts
+    * each estimate against the exact answer (±2% distinct, ±5%
+    * quantile rank); [[approxProfileAudit]] is the hash-gated form. */
   def approxProfile(spark: SparkSession, dir: String): DataFrame =
     Tables.eventsRaw(spark, dir)
       .groupBy(col("event_type"))
@@ -377,6 +405,56 @@ object Sampling {
         percentile_approx(col("value"), lit(0.5), lit(10000)).as("p50_value"),
         percentile_approx(col("value"), lit(0.99), lit(10000)).as("p99_value"))
       .orderBy("event_type")
+
+  /** H7 under the hash gate: the sketch AUDIT — exact per-route stats
+    * plus each sketch's error-bound verdict computed against the SAME
+    * engine's exact answer. Raw sketch estimates can never hash-match
+    * across engines (HLL++/GK here vs HLL/t-digest in DuckDB), but
+    * their CONTRACTS can: each engine runs its own sketch and its own
+    * exact aggregate, and the within-bounds boolean — distinct count
+    * within ±5%, p50 inside the exact [p45, p55], p99 inside
+    * [p98.5, p99.5] — is deterministic on both sides. The sketches
+    * stay genuinely exercised under the driver gate; the raw-estimate
+    * error-bound spec in PipelineOpsSpec is unchanged. */
+  def approxProfileAudit(spark: SparkSession, dir: String): DataFrame =
+    Tables.eventsRaw(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        approx_count_distinct(col("user_id"), 0.02).as("au"),
+        percentile_approx(col("value"), lit(0.5), lit(10000)).as("p50a"),
+        percentile_approx(col("value"), lit(0.99), lit(10000)).as("p99a"),
+        expr("percentile(value, 0.45)").as("p45"),
+        expr("percentile(value, 0.55)").as("p55"),
+        expr("percentile(value, 0.985)").as("p985"),
+        expr("percentile(value, 0.995)").as("p995"))
+      .select(col("event_type"), col("n_events"), col("n_users"),
+        (abs(col("au") - col("n_users")) <= col("n_users") * 0.05)
+          .as("users_sketch_ok"),
+        (col("p50a") >= col("p45") && col("p50a") <= col("p55"))
+          .as("p50_sketch_ok"),
+        (col("p99a") >= col("p985") && col("p99a") <= col("p995"))
+          .as("p99_sketch_ok"))
+      .orderBy("event_type")
+
+  /** DuckDB twin of [[approxProfileAudit]]: DuckDB's own sketches
+    * (HLL approx_count_distinct, t-digest approx_quantile) audited
+    * against DuckDB's own exact aggregates — only the verdict
+    * booleans and exact counts are compared across engines. */
+  def approxProfileAuditSql: String =
+    s"""SELECT event_type,
+      |  count(*) AS n_events,
+      |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+      |  abs(approx_count_distinct(user_id) - count(DISTINCT user_id))
+      |    <= 0.05 * count(DISTINCT user_id) AS users_sketch_ok,
+      |  approx_quantile(value, 0.5) BETWEEN quantile_cont(value, 0.45)
+      |    AND quantile_cont(value, 0.55) AS p50_sketch_ok,
+      |  approx_quantile(value, 0.99) BETWEEN quantile_cont(value, 0.985)
+      |    AND quantile_cont(value, 0.995) AS p99_sketch_ok
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
 
   // ---------------------------------------------------------------- J5
   /** 98/1/1 split boundaries on the 16-bit bucket space, integer

@@ -728,4 +728,100 @@ object SemanticDedup {
         index.generation + 1, refreshed = true)
     }
   }
+
+  // ------------------------------------------------- semantic recall
+  /** Fixed probe size for the semantic recall curve — fixed-COUNT,
+    * never corpus-scaled (the J3/W2 lesson), so the eval costs the
+    * same at any corpus size. */
+  val SemProbeN = 256
+  private val semRecallSalt = "semrecall"
+
+  /** Semantic dedup-quality eval — W2's measured-S-curve idea applied
+    * to I4's candidate generator: SemDeDup only COMPARES pairs that
+    * land in the same trained k-means cluster, so the clustering is a
+    * candidate filter exactly like C2's band family, and its measured
+    * quality is P(same cluster | cosine decile) over a fixed 256-
+    * vector hash probe. Recall@τ for I4's τ = [[DefaultTau]] reads
+    * off the top deciles (the fraction of would-be duplicates the
+    * cluster partition actually lets the verify rule see — SemDeDup's
+    * known blind spot is near-dup pairs straddling a cluster
+    * boundary); the bottom deciles' p_collide is the wasted
+    * within-cluster verify load.
+    *
+    * Scale shape: corpus-scale work is the centroid trainer (shared,
+    * priced under I4) + one TakeOrdered(256) probe draw; assignment
+    * runs on 256 rows against the broadcast centroid table and
+    * everything after is ≤32,640 pairs — constant at any corpus size.
+    * Engine determinism: pair cosine rounded to 9 dp before the
+    * decile arithmetic `(c+1)*5` (identical literal ops on identical
+    * doubles); assignment is the shared round-9 argmax with ties to
+    * the smallest cid; the frozen centroids ride the oracle as VALUES
+    * literals (the I4 convention). */
+  def semanticRecall(spark: SparkSession, dir: String): DataFrame = {
+    val cents = semCentsDf(spark, semCentCache.model(spark, dir))
+    val probe = Tables.embeddings(spark, dir)
+      .orderBy(Sampling.hashBucket(col("vec_id"), semRecallSalt),
+        col("vec_id"))
+      .limit(SemProbeN)
+      .localCheckpoint() // bounded 256 rows, three consumers
+    val cid = assignTo(spark, probe, cents).select("vec_id", "cid")
+    val pairs = probe
+      .select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
+      .join(broadcast(probe.select(col("vec_id").as("vec_b"),
+        col("embedding").as("emb_b"))), col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        round(Vectors.cosineFast(spark, col("emb_a"), col("emb_b")), 9)
+          .as("c9"))
+    pairs
+      .join(broadcast(cid.select(col("vec_id").as("vec_a"),
+        col("cid").as("cid_a"))), Seq("vec_a"))
+      .join(broadcast(cid.select(col("vec_id").as("vec_b"),
+        col("cid").as("cid_b"))), Seq("vec_b"))
+      .select(
+        least(floor((col("c9") + 1) * 5).cast("int"), lit(9))
+          .as("cos_decile"),
+        when(col("cid_a") === col("cid_b"), 1L).otherwise(0L).as("c"))
+      .groupBy("cos_decile")
+      .agg(count(lit(1)).as("n_pairs"), sum(col("c")).as("n_collide"))
+      .select(col("cos_decile"), col("n_pairs"), col("n_collide"),
+        round(col("n_collide").cast("double") / col("n_pairs"), 6)
+          .as("p_collide"))
+      .orderBy("cos_decile")
+  }
+
+  /** DuckDB twin: frozen centroids as VALUES literals, the same
+    * round-9 argmax assignment over the probe, the same decile
+    * arithmetic. */
+  def semanticRecallSql: String = {
+    val cents = semCentCache.oracleModel()
+    val rows = cents.map { case (cid, ce) =>
+      s"($cid, CAST(${ce.map(fmtD).mkString("[", ", ", "]")} AS DOUBLE[]))"
+    }.mkString(",\n    ")
+    val hb = Sampling.hashBucketSql("CAST(vec_id AS VARCHAR)", semRecallSalt)
+    val cos = Vectors.cosineSql("e.embedding", "c.c_emb")
+    val pairCos = Vectors.cosineSql("a.embedding", "b.embedding")
+    s"""WITH cents(cid, c_emb) AS (VALUES
+      |    $rows),
+      |probe AS (
+      |  SELECT vec_id, embedding FROM embeddings
+      |  ORDER BY $hb, vec_id LIMIT $SemProbeN),
+      |assigned AS (
+      |  SELECT vec_id, cid FROM (
+      |    SELECT e.vec_id, c.cid,
+      |      row_number() OVER (PARTITION BY e.vec_id
+      |        ORDER BY round($cos, 9) DESC, c.cid) AS rk
+      |    FROM probe e, cents c) t
+      |  WHERE rk = 1),
+      |p AS (
+      |  SELECT least(CAST(floor((round($pairCos, 9) + 1) * 5) AS INT), 9)
+      |      AS cos_decile,
+      |    CASE WHEN ca.cid = cb.cid THEN 1 ELSE 0 END AS c
+      |  FROM probe a JOIN probe b ON a.vec_id < b.vec_id
+      |  JOIN assigned ca ON ca.vec_id = a.vec_id
+      |  JOIN assigned cb ON cb.vec_id = b.vec_id)
+      |SELECT cos_decile, CAST(count(*) AS BIGINT) AS n_pairs,
+      |  CAST(sum(c) AS BIGINT) AS n_collide,
+      |  round(CAST(sum(c) AS DOUBLE) / count(*), 6) AS p_collide
+      |FROM p GROUP BY cos_decile ORDER BY cos_decile""".stripMargin
+  }
 }

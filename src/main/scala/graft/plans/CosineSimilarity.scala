@@ -38,8 +38,13 @@ object CosineOps {
 /** Native codegen'd cosine similarity over array<float>/array<double>
   * columns — the hot-path replacement for the portable
   * zip_with/aggregate formulation in [[graft.functions.Vectors]]
-  * (higher-order lambdas are interpreted per element; this compiles to
-  * a tight fused loop inside WholeStageCodegen).
+  * (higher-order lambdas are interpreted per element; this stays
+  * inside WholeStageCodegen as a call to the shared precompiled
+  * [[CosineOps.cosine]] kernel — a static method the JIT inlines,
+  * chosen over emitting the loop inline because an inline loop's
+  * fixed local names collide when the expression appears twice in one
+  * codegen scope, Janino rejects the class, and Spark silently falls
+  * back to interpreted eval).
   *
   * Accumulation order per sum is identical to the portable version
   * (sequential over elements), so results are bit-identical and the

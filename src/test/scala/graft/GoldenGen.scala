@@ -100,7 +100,7 @@ object GoldenGen {
     try {
       cases(spark).foreach { case (n, df) => write(n, annCsv(df)) }
       write("q_profile_approx",
-        profileCsv(SparkEntry.queries("q_profile_approx")(spark, SfDir)))
+        profileCsv(graft.operators.Sampling.approxProfile(spark, SfDir)))
       write("q_dedup_semantic",
         semCsv(SparkEntry.queries("q_dedup_semantic")(spark, SfDir)))
       // I6/I7 pins (round 9): incremental verdicts + stream emissions

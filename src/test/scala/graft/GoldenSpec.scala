@@ -107,7 +107,10 @@ class GoldenSpec extends SparkSpec {
   }
 
   test("q_profile_approx matches golden (exact counts/HLL, 1% band on quantiles)") {
-    val got = GoldenGen.profileCsv(SparkEntry.queries("q_profile_approx")(spark, sfDir))
+    // the RAW estimate form (the gated q_profile_approx is the audit
+    // since round 16; this golden pins the sketch values themselves)
+    val got = GoldenGen.profileCsv(
+      graft.operators.Sampling.approxProfile(spark, sfDir))
     val want = golden("q_profile_approx")
     assert(got.size == want.size, s"row count drifted: ${got.size} vs ${want.size}")
     got.zip(want).foreach { case (g, w) =>
