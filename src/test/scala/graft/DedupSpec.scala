@@ -225,11 +225,34 @@ class DedupSpec extends SparkSpec {
       s"(CASE WHEN ${dotExpr(s * 16 + j)} > 0 THEN ${1L << j} ELSE 0 END)")
       .mkString("CAST(", " + ", " AS BIGINT)")
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    // The ~2000-term ground truth CANNOT compile into one JVM method:
+    // fused into a count's whole-stage span it blew Janino's 64 KB
+    // method limit ("Code grows beyond 64 KB") and Spark silently
+    // fell back to interpreted eval — an ERROR CodeGenerator line in
+    // every test log, the exact noise CodegenContractSpec polices.
+    // Evaluate the ground truth EXPLICITLY interpreted instead (same
+    // semantics — it exists as reference bits, not a production
+    // plan); the native side below runs under normal codegen.
+    val gt = {
+      val ws = spark.conf.getOption("spark.sql.codegen.wholeStage")
+      val fm = spark.conf.getOption("spark.sql.codegen.factoryMode")
+      spark.conf.set("spark.sql.codegen.wholeStage", "false")
+      spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+      try emb.select(col("vec_id"),
+        expr(sketchExpr(0)).as("e0"), expr(sketchExpr(1)).as("e1"))
+        .localCheckpoint()
+      finally {
+        ws.fold(spark.conf.unset("spark.sql.codegen.wholeStage"))(
+          spark.conf.set("spark.sql.codegen.wholeStage", _))
+        fm.fold(spark.conf.unset("spark.sql.codegen.factoryMode"))(
+          spark.conf.set("spark.sql.codegen.factoryMode", _))
+      }
+    }
     val mismatches = emb.select(
       col("vec_id"),
       Vectors.srpSketchFast(spark, col("embedding"), 0).as("n0"),
-      Vectors.srpSketchFast(spark, col("embedding"), 1).as("n1"),
-      expr(sketchExpr(0)).as("e0"), expr(sketchExpr(1)).as("e1"))
+      Vectors.srpSketchFast(spark, col("embedding"), 1).as("n1"))
+      .join(gt, Seq("vec_id"))
       .where(col("n0") =!= col("e0") || col("n1") =!= col("e1"))
       .count()
     assert(mismatches == 0)
