@@ -64,8 +64,23 @@ object LangId {
     * Lowercased, space-padded (word-boundary grams), each gram hashed
     * to [0, LDim) via the portable salted md5. Multiset, emitted in
     * fixed order (all 1-grams, then 2-grams, then 3-grams, each in
-    * text order) — both engines produce the identical sequence. */
-  private def gramsOf(text: Column): Column = {
+    * text order) — both engines produce the identical sequence.
+    *
+    * NATIVE ([[graft.plans.GramBuckets]], one fused md5 loop): the
+    * portable HOF chain ([[gramsOfPortable]], kept as the equality
+    * spec's ground truth) ran one interpreted md5 per gram and
+    * measured 800 s at 100× once projection collapse substituted it
+    * into all five per-class scores. */
+  private def gramsOf(spark: SparkSession, text: Column): Column = {
+    graft.plans.GraftFunctions.register(spark)
+    call_function("graft_gram_buckets",
+      coalesce(text, lit("")), lit(Salt), lit(LDim))
+  }
+
+  /** The spelled-out built-in formulation — mirrors the DuckDB twin
+    * term for term; LangIdSpec pins the native expression against it
+    * bit-for-bit. */
+  private[graft] def gramsOfPortable(text: Column): Column = {
     val p = concat(lit(" "), lower(coalesce(text, lit(""))), lit(" "))
     def width(w: Int, stop: Column): Column =
       transform(sequence(lit(1), stop), i =>
@@ -91,10 +106,15 @@ object LangId {
 
   // --------------------------------------------------------- training
   private[graft] def train(spark: SparkSession, docs: DataFrame): LangIdModel = {
+    // cap FIRST on the slim (doc_id, lang, text) projection, THEN
+    // featurize: a projection carrying gramsOf under the TakeOrdered
+    // would hash every gram of every corpus doc just to pick 100k
     val capped = docs
-      .select(col("doc_id"), col("lang"), gramsOf(col("text")).as("gs"))
+      .select(col("doc_id"), col("lang"), col("text"))
       .orderBy(md5(concat(col("doc_id").cast("string"), lit(":lidtrain"))))
       .limit(TrainCap)
+      .select(col("doc_id"), col("lang"),
+        gramsOf(spark, col("text")).as("gs"))
       .localCheckpoint() // two consumers (priors + gram counts)
     val nDocs = capped.groupBy("lang").agg(count(lit(1)).as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
@@ -143,20 +163,30 @@ object LangId {
     * frozen model — narrow and stateless (stream-safe); presentation
     * sort on batch frames only. */
   def langidTrainedFrom(docs: DataFrame, m: LangIdModel): DataFrame = {
+    val spark = docs.sparkSession
+    // explode(array(...)) is a Generate — a projection-collapse
+    // BARRIER — so the gram pass runs ONCE per row; without it
+    // CollapseProject substitutes gramsOf into every per-class score
+    // (5 gram passes per doc, measured 5× the query at 100×)
     val withScores = docs
       .select(col("doc_id"),
         (if (docs.columns.contains("lang")) col("lang")
          else lit(null).cast("string")).as("lang_declared"),
-        gramsOf(col("text")).as("gs"))
-      .select(col("doc_id") +: col("lang_declared") +:
-        m.langs.indices.map(i =>
-          scoreOf(col("gs"), m.logPrior(i), m.logProb(i)).as(s"s_$i")): _*)
-    val best = m.langs.indices.map(i => col(s"s_$i")).reduce(greatest(_, _))
+        explode(array(gramsOf(spark, col("text")))).as("gs"))
+      // second barrier: the argmax below references every score
+      // several times; packing the five folds behind one more
+      // Generate makes each interpreted fold run once per row
+      .select(col("doc_id"), col("lang_declared"),
+        explode(array(struct(m.langs.indices.map(i =>
+          scoreOf(col("gs"), m.logPrior(i), m.logProb(i)).as(s"s_$i")): _*)))
+          .as("sv"))
+    def s(i: Int) = col("sv")(s"s_$i")
+    val best = m.langs.indices.map(s).reduce(greatest(_, _))
     // argmax, ascending-lang tie order (scores are bit-identical
     // cross-engine, so the comparison chain resolves identically)
     val pred = m.langs.indices.tail.foldLeft(
-      when(col("s_0") === best, m.langs(0))) { (acc, i) =>
-        acc.when(col(s"s_$i") === best, m.langs(i))
+      when(s(0) === best, m.langs(0))) { (acc, i) =>
+        acc.when(s(i) === best, m.langs(i))
       }
     val scored = withScores.select(col("doc_id"), col("lang_declared"),
       pred.as("lang_pred"), round(best, 6).as("lp_best"))

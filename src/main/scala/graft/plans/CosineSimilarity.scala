@@ -176,6 +176,24 @@ object GraftFunctions {
     (children: Seq[Expression]) => GramStats(
       children(0), litInt(children(1), "graft_gram_stats n")): Expression)
 
+  /** Foldable-non-null-string extraction (salts, never per-row data). */
+  private def litString(e: Expression, what: String): String = e match {
+    case x if x.foldable => x.eval() match {
+      case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+      case other => throw new IllegalArgumentException(
+        s"$what must be a non-null string literal, got $other")
+    }
+    case x => throw new IllegalArgumentException(s"$what must be a literal, got $x")
+  }
+
+  private val gramBucketsDesc = (
+    FunctionIdentifier("graft_gram_buckets"),
+    new ExpressionInfo(classOf[GramBuckets].getName, null, "graft_gram_buckets"),
+    (children: Seq[Expression]) => GramBuckets(
+      children(0),
+      litString(children(1), "graft_gram_buckets salt"),
+      litInt(children(2), "graft_gram_buckets dim")): Expression)
+
   /** Foldable-binary extraction: serialized sketch state (bloom
     * filters) arrives as a binary literal and is unpacked once at
     * resolution, never per row. */
@@ -243,8 +261,8 @@ object GraftFunctions {
       SortedExcept(children(0), children(1)): Expression)
 
   private val all = Seq(cosineDesc, srpDesc, minhashDesc, simhashDesc,
-    pqEncodeDesc, shinglesDesc, gramStatsDesc, mightContainDesc,
-    sortedExceptDesc, bpeCountDesc, bpeEncodeDesc)
+    pqEncodeDesc, shinglesDesc, gramStatsDesc, gramBucketsDesc,
+    mightContainDesc, sortedExceptDesc, bpeCountDesc, bpeEncodeDesc)
 
   /** Idempotent per-session registration (for sessions built without
     * the extensions config). */

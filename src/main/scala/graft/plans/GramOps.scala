@@ -114,6 +114,106 @@ object GramOps {
     }
     new GenericArrayData(Array[Any](w.toLong, seen.size.toLong))
   }
+
+  private val mdTl = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+  private val SpacePad = UTF8String.fromString(" ")
+
+  /** Mixed 1/2/3-CHARACTER-gram salted hash buckets of `text` — the
+    * fused replacement for Y1 langid's three interpreted
+    * `transform(sequence, i -> hashBucket(substring(p, i, w)))`
+    * passes (measured 800 s at 100×: the HOF chain re-ran one md5
+    * per gram through interpreted eval, five times once projection
+    * collapse substituted it into every per-class score).
+    *
+    * Bit-identity with the replaced chain (and the unchanged DuckDB
+    * twin): p = ' ' || lower(text) || ' ' (Spark `lower` ==
+    * UTF8String.toLowerCase); for width w the gram count is
+    * max(chars(p) − (w−1), 1) and gram i is the w-CODE-POINT
+    * substring (tail-truncated — `substring` semantics in both
+    * engines); bucket = first 4 hex digits of md5(gram || saltSuffix)
+    * (== the digest's top two bytes) mod `dim`; emission order is all
+    * 1-grams, then 2-grams, then 3-grams, each in text order. NULL
+    * text behaves as empty text (callers coalesce anyway — stated so
+    * the kernel is total). */
+  def gramBuckets(s: UTF8String, saltSuffix: Array[Byte], dim: Int): ArrayData = {
+    val base = if (s == null) UTF8String.EMPTY_UTF8 else s.toLowerCase
+    val p = UTF8String.concat(SpacePad, base, SpacePad)
+    val b = p.getBytes
+    val nChars = p.numChars()
+    // code-point start offsets (offs(nChars) = end sentinel)
+    val offs = new Array[Int](nChars + 1)
+    var i = 0
+    var ci = 0
+    while (i < b.length) {
+      offs(ci) = i
+      ci += 1
+      i += UTF8String.numBytesForFirstByte(b(i))
+    }
+    offs(nChars) = b.length
+    val md = mdTl.get()
+    var total = 0
+    var w = 1
+    while (w <= 3) { total += math.max(nChars - (w - 1), 1); w += 1 }
+    val out = new Array[Int](total)
+    var k = 0
+    w = 1
+    while (w <= 3) {
+      val cnt = math.max(nChars - (w - 1), 1)
+      var g = 0
+      while (g < cnt) {
+        val start = offs(g)
+        val end = offs(math.min(g + w, nChars))
+        md.reset()
+        md.update(b, start, end - start)
+        md.update(saltSuffix)
+        val d = md.digest()
+        out(k) = (((d(0) & 0xFF) << 8) | (d(1) & 0xFF)) % dim
+        k += 1
+        g += 1
+      }
+      w += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** `graft_gram_buckets(text, salt_lit, dim_lit)` → array<int> of the
+  * mixed 1/2/3-char-gram salted md5 buckets (the Y1 langid feature
+  * stream). Salt and dim arrive as foldable literals, extracted once
+  * at resolution. */
+case class GramBuckets(child: Expression, salt: String, dim: Int)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType if dim >= 1 => TypeCheckResult.TypeCheckSuccess
+    case StringType => TypeCheckResult.TypeCheckFailure(
+      s"graft_gram_buckets dim must be >= 1, got $dim")
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"graft_gram_buckets expects string, got $dt")
+  }
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "graft_gram_buckets"
+  // never-null (NULL text behaves as empty text), like Shingles
+  override def nullable: Boolean = false
+  @transient private lazy val saltSuffix: Array[Byte] =
+    (":" + salt).getBytes("UTF-8")
+  override def eval(input: InternalRow): Any =
+    GramOps.gramBuckets(child.eval(input).asInstanceOf[UTF8String],
+      saltSuffix, dim)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val sRef = ctx.addReferenceObj("gramSalt", saltSuffix, "byte[]")
+    val c = child.genCode(ctx)
+    ev.copy(code = code"""
+      ${c.code}
+      org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+        graft.plans.GramOps$$.MODULE$$.gramBuckets(
+          ${c.isNull} ? null : ${c.value}, $sRef, $dim);""",
+      isNull = FalseLiteral)
+  }
+  override protected def withNewChildInternal(newChild: Expression): GramBuckets =
+    copy(child = newChild)
 }
 
 /** `graft_shingles(text, n, distinct)` → array<string> of the token

@@ -89,6 +89,8 @@ class CodegenContractSpec extends SparkSpec {
       Vectors.srpSketchFast(spark, col("emb_f"), 1).as("srp1"),
       Vectors.shinglesFast(spark, col("text"), 3, distinct = true).as("sh"),
       Vectors.gramStatsFast(spark, col("text"), 3).as("gs"),
+      call_function("graft_gram_buckets",
+        coalesce(col("text"), lit("")), lit("lid"), lit(256)).as("gb"),
       Vectors.minhashFast(spark,
         Vectors.shinglesFast(spark, col("text"), 3, distinct = true), 4)
         .as("mh"),

@@ -106,6 +106,24 @@ class LangIdSpec extends SparkSpec {
       s"trained langid ($nbAcc) does not beat the E1 heuristic ($e1Acc)")
   }
 
+  test("native gram buckets match the spelled-out built-in chain bit-for-bit") {
+    // the DuckDB twin mirrors the portable chain term for term, so
+    // native == portable pins the oracle equivalence — incl. zh
+    // multi-byte code points, diacritics, and the empty/NULL text
+    // degenerate (one-space-pair grams)
+    import spark.implicits._
+    graft.plans.GraftFunctions.register(spark)
+    val texts = (trainDocs ++ testDocs ++ Seq("", "É ü ß 中文", null))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val df = texts.toDF("doc_id", "text")
+    val nat = call_function("graft_gram_buckets",
+      coalesce(col("text"), lit("")), lit("lid"), lit(LangId.LDim))
+    val mismatches = df.select(
+      nat.as("a"), LangId.gramsOfPortable(col("text")).as("b"))
+      .where(!(col("a") <=> col("b"))).count()
+    assert(mismatches == 0)
+  }
+
   test("NB training is bit-deterministic (integer counts -> frozen logs)") {
     // unlike the k-means trainers, NB's artifact derives from EXACT
     // integer counts (order-independent aggregation) — retrains must

@@ -418,4 +418,31 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("BroadcastExchange"), s"totals not broadcast:\n$plan")
     assert(!plan.contains("CartesianProduct"), s"unbounded cross join:\n$plan")
   }
+
+  test("trained langid scoring is one narrow pass: no join, presentation sort only") {
+    val plan = finalPlan(
+      graft.SparkEntry.queries("q_langid_trained")(spark, sfDir))
+    // the frozen log tables ride the plan as literals — scoring must
+    // not join, aggregate, or window; the only exchange is the
+    // presentation ORDER BY
+    assert(!plan.contains("Join"), s"unexpected join in langid scoring:\n$plan")
+    assert(!plan.contains("HashAggregate") && !plan.contains("SortAggregate"),
+      s"unexpected aggregate in langid scoring:\n$plan")
+    val exchanges = "Exchange".r.findAllIn(plan).size
+    assert(exchanges <= 2, s"more than the presentation exchange:\n$plan")
+  }
+
+  test("semantic recall pairs only the fixed probe; centroids and ids ride broadcasts") {
+    val plan = finalPlan(
+      graft.SparkEntry.queries("q_semantic_recall")(spark, sfDir))
+    // probe draw is top-N (never a full corpus sort), the pair build
+    // and both cid joins are broadcasts, nothing corpus-scale crosses
+    // a nested loop
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"probe draw is not top-N:\n$plan")
+    assert(plan.contains("BroadcastExchange"),
+      s"pair/cid sides not broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"unbounded cross join in recall eval:\n$plan")
+  }
 }
