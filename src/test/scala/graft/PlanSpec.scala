@@ -435,14 +435,20 @@ class PlanSpec extends SparkSpec {
   test("semantic recall pairs only the fixed probe; centroids and ids ride broadcasts") {
     val plan = finalPlan(
       graft.SparkEntry.queries("q_semantic_recall")(spark, sfDir))
-    // probe draw is top-N (never a full corpus sort), the pair build
-    // and both cid joins are broadcasts, nothing corpus-scale crosses
-    // a nested loop
-    assert(plan.contains("TakeOrderedAndProject"),
-      s"probe draw is not top-N:\n$plan")
-    assert(plan.contains("BroadcastExchange"),
-      s"pair/cid sides not broadcast:\n$plan")
+    // the probe draw (TakeOrdered 256) materializes in the upstream
+    // localCheckpoint, so this plan reads the BOUNDED probe back as
+    // an ExistingRDD scan; the pair build is a broadcast nested loop
+    // over those 256 rows and both cid joins are broadcast hash joins
+    // — never a shuffle or an unbounded cartesian
+    assert(plan.contains("Scan ExistingRDD"),
+      s"probe not read from the bounded checkpoint:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"pair build not a broadcast NL over the probe:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"cid joins not broadcast:\n$plan")
     assert(!plan.contains("CartesianProduct"),
       s"unbounded cross join in recall eval:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"bounded probe should never sort-merge:\n$plan")
   }
 }
