@@ -236,6 +236,8 @@ object SparkEntry {
     "q_lsh_recall" -> (Dedup.lshRecall _),
     // X1: content-defined chunk dedup (FastCDC at token grain)
     "q_cdc_dedup" -> (Chunking.cdcDedup _),
+    "q_winnow_fp" -> (Winnowing.qFingerprints _),
+    "q_winnow_pairs" -> (Winnowing.winnowPairs _),
     // X2: incremental CDC dedup (new batch vs corpus chunk index)
     "q_cdc_dedup_incremental" -> (Chunking.cdcDedupIncremental _)
   )
@@ -376,6 +378,8 @@ object SparkEntry {
     "q_dedup_semantic" -> SemanticDedup.semanticDedupSql,
     "q_semantic_recall" -> SemanticDedup.semanticRecallSql,
     "q_cdc_dedup" -> Chunking.cdcDedupSql,
+    "q_winnow_fp" -> Winnowing.qFingerprintsSql,
+    "q_winnow_pairs" -> Winnowing.winnowPairsSql,
     "q_cdc_dedup_incremental" -> Chunking.cdcDedupIncrementalSql
   )
 }
