@@ -238,6 +238,7 @@ object SparkEntry {
     "q_cdc_dedup" -> (Chunking.cdcDedup _),
     "q_winnow_fp" -> (Winnowing.qFingerprints _),
     "q_winnow_pairs" -> (Winnowing.winnowPairs _),
+    "q_psi_drift" -> (PsiDrift.psiDrift _),
     // X2: incremental CDC dedup (new batch vs corpus chunk index)
     "q_cdc_dedup_incremental" -> (Chunking.cdcDedupIncremental _)
   )
@@ -380,6 +381,7 @@ object SparkEntry {
     "q_cdc_dedup" -> Chunking.cdcDedupSql,
     "q_winnow_fp" -> Winnowing.qFingerprintsSql,
     "q_winnow_pairs" -> Winnowing.winnowPairsSql,
+    "q_psi_drift" -> PsiDrift.psiDriftSql,
     "q_cdc_dedup_incremental" -> Chunking.cdcDedupIncrementalSql
   )
 }
