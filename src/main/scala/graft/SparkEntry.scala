@@ -239,6 +239,7 @@ object SparkEntry {
     "q_winnow_fp" -> (Winnowing.qFingerprints _),
     "q_winnow_pairs" -> (Winnowing.winnowPairs _),
     "q_psi_drift" -> (PsiDrift.psiDrift _),
+    "q_winnow_incremental" -> (Winnowing.winnowIncremental _),
     // X2: incremental CDC dedup (new batch vs corpus chunk index)
     "q_cdc_dedup_incremental" -> (Chunking.cdcDedupIncremental _)
   )
@@ -382,6 +383,7 @@ object SparkEntry {
     "q_winnow_fp" -> Winnowing.qFingerprintsSql,
     "q_winnow_pairs" -> Winnowing.winnowPairsSql,
     "q_psi_drift" -> PsiDrift.psiDriftSql,
+    "q_winnow_incremental" -> Winnowing.winnowIncrementalSql,
     "q_cdc_dedup_incremental" -> Chunking.cdcDedupIncrementalSql
   )
 }

@@ -47,33 +47,64 @@ object Winnowing {
     * gram index the selected hash sits at (rightmost minimum of its
     * window), fp the md5 hex of the K-token gram. Distinct: adjacent
     * windows usually re-select the same (pos, fp). */
-  def fingerprintsFrom(spark: SparkSession, docs: DataFrame): DataFrame = {
+  def fingerprintsFrom(spark: SparkSession, docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), explode(fpStructs(spark, col("text"))).as("f"))
+      .select(col("doc_id"), col("f.pos").as("pos"), col("f.fp").as("fp"))
+
+  /** Distinct fingerprint VALUES per doc, deduped IN-ARRAY — no
+    * shuffle, stateless, so the pair/incremental joins need no
+    * pre-join distinct and the streaming gate can use it verbatim. */
+  def fpValuesFrom(spark: SparkSession, docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"),
+        explode(array_distinct(transform(fpStructs(spark, col("text")),
+          f => f.getField("fp")))).as("fp"))
+
+  /** The deduped (pos, fp) struct array of one text column. */
+  private def fpStructs(spark: SparkSession, text: Column): Column = {
     graft.plans.GraftFunctions.register(spark)
     val grams = call_function("graft_shingles",
-      coalesce(col("text"), lit("")), lit(K), lit(false))
+      coalesce(text, lit("")), lit(K), lit(false))
     // lambda-bind the hash array (the X1/cdcChunks device: Catalyst
     // re-evaluates a subtree at every reference inside a lambda, so
     // the md5 pass must be bound once per row)
-    val fps = flatten(transform(array(transform(grams, g => md5(g))), gh =>
-      transform(sequence(lit(1), greatest(size(gh) - W + 1, lit(1))), { i =>
-        val win = slice(gh, i, lit(W))
-        val mn = array_min(win)
-        // rightmost position of the minimum inside the window: an
-        // integer fold keeping the LAST matching index
-        val rel = aggregate(sequence(lit(1), size(win)), lit(0), (acc, j) =>
-          when(element_at(win, j) === mn, j).otherwise(acc))
-        struct((i + rel - 1).cast("long").as("pos"), mn.as("fp"))
-      })))
-    docs
-      .select(col("doc_id"), explode(fps).as("f"))
-      .select(col("doc_id"), col("f.pos").as("pos"), col("f.fp").as("fp"))
-      .distinct()
+    // dedup IN-ARRAY, so the whole operator family is scan → project
+    // → explode with NO shuffle — and therefore stateless-stream-safe
+    // (the M3/V4 rule). Duplicates are provably CONSECUTIVE runs (a
+    // selected minimum at position p can only stop being selected
+    // when a smaller hash at q > p enters the window, and q then
+    // outlives p in every later window — so p never re-appears),
+    // hence keep-if-differs-from-predecessor dedups completely in
+    // O(windows); array_distinct on a struct array would be the O(n²)
+    // interpreted pairwise scan (measured 2.3× the whole query at
+    // 100×).
+    flatten(transform(array(transform(grams, g => md5(g))), gh =>
+      flatten(transform(array(
+        transform(sequence(lit(1), greatest(size(gh) - W + 1, lit(1))), { i =>
+          val win = slice(gh, i, lit(W))
+          val mn = array_min(win)
+          // rightmost position of the minimum inside the window: an
+          // integer fold keeping the LAST matching index
+          val rel = aggregate(sequence(lit(1), size(win)), lit(0), (acc, j) =>
+            when(element_at(win, j) === mn, j).otherwise(acc))
+          struct((i + rel - 1).cast("long").as("pos"), mn.as("fp"))
+        })), sv =>
+        filter(sv, (x, i) =>
+          (i === 0) || !(x <=> element_at(sv, i)))))))
   }
 
   /** The gated fingerprint query: every doc's selected fingerprints,
-    * totally ordered for the hash compare. */
+    * totally ordered for the hash compare. The repartition is NOT a
+    * pessimization: a global sort's range-sampling pass re-executes
+    * its child lineage, and with a purely narrow child that means the
+    * whole fingerprint computation runs TWICE (measured 93.8 vs
+    * 39.6 s at 100×); the exchange materializes it once and the
+    * sampler reads shuffle files. Production consumers use the
+    * unordered [[fingerprintsFrom]] — the sort is presentation-only. */
   def qFingerprints(spark: SparkSession, dir: String): DataFrame =
     fingerprintsFrom(spark, Tables.documents(spark, dir))
+      .repartition(col("doc_id"))
       .orderBy("doc_id", "pos", "fp")
 
   /** Candidate copy pairs: docs sharing ≥1 fingerprint VALUE, with
@@ -83,8 +114,7 @@ object Winnowing {
     winnowPairsFrom(spark, Tables.documents(spark, dir))
 
   def winnowPairsFrom(spark: SparkSession, docs: DataFrame): DataFrame = {
-    val fp = fingerprintsFrom(spark, docs)
-      .select("doc_id", "fp").distinct()
+    val fp = fpValuesFrom(spark, docs)
     fp.select(col("doc_id").as("doc_a"), col("fp"))
       .join(fp.select(col("doc_id").as("doc_b"), col("fp")), Seq("fp"))
       .where(col("doc_a") < col("doc_b"))
@@ -93,34 +123,92 @@ object Winnowing {
       .orderBy("doc_a", "doc_b")
   }
 
-  private def fpSqlCtes: String = {
+  /** Deterministic 20% hash split standing in for "a new crawl batch
+    * arrives" — the H4 BatchSalt device at fingerprint grain. */
+  private val winBatchSalt = "winbatch"
+  private[graft] def isWinNew(c: Column): Column =
+    Sampling.hashBucket(c, winBatchSalt) < Sampling.pctThreshold(20)
+
+  /** Y3 incremental (H4's asymmetric new-vs-old shape at fingerprint
+    * grain): each NEW doc's fingerprint VALUES probe the persisted
+    * corpus fingerprint index — shared_frac is the MOSS overlap
+    * signal against the standing corpus, computed without ever
+    * re-fingerprinting old text. At scale the old side is a
+    * fp-bucketed persisted index (written once); per batch only the
+    * new fingerprints shuffle to probe it. */
+  def winnowIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    winnowIncrementalFrom(spark,
+      docs.where(!isWinNew(col("doc_id"))),
+      docs.where(isWinNew(col("doc_id"))))
+  }
+
+  def winnowIncrementalFrom(spark: SparkSession, oldDocs: DataFrame,
+                            newDocs: DataFrame): DataFrame = {
+    // the index side still needs a cross-DOC distinct (it is the
+    // persisted artifact); the probe side dedups in-array
+    val idx = fpValuesFrom(spark, oldDocs).select("fp").distinct()
+      .withColumn("hit", lit(true))
+    fpValuesFrom(spark, newDocs)
+      .join(idx, Seq("fp"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_fp"),
+        sum(when(col("hit"), 1L).otherwise(0L)).as("n_shared"))
+      .select(col("doc_id"), col("n_fp"), col("n_shared"),
+        round(col("n_shared").cast("double") / col("n_fp"), 6)
+          .as("shared_frac"))
+      .orderBy("doc_id")
+  }
+
+  /** The fingerprint CTE chain over `documents WHERE where`, with CTE
+    * names suffixed `sfx` so two populations can coexist in one
+    * query (the incremental twin). */
+  private def fpSqlCtes(sfx: String = "", where: String = "true"): String = {
     val gram = s"md5(array_to_string(toks[i:i+${K - 1}], ' '))"
     val win = s"gh[i:i+${W - 1}]"
-    s"""t AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS toks
-      |       FROM documents),
-      |g AS (SELECT doc_id,
+    s"""t$sfx AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS toks
+      |       FROM documents WHERE $where),
+      |g$sfx AS (SELECT doc_id,
       |        list_transform(range(1, greatest(len(toks) - ${K - 1}, 1) + 1),
       |          i -> $gram) AS gh
-      |      FROM t),
-      |w AS (SELECT doc_id, gh, unnest(range(1,
+      |      FROM t$sfx),
+      |w$sfx AS (SELECT doc_id, gh, unnest(range(1,
       |          greatest(len(gh) - ${W - 1}, 1) + 1)) AS i
-      |      FROM g),
-      |sel AS (SELECT doc_id,
+      |      FROM g$sfx),
+      |sel$sfx AS (SELECT doc_id,
       |          CAST(i + list_max(list_transform(range(1, len($win) + 1),
       |            j -> CASE WHEN ($win)[j] = list_aggregate($win, 'min')
       |                 THEN j ELSE 0 END)) - 1 AS BIGINT) AS pos,
       |          list_aggregate($win, 'min') AS fp
-      |        FROM w),
-      |fps AS (SELECT DISTINCT doc_id, pos, fp FROM sel)""".stripMargin
+      |        FROM w$sfx),
+      |fps$sfx AS (SELECT DISTINCT doc_id, pos, fp FROM sel$sfx)""".stripMargin
   }
 
   def qFingerprintsSql: String =
-    s"""WITH $fpSqlCtes
+    s"""WITH ${fpSqlCtes()}
       |SELECT doc_id, pos, fp FROM fps
       |ORDER BY doc_id, pos, fp""".stripMargin
 
+  def winnowIncrementalSql: String = {
+    val hb = Sampling.hashBucketSql("CAST(doc_id AS VARCHAR)", winBatchSalt)
+    val bar = Sampling.pctThreshold(20)
+    s"""WITH ${fpSqlCtes("_old", s"NOT ($hb < $bar)")},
+      |${fpSqlCtes("_new", s"$hb < $bar")},
+      |idx AS (SELECT DISTINCT fp FROM fps_old),
+      |nv AS (SELECT DISTINCT doc_id, fp FROM fps_new)
+      |SELECT nv.doc_id,
+      |  CAST(count(*) AS BIGINT) AS n_fp,
+      |  CAST(sum(CASE WHEN idx.fp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_shared,
+      |  round(CAST(sum(CASE WHEN idx.fp IS NOT NULL THEN 1 ELSE 0 END)
+      |      AS DOUBLE) / count(*), 6) AS shared_frac
+      |FROM nv LEFT JOIN idx ON nv.fp = idx.fp
+      |GROUP BY nv.doc_id
+      |ORDER BY nv.doc_id""".stripMargin
+  }
+
   def winnowPairsSql: String =
-    s"""WITH $fpSqlCtes,
+    s"""WITH ${fpSqlCtes()},
       |fv AS (SELECT DISTINCT doc_id, fp FROM fps)
       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
       |  CAST(count(*) AS BIGINT) AS n_shared_fp

@@ -92,6 +92,28 @@ object DocStreams {
       .join(corpusIndex, Seq("sig"))
       .select("doc_id", "sig", "ctok")
 
+  /** The Y3 corpus fingerprint index — persisted once (fp-bucketed at
+    * scale), probed by every arriving batch. */
+  def corpusFpIndex(spark: SparkSession, corpusDir: String): DataFrame =
+    graft.operators.Winnowing.fpValuesFrom(spark,
+        graft.sources.Tables.documents(spark, corpusDir)
+          .where(!graft.operators.Winnowing.isWinNew(
+            org.apache.spark.sql.functions.col("doc_id"))))
+      .select("fp").distinct()
+
+  /** Streaming Y3 gate (the X3 shape at fingerprint grain): arriving
+    * docs run the narrow winnowing pass — stateless end to end, both
+    * the (pos, fp) dedup and the per-doc VALUE dedup happen IN-ARRAY
+    * — and emit one append-mode row per fingerprint value shared with
+    * the persisted corpus index; downstream aggregation reproduces
+    * the incremental batch form's n_shared exactly (pinned in
+    * WinnowingSpec). */
+  def winnowMatches(spark: SparkSession, streamDir: String,
+                    corpusIndex: DataFrame): DataFrame =
+    graft.operators.Winnowing.fpValuesFrom(spark, readDocs(spark, streamDir))
+      .join(corpusIndex, Seq("fp"))
+      .select("doc_id", "fp")
+
   /** T3: streaming span-level decontamination — the ingest-time form
     * of [[graft.operators.SpanDedup.spanDecontaminateFrom]]: documents
     * arrive as a stream and each one leaves with its benchmark-

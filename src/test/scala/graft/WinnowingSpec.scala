@@ -49,6 +49,57 @@ class WinnowingSpec extends SparkSpec {
       s"fewer fingerprints ($n) than the 1-per-W floor (${windows / Winnowing.W})")
   }
 
+  test("incremental: an old-copy doc reads shared_frac 1, a fresh doc 0") {
+    // ids on each side of the batch split
+    val pool = (0L until 4000L).toDF("doc_id")
+      .withColumn("nw", graft.operators.Sampling.hashBucket(
+        col("doc_id"), "winbatch") <
+        graft.operators.Sampling.pctThreshold(20))
+    val oldId = pool.where(!col("nw")).select("doc_id").as[Long].head(1).head
+    val newIds = pool.where(col("nw")).select("doc_id").as[Long].head(2)
+    val oldText = (1 to 30).map(i => s"corpus$i").mkString(" ")
+    val fresh = (1 to 30).map(i => s"fresh$i").mkString(" ")
+    val out = Winnowing.winnowIncrementalFrom(spark,
+      Seq((oldId, oldText)).toDF("doc_id", "text"),
+      Seq((newIds(0), oldText), (newIds(1), fresh)).toDF("doc_id", "text"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(newIds(0)).getAs[Double]("shared_frac") == 1.0)
+    assert(out(newIds(1)).getAs[Double]("shared_frac") == 0.0)
+  }
+
+  test("streaming winnow gate emits exactly the batch incremental collision mass") {
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.sources.Tables
+    import graft.operators.Winnowing.isWinNew
+    val tmp = java.nio.file.Files.createTempDirectory("graft_wins").toString
+    try {
+      val docs = Tables.documents(spark, sfDir)
+      docs.where(isWinNew(col("doc_id"))).write.parquet(s"$tmp/new")
+      val idx = graft.streaming.DocStreams.corpusFpIndex(spark, sfDir)
+        .localCheckpoint()
+      val name = "wingate_" + System.nanoTime()
+      val q = graft.streaming.DocStreams
+        .winnowMatches(spark, s"$tmp/new", idx)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val streamed = spark.table(name)
+        .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val batch = Winnowing.winnowIncremental(spark, sfDir)
+        .where(col("n_shared") > 0)
+        .select("doc_id", "n_shared")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(streamed == batch,
+        s"stream diverged from batch: ${(streamed diff batch).size}+${(batch diff streamed).size} rows")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+      }
+      rm(new java.io.File(tmp))
+    }
+  }
+
   test("rightmost-minimum tie rule: identical hashes in one window pick the later position") {
     // a run of IDENTICAL tokens makes every gram (and hash) in the
     // window equal — the selected pos must be the window's last slot
