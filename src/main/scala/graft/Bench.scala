@@ -200,7 +200,8 @@ object Bench {
     "from_quality_classifier", "from_text_tokens_bpe", "from_ann_ivf_index",
     "from_domain_reweight", "from_ppl_buckets", "from_qc_calibration",
     "from_span_incremental", "from_alloc_materialize", "from_hard_negatives",
-    "from_dedup_semantic", "from_epoch_alloc", "from_lm_quality")
+    "from_dedup_semantic", "from_epoch_alloc", "from_lm_quality",
+    "from_winnow_incremental")
 
   /** Materialize the shared stage outputs once (untimed), then time
     * ONLY the `*From` compositions over the persisted parquet — the
@@ -251,6 +252,11 @@ object Bench {
       // O4's trained artifact itself (vocabulary-bounded gram table):
       // persisted at refresh cadence, broadcast by every consumer
       val lmLogp = persist("lm_logp", CharLm.lmModelFrom(docs))
+      // Y5's persisted corpus fingerprint index (fp-bucketed at scale)
+      val fpIdx = persist("fp_index",
+        Winnowing.fpValuesFrom(spark,
+          docs.where(!Winnowing.isWinNew(col("doc_id"))))
+          .select("fp").distinct())
       val spanIdx = persist("span_index",
         SpanDedup.spanGramIndex(spark,
           docs.where(!SpanDedup.isNewBatch(col("doc_id")))))
@@ -295,6 +301,12 @@ object Bench {
         // O4 steady state: score-only under the persisted gram table
         // (the last trained-artifact query to get a priced from-form)
         "from_lm_quality" -> (() => CharLm.lmScoreWith(docs, lmLogp)),
+        // Y5 steady state: the per-batch price — only the new batch's
+        // narrow fingerprint pass + the probe join against the
+        // persisted index
+        "from_winnow_incremental" -> (() =>
+          Winnowing.winnowIncrementalWith(spark,
+            docs.where(Winnowing.isWinNew(col("doc_id"))), fpIdx)),
         // S4 steady state: score-and-bin under the already-trained model
         "from_qc_calibration" -> (() =>
           QualityClassifier.calibrationFrom(docs, qcModel)),

@@ -144,11 +144,18 @@ object Winnowing {
   }
 
   def winnowIncrementalFrom(spark: SparkSession, oldDocs: DataFrame,
-                            newDocs: DataFrame): DataFrame = {
-    // the index side still needs a cross-DOC distinct (it is the
-    // persisted artifact); the probe side dedups in-array
-    val idx = fpValuesFrom(spark, oldDocs).select("fp").distinct()
-      .withColumn("hit", lit(true))
+                            newDocs: DataFrame): DataFrame =
+    // the index side needs a cross-DOC distinct (it is the persisted
+    // artifact); the probe side dedups in-array
+    winnowIncrementalWith(spark, newDocs,
+      fpValuesFrom(spark, oldDocs).select("fp").distinct())
+
+  /** The steady-state form: probe an already-persisted fingerprint
+    * index — the per-batch price once the corpus index is shared
+    * (`from_winnow_incremental` in the bench). */
+  def winnowIncrementalWith(spark: SparkSession, newDocs: DataFrame,
+                            fpIndex: DataFrame): DataFrame = {
+    val idx = fpIndex.select("fp").withColumn("hit", lit(true))
     fpValuesFrom(spark, newDocs)
       .join(idx, Seq("fp"), "left")
       .groupBy("doc_id")

@@ -67,6 +67,29 @@ class WinnowingSpec extends SparkSpec {
     assert(out(newIds(1)).getAs[Double]("shared_frac") == 0.0)
   }
 
+  test("incremental over a persisted fp index equals the self-contained form") {
+    import graft.sources.Tables
+    import graft.operators.Winnowing.isWinNew
+    val docs = Tables.documents(spark, sfDir)
+    val self = Winnowing.winnowIncremental(spark, sfDir).collect()
+    val dir = java.nio.file.Files.createTempDirectory("graft_fpidx").toFile
+    try {
+      Winnowing.fpValuesFrom(spark, docs.where(!isWinNew(col("doc_id"))))
+        .select("fp").distinct()
+        .write.mode("overwrite").parquet(dir.getPath)
+      val from = Winnowing.winnowIncrementalWith(spark,
+        docs.where(isWinNew(col("doc_id"))),
+        spark.read.parquet(dir.getPath)).collect()
+      assert(self.toSeq == from.toSeq,
+        "steady-state probe diverged from the self-contained form")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(dir)
+    }
+  }
+
   test("streaming winnow gate emits exactly the batch incremental collision mass") {
     import org.apache.spark.sql.streaming.Trigger
     import graft.sources.Tables
