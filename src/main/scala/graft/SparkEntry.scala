@@ -241,7 +241,17 @@ object SparkEntry {
     "q_psi_drift" -> (PsiDrift.psiDrift _),
     "q_winnow_incremental" -> (Winnowing.winnowIncremental _),
     // X2: incremental CDC dedup (new batch vs corpus chunk index)
-    "q_cdc_dedup_incremental" -> (Chunking.cdcDedupIncremental _)
+    "q_cdc_dedup_incremental" -> (Chunking.cdcDedupIncremental _),
+    // Z1: binary-quantized ANN (sign-bit pack -> hamming shortlist ->
+    // exact rescore; the shortlist stage is integer end-to-end)
+    "q_ann_bq" -> (BinaryAnn.bqTopK _),
+    // Z2: per-source quantile normalization of the quality score
+    // (histogram midrank -- no per-source corpus sort)
+    "q_quality_qnorm" -> (Selection.qualityQnorm _),
+    // Z3: cluster-balanced quota sample over the trained D3 centroids
+    "q_sample_cluster_cap" -> (SimilaritySearch.clusterCapSample _),
+    // Z4: FineWeb's three custom line-grain filters
+    "q_fineweb_filters" -> (RuleFilters.fineWebFilters _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -384,6 +394,10 @@ object SparkEntry {
     "q_winnow_pairs" -> Winnowing.winnowPairsSql,
     "q_psi_drift" -> PsiDrift.psiDriftSql,
     "q_winnow_incremental" -> Winnowing.winnowIncrementalSql,
-    "q_cdc_dedup_incremental" -> Chunking.cdcDedupIncrementalSql
+    "q_cdc_dedup_incremental" -> Chunking.cdcDedupIncrementalSql,
+    "q_ann_bq" -> BinaryAnn.bqTopKSql,
+    "q_quality_qnorm" -> Selection.qualityQnormSql,
+    "q_sample_cluster_cap" -> SimilaritySearch.clusterCapSampleSql,
+    "q_fineweb_filters" -> RuleFilters.fineWebFiltersSql
   )
 }

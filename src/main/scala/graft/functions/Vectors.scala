@@ -91,6 +91,15 @@ object Vectors {
     call_function("graft_sorted_except", items, sortedArr)
   }
 
+  /** Native sign-bit packing ([[graft.plans.BitPack]]): 32-bit sign
+    * words of the embedding as array<bigint> — the binary-quantization
+    * storage primitive; hamming scoring over the words is plain
+    * xor+popcount built-ins. */
+  def bitpackFast(spark: org.apache.spark.sql.SparkSession, emb: Column): Column = {
+    graft.plans.GraftFunctions.register(spark)
+    call_function("graft_bitpack", emb)
+  }
+
   /** Native PQ encode ([[graft.plans.PqEncode]]): argmin code per
     * subvector against the trained codebook, passed as a foldable
     * array literal and unpacked once at resolution. */

@@ -50,21 +50,37 @@ object PsiDrift {
   def psiDrift(spark: SparkSession, dir: String): DataFrame =
     psiDriftFrom(Tables.documents(spark, dir))
 
-  def psiDriftFrom(docs: DataFrame): DataFrame = {
+  /** The fixed-band bin of the quality score. */
+  private def binOf: Column = {
     val score = TextAnalysis.qualityScore(col("text"))
-    val bin = least(floor(score * PsiBins).cast("int"), lit(PsiBins - 1))
+    least(floor(score * PsiBins).cast("int"), lit(PsiBins - 1))
+  }
+
+  /** (source, b)-grain integer band counts of a doc population — the
+    * persistable reference artifact of the streaming monitor (Y7). */
+  def bandCounts(docs: DataFrame): DataFrame =
+    docs.select(col("source"), binOf.as("b"))
+      .groupBy("source", "b").agg(count(lit(1L)).as("c"))
+
+  /** Widen tagged (source, b, c, nw) counts into the one-row-per-source
+    * (n_ref, n_cur, r_0.., c_0..) frame the PSI chain reads. Shared by
+    * the batch form and the per-micro-batch streaming form, so the two
+    * cannot diverge arithmetically. */
+  private def widen(tagged: DataFrame): DataFrame = {
     val aggs =
-      sum(when(!col("nw"), 1L).otherwise(0L)).as("n_ref") +:
-        sum(when(col("nw"), 1L).otherwise(0L)).as("n_cur") +:
+      sum(when(!col("nw"), col("c")).otherwise(0L)).as("n_ref") +:
+        sum(when(col("nw"), col("c")).otherwise(0L)).as("n_cur") +:
         (0 until PsiBins).flatMap(b => Seq(
-          sum(when(!col("nw") && col("b") === b, 1L).otherwise(0L))
+          sum(when(!col("nw") && col("b") === b, col("c")).otherwise(0L))
             .as(s"r_$b"),
-          sum(when(col("nw") && col("b") === b, 1L).otherwise(0L))
+          sum(when(col("nw") && col("b") === b, col("c")).otherwise(0L))
             .as(s"c_$b")))
-    val counted = docs
-      .select(col("source"), bin.as("b"), isNewBatch(col("doc_id")).as("nw"))
-      .groupBy("source")
-      .agg(aggs.head, aggs.tail: _*)
+    tagged.groupBy("source").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** The PSI arithmetic over a widened count frame: Laplace-smoothed
+    * exact rationals, ten terms in one explicit left-assoc chain. */
+  private def psiTail(counted: DataFrame): DataFrame = {
     def pRef(b: Int) =
       (col(s"r_$b") + 1).cast("double") / (col("n_ref") + PsiBins)
     def pCur(b: Int) =
@@ -80,8 +96,35 @@ object PsiDrift {
           .when(col("psi") < StableBar, "stable")
           .when(col("psi") <= ShiftBar, "drifting")
           .otherwise("shifted"))
-      .orderBy("source")
   }
+
+  /** PSI of an arriving population's band counts against a standing
+    * reference's — the per-micro-batch body of the streaming monitor,
+    * and exactly the batch arithmetic ([[widen]] + [[psiTail]]). */
+  def psiOfCounts(refCounts: DataFrame, curCounts: DataFrame): DataFrame =
+    psiTail(widen(
+      refCounts.select(col("source"), col("b"), col("c"), lit(false).as("nw"))
+        .unionByName(
+          curCounts.select(col("source"), col("b"), col("c"),
+            lit(true).as("nw")))))
+      .orderBy("source")
+
+  /** Y7: the streaming monitor's per-micro-batch body — an arriving
+    * doc frame is banded and scored against the standing reference
+    * counts (a persisted bounded artifact, ≤ #sources·[[PsiBins]]
+    * rows, refreshed on the batch cadence — the M3 frozen-artifact
+    * convention). Drive it from `writeStream.foreachBatch`; because it
+    * IS [[psiOfCounts]], stream and batch PSI cannot diverge
+    * arithmetically (pinned in PsiDriftSpec). */
+  def psiMicroBatch(batch: DataFrame, refCounts: DataFrame): DataFrame =
+    psiOfCounts(refCounts, bandCounts(batch))
+
+  def psiDriftFrom(docs: DataFrame): DataFrame =
+    psiTail(widen(
+      docs.select(col("source"), binOf.as("b"),
+          isNewBatch(col("doc_id")).as("nw"))
+        .groupBy("source", "b", "nw").agg(count(lit(1L)).as("c"))))
+      .orderBy("source")
 
   def psiDriftSql: String = {
     val q = TextAnalysis.qualityScoreSql("text")

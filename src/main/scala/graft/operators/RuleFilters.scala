@@ -200,6 +200,124 @@ object RuleFilters {
       md5(cleaned).as("cleaned_md5"))
   }
 
+  // FineWeb custom-filter thresholds (Penedo et al. 2024, §3.6 "our
+  // custom filters" — the three heuristics FineWeb added ON TOP of
+  // Gopher+C4 after ablating them against RefinedWeb): a page is
+  // removed when its fraction of lines ending in punctuation is
+  // <= 0.12, OR its fraction of line characters inside duplicated
+  // lines is >= 0.10, OR its fraction of lines shorter than 30 chars
+  // is >= 0.67. Verdicts are evaluated as exact integer
+  // cross-multiplications (the Gopher symRatio boundary lesson), so
+  // no float rounding can flip a boundary doc.
+  val FwPunctBarNum = 12    // keep iff punct_lines·100 > n_lines·12
+  val FwDupBarNum = 1       // keep iff dup_chars·10  < tot_chars·1
+  val FwShortBarNum = 67    // keep iff short_lines·100 < n_lines·67
+  val FwShortLineChars = 30
+
+  // ---------------------------------------------------------------- Z4
+  /** FineWeb's three custom line-grain filters (Penedo et al. 2024) —
+    * the heuristics that close the published filter canon after V1
+    * (Gopher) and V2 (C4): terminal-punctuation line fraction,
+    * duplicated-line character fraction (the MassiveText repetition
+    * signal at line grain), and short-line fraction. Same contract as
+    * V1: every statistic and per-rule verdict rides the output so the
+    * failure-reason distribution is observable, and M2's ledger can
+    * consume the flags.
+    *
+    * Scale shape: narrow per-row expressions only — the duplicated-line
+    * count sorts each doc's OWN line array and counts chars in
+    * consecutive equal runs (O(L log L), order-independent so each
+    * engine may sort under its own collation), never a corpus-grain
+    * line shuffle; total line chars fall out of length(text) minus the
+    * newline count. One scan, one WholeStageCodegen span, no shuffle. */
+  def fineWebFilters(spark: SparkSession, dir: String): DataFrame =
+    fineWebFiltersFrom(Tables.documents(spark, dir))
+
+  def fineWebFiltersFrom(docs: DataFrame): DataFrame =
+    fineWebVerdicts(docs).orderBy("doc_id")
+
+  /** Sort-free verdict projection — stateless per-row, streaming-safe
+    * (see [[gopherVerdicts]]). */
+  def fineWebVerdicts(docs: DataFrame): DataFrame = {
+    val text = col("text")
+    val lines = split(text, "\n")
+    val nLines = size(lines).cast("long")
+    val punctLines = size(filter(lines, l =>
+      l.endsWith(".") || l.endsWith("!") || l.endsWith("?") ||
+        l.endsWith("\""))).cast("long")
+    val shortLines = size(filter(lines, l =>
+      length(l) < FwShortLineChars)).cast("long")
+    // chars on lines = all chars minus the (n_lines - 1) separators
+    val totChars = (length(text).cast("long") - (nLines - 1)).as("tot")
+    // sort a COPY of the line array; duplicates are then consecutive,
+    // so chars-in-duplicated-occurrences is one indexed pass (the r16
+    // no-struct-array_distinct discipline)
+    // bind the sorted array ONCE as a lambda argument (the r14/r16
+    // no-repeated-array-subexpressions-in-lambdas discipline — a bare
+    // element_at(array_sort(...), i) would re-sort per element)
+    val dupChars = expr(
+      """aggregate(
+        |  flatten(transform(array(array_sort(split(text, '\n'))),
+        |    sv -> CASE WHEN size(sv) < 2 THEN array(0L)
+        |      ELSE transform(sequence(1, size(sv) - 1),
+        |        i -> CASE WHEN element_at(sv, i + 1) = element_at(sv, i)
+        |          THEN CAST(length(element_at(sv, i + 1)) AS BIGINT)
+        |          ELSE 0L END) END)),
+        |  0L, (a, x) -> a + x)""".stripMargin)
+    docs.select(col("doc_id"), nLines.as("n_lines"),
+        punctLines.as("punct_lines"), shortLines.as("short_lines"),
+        dupChars.as("dup_chars"), totChars.as("tot_chars"))
+      .select(col("doc_id"), col("n_lines"), col("punct_lines"),
+        col("short_lines"), col("dup_chars"), col("tot_chars"),
+        round(col("punct_lines").cast("double") / col("n_lines"), 9)
+          .as("punct_frac"),
+        round(when(col("tot_chars") === 0, 0.0)
+          .otherwise(col("dup_chars").cast("double") / col("tot_chars")), 9)
+          .as("dup_frac"),
+        round(col("short_lines").cast("double") / col("n_lines"), 9)
+          .as("short_frac"),
+        (col("punct_lines") * 100 > col("n_lines") * FwPunctBarNum)
+          .as("ok_punct"),
+        (col("dup_chars") * 10 < col("tot_chars") * FwDupBarNum)
+          .as("ok_dup"),
+        (col("short_lines") * 100 < col("n_lines") * FwShortBarNum)
+          .as("ok_short"))
+      .withColumn("pass", col("ok_punct") && col("ok_dup") && col("ok_short"))
+  }
+
+  val fineWebFiltersSql: String = {
+    val lines = "string_split(text, chr(10))"
+    val sv = s"list_sort($lines)"
+    val punct = s"CAST(len(list_filter($lines, l -> ends_with(l, '.') OR " +
+      "ends_with(l, '!') OR ends_with(l, '?') OR ends_with(l, '\"'))) AS BIGINT)"
+    val short = s"CAST(len(list_filter($lines, l -> " +
+      s"length(l) < $FwShortLineChars)) AS BIGINT)"
+    val dup = s"CAST(coalesce(list_sum(list_transform(" +
+      s"range(2, len($lines) + 1), " +
+      s"i -> CASE WHEN ($sv)[i] = ($sv)[i - 1] " +
+      s"THEN CAST(length(($sv)[i]) AS BIGINT) ELSE 0 END)), 0) AS BIGINT)"
+    s"""WITH m AS (
+      |  SELECT doc_id,
+      |    CAST(len($lines) AS BIGINT) AS n_lines,
+      |    $punct AS punct_lines,
+      |    $short AS short_lines,
+      |    $dup AS dup_chars,
+      |    CAST(length(text) - (len($lines) - 1) AS BIGINT) AS tot_chars
+      |  FROM documents)
+      |SELECT doc_id, n_lines, punct_lines, short_lines, dup_chars, tot_chars,
+      |  round(CAST(punct_lines AS DOUBLE) / n_lines, 9) AS punct_frac,
+      |  round(CASE WHEN tot_chars = 0 THEN 0.0
+      |    ELSE CAST(dup_chars AS DOUBLE) / tot_chars END, 9) AS dup_frac,
+      |  round(CAST(short_lines AS DOUBLE) / n_lines, 9) AS short_frac,
+      |  punct_lines * 100 > n_lines * $FwPunctBarNum AS ok_punct,
+      |  dup_chars * 10 < tot_chars * $FwDupBarNum AS ok_dup,
+      |  short_lines * 100 < n_lines * $FwShortBarNum AS ok_short,
+      |  (punct_lines * 100 > n_lines * $FwPunctBarNum AND
+      |   dup_chars * 10 < tot_chars * $FwDupBarNum AND
+      |   short_lines * 100 < n_lines * $FwShortBarNum) AS pass
+      |FROM m ORDER BY doc_id""".stripMargin
+  }
+
   val c4CleanSql: String = {
     val lines = "string_split(text, chr(10))"
     val lineW = Portable.nTokensSql("l")

@@ -148,4 +148,86 @@ object Selection {
       |WHERE rk = 1
       |ORDER BY cluster_id""".stripMargin
   }
+
+  // ---------------------------------------------------------------- Z2
+  /** Histogram bins for the quantile transform (fixed thousandths of
+    * [0,1] — fixed edges keep a doc's bin a pure function of its text,
+    * the Y4 discipline). */
+  val QnormBins = 1000
+  /** Global keep percentile for the demonstration gate (top 20%). */
+  private val QnormKeepNum = 4L // keep iff pct_num·5 > pct_den·4
+  private val QnormKeepDen = 5L
+
+  /** Z2: per-source quantile NORMALIZATION of the quality score — the
+    * rank-transform that makes one global threshold mean the same
+    * thing on every source (the CCNet per-language-bucket device,
+    * Wenzek et al. 2020, generalized from terciles to a full
+    * percentile: raw score distributions differ per source, so a
+    * global raw cut over-prunes clean sources; L1 fixes that with a
+    * per-source keep FRACTION — this emits the comparable per-doc
+    * PERCENTILE itself, for downstream consumers that weight, mix, or
+    * threshold across sources).
+    *
+    * The percentile is the histogram HAZEN POSITION (rank_mid − ½)/n:
+    * bin the score into [[QnormBins]] fixed bins, count per
+    * (source, bin), and read
+    * pct = (2·cum_below + n_bin) / (2·n_src) — a pure function of
+    * (source, bin) from exact integers, so unlike a row_number
+    * percent-rank it needs NO per-source sort of the corpus: one
+    * narrow scan into a bounded (#sources × bins) count table, a
+    * window over that bounded table, and a broadcast join back.
+    * Resolution is 1/[[QnormBins]] of the score scale, the standard
+    * histogram-quantile trade (H7's sketch bound, exact here because
+    * bins are fixed). The keep gate is integer cross-multiplied. */
+  def qualityQnorm(spark: SparkSession, dir: String): DataFrame =
+    qualityQnormFrom(Tables.documents(spark, dir))
+
+  def qualityQnormFrom(docs: DataFrame): DataFrame = {
+    val score = TextAnalysis.qualityScore(col("text"))
+    val bin = least(floor(score * QnormBins).cast("int"), lit(QnormBins - 1))
+    val binned = docs.select(col("doc_id"), col("source"), bin.as("bin"))
+    val counts = binned.groupBy("source", "bin").agg(count(lit(1L)).as("c"))
+    val wCum = Window.partitionBy("source").orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy("source")
+    val table = counts
+      .withColumn("cum", sum(col("c")).over(wCum))
+      .withColumn("n_src", sum(col("c")).over(wAll))
+      // Hazen plotting position (rank_mid - 0.5)/n as exact integers:
+      // num = 2·cum_below + c over denominator 2·n_src — strictly
+      // inside (0,1) even for a unique min/max, unlike the raw midrank
+      .select(col("source"), col("bin"), col("n_src"),
+        (lit(2L) * (col("cum") - col("c")) + col("c")).as("num"))
+    binned.join(broadcast(table), Seq("source", "bin"))
+      .select(col("doc_id"), col("source"), col("bin"), col("n_src"),
+        round(col("num").cast("double") / (lit(2.0) * col("n_src")), 9)
+          .as("pct_norm"),
+        (col("num") * QnormKeepDen > lit(2L) * col("n_src") * QnormKeepNum)
+          .as("keep_top"))
+      .orderBy("doc_id")
+  }
+
+  def qualityQnormSql: String = {
+    val q = TextAnalysis.qualityScoreSql("text")
+    s"""WITH b AS (
+      |  SELECT doc_id, source,
+      |    least(CAST(floor($q * $QnormBins) AS INT), ${QnormBins - 1}) AS bin
+      |  FROM documents),
+      |cnt AS (
+      |  SELECT source, bin, count(*) AS c
+      |  FROM b GROUP BY source, bin),
+      |tbl AS (
+      |  SELECT source, bin,
+      |    sum(c) OVER (PARTITION BY source) AS n_src,
+      |    2 * (sum(c) OVER (PARTITION BY source ORDER BY bin
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c)
+      |      + c AS num
+      |  FROM cnt)
+      |SELECT b.doc_id, b.source, b.bin,
+      |  CAST(t.n_src AS BIGINT) AS n_src,
+      |  round(CAST(t.num AS DOUBLE) / (2.0 * t.n_src), 9) AS pct_norm,
+      |  t.num * $QnormKeepDen > 2 * t.n_src * $QnormKeepNum AS keep_top
+      |FROM b JOIN tbl t ON t.source = b.source AND t.bin = b.bin
+      |ORDER BY b.doc_id""".stripMargin
+  }
 }

@@ -16,8 +16,8 @@ import graft.sources.Tables
   */
 object SimilaritySearch {
 
-  private val K = 5
-  private val NQueries = 8
+  private[operators] val K = 5
+  private[operators] val NQueries = 8
   private val NProbe = 2
 
   private def scoredAgainstQueries(spark: SparkSession, dir: String): DataFrame =
@@ -546,6 +546,83 @@ object SimilaritySearch {
       |ORDER BY a.vec_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- Z3
+  /** Per-cluster quota the balanced sample keeps (the published
+    * cluster-balanced selection shape: equal representation per
+    * semantic region, cf. the cluster-balanced variants in the data-
+    * pruning literature around Sorscher et al. 2022 — where V3 keeps
+    * each cluster's LEAST prototypical tail, this keeps a fixed-size
+    * UNIFORM slice of every cluster, the device for building a
+    * diversity-preserving subset or eval probe whose source mix no
+    * longer tracks raw cluster mass). */
+  val ClusterCap = 24
+  private val clusterCapSalt = "ccap"
+
+  /** Z3: cluster-balanced quota sampling — assign every vector to its
+    * trained D3 centroid (frozen-literal oracle, the V3 machinery),
+    * then keep at most [[ClusterCap]] vectors per cluster, chosen by a
+    * deterministic salted hash rank (uniform within cluster, stable
+    * across runs and engines; ties on vec_id).
+    *
+    * Scale shape: assignment is the codegen'd broadcast argmax pass
+    * (n·k cosine, no shuffle); the quota is the bounded [[TopK]]
+    * partial aggregation keyed by cid — only cap·P rows per cluster
+    * cross the shuffle, never the corpus (a per-cid window would
+    * hash-shuffle every row). Output is k·cap rows. */
+  def clusterCapSample(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    clusterCapOn(spark, emb, centsDf(spark, ivfCentCache.model(spark, dir)))
+  }
+
+  private[graft] def clusterCapOn(spark: SparkSession, emb: DataFrame,
+                                  cents: DataFrame): DataFrame = {
+    val c9 = round(Vectors.cosineFast(spark, col("embedding"), col("c_emb")), 9)
+    val assigned = emb.join(broadcast(cents))
+      .select(col("vec_id"), argmaxRank(c9, col("cid")).as("r"))
+      .groupBy("vec_id").agg(max(col("r")).as("rank"))
+      .select(col("vec_id"), argmaxDecodeCid(col("rank")).as("cid"),
+        Sampling.hashBucket(col("vec_id"), clusterCapSalt).as("hrank"))
+    // TopK ranks (round-9 DESC, id ASC); negated integer hrank makes
+    // that (hrank ASC, vec_id ASC) with no float rounding in play
+    assigned
+      .groupBy("cid")
+      .agg(TopK.topk(spark, ClusterCap, col("vec_id"),
+        (-col("hrank")).cast("double")).as("hits"))
+      .select(col("cid"), explode(col("hits")).as("h"))
+      .select(col("cid"), col("h.id").as("vec_id"),
+        (-col("h.sim")).cast("long").as("hrank"))
+      .orderBy("cid", "hrank", "vec_id")
+  }
+
+  /** DuckDB twin of [[clusterCapSample]]: frozen centroids as the same
+    * VALUES literal, argmax assignment, per-cid (hrank, vec_id)
+    * row_number quota. A `def` (oracle-dump-after-queries rule). */
+  def clusterCapSampleSql: String = {
+    val cents = ivfCentCache.oracleModel()
+    val rows = cents.map { case (cid, ce) =>
+      s"($cid, CAST(${dArrSql(ce.toSeq)} AS DOUBLE[]))"
+    }.mkString(",\n    ")
+    val hb = Sampling.hashBucketSql("CAST(vec_id AS VARCHAR)", clusterCapSalt)
+    s"""WITH cents(cid, c_emb) AS (VALUES
+      |    $rows),
+      |cscore AS (
+      |  SELECT e.vec_id, c.cid,
+      |    row_number() OVER (PARTITION BY e.vec_id
+      |      ORDER BY round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.c_emb), 9) DESC,
+      |               c.cid) AS rk
+      |  FROM embeddings e, cents c),
+      |assign AS (
+      |  SELECT vec_id, cid, $hb AS hrank FROM cscore WHERE rk = 1),
+      |quota AS (
+      |  SELECT cid, vec_id, hrank,
+      |    row_number() OVER (PARTITION BY cid
+      |      ORDER BY hrank ASC, vec_id ASC) AS qrk
+      |  FROM assign)
+      |SELECT cid, vec_id, hrank FROM quota
+      |WHERE qrk <= $ClusterCap
+      |ORDER BY cid, hrank, vec_id""".stripMargin
+  }
+
   val ivfTopKSql: String =
     s"""WITH dims AS (
       |  SELECT label, generate_subscripts(embedding, 1) AS pos,
@@ -831,7 +908,7 @@ object SimilaritySearch {
 
   /** Exact-cosine rescore of a (query_id, vec_id) shortlist → ranked
     * top-[[K]] (shared tail of D4/D5/D6). */
-  private def exactRescore(spark: SparkSession, emb: DataFrame,
+  private[operators] def exactRescore(spark: SparkSession, emb: DataFrame,
                            cands: DataFrame): DataFrame = {
     val qEmb = broadcast(emb.where(col("vec_id") < NQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb")))
@@ -904,7 +981,7 @@ object SimilaritySearch {
 
   /** Shared exact-rescore SQL tail over a `short(query_id, vec_id)`
     * CTE (the twin of [[exactRescore]]). */
-  private def rescoreSql: String =
+  private[operators] def rescoreSql: String =
     s"""SELECT query_id, rank, vec_id, cos_sim FROM (
       |  SELECT sh.query_id, sh.vec_id,
       |    ${Vectors.cosineSql("qe.embedding", "e.embedding")} AS cos_sim,

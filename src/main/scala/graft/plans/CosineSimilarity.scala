@@ -260,9 +260,15 @@ object GraftFunctions {
     (children: Seq[Expression]) =>
       SortedExcept(children(0), children(1)): Expression)
 
+  private val bitPackDesc = (
+    FunctionIdentifier("graft_bitpack"),
+    new ExpressionInfo(classOf[BitPack].getName, null, "graft_bitpack"),
+    (children: Seq[Expression]) => BitPack(children(0)): Expression)
+
   private val all = Seq(cosineDesc, srpDesc, minhashDesc, simhashDesc,
     pqEncodeDesc, shinglesDesc, gramStatsDesc, gramBucketsDesc,
-    mightContainDesc, sortedExceptDesc, bpeCountDesc, bpeEncodeDesc)
+    mightContainDesc, sortedExceptDesc, bpeCountDesc, bpeEncodeDesc,
+    bitPackDesc)
 
   /** Idempotent per-session registration (for sessions built without
     * the extensions config). */

@@ -84,6 +84,20 @@ class AnnRecallSpec extends SparkSpec {
     assert(recall >= 0.9, s"IVF-PQ recall collapsed: $recall ($hit/$nTrue)")
   }
 
+  test("binary-quantized ANN recall@5 >= 0.9 on clustered vectors (Z1)") {
+    // sign-bit hamming shortlist + exact rescore: on clustered vectors
+    // the deep 1-bit rescore shortlist must recover the brute top-K
+    val brute = SimilaritySearch.bruteTopK(spark, fixtureDir)
+      .select("query_id", "vec_id")
+    val bq = graft.operators.BinaryAnn.bqTopK(spark, fixtureDir)
+      .select("query_id", "vec_id")
+    val nTrue = brute.count()
+    val hit = bq.join(brute, Seq("query_id", "vec_id")).count()
+    assert(nTrue > 0)
+    val recall = hit.toDouble / nTrue
+    assert(recall >= 0.9, s"BQ recall collapsed: $recall ($hit/$nTrue)")
+  }
+
   test("trained (unsupervised) IVF recall@5 >= 0.9 without touching label") {
     // the fixture's label column exists but must be IGNORED: training
     // sees only (vec_id, embedding), as a real unlabeled corpus would

@@ -102,6 +102,8 @@ class CodegenContractSpec extends SparkSpec {
       Vectors.pqEncodeFast(spark, col("emb_f"),
         pqCodebook.toIndexedSeq, 2, 2, 2).as("pq"),
       call_function("graft_might_contain", col("id"), lit(bloom)).as("mc"),
+      Vectors.bitpackFast(spark, col("emb_f")).as("bpk_f"),
+      Vectors.bitpackFast(spark, col("emb_d")).as("bpk_d"),
       call_function("graft_bpe_count", col("text"),
         array(bpeWords.map(lit(_)): _*),
         array(bpeCounts.map(lit(_)): _*)).as("bc"),

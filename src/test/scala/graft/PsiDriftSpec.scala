@@ -44,6 +44,39 @@ class PsiDriftSpec extends SparkSpec {
       s"i.i.d. split at adequate n must read stable: $r")
   }
 
+  test("Y7: streaming micro-batch PSI equals the batch monitor bit-for-bit") {
+    // the batch form's populations: cur = the 20% salted hash batch,
+    // ref = the rest; stream exactly the cur docs against ref counts
+    // and the emitted rows must equal psiDriftFrom(all docs)
+    import graft.operators.Sampling
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    val isCur = Sampling.hashBucket(col("doc_id"), "psibatch") <
+      Sampling.pctThreshold(20)
+    val refCounts = PsiDrift.bandCounts(docs.where(!isCur))
+    val expected = PsiDrift.psiDriftFrom(docs)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_psi").toString
+    try {
+      docs.where(isCur).coalesce(1).write.parquet(s"$tmp/cur")
+      val got = scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row]()
+      val q = graft.streaming.DocStreams.readDocs(spark, s"$tmp/cur")
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          got.synchronized { got ++= PsiDrift.psiMicroBatch(b, refCounts).collect() }
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val exp = expected.collect()
+      assert(got.nonEmpty && got.toSet == exp.toSet,
+        s"stream PSI ${got.toSeq} != batch PSI ${exp.toSeq}")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+      }
+      rm(new java.io.File(tmp))
+    }
+  }
+
   test("a planted score shift in the arriving batch crosses the 0.25 bar") {
     // find ids on each side of the batch split, then give the batch
     // side pathologically different text (gibberish-low quality)

@@ -59,4 +59,9 @@ class StreamingRuleGateSpec extends SparkSpec {
     pinEqual("gate_pareto_", Sampling.paretoVerdicts,
       Sampling.paretoSampleFrom(Tables.documents(spark, sfDir)))
   }
+
+  test("streaming fineweb gate equals the batch verdicts row-for-row (Z4)") {
+    pinEqual("gate_fineweb_", RuleFilters.fineWebVerdicts,
+      RuleFilters.fineWebFiltersFrom(Tables.documents(spark, sfDir)))
+  }
 }
