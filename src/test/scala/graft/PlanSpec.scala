@@ -451,4 +451,54 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"),
       s"bounded probe should never sort-merge:\n$plan")
   }
+
+  test("binary-quantized ANN: queries ride a broadcast; shortlist partial-aggregates map-side") {
+    val plan = finalPlan(graft.SparkEntry.queries("q_ann_bq")(spark, sfDir))
+    // the 8 packed query rows broadcast into a nested-loop join (the
+    // =!= predicate); the corpus side never shuffles to score
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"hamming scan not broadcast-NL over the query rows:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"unbounded cross join in BQ scan:\n$plan")
+    // bounded TopK: partial + final ObjectHashAggregate pairs for the
+    // hamming shortlist and the rescore
+    assert("ObjectHashAggregate".r.findAllIn(plan).size >= 4,
+      s"BQ shortlist/rescore not partial-aggregated:\n$plan")
+  }
+
+  test("fineweb filters are a single narrow scan (no join, presentation sort only)") {
+    val plan = finalPlan(graft.SparkEntry.queries("q_fineweb_filters")(spark, sfDir))
+    assert(!plan.contains("Join"), s"fineweb filters plan a join:\n$plan")
+    val exchanges =
+      "Exchange (\\w+)".r.findAllMatchIn(plan).map(_.group(1)).toList
+    assert(exchanges.nonEmpty && exchanges.forall(_ == "rangepartitioning"),
+      s"fineweb filters have a non-presentation exchange: $exchanges\n$plan")
+  }
+
+  test("quality qnorm joins docs to the bounded bin table via broadcast (no corpus window)") {
+    val plan = finalPlan(graft.SparkEntry.queries("q_quality_qnorm")(spark, sfDir))
+    // the percentile table is bounded (#sources x bins): it must come
+    // back as a broadcast hash join, and the corpus itself must never
+    // enter a Window (windows run over the bounded count table only,
+    // i.e. strictly above a HashAggregate)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"bin table not broadcast back:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"corpus shuffled to meet the bounded bin table:\n$plan")
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      s"bin counts not partial-aggregated:\n$plan")
+  }
+
+  test("cluster-cap sample: centroids broadcast, quota via bounded partial top-k") {
+    val plan = finalPlan(graft.SparkEntry.queries("q_sample_cluster_cap")(spark, sfDir))
+    assert(plan.contains("BroadcastExchange"), s"centroids not broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"corpus-scale cartesian in cluster-cap sample:\n$plan")
+    // the per-cid quota is the bounded TopK aggregator (partial+final),
+    // never a corpus-wide window rank
+    assert("ObjectHashAggregate".r.findAllIn(plan).size >= 2,
+      s"quota not a bounded partial top-k:\n$plan")
+    assert(!plan.contains("RunningWindowFunction") && !plan.contains("Window "),
+      s"quota fell back to a corpus window:\n$plan")
+  }
 }
