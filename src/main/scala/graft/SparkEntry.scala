@@ -251,7 +251,11 @@ object SparkEntry {
     // Z3: cluster-balanced quota sample over the trained D3 centroids
     "q_sample_cluster_cap" -> (SimilaritySearch.clusterCapSample _),
     // Z4: FineWeb's three custom line-grain filters
-    "q_fineweb_filters" -> (RuleFilters.fineWebFilters _)
+    "q_fineweb_filters" -> (RuleFilters.fineWebFilters _),
+    // Z5: IVF-BQ (trained coarse probe -> integer hamming in-bucket ->
+    // exact rescore; the quantization matrix's last cell)
+    "q_ann_ivf_bq" -> ((s: SparkSession, d: String) =>
+      SimilaritySearch.ivfBqTopK(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -398,6 +402,7 @@ object SparkEntry {
     "q_ann_bq" -> BinaryAnn.bqTopKSql,
     "q_quality_qnorm" -> Selection.qualityQnormSql,
     "q_sample_cluster_cap" -> SimilaritySearch.clusterCapSampleSql,
-    "q_fineweb_filters" -> RuleFilters.fineWebFiltersSql
+    "q_fineweb_filters" -> RuleFilters.fineWebFiltersSql,
+    "q_ann_ivf_bq" -> SimilaritySearch.ivfBqTopKSql
   )
 }

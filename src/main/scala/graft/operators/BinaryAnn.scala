@@ -44,6 +44,32 @@ object BinaryAnn {
     * recall@5 was 0.425; at this 12.8·K it clears the 0.9 gate). */
   val ShortM = 64
 
+  /** Integer hamming distance between two packed-word array columns
+    * (named by `words`/`qWords`) — Σ_w popcount(xor), plain codegen'd
+    * built-ins. Shared by the flat scan and the IVF-composed form. */
+  private[operators] def hammingOf(words: String, qWords: String): org.apache.spark.sql.Column =
+    (0 until BitPack.Words)
+      .map(w => expr(s"bit_count(element_at($words, ${w + 1}) " +
+        s"^ element_at($qWords, ${w + 1}))").cast("long"))
+      .reduce(_ + _)
+
+  /** SQL for packed word `w` over an embedding column: the explicit
+    * Σ 2^j · (emb[i] > 0) literal chain, integer-exact and matching
+    * [[graft.plans.BitPack]] bit for bit. */
+  private[operators] def wordSql(w: Int, emb: String = "embedding"): String =
+    (0 until BitPack.WordBits)
+      .map { j =>
+        val i = w * BitPack.WordBits + j + 1 // 1-based list index
+        s"(CASE WHEN $emb[$i] > 0 THEN ${1L << j} ELSE 0 END)"
+      }
+      .mkString("(", " + ", ")")
+
+  /** SQL hamming over per-word columns `<q>.w_i` vs `<p>.w_i`. */
+  private[operators] def hamSql(q: String, p: String): String =
+    (0 until BitPack.Words)
+      .map(w => s"bit_count(xor(CAST($q.w_$w AS BIGINT), CAST($p.w_$w AS BIGINT)))")
+      .mkString(" + ")
+
   def bqTopK(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir).select("vec_id", "embedding")
     val packed = emb.select(col("vec_id"),
@@ -51,10 +77,7 @@ object BinaryAnn {
     val queries = broadcast(packed
       .where(col("vec_id") < SimilaritySearch.NQueries)
       .select(col("vec_id").as("query_id"), col("words").as("q_words")))
-    val ham = (0 until BitPack.Words)
-      .map(w => expr(s"bit_count(element_at(words, ${w + 1}) " +
-        s"^ element_at(q_words, ${w + 1}))").cast("long"))
-      .reduce(_ + _)
+    val ham = hammingOf("words", "q_words")
     val cands = packed.join(queries, col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
         // TopK ranks (round-9 DESC, id ASC); negated integer hamming
@@ -73,18 +96,9 @@ object BinaryAnn {
     * bit_count(xor()), shortlist by (hamming ASC, vec_id), then the
     * shared exact-rescore tail. */
   def bqTopKSql: String = {
-    def word(w: Int): String =
-      (0 until BitPack.WordBits)
-        .map { j =>
-          val i = w * BitPack.WordBits + j + 1 // 1-based list index
-          s"(CASE WHEN embedding[$i] > 0 THEN ${1L << j} ELSE 0 END)"
-        }
-        .mkString("(", " + ", ")")
     val wordCols = (0 until BitPack.Words)
-      .map(w => s"${word(w)} AS w_$w").mkString(",\n      |    ")
-    val ham = (0 until BitPack.Words)
-      .map(w => s"bit_count(xor(CAST(q.w_$w AS BIGINT), CAST(p.w_$w AS BIGINT)))")
-      .mkString(" + ")
+      .map(w => s"${wordSql(w)} AS w_$w").mkString(",\n      |    ")
+    val ham = hamSql("q", "p")
     s"""WITH pk AS (
       |  SELECT vec_id,
       |    $wordCols

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -182,15 +182,22 @@ object Selection {
   def qualityQnorm(spark: SparkSession, dir: String): DataFrame =
     qualityQnormFrom(Tables.documents(spark, dir))
 
-  def qualityQnormFrom(docs: DataFrame): DataFrame = {
+  private def qnormBin: Column = {
     val score = TextAnalysis.qualityScore(col("text"))
-    val bin = least(floor(score * QnormBins).cast("int"), lit(QnormBins - 1))
-    val binned = docs.select(col("doc_id"), col("source"), bin.as("bin"))
-    val counts = binned.groupBy("source", "bin").agg(count(lit(1L)).as("c"))
+    least(floor(score * QnormBins).cast("int"), lit(QnormBins - 1))
+  }
+
+  /** The bounded (source, bin) → (n_src, num) percentile table — the
+    * persistable reference artifact of the streaming scorer (Z6, the
+    * M3 frozen-artifact convention: a stream cannot know corpus-wide
+    * ranks; the table refreshes on the batch cadence). */
+  def qnormTableFrom(docs: DataFrame): DataFrame = {
+    val counts = docs.select(col("source"), qnormBin.as("bin"))
+      .groupBy("source", "bin").agg(count(lit(1L)).as("c"))
     val wCum = Window.partitionBy("source").orderBy("bin")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wAll = Window.partitionBy("source")
-    val table = counts
+    counts
       .withColumn("cum", sum(col("c")).over(wCum))
       .withColumn("n_src", sum(col("c")).over(wAll))
       // Hazen plotting position (rank_mid - 0.5)/n as exact integers:
@@ -198,14 +205,24 @@ object Selection {
       // inside (0,1) even for a unique min/max, unlike the raw midrank
       .select(col("source"), col("bin"), col("n_src"),
         (lit(2L) * (col("cum") - col("c")) + col("c")).as("num"))
-    binned.join(broadcast(table), Seq("source", "bin"))
+  }
+
+  /** Sort-free scorer over an arbitrary doc frame against a percentile
+    * table: bin + broadcast join + exact-rational percentile. Works
+    * unchanged on a STREAMING frame (stream-static join, zero state),
+    * so the Z6 streaming gate IS this function — stream and batch
+    * cannot diverge (pinned in ZSeriesSpec). */
+  def qnormScore(docs: DataFrame, table: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("source"), qnormBin.as("bin"))
+      .join(broadcast(table), Seq("source", "bin"))
       .select(col("doc_id"), col("source"), col("bin"), col("n_src"),
         round(col("num").cast("double") / (lit(2.0) * col("n_src")), 9)
           .as("pct_norm"),
         (col("num") * QnormKeepDen > lit(2L) * col("n_src") * QnormKeepNum)
           .as("keep_top"))
-      .orderBy("doc_id")
-  }
+
+  def qualityQnormFrom(docs: DataFrame): DataFrame =
+    qnormScore(docs, qnormTableFrom(docs)).orderBy("doc_id")
 
   def qualityQnormSql: String = {
     val q = TextAnalysis.qualityScoreSql("text")

@@ -1245,6 +1245,95 @@ object SimilaritySearch {
       |  FROM cand) t3 WHERE srk <= $PqShortlistIvf)
       |$rescoreSql""".stripMargin
   }
+  // ---------------------------------------------------------------- Z5
+  /** Z5: IVF-BQ — the quantization matrix's last cell: D3's trained
+    * coarse probe prunes the scan to NProbe/C of the corpus (as in
+    * D6), and inside the probed buckets candidates score by Z1's
+    * integer hamming over sign-packed words instead of PQ's ADC float
+    * lookups. Cheaper per candidate than every other rung (2
+    * xor+popcount vs 8 LUT reads) at lower resolution, which the
+    * deep [[BinaryAnn.ShortM]] shortlist + exact rescore absorb —
+    * the standard "binary pre-filter inside a coarse index" serving
+    * shape. Like D6 the two structures are independent: the same
+    * frozen centroids, the same packed words Z1 persists. */
+  def ivfBqTopK(spark: SparkSession, dir: String, c: Int = TrainedK): DataFrame = {
+    val emb = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    val cents =
+      if (c == TrainedK) centsDf(spark, ivfCentCache.model(spark, dir))
+      else trainCentroids(spark, emb, c)
+    val centScore = emb.join(broadcast(cents))
+      .select(col("vec_id"), col("embedding"), col("cid"),
+        round(Vectors.cosineFast(spark, col("embedding"), col("c_emb")), 9).as("cc"))
+    // corpus side: argmax assignment carrying the embedding forward,
+    // then one packing pass — (vec_id, cid, words) IS the 8 B/vector
+    // persisted index artifact of this shape
+    val assigned = centScore
+      .groupBy("vec_id")
+      .agg(first(col("embedding")).as("embedding"),
+        max(struct(col("cc"), (-col("cid")).as("ncid"))).as("best"))
+      .select(col("vec_id"), (-col("best.ncid")).as("cid"),
+        Vectors.bitpackFast(spark, col("embedding")).as("words"))
+    // query side: NProbe nearest centroids, each probe row carrying
+    // the query's packed words — ≤ NProbe·|queries| broadcast rows
+    val wVec = Window.partitionBy("vec_id")
+      .orderBy(col("cc").desc, col("cid"))
+    val probes = centScore.where(col("vec_id") < NQueries)
+      .withColumn("rk", row_number().over(wVec)).where(col("rk") <= NProbe)
+      .select(col("vec_id").as("query_id"), col("cid"),
+        Vectors.bitpackFast(spark, col("embedding")).as("q_words"))
+    val cands = assigned.join(broadcast(probes), Seq("cid"))
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        (-BinaryAnn.hammingOf("words", "q_words")).cast("double").as("score"))
+      .groupBy("query_id")
+      .agg(TopK.topk(spark, BinaryAnn.ShortM, col("vec_id"), col("score")).as("hits"))
+      .select(col("query_id"), explode(col("hits")).as("h"))
+      .select(col("query_id"), col("h.id").as("vec_id"))
+    exactRescore(spark, emb, cands)
+  }
+
+  /** DuckDB twin of [[ivfBqTopK]]: frozen centroids as the VALUES
+    * literal, assignment + probes restated with the house
+    * round-9-desc/cid-asc rule, packed words as the explicit integer
+    * chains ([[BinaryAnn.wordSql]]), hamming shortlist (ASC, vec_id),
+    * exact rescore. The bucket-restricted shortlist stage is integer
+    * end-to-end, like Z1. A `def` (oracle-dump-after-queries rule). */
+  def ivfBqTopKSql: String = {
+    val cents = ivfCentCache.oracleModel()
+    val rows = cents.map { case (cid, ce) =>
+      s"($cid, CAST(${dArrSql(ce.toSeq)} AS DOUBLE[]))"
+    }.mkString(",\n    ")
+    val wordCols = (0 until graft.plans.BitPack.Words)
+      .map(w => s"${BinaryAnn.wordSql(w)} AS w_$w").mkString(",\n    ")
+    s"""WITH cents(cid, c_emb) AS (VALUES
+      |    $rows),
+      |cscore AS (
+      |  SELECT e.vec_id, e.embedding, c.cid,
+      |    row_number() OVER (PARTITION BY e.vec_id
+      |      ORDER BY round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.c_emb), 9) DESC,
+      |               c.cid) AS rk
+      |  FROM embeddings e, cents c),
+      |pk AS (
+      |  SELECT vec_id, cid,
+      |    $wordCols
+      |  FROM (SELECT vec_id, embedding, cid FROM cscore WHERE rk = 1) a),
+      |probes AS (SELECT vec_id AS query_id, cid
+      |           FROM cscore WHERE vec_id < $NQueries AND rk <= $NProbe),
+      |qpk AS (SELECT vec_id AS query_id, ${(0 until graft.plans.BitPack.Words)
+        .map(w => s"w_$w").mkString(", ")} FROM pk
+      |        WHERE vec_id < $NQueries),
+      |short AS (
+      |  SELECT query_id, vec_id FROM (
+      |    SELECT p.query_id, k.vec_id,
+      |      row_number() OVER (PARTITION BY p.query_id
+      |        ORDER BY (${BinaryAnn.hamSql("q", "k")}) ASC, k.vec_id) AS srk
+      |    FROM probes p
+      |    JOIN pk k ON k.cid = p.cid AND k.vec_id <> p.query_id
+      |    JOIN qpk q ON q.query_id = p.query_id) s
+      |  WHERE srk <= ${BinaryAnn.ShortM})
+      |$rescoreSql""".stripMargin
+  }
+
   // ---------------------------------------------------------------- D7
   /** D7: partition-pruned ON-DISK IVF index — the J2 layout device
     * applied to the vector store, which is how a production ANN index

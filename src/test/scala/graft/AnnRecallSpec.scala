@@ -98,6 +98,18 @@ class AnnRecallSpec extends SparkSpec {
     assert(recall >= 0.9, s"BQ recall collapsed: $recall ($hit/$nTrue)")
   }
 
+  test("IVF-BQ recall@5 >= 0.9 on clustered vectors (coarse probe + hamming, Z5)") {
+    val brute = SimilaritySearch.bruteTopK(spark, fixtureDir)
+      .select("query_id", "vec_id")
+    val ivfbq = SimilaritySearch.ivfBqTopK(spark, fixtureDir, c = 4)
+      .select("query_id", "vec_id")
+    val nTrue = brute.count()
+    val hit = ivfbq.join(brute, Seq("query_id", "vec_id")).count()
+    assert(nTrue > 0)
+    val recall = hit.toDouble / nTrue
+    assert(recall >= 0.9, s"IVF-BQ recall collapsed: $recall ($hit/$nTrue)")
+  }
+
   test("trained (unsupervised) IVF recall@5 >= 0.9 without touching label") {
     // the fixture's label column exists but must be IGNORED: training
     // sees only (vec_id, embedding), as a real unlabeled corpus would

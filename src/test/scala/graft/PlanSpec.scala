@@ -466,6 +466,19 @@ class PlanSpec extends SparkSpec {
       s"BQ shortlist/rescore not partial-aggregated:\n$plan")
   }
 
+  test("IVF-BQ: probes ride a broadcast cid join; shortlist partial-aggregates map-side") {
+    val plan = finalPlan(graft.SparkEntry.queries("q_ann_ivf_bq")(spark, sfDir))
+    // probe rows (<= NProbe * 8, each carrying the query's packed
+    // words) broadcast into the cid equi-join — the corpus side never
+    // shuffles to score inside its buckets
+    assert(plan.contains("BroadcastHashJoin"),
+      s"bucket probe not a broadcast hash join:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"unbounded cross join in IVF-BQ:\n$plan")
+    assert("ObjectHashAggregate".r.findAllIn(plan).size >= 2,
+      s"IVF-BQ shortlist not partial-aggregated:\n$plan")
+  }
+
   test("fineweb filters are a single narrow scan (no join, presentation sort only)") {
     val plan = finalPlan(graft.SparkEntry.queries("q_fineweb_filters")(spark, sfDir))
     assert(!plan.contains("Join"), s"fineweb filters plan a join:\n$plan")

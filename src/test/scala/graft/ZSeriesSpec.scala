@@ -94,6 +94,35 @@ class ZSeriesSpec extends SparkSpec {
     }
   }
 
+  // ---------------------------------------------------------------- Z6
+  test("streaming qnorm gate equals the batch percentile row-for-row") {
+    // the scorer is one stateless stream-static join against the
+    // frozen percentile table, so streaming the whole corpus through
+    // it must reproduce the batch output exactly
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    val table = Selection.qnormTableFrom(docs)
+    val batch = Selection.qualityQnormFrom(docs)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_qnorm").toString
+    try {
+      docs.write.parquet(s"$tmp/docs")
+      val q = Selection.qnormScore(
+          graft.streaming.DocStreams.readDocs(spark, s"$tmp/docs"), table)
+        .writeStream.format("memory").queryName("z6_qnorm")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val got = spark.table("z6_qnorm")
+      assert(got.count() == batch.count())
+      assert(got.exceptAll(batch).isEmpty && batch.exceptAll(got).isEmpty,
+        "stream and batch qnorm percentiles diverge")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+      }
+      rm(new java.io.File(tmp))
+    }
+  }
+
   // ---------------------------------------------------------------- Z3
   test("cluster-cap sample: never over cap, and equals the window-rank reference") {
     val out = SimilaritySearch.clusterCapSample(spark, sfDir).cache()
