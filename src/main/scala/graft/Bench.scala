@@ -201,7 +201,7 @@ object Bench {
     "from_domain_reweight", "from_ppl_buckets", "from_qc_calibration",
     "from_span_incremental", "from_alloc_materialize", "from_hard_negatives",
     "from_dedup_semantic", "from_epoch_alloc", "from_lm_quality",
-    "from_winnow_incremental")
+    "from_winnow_incremental", "from_ann_bq")
 
   /** Materialize the shared stage outputs once (untimed), then time
     * ONLY the `*From` compositions over the persisted parquet — the
@@ -241,6 +241,11 @@ object Bench {
         || o.contains("from_hard_negatives"))
       if (wantIvf)
         SimilaritySearch.writeIvfIndex(spark, sfDir, s"$fromDir/ivfidx")
+      // Z1's packed-words index: built once at maintenance cadence
+      // (untimed); the timed serve scans 8 B/vector + rescores floats
+      // for the shortlist only
+      if (only.forall(_.contains("from_ann_bq")))
+        BinaryAnn.writeBqIndex(spark, sfDir, s"$fromDir/bqidx")
       // I4's steady state: centroid training + assignment persist at
       // index-maintenance cadence (untimed); the timed form is the
       // dedup RULE alone over the persisted assigned frame — the
@@ -324,7 +329,11 @@ object Bench {
         // reweight-priced) trainer and avail from one persisted count
         // pass; the allocator itself runs on #sources rows
         "from_epoch_alloc" -> (() =>
-          DomainMix.epochAllocFrom(allocWeights, allocAvail)))
+          DomainMix.epochAllocFrom(allocWeights, allocAvail)),
+        // Z1 steady state: hamming scan over the persisted packed
+        // index, floats touched only for the rescore shortlist
+        "from_ann_bq" -> (() =>
+          BinaryAnn.bqTopKFromIndex(spark, sfDir, s"$fromDir/bqidx")))
       forms.filter { case (n, _) => only.forall(_.contains(n)) }
         .foreach { case (n, mk) => timeQuery(n, mk) }
     } catch {

@@ -90,6 +90,39 @@ object BinaryAnn {
     SimilaritySearch.exactRescore(spark, emb, cands)
   }
 
+  /** Persist the packed-words index — (vec_id, words), 8 B of sign
+    * bits per vector, the artifact a deployment scans instead of the
+    * float column (32× fewer bytes). Rebuilt at index-maintenance
+    * cadence, like [[SimilaritySearch.writeIvfIndex]]. */
+  def writeBqIndex(spark: SparkSession, dir: String, outDir: String): Unit =
+    Tables.embeddings(spark, dir).select("vec_id", "embedding")
+      .select(col("vec_id"),
+        Vectors.bitpackFast(spark, col("embedding")).as("words"))
+      .write.mode("overwrite").parquet(s"$outDir/bq.parquet")
+
+  /** Z1's serving form: the hamming scan reads ONLY the prebuilt
+    * packed index; floats are touched just for the ShortM·|queries|
+    * rescore rows. Row-equal to [[bqTopK]] by construction (pinned in
+    * BqAnnSpec) — the packing is deterministic, so index and inline
+    * words are bit-identical. */
+  def bqTopKFromIndex(spark: SparkSession, dir: String,
+                      indexDir: String): DataFrame = {
+    val packed = spark.read.parquet(s"$indexDir/bq.parquet")
+    val queries = broadcast(packed
+      .where(col("vec_id") < SimilaritySearch.NQueries)
+      .select(col("vec_id").as("query_id"), col("words").as("q_words")))
+    val ham = hammingOf("words", "q_words")
+    val cands = packed.join(queries, col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        (-ham).cast("double").as("score"))
+      .groupBy("query_id")
+      .agg(TopK.topk(spark, ShortM, col("vec_id"), col("score")).as("hits"))
+      .select(col("query_id"), explode(col("hits")).as("h"))
+      .select(col("query_id"), col("h.id").as("vec_id"))
+    SimilaritySearch.exactRescore(spark,
+      Tables.embeddings(spark, dir).select("vec_id", "embedding"), cands)
+  }
+
   /** DuckDB twin: each packed word restated as the explicit
     * Σ 2^j · (emb[i] > 0) literal chain (integer-exact, matching
     * [[graft.plans.BitPack]] bit for bit), hamming via

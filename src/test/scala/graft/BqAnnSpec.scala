@@ -57,6 +57,22 @@ class BqAnnSpec extends SparkSpec {
     assert(e.getMessage != null)
   }
 
+  test("serving over the persisted packed index equals the self-contained query") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bqidx").toString
+    try {
+      BinaryAnn.writeBqIndex(spark, sfDir, tmp)
+      val fromIdx = BinaryAnn.bqTopKFromIndex(spark, sfDir, tmp)
+      val self = BinaryAnn.bqTopK(spark, sfDir)
+      assert(fromIdx.exceptAll(self).isEmpty && self.exceptAll(fromIdx).isEmpty,
+        "index-served BQ diverged from the self-contained form")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+      }
+      rm(new java.io.File(tmp))
+    }
+  }
+
   test("q_ann_bq has the ANN contract shape: K rows per query, rank total order") {
     val out = BinaryAnn.bqTopK(spark, sfDir).cache()
     try {
