@@ -216,22 +216,22 @@ object Bench {
       spark.read.parquet(s"$fromDir/$name")
     }
     try {
-      val docs = persist("documents",
+      lazy val docs = persist("documents",
         graft.sources.Tables.documents(spark, sfDir)
           .select("doc_id", "source", "lang", "text"))
-      val quality = persist("quality", TextAnalysis.quality(spark, sfDir))
-      val exact = persist("exact", Dedup.exact(spark, sfDir))
-      val clusters = persist("clusters", Dedup.dupClusters(spark, sfDir))
-      val decont = persist("decont", Dedup.decontaminate(spark, sfDir))
-      val drift = persist("drift", CorpusStats.sourceDrift(spark, sfDir))
-      val semDrops = persist("sem_drops", Pipeline.semanticDrops(spark, sfDir))
-      val curated = persist("curated",
+      lazy val quality = persist("quality", TextAnalysis.quality(spark, sfDir))
+      lazy val exact = persist("exact", Dedup.exact(spark, sfDir))
+      lazy val clusters = persist("clusters", Dedup.dupClusters(spark, sfDir))
+      lazy val decont = persist("decont", Dedup.decontaminate(spark, sfDir))
+      lazy val drift = persist("drift", CorpusStats.sourceDrift(spark, sfDir))
+      lazy val semDrops = persist("sem_drops", Pipeline.semanticDrops(spark, sfDir))
+      lazy val curated = persist("curated",
         Curation.curateFrom(docs, quality, exact, decont))
       // the learned models' steady-state price: train ONCE (untimed —
       // the refresh-cadence cost), time only the frozen-model scoring
       // pass every consumer pays
-      val qcModel = QualityClassifier.model(spark, sfDir)
-      val bpeModel = Bpe.model(spark, sfDir)
+      lazy val qcModel = QualityClassifier.model(spark, sfDir)
+      lazy val bpeModel = Bpe.model(spark, sfDir)
       // D7's serving price: build the `cid=`-partitioned on-disk index
       // ONCE (untimed — index builds happen at maintenance cadence),
       // then time the PROBE-ONLY search whose literal cid predicate
@@ -250,26 +250,26 @@ object Bench {
       // index-maintenance cadence (untimed); the timed form is the
       // dedup RULE alone over the persisted assigned frame — the
       // per-refresh price once the clustering is shared
-      val semAssigned = persist("sem_assigned",
+      lazy val semAssigned = persist("sem_assigned",
         SemanticDedup.assigned(spark, sfDir, 0, 3))
-      val lmScores = persist("lm_scores",
+      lazy val lmScores = persist("lm_scores",
         CharLm.lmScore(spark, sfDir).select("doc_id", "avg_logp"))
       // O4's trained artifact itself (vocabulary-bounded gram table):
       // persisted at refresh cadence, broadcast by every consumer
-      val lmLogp = persist("lm_logp", CharLm.lmModelFrom(docs))
+      lazy val lmLogp = persist("lm_logp", CharLm.lmModelFrom(docs))
       // Y5's persisted corpus fingerprint index (fp-bucketed at scale)
-      val fpIdx = persist("fp_index",
+      lazy val fpIdx = persist("fp_index",
         Winnowing.fpValuesFrom(spark,
           docs.where(!Winnowing.isWinNew(col("doc_id"))))
           .select("fp").distinct())
-      val spanIdx = persist("span_index",
+      lazy val spanIdx = persist("span_index",
         SpanDedup.spanGramIndex(spark,
           docs.where(!SpanDedup.isNewBatch(col("doc_id")))))
-      val allocTable = persist("alloc_table",
+      lazy val allocTable = persist("alloc_table",
         DomainMix.epochAlloc(spark, sfDir))
-      val allocWeights = persist("alloc_weights",
+      lazy val allocWeights = persist("alloc_weights",
         DomainMix.domainReweight(spark, sfDir).select("source", "weight"))
-      val allocAvail = persist("alloc_avail",
+      lazy val allocAvail = persist("alloc_avail",
         graft.sources.Tables.documents(spark, sfDir).groupBy("source")
           .agg(sum(ceil(length(col("text")) / lit(4.0)).cast("long"))
             .as("avail_tokens")))

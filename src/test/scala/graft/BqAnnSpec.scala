@@ -73,6 +73,23 @@ class BqAnnSpec extends SparkSpec {
     }
   }
 
+  test("packed-index maintenance is pure append: delta rows union to the full rebuild") {
+    // packing is a stateless pure function of each row, so index
+    // maintenance under corpus growth is an APPEND of the new batch's
+    // packed rows — no global recompute, no read-modify-write (the H4
+    // asymmetry, trivial here by construction; this pins it)
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val old = emb.where(col("vec_id") % 5 =!= 0)
+    val delta = emb.where(col("vec_id") % 5 === 0)
+    def packed(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("vec_id"), Vectors.bitpackFast(spark, col("embedding")).as("words"))
+    val appended = packed(old).unionByName(packed(delta))
+    val rebuilt = packed(emb)
+    assert(appended.exceptAll(rebuilt).isEmpty && rebuilt.exceptAll(appended).isEmpty,
+      "append-maintained packed index diverged from the full rebuild")
+  }
+
   test("q_ann_bq has the ANN contract shape: K rows per query, rank total order") {
     val out = BinaryAnn.bqTopK(spark, sfDir).cache()
     try {
