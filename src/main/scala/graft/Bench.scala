@@ -22,7 +22,14 @@ import java.nio.file.{Files, Paths}
   * in "skew_queries", and (c) refuses to run at all — exit 2, no
   * record written — when SPARK_GRAFT_BENCH_REFUSE_LOAD=1 and the
   * host is already loaded (opt-in so the driver's unattended run
-  * degrades to a flagged record, never to a missing one).
+  * degrades to a flagged record, never to a missing one). Round 17
+  * added `calib_sec` — a fixed single-threaded pure-JVM workload
+  * timed per run — because a SECOND contamination class surfaced that
+  * no loadavg can see: a clean-load host simply running ~1.3× slower
+  * than in the record's window (measured by re-benching the previous
+  * round's code). Cross-epoch record comparisons should normalize by
+  * the calib_sec ratio before reading any per-query delta as a
+  * regression.
   *
   * Composition pricing: the three multi-stage composites
   * (q_pipeline_pack / q_corpus_report / q_drop_ledger) deliberately
@@ -147,6 +154,12 @@ object Bench {
     // "parsed": null. The stdout line stays compact (rounded values, no
     // runs); the file copy keeps every rep at full precision.
     def r3(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    // Host-speed calibration: the round-17 drift was a clean-load host
+    // running ~1.3x slower than the record window — invisible to every
+    // loadavg guard. calib_sec times a FIXED pure-JVM workload (min of
+    // 3), so cross-epoch record comparisons can normalize by the
+    // calib ratio instead of mistaking epoch drift for regression.
+    val calibSec = calibrate()
     val loadEnd = loadavg
     val (loadSkewed, skewQueries) =
       skewVerdict(allRuns.toSeq, load1Start, maxLoad, maxSpread)
@@ -161,12 +174,33 @@ object Bench {
     val sq = skewQueries.map(jstr).mkString("[", ",", "]")
     val total = timings.values.sum
     val line =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"reps":$reps,"errors":$es,"n_ok":${timings.size},"n_err":${errors.size},"load_start":$loadStart,"load_end":$loadEnd,"load_skewed":$loadSkewed,"skew_queries":$sq,"sf":${jstr(sfDir)}}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"reps":$reps,"errors":$es,"n_ok":${timings.size},"n_err":${errors.size},"load_start":$loadStart,"load_end":$loadEnd,"load_skewed":$loadSkewed,"skew_queries":$sq,"calib_sec":${r3(calibSec)},"sf":${jstr(sfDir)}}"""
     println(line)
     Files.writeString(Paths.get(out),
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$rs,"loads":$ls,"reps":$reps,"errors":$es,"n_ok":${timings.size},"n_err":${errors.size},"load_start":$loadStart,"load_end":$loadEnd,"load_skewed":$loadSkewed,"skew_queries":$sq,"sf":${jstr(sfDir)}}""" + "\n")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$rs,"loads":$ls,"reps":$reps,"errors":$es,"n_ok":${timings.size},"n_err":${errors.size},"load_start":$loadStart,"load_end":$loadEnd,"load_skewed":$loadSkewed,"skew_queries":$sq,"calib_sec":${r3(calibSec)},"sf":${jstr(sfDir)}}""" + "\n")
     spark.stop()
     if (errors.nonEmpty) System.err.println(s"[bench] ${errors.size} queries failed: ${errors.keys.mkString(", ")}")
+  }
+
+  /** Fixed pure-JVM calibration workload (xorshift chain, ~1 s on the
+    * reference host), min of 3 runs. Single-threaded and allocation-
+    * free on purpose: it measures the per-core speed the Spark tasks
+    * see, not the scheduler. Deterministic, so the only variable is
+    * the host. */
+  private[graft] def calibrate(): Double = {
+    def once(): Double = {
+      val t0 = System.nanoTime()
+      var x = 0x9E3779B97F4A7C15L
+      var i = 0
+      while (i < 300000000) {
+        x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+        i += 1
+      }
+      // data dependency so the loop cannot be eliminated
+      if (x == 42L) System.err.println("calib sentinel")
+      (System.nanoTime() - t0) / 1e9
+    }
+    (1 to 3).map(_ => once()).min
   }
 
   /** Skew verdict: starting load alone, or any query whose rep spread

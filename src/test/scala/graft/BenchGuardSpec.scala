@@ -64,4 +64,16 @@ class BenchGuardSpec extends AnyFunSuite {
       maxLoad = 4.0, maxSpread = 5.0)
     assert(!skewed && names.isEmpty)
   }
+
+  test("host-speed calibration returns a sane, repeatable per-core timing") {
+    // the r17 epoch-drift lesson: loadavg cannot see a host that is
+    // simply slower this week — calib_sec is the cross-epoch
+    // normalizer, so it must be stable on a given host (min-of-3
+    // absorbs scheduler jitter) and in a plausible band
+    val a = Bench.calibrate()
+    val b = Bench.calibrate()
+    assert(a > 0.01 && a < 30.0, s"calibration out of band: $a")
+    assert(math.max(a, b) / math.min(a, b) < 3.0,
+      s"calibration unstable on one host: $a vs $b")
+  }
 }
