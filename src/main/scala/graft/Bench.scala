@@ -36,7 +36,9 @@ import java.nio.file.{Files, Paths}
   * recompute their stages — honest for a one-shot query, but NOT the
   * number a 100 TB operator pays, where stages persist once and every
   * consumer reads them. The bench therefore also materializes the
-  * shared stage outputs ONCE (untimed), then times the production
+  * shared stage outputs ONCE (untimed: stage persists are lazy vals,
+  * and each form gets one untimed discard run that forces exactly the
+  * stages it needs before its timing loop), then times the production
   * `*From` compositions alone over the persisted parquet
   * ("from_curate", "from_pipeline_pack", "from_corpus_report",
   * "from_drop_ledger") — rows-only entries (their equality to the
@@ -176,8 +178,10 @@ object Bench {
     val line =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"reps":$reps,"errors":$es,"n_ok":${timings.size},"n_err":${errors.size},"load_start":$loadStart,"load_end":$loadEnd,"load_skewed":$loadSkewed,"skew_queries":$sq,"calib_sec":${r3(calibSec)},"sf":${jstr(sfDir)}}"""
     println(line)
+    // File copy keeps every value at full precision (calib_sec raw, not
+    // r3'd — cross-epoch normalization divides by it).
     Files.writeString(Paths.get(out),
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$rs,"loads":$ls,"reps":$reps,"errors":$es,"n_ok":${timings.size},"n_err":${errors.size},"load_start":$loadStart,"load_end":$loadEnd,"load_skewed":$loadSkewed,"skew_queries":$sq,"calib_sec":${r3(calibSec)},"sf":${jstr(sfDir)}}""" + "\n")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$rs,"loads":$ls,"reps":$reps,"errors":$es,"n_ok":${timings.size},"n_err":${errors.size},"load_start":$loadStart,"load_end":$loadEnd,"load_skewed":$loadSkewed,"skew_queries":$sq,"calib_sec":$calibSec,"sf":${jstr(sfDir)}}""" + "\n")
     spark.stop()
     if (errors.nonEmpty) System.err.println(s"[bench] ${errors.size} queries failed: ${errors.keys.mkString(", ")}")
   }
@@ -369,7 +373,17 @@ object Bench {
         "from_ann_bq" -> (() =>
           BinaryAnn.bqTopKFromIndex(spark, sfDir, s"$fromDir/bqidx")))
       forms.filter { case (n, _) => only.forall(_.contains(n)) }
-        .foreach { case (n, mk) => timeQuery(n, mk) }
+        .foreach { case (n, mk) =>
+          // Force the form's stage dependencies (the lazy parquet
+          // persists and model trainings above) OUTSIDE the timed
+          // region: one untimed discard run per form materializes
+          // exactly what it needs, so rep 1 prices the steady-state
+          // composition — never the stage build. (A failure here is
+          // left for timeQuery to record as the form's error.)
+          try mk().write.mode("overwrite").format("noop").save()
+          catch { case _: Throwable => () }
+          timeQuery(n, mk)
+        }
     } catch {
       case e: Throwable =>
         System.err.println(s"[bench] from-form setup failed: ${e.getMessage}")

@@ -278,7 +278,10 @@ object RuleFilters {
           .as("short_frac"),
         (col("punct_lines") * 100 > col("n_lines") * FwPunctBarNum)
           .as("ok_punct"),
-        (col("dup_chars") * 10 < col("tot_chars") * FwDupBarNum)
+        // tot_chars=0 (text of only newlines) has dup_frac 0.0, so the
+        // verdict must agree with the reported statistic: vacuously ok
+        (col("tot_chars") === 0 ||
+          col("dup_chars") * 10 < col("tot_chars") * FwDupBarNum)
           .as("ok_dup"),
         (col("short_lines") * 100 < col("n_lines") * FwShortBarNum)
           .as("ok_short"))
@@ -310,10 +313,10 @@ object RuleFilters {
       |    ELSE CAST(dup_chars AS DOUBLE) / tot_chars END, 9) AS dup_frac,
       |  round(CAST(short_lines AS DOUBLE) / n_lines, 9) AS short_frac,
       |  punct_lines * 100 > n_lines * $FwPunctBarNum AS ok_punct,
-      |  dup_chars * 10 < tot_chars * $FwDupBarNum AS ok_dup,
+      |  (tot_chars = 0 OR dup_chars * 10 < tot_chars * $FwDupBarNum) AS ok_dup,
       |  short_lines * 100 < n_lines * $FwShortBarNum AS ok_short,
       |  (punct_lines * 100 > n_lines * $FwPunctBarNum AND
-      |   dup_chars * 10 < tot_chars * $FwDupBarNum AND
+      |   (tot_chars = 0 OR dup_chars * 10 < tot_chars * $FwDupBarNum) AND
       |   short_lines * 100 < n_lines * $FwShortBarNum) AS pass
       |FROM m ORDER BY doc_id""".stripMargin
   }

@@ -211,15 +211,25 @@ object Selection {
     * table: bin + broadcast join + exact-rational percentile. Works
     * unchanged on a STREAMING frame (stream-static join, zero state),
     * so the Z6 streaming gate IS this function — stream and batch
-    * cannot diverge (pinned in ZSeriesSpec). */
+    * cannot diverge (pinned in ZSeriesSpec).
+    *
+    * The join is LEFT so a doc whose (source, bin) is absent from a
+    * STALE table (Z6: a new source, or a score bin the frozen batch
+    * never populated) is observable rather than silently dropped: it
+    * rides through with pct_norm NULL, n_src 0, keep_top false — the
+    * null percentile is the refresh signal. In the batch form the
+    * table comes from the same docs, so no row is unmatched and the
+    * left join is exactly the old inner join. */
   def qnormScore(docs: DataFrame, table: DataFrame): DataFrame =
     docs.select(col("doc_id"), col("source"), qnormBin.as("bin"))
-      .join(broadcast(table), Seq("source", "bin"))
-      .select(col("doc_id"), col("source"), col("bin"), col("n_src"),
+      .join(broadcast(table), Seq("source", "bin"), "left")
+      .select(col("doc_id"), col("source"), col("bin"),
+        coalesce(col("n_src"), lit(0L)).as("n_src"),
         round(col("num").cast("double") / (lit(2.0) * col("n_src")), 9)
           .as("pct_norm"),
-        (col("num") * QnormKeepDen > lit(2L) * col("n_src") * QnormKeepNum)
-          .as("keep_top"))
+        coalesce(
+          col("num") * QnormKeepDen > lit(2L) * col("n_src") * QnormKeepNum,
+          lit(false)).as("keep_top"))
 
   def qualityQnormFrom(docs: DataFrame): DataFrame =
     qnormScore(docs, qnormTableFrom(docs)).orderBy("doc_id")
@@ -241,10 +251,11 @@ object Selection {
       |      + c AS num
       |  FROM cnt)
       |SELECT b.doc_id, b.source, b.bin,
-      |  CAST(t.n_src AS BIGINT) AS n_src,
+      |  coalesce(CAST(t.n_src AS BIGINT), 0) AS n_src,
       |  round(CAST(t.num AS DOUBLE) / (2.0 * t.n_src), 9) AS pct_norm,
-      |  t.num * $QnormKeepDen > 2 * t.n_src * $QnormKeepNum AS keep_top
-      |FROM b JOIN tbl t ON t.source = b.source AND t.bin = b.bin
+      |  coalesce(t.num * $QnormKeepDen > 2 * t.n_src * $QnormKeepNum, false)
+      |    AS keep_top
+      |FROM b LEFT JOIN tbl t ON t.source = b.source AND t.bin = b.bin
       |ORDER BY b.doc_id""".stripMargin
   }
 }

@@ -39,6 +39,17 @@ class ZSeriesSpec extends SparkSpec {
     assert(!out(4L)._3 && !out(4L)._4, s"short-line doc escaped: ${out(4L)}")
   }
 
+  test("fineweb verdict agrees with its statistic on a newlines-only doc") {
+    // tot_chars=0 (text of only newlines): dup_frac reports 0.0, which
+    // is below the 0.10 bar, so ok_dup must be true — the verdict and
+    // the statistic it summarizes may never contradict each other
+    val docs = Seq((1L, "\n\n\n", "s")).toDF("doc_id", "text", "source")
+    val r = RuleFilters.fineWebFiltersFrom(docs).collect().head
+    assert(r.getAs[Long]("tot_chars") == 0L, r.toString)
+    assert(r.getAs[Double]("dup_frac") == 0.0, r.toString)
+    assert(r.getAs[Boolean]("ok_dup"), s"ok_dup contradicts dup_frac=0.0: $r")
+  }
+
   test("fineweb dup-line fraction counts chars in occurrences after the first") {
     // "aaaa" ×3 + "bb" ×1: dup chars = 2·4 = 8 of 4·3+2 = 14 line chars
     val docs = Seq((1L, "aaaa\nbb\naaaa\naaaa", "s")).toDF("doc_id", "text", "source")
@@ -121,6 +132,29 @@ class ZSeriesSpec extends SparkSpec {
       }
       rm(new java.io.File(tmp))
     }
+  }
+
+  test("qnorm scorer surfaces docs unseen by a stale table instead of dropping them") {
+    // Z6 serves against a FROZEN percentile table; a doc from a new
+    // source (or a bin the frozen batch never populated) must ride
+    // through flagged — pct_norm NULL, n_src 0, keep_top false — not
+    // silently vanish from the scored stream
+    val frozen = Selection.qnormTableFrom(
+      Seq((1L, "a solid prose line.", "known")).toDF("doc_id", "text", "source"))
+    val arriving = Seq(
+      (10L, "a solid prose line.", "known"),       // matches the table
+      (11L, "a solid prose line.", "new_source"))  // source absent from it
+      .toDF("doc_id", "text", "source")
+    val out = Selection.qnormScore(arriving, frozen).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out.size == 2, s"unseen doc dropped: ${out.keys}")
+    val unseen = out(11L)
+    assert(unseen.isNullAt(unseen.fieldIndex("pct_norm")),
+      s"unseen doc should flag a null percentile: $unseen")
+    assert(unseen.getAs[Long]("n_src") == 0L, unseen.toString)
+    assert(!unseen.getAs[Boolean]("keep_top"), unseen.toString)
+    assert(!out(10L).isNullAt(out(10L).fieldIndex("pct_norm")),
+      s"matched doc must still score: ${out(10L)}")
   }
 
   // ---------------------------------------------------------------- Z3
