@@ -23,12 +23,16 @@ import graft.sources.Tables
   * `graft_shingles` grams → one md5 per gram → window minima by
   * lambda-bound array ops — no per-gram explode, no window function;
   * the one explode is at fingerprint grain (~2/(W+1) density). Pair
-  * detection is the C2 bucket-join shape: fingerprints equi-join on
-  * the hash, so candidate generation is sub-quadratic at any corpus
-  * size (never all-pairs). Hot fingerprints (boilerplate) concentrate
-  * a bucket exactly like a hot LSH band — the L2 boilerplate scrub
-  * runs upstream in a production pipeline; the fixture corpus has no
-  * such key (shared grams cap at the planted near-dup families).
+  * detection is the C2 bucket shape: fingerprints bucket on the hash,
+  * so candidate generation is sub-quadratic at any corpus size (never
+  * all-pairs). Hot fingerprints (boilerplate) concentrate a bucket
+  * exactly like a hot LSH band, so the pair generator applies C2's
+  * [[WinnowBucketCap]] device — each fp's sorted doc list is capped
+  * IDENTICALLY in plan and oracle, bounding a template fingerprint
+  * shared by 10M docs to cap² pairs instead of 10¹³ (the L2
+  * boilerplate scrub still runs upstream in a production pipeline;
+  * the cap is the engine-level guarantee that a missed template
+  * cannot detonate the join).
   *
   * Engine determinism: gram hashes are md5 hex strings (identical in
   * both engines), the window minimum is the lexicographic string min,
@@ -107,21 +111,42 @@ object Winnowing {
       .repartition(col("doc_id"))
       .orderBy("doc_id", "pos", "fp")
 
+  /** Per-fp doc-list cap (the C2 BucketCap device, Dedup.scala): a hot
+    * boilerplate fingerprint shared by F docs would otherwise emit
+    * F²/2 pairs out of one bucket — at 100 TB a template shared by 10M
+    * docs is ~10¹³ pairs, a scale-killer no fixture can see. Capping
+    * each fp's SORTED doc list at 1000 members (identically in Spark
+    * and the oracle, so a degenerate bucket can never diverge the two)
+    * bounds any bucket's contribution; past the cap, in-bucket members
+    * are already mutually connected through the kept 1000, so pair
+    * enumeration beyond it adds no new cluster information. */
+  private[graft] val WinnowBucketCap = 1000
+
   /** Candidate copy pairs: docs sharing ≥1 fingerprint VALUE, with
-    * the shared-value count (the MOSS ranking signal). The join is on
-    * the fingerprint hash — the C2 bucket shape, sub-quadratic. */
+    * the shared-value count (the MOSS ranking signal). Pairs come from
+    * grouping fingerprints into buckets and exploding in-bucket
+    * combinations over the sorted, [[WinnowBucketCap]]-capped member
+    * list — the fingerprint pipeline runs ONCE (a self-join would run
+    * it twice) and no bucket can detonate. */
   def winnowPairs(spark: SparkSession, dir: String): DataFrame =
     winnowPairsFrom(spark, Tables.documents(spark, dir))
 
-  def winnowPairsFrom(spark: SparkSession, docs: DataFrame): DataFrame = {
-    val fp = fpValuesFrom(spark, docs)
-    fp.select(col("doc_id").as("doc_a"), col("fp"))
-      .join(fp.select(col("doc_id").as("doc_b"), col("fp")), Seq("fp"))
-      .where(col("doc_a") < col("doc_b"))
-      .groupBy("doc_a", "doc_b")
+  def winnowPairsFrom(spark: SparkSession, docs: DataFrame,
+                      cap: Int = WinnowBucketCap): DataFrame =
+    fpValuesFrom(spark, docs)
+      .groupBy("fp").agg(collect_list("doc_id").as("ids"))
+      .where(size(col("ids")) > 1)
+      .withColumn("sids", expr(s"slice(array_sort(ids), 1, $cap)"))
+      .select(explode(expr(
+        """flatten(transform(sids, (a, i) ->
+          |  transform(slice(sids, i + 2, size(sids)),
+          |            b -> named_struct('doc_a', a, 'doc_b', b))))""".stripMargin)).as("p"))
+      // strict <: guards the (x, x) self-pair the oracle's
+      // a.doc_id < b.doc_id join can never produce
+      .where(col("p.doc_a") < col("p.doc_b"))
+      .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .agg(count(lit(1)).as("n_shared_fp"))
       .orderBy("doc_a", "doc_b")
-  }
 
   /** Deterministic 20% hash split standing in for "a new crawl batch
     * arrives" — the H4 BatchSalt device at fingerprint grain. */
@@ -216,7 +241,11 @@ object Winnowing {
 
   def winnowPairsSql: String =
     s"""WITH ${fpSqlCtes()},
-      |fv AS (SELECT DISTINCT doc_id, fp FROM fps)
+      |fv0 AS (SELECT DISTINCT doc_id, fp FROM fps),
+      |fv AS (SELECT doc_id, fp FROM (
+      |    SELECT doc_id, fp,
+      |      row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+      |    FROM fv0) t WHERE rn <= $WinnowBucketCap)
       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
       |  CAST(count(*) AS BIGINT) AS n_shared_fp
       |FROM fv a JOIN fv b ON a.fp = b.fp AND a.doc_id < b.doc_id

@@ -49,6 +49,35 @@ class WinnowingSpec extends SparkSpec {
       s"fewer fingerprints ($n) than the 1-per-W floor (${windows / Winnowing.W})")
   }
 
+  test("bucket cap bounds a planted boilerplate fingerprint's pair output") {
+    // a template run shared by 8 docs is the hot-LSH-band shape: the
+    // uncapped join would emit C(8,2)=28 pairs out of its buckets; the
+    // cap must bound it to the C(cap,2) pairs among the SMALLEST doc
+    // ids (deterministic sorted slice), while a real near-dup family
+    // below the cap still pairs
+    val boiler = (1 to Winnowing.GuaranteeTokens + 4)
+      .map(i => s"template$i").mkString(" ")
+    val family = (1 to Winnowing.GuaranteeTokens + 4)
+      .map(i => s"family$i").mkString(" ")
+    val docs = ((10L to 17L).map(id =>
+      (id, (1 to 8).map(i => s"pad${id}x$i").mkString(" ") + " " + boiler)) ++
+      Seq((100L, "intro words here. " + family),
+        (101L, family + " trailing words here.")))
+      .toDF("doc_id", "text")
+    val uncapped = Winnowing.winnowPairsFrom(spark, docs).collect()
+    assert(uncapped.count(r => r.getAs[Long]("doc_a") < 100L) == 28,
+      "fixture broken: boilerplate family should emit 28 uncapped pairs")
+    val capped = Winnowing.winnowPairsFrom(spark, docs, cap = 3).collect()
+    val boilerPairs = capped.filter(_.getAs[Long]("doc_a") < 100L)
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(boilerPairs == Set((10L, 11L), (10L, 12L), (11L, 12L)),
+      s"cap must keep exactly the pairs among the 3 smallest ids: $boilerPairs")
+    val fam = capped.filter(_.getAs[Long]("doc_a") === 100L)
+    assert(fam.length == 1 && fam.head.getAs[Long]("doc_b") == 101L &&
+      fam.head.getAs[Long]("n_shared_fp") >= 1,
+      "planted near-dup family must still pair under the cap")
+  }
+
   test("incremental: an old-copy doc reads shared_frac 1, a fresh doc 0") {
     // ids on each side of the batch split
     val pool = (0L until 4000L).toDF("doc_id")
