@@ -239,7 +239,7 @@ object Bench {
     "from_domain_reweight", "from_ppl_buckets", "from_qc_calibration",
     "from_span_incremental", "from_alloc_materialize", "from_hard_negatives",
     "from_dedup_semantic", "from_epoch_alloc", "from_lm_quality",
-    "from_winnow_incremental", "from_ann_bq")
+    "from_winnow_incremental", "from_ann_bq", "from_profile_sketch")
 
   /** Materialize the shared stage outputs once (untimed), then time
     * ONLY the `*From` compositions over the persisted parquet — the
@@ -371,7 +371,13 @@ object Bench {
         // Z1 steady state: hamming scan over the persisted packed
         // index, floats touched only for the rescore shortlist
         "from_ann_bq" -> (() =>
-          BinaryAnn.bqTopKFromIndex(spark, sfDir, s"$fromDir/bqidx")))
+          BinaryAnn.bqTopKFromIndex(spark, sfDir, s"$fromDir/bqidx")),
+        // H7's production cadence: the SKETCH-ONLY profile every
+        // monitoring tick pays (constant-memory, merge-in-partial-agg);
+        // q_profile_approx keeps pricing the hash-gated AUDIT form
+        // (sketch + exact + verdicts), which a deployment runs at
+        // audit cadence, not per tick — BENCH carries both prices
+        "from_profile_sketch" -> (() => Sampling.approxProfile(spark, sfDir)))
       forms.filter { case (n, _) => only.forall(_.contains(n)) }
         .foreach { case (n, mk) =>
           // Force the form's stage dependencies (the lazy parquet

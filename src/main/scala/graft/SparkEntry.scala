@@ -234,6 +234,7 @@ object SparkEntry {
       Sampling.paretoSample(s, d)),
     // W2: LSH dedup-quality eval (measured S-curve on a fixed probe)
     "q_lsh_recall" -> (Dedup.lshRecall _),
+    "q_lsh_tune" -> (LshTune.lshTune _),
     // X1: content-defined chunk dedup (FastCDC at token grain)
     "q_cdc_dedup" -> (Chunking.cdcDedup _),
     "q_winnow_fp" -> (Winnowing.qFingerprints _),
@@ -389,6 +390,7 @@ object SparkEntry {
     "q_proto_prune" -> SimilaritySearch.protoPruneSql,
     "q_sample_pareto" -> Sampling.paretoSampleSql,
     "q_lsh_recall" -> Dedup.lshRecallSql,
+    "q_lsh_tune" -> LshTune.lshTuneSql,
     // I4 joins the oracle through its frozen-centroid literal (the D3
     // convention) — formerly rows-only
     "q_dedup_semantic" -> SemanticDedup.semanticDedupSql,

@@ -93,7 +93,7 @@ object Dedup {
     * hash functions in B=4 bands of r=3 gives 100% recall at Jaccard
     * ≈0.99 with zero false candidates and max bucket size 3 (measured
     * at sf0.01). */
-  private val H = 12
+  private[graft] val H = 12
   private val Bands = 4
   private val R = 3
   /** Per-bucket member cap, applied IDENTICALLY on both engines (Spark

@@ -141,18 +141,36 @@ object LangId {
     cache.model(spark, dir)
 
   // ---------------------------------------------------------- scoring
-  /** Per-class score column: log-prior + sequential fold of the gram
-    * sequence over the frozen table. The prior is added OUTSIDE the
-    * fold — `prior + (x1 + x2 + …)` — because the SQL twin is
-    * `prior + list_sum(...)`, and the two groupings differ in
-    * floating point; with the fold from 0.0 both engines sum the
-    * identical grouping (the P2 margin convention). Rounded to 9 dp
-    * before the argmax (the house pre-rank convention) so a sub-1e-9
-    * engine ulp can never flip the predicted class. */
-  private def scoreOf(gs: Column, prior: Double,
-                      lp: IndexedSeq[Double]): Column =
+  /** Per-class score column, the SPELLED-OUT formulation: log-prior +
+    * sequential fold of the gram sequence over the frozen table. The
+    * prior is added OUTSIDE the fold — `prior + (x1 + x2 + …)` —
+    * because the SQL twin is `prior + list_sum(...)`, and the two
+    * groupings differ in floating point; with the fold from 0.0 both
+    * engines sum the identical grouping (the P2 margin convention).
+    * Rounded to 9 dp before the argmax (the house pre-rank
+    * convention) so a sub-1e-9 engine ulp can never flip the
+    * predicted class.
+    *
+    * Kept as LangIdSpec's ground truth for the NATIVE kernel
+    * ([[graft.plans.NbOps]], one codegen'd pass computing all K
+    * scores): the production path ran K of these interpreted folds —
+    * one interpreted lambda call per gram per class, measured 82 s at
+    * 100× as the dominant langid cost after the r16 gram fix. */
+  private[graft] def scoreOfPortable(gs: Column, prior: Double,
+                                     lp: IndexedSeq[Double]): Column =
     round(lit(prior) + aggregate(gs, lit(0.0), (acc, g) =>
       acc + element_at(array(lp.map(lit): _*), g + 1)), 9)
+
+  /** All K unrounded class scores in one native pass (same fold
+    * order per class as [[scoreOfPortable]], bit-identical — pinned
+    * in LangIdSpec); the frozen tables ride as foldable array
+    * literals. */
+  private[graft] def nbScoresNative(spark: SparkSession, gs: Column,
+                                    m: LangIdModel): Column = {
+    graft.plans.GraftFunctions.register(spark)
+    call_function("graft_nb_scores", gs,
+      typedlit(m.logPrior), typedlit(m.logProb.flatten))
+  }
 
   def langidTrained(spark: SparkSession, dir: String): DataFrame = {
     val m = model(spark, dir)
@@ -164,23 +182,21 @@ object LangId {
     * sort on batch frames only. */
   def langidTrainedFrom(docs: DataFrame, m: LangIdModel): DataFrame = {
     val spark = docs.sparkSession
+    // ONE native pass (gram hashing fused with all K score folds);
     // explode(array(...)) is a Generate — a projection-collapse
-    // BARRIER — so the gram pass runs ONCE per row; without it
-    // CollapseProject substitutes gramsOf into every per-class score
-    // (5 gram passes per doc, measured 5× the query at 100×)
+    // BARRIER — so the kernel runs ONCE per row even though the
+    // argmax below references every score several times (without it
+    // CollapseProject substitutes the whole kernel into each
+    // reference — the measured 5× detonation of the interpreted era)
     val withScores = docs
       .select(col("doc_id"),
         (if (docs.columns.contains("lang")) col("lang")
          else lit(null).cast("string")).as("lang_declared"),
-        explode(array(gramsOf(spark, col("text")))).as("gs"))
-      // second barrier: the argmax below references every score
-      // several times; packing the five folds behind one more
-      // Generate makes each interpreted fold run once per row
-      .select(col("doc_id"), col("lang_declared"),
-        explode(array(struct(m.langs.indices.map(i =>
-          scoreOf(col("gs"), m.logPrior(i), m.logProb(i)).as(s"s_$i")): _*)))
-          .as("sv"))
-    def s(i: Int) = col("sv")(s"s_$i")
+        explode(array(nbScoresNative(spark,
+          gramsOf(spark, col("text")), m))).as("sv"))
+    // 9-dp pre-rank rounding (house convention) applied by Spark's
+    // own round on the attribute — cheap codegen'd re-reads
+    def s(i: Int) = round(element_at(col("sv"), i + 1), 9)
     val best = m.langs.indices.map(s).reduce(greatest(_, _))
     // argmax, ascending-lang tie order (scores are bit-identical
     // cross-engine, so the comparison chain resolves identically)

@@ -1,0 +1,167 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** W3: LSH band-parameter auto-tuning — the published inversion of
+  * W2's measured S-curve (Broder 1997; Leskovec–Rajaraman–Ullman
+  * ch. 3: a banded MinHash family with b bands of r rows collides a
+  * pair of Jaccard s with P = 1 − (1 − s^r)^b, threshold
+  * ≈ (1/b)^(1/r)). W2 MEASURES the deployed (b=4, r=3) family;
+  * this picks the family a deployment SHOULD run: enumerate every
+  * (b, r) within the signature budget [[Dedup]].H = 12 hashes
+  * (same sketch bytes per doc — the budget is the invariant a
+  * tuner must respect, since signature width is the persisted
+  * artifact), score each candidate against the CORPUS'S OWN pair
+  * mass (W2's per-decile pair counts — the empirical Jaccard
+  * distribution of the fixed 256-doc probe), and choose the
+  * cheapest eligible family:
+  *
+  *  - `pred_recall_hi`: pair-mass-weighted analytic collision
+  *    probability over deciles ≥ τ·10 (τ = [[TauTarget]]) — the
+  *    recall the family would deliver on pairs the dedup MUST catch;
+  *  - `pred_fp_load`: expected collided pair mass BELOW τ — the
+  *    false-candidate load C4's verify pass would absorb (the
+  *    verify pass is the expensive downstream, so this is the cost
+  *    being minimized);
+  *  - `eligible`: pred_recall_hi ≥ [[RecallTarget]];
+  *  - `chosen`: the eligible candidate with the smallest fp load
+  *    (ties to the smallest b, then r).
+  *
+  * Scale shape: the only corpus-scale work is W2's fixed 256-doc
+  * probe (constant at any corpus size — the J3 lesson); the decile
+  * table pivots to ONE row of integer counts (conditional LONG sums
+  * — exact, order-independent, so no cross-row double accumulation
+  * exists anywhere), and the 35-candidate scoring is a single
+  * projection over that row. Analytic constants p_d(b, r) at decile
+  * midpoints and the threshold (1/b)^(1/r) are computed DRIVER-side
+  * with exact sequential multiply loops and ride both engines as
+  * shortest-round-trip double literals (the frozen-literal oracle
+  * convention), so the remaining per-row arithmetic is an identical
+  * left-associated literal×count chain in Spark and DuckDB —
+  * bit-identical without any decimal routing. */
+object LshTune {
+
+  /** Band boundary the dedup cares about: pairs with Jaccard ≥ τ are
+    * "must catch" (deciles 5–9), below are verify-pass load. */
+  val TauTarget = 0.5
+  /** Minimum pair-mass-weighted predicted recall above τ. */
+  val RecallTarget = 0.9
+
+  /** All (b, r) with b·r ≤ H — every family the signature budget
+    * admits (including degenerate r=1 OR-only and b=1 AND-only
+    * rungs, which the scoring must price, not exclude a priori). */
+  private[graft] def candidates: Seq[(Int, Int)] =
+    for (r <- 1 to Dedup.H; b <- 1 to Dedup.H / r) yield (b, r)
+
+  /** 1 − (1 − m^r)^b by exact sequential multiplication (no pow —
+    * library pow is not bit-specified across engines; a multiply
+    * loop is IEEE-exact in both). */
+  private[graft] def pCollide(m: Double, b: Int, r: Int): Double = {
+    var mr = 1.0
+    var i = 0
+    while (i < r) { mr *= m; i += 1 }
+    val q = 1.0 - mr
+    var qb = 1.0
+    i = 0
+    while (i < b) { qb *= q; i += 1 }
+    1.0 - qb
+  }
+
+  /** Decile midpoint — the analytic curve's evaluation point for the
+    * decile's pair mass. */
+  private[graft] def midpoint(d: Int): Double = (d + 0.5) / 10.0
+
+  private def thresholdOf(b: Int, r: Int): Double =
+    math.pow(1.0 / b, 1.0 / r)
+
+  private val HiFrom = (TauTarget * 10).toInt // deciles 5..9
+
+  def lshTune(spark: SparkSession, dir: String): DataFrame =
+    lshTuneFrom(spark, Dedup.lshRecallFrom(spark,
+      Tables.documents(spark, dir)))
+
+  /** Tuning over an arbitrary W2 table (jac_decile, n_pairs, …). */
+  def lshTuneFrom(spark: SparkSession, w2: DataFrame): DataFrame = {
+    // pivot the ≤10 decile rows to ONE row of exact integer counts
+    val counts = w2.agg(
+      sum(when(col("jac_decile") === 0, col("n_pairs")).otherwise(0L))
+        .as("n_0"),
+      (1 to 9).map(d =>
+        sum(when(col("jac_decile") === d, col("n_pairs")).otherwise(0L))
+          .as(s"n_$d")): _*)
+    def n(d: Int): Column = col(s"n_$d")
+    val rows = candidates.map { case (b, r) =>
+      // left-associated literal×count chains — the identical
+      // expression text rides the SQL twin
+      val hiNum = (HiFrom to 9).map(d => lit(pCollide(midpoint(d), b, r)) *
+        n(d).cast("double")).reduce(_ + _)
+      val hiDen = (HiFrom to 9).map(n).reduce(_ + _)
+      val fpLoad = (0 until HiFrom).map(d => lit(pCollide(midpoint(d), b, r)) *
+        n(d).cast("double")).reduce(_ + _)
+      struct(lit(b).as("b"), lit(r).as("r"),
+        lit(math.rint(thresholdOf(b, r) * 1e6) / 1e6).as("threshold"),
+        round(hiNum / hiDen.cast("double"), 6).as("pred_recall_hi"),
+        round(fpLoad, 6).as("pred_fp_load"))
+    }
+    val scored = counts
+      .select(explode(array(rows: _*)).as("c"))
+      .select(col("c.b").as("b"), col("c.r").as("r"),
+        col("c.threshold").as("threshold"),
+        col("c.pred_recall_hi").as("pred_recall_hi"),
+        col("c.pred_fp_load").as("pred_fp_load"),
+        (col("c.pred_recall_hi") >= RecallTarget).as("eligible"))
+    // 35 rows — the window is a presentation-grain rank, not a
+    // corpus-scale shuffle
+    val rn = row_number().over(Window.orderBy(
+      when(col("eligible"), 0).otherwise(1),
+      col("pred_fp_load"), col("b"), col("r")))
+    scored
+      .withColumn("chosen", col("eligible") && rn === 1)
+      .orderBy("b", "r")
+  }
+
+  def lshTuneSql: String = {
+    def d2s(x: Double) = java.lang.Double.toString(x)
+    val countCols = (0 to 9).map(d =>
+      s"CAST(sum(CASE WHEN jac_decile = $d THEN n_pairs ELSE 0 END) AS BIGINT) AS n_$d")
+      .mkString(",\n    ")
+    val rowSelects = candidates.map { case (b, r) =>
+      val hiNum = (HiFrom to 9).map(d =>
+        s"${d2s(pCollide(midpoint(d), b, r))} * CAST(n_$d AS DOUBLE)")
+        .mkString(" + ")
+      val hiDen = (HiFrom to 9).map(d => s"n_$d").mkString(" + ")
+      val fpLoad = (0 until HiFrom).map(d =>
+        s"${d2s(pCollide(midpoint(d), b, r))} * CAST(n_$d AS DOUBLE)")
+        .mkString(" + ")
+      s"""SELECT $b AS b, $r AS r,
+         |    ${d2s(math.rint(thresholdOf(b, r) * 1e6) / 1e6)} AS threshold,
+         |    round(($hiNum) / CAST($hiDen AS DOUBLE), 6) AS pred_recall_hi,
+         |    round($fpLoad, 6) AS pred_fp_load
+         |  FROM counts""".stripMargin
+    }.mkString("\n  UNION ALL ")
+    s"""WITH w2 AS (${Dedup.lshRecallSql}),
+      |counts AS (
+      |  SELECT
+      |    $countCols
+      |  FROM w2),
+      |cand AS (
+      |  $rowSelects),
+      |scored AS (
+      |  SELECT b, r, threshold, pred_recall_hi, pred_fp_load,
+      |    pred_recall_hi >= $RecallTarget AS eligible
+      |  FROM cand),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (ORDER BY
+      |      CASE WHEN eligible THEN 0 ELSE 1 END,
+      |      pred_fp_load, b, r) AS rn
+      |  FROM scored)
+      |SELECT b, r, threshold, pred_recall_hi, pred_fp_load, eligible,
+      |  (eligible AND rn = 1) AS chosen
+      |FROM ranked
+      |ORDER BY b, r""".stripMargin
+  }
+}

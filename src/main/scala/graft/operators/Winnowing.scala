@@ -192,6 +192,41 @@ object Winnowing {
       .orderBy("doc_id")
   }
 
+  /** Y5 index maintenance — the O5/L4/K8 delta pattern applied to the
+    * persisted winnowing fingerprint index. The maintained artifact is
+    * the (doc_id, fp) frame [[fpValuesFrom]] emits (the probe's
+    * distinct-fp view is a projection of it, so keeping doc
+    * attribution is what MAKES removal possible: a bare distinct-fp
+    * set cannot tell whether a departing doc's fingerprint is still
+    * carried by another doc). A 100 TB corpus re-ingests a sliver
+    * daily; re-fingerprinting everything for a 10⁻³ delta re-pays the
+    * full gram-hash pass. Fingerprints are per-row independent, so:
+    * departed/changed docs leave by anti-join on doc_id, and
+    * arrived/changed docs are the ONLY rows whose text is read — one
+    * [[fpValuesFrom]] pass over the delta, O(|delta|) work, zero
+    * reads of unchanged text (WinnowingSpec's poison-proof corrupts
+    * every non-delta doc's text and the maintained index must still
+    * equal the intact full rebuild bit-for-bit).
+    *
+    * @param oldIndex prior (doc_id, fp) fingerprint index
+    * @param newDocs  the new corpus (doc_id, text)
+    * @param delta    CDC rows (doc_id, change ∈ added|removed|changed)
+    *                 — the K9 snapshot-diff shape */
+  def maintainFpIndex(spark: SparkSession, oldIndex: DataFrame,
+                      newDocs: DataFrame, delta: DataFrame): DataFrame = {
+    val gone = delta.where(col("change").isin("removed", "changed"))
+      .select(col("doc_id"))
+    val arrived = delta.where(col("change").isin("added", "changed"))
+      .select(col("doc_id"))
+    val surviving = oldIndex.join(gone, Seq("doc_id"), "left_anti")
+      .select("doc_id", "fp")
+    // the only text read in the whole maintenance pass
+    val fresh = fpValuesFrom(spark,
+      newDocs.join(arrived, Seq("doc_id"), "left_semi")
+        .select("doc_id", "text"))
+    surviving.unionByName(fresh)
+  }
+
   /** The fingerprint CTE chain over `documents WHERE where`, with CTE
     * names suffixed `sfx` so two populations can coexist in one
     * query (the incremental twin). */

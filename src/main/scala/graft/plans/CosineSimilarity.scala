@@ -260,6 +260,27 @@ object GraftFunctions {
     (children: Seq[Expression]) =>
       SortedExcept(children(0), children(1)): Expression)
 
+  /** Foldable double-array extraction (frozen log-probability
+    * tables). */
+  private def litDoubleArray(e: Expression, what: String): IndexedSeq[Double] =
+    e match {
+      case x if x.foldable => x.eval() match {
+        case a: org.apache.spark.sql.catalyst.util.ArrayData =>
+          a.toDoubleArray().toIndexedSeq
+        case other => throw new IllegalArgumentException(
+          s"$what must be a non-null array literal, got $other")
+      }
+      case x => throw new IllegalArgumentException(s"$what must be a literal, got $x")
+    }
+
+  private val nbScoresDesc = (
+    FunctionIdentifier("graft_nb_scores"),
+    new ExpressionInfo(classOf[NbScores].getName, null, "graft_nb_scores"),
+    (children: Seq[Expression]) => NbScores(
+      children(0),
+      litDoubleArray(children(1), "graft_nb_scores priors"),
+      litDoubleArray(children(2), "graft_nb_scores probs")): Expression)
+
   private val bitPackDesc = (
     FunctionIdentifier("graft_bitpack"),
     new ExpressionInfo(classOf[BitPack].getName, null, "graft_bitpack"),
@@ -268,7 +289,7 @@ object GraftFunctions {
   private val all = Seq(cosineDesc, srpDesc, minhashDesc, simhashDesc,
     pqEncodeDesc, shinglesDesc, gramStatsDesc, gramBucketsDesc,
     mightContainDesc, sortedExceptDesc, bpeCountDesc, bpeEncodeDesc,
-    bitPackDesc)
+    bitPackDesc, nbScoresDesc)
 
   /** Idempotent per-session registration (for sessions built without
     * the extensions config). */

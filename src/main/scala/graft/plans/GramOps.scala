@@ -180,6 +180,99 @@ object GramOps {
   }
 }
 
+/** Static kernel for [[NbScores]] — all K per-class Naive Bayes
+  * scores in ONE pass over the gram-bucket sequence, replacing the
+  * K interpreted `aggregate(gs, 0.0, acc + element_at(...))` folds
+  * that dominated Y1 langid scoring (five folds × one interpreted
+  * lambda call per gram; measured 82 s at 100× — the last
+  * interpreted HOF in the langid path after the r16 gram fix).
+  *
+  * Bit-identity with the replaced folds: per class k the sum
+  * accumulates SEQUENTIALLY in gram order from 0.0 (the K
+  * accumulators advance in lockstep, so each class's addition order
+  * is exactly the old per-class fold's), and the log-prior is added
+  * AFTER the fold completes — `prior + (x1 + x2 + …)` — the grouping
+  * the DuckDB twin's `prior + list_sum(...)` uses. The caller applies
+  * Spark's own `round(_, 9)` on top, so the house pre-rank rounding
+  * convention is untouched. */
+object NbOps {
+  /** `probsT` is the frozen log-probability table TRANSPOSED to
+    * gram-major layout (`probsT(g*k + c)`), so each gram touches one
+    * contiguous K-run — built once at expression resolution. NULL
+    * gram sequences behave as empty (scores = priors alone). */
+  def scores(gs: ArrayData, priors: Array[Double], probsT: Array[Double],
+             k: Int): ArrayData = {
+    val acc = new Array[Double](k)
+    if (gs != null) {
+      val n = gs.numElements()
+      var i = 0
+      while (i < n) {
+        val base = gs.getInt(i) * k
+        var c = 0
+        while (c < k) { acc(c) += probsT(base + c); c += 1 }
+        i += 1
+      }
+    }
+    val out = new Array[Any](k)
+    var c = 0
+    while (c < k) { out(c) = priors(c) + acc(c); c += 1 }
+    new GenericArrayData(out)
+  }
+}
+
+/** `graft_nb_scores(gs, priors_lit, probs_lit)` → array<double> of
+  * the K unrounded class scores `prior_k + Σ_j logProb_k(gs_j)`.
+  * `priors` (K doubles) and `probs` (K×dim doubles, class-major
+  * `k*dim + g`) arrive as foldable array literals, extracted once at
+  * resolution — the frozen-literal oracle convention. */
+case class NbScores(child: Expression, priors: IndexedSeq[Double],
+                    probsFlat: IndexedSeq[Double])
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(IntegerType, _)
+        if priors.nonEmpty && probsFlat.size % priors.size == 0 =>
+      TypeCheckResult.TypeCheckSuccess
+    case ArrayType(IntegerType, _) => TypeCheckResult.TypeCheckFailure(
+      s"graft_nb_scores table shape ${probsFlat.size} is not a multiple" +
+        s" of ${priors.size} classes")
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"graft_nb_scores expects array<int> gram buckets, got $dt")
+  }
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "graft_nb_scores"
+  // never-null: a NULL gram sequence scores as empty (priors alone)
+  override def nullable: Boolean = false
+  private def k: Int = priors.size
+  @transient private lazy val priorsArr: Array[Double] = priors.toArray
+  @transient private lazy val probsT: Array[Double] = {
+    val dim = probsFlat.size / k
+    val t = new Array[Double](probsFlat.size)
+    var g = 0
+    while (g < dim) {
+      var c = 0
+      while (c < k) { t(g * k + c) = probsFlat(c * dim + g); c += 1 }
+      g += 1
+    }
+    t
+  }
+  override def eval(input: InternalRow): Any =
+    NbOps.scores(child.eval(input).asInstanceOf[ArrayData],
+      priorsArr, probsT, k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val pRef = ctx.addReferenceObj("nbPriors", priorsArr, "double[]")
+    val tRef = ctx.addReferenceObj("nbProbsT", probsT, "double[]")
+    val c = child.genCode(ctx)
+    ev.copy(code = code"""
+      ${c.code}
+      org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+        graft.plans.NbOps$$.MODULE$$.scores(
+          ${c.isNull} ? null : ${c.value}, $pRef, $tRef, $k);""",
+      isNull = FalseLiteral)
+  }
+  override protected def withNewChildInternal(newChild: Expression): NbScores =
+    copy(child = newChild)
+}
+
 /** `graft_gram_buckets(text, salt_lit, dim_lit)` → array<int> of the
   * mixed 1/2/3-char-gram salted md5 buckets (the Y1 langid feature
   * stream). Salt and dim arrive as foldable literals, extracted once

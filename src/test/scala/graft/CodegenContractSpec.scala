@@ -107,6 +107,12 @@ class CodegenContractSpec extends SparkSpec {
       call_function("graft_bpe_count", col("text"),
         array(bpeWords.map(lit(_)): _*),
         array(bpeCounts.map(lit(_)): _*)).as("bc"),
+      call_function("graft_nb_scores",
+        call_function("graft_gram_buckets",
+          coalesce(col("text"), lit("")), lit("lid"), lit(4)),
+        typedlit(Seq(-0.5, -0.7)),
+        typedlit(Seq(-1.0, -2.0, -3.0, -4.0,
+          -1.5, -2.5, -3.5, -4.5))).as("nbs"),
       call_function("graft_bpe_encode", col("text"),
         array(bpeWords.map(lit(_)): _*),
         array(bpeOffsets.map(lit(_)): _*),

@@ -124,6 +124,31 @@ class LangIdSpec extends SparkSpec {
     assert(mismatches == 0)
   }
 
+  test("native NB score kernel matches the spelled-out per-class folds bit-for-bit") {
+    // the DuckDB twin is prior + list_sum(list_transform(...)) per
+    // class — the portable fold mirrors it term for term, so native ==
+    // portable pins the oracle equivalence of the fused kernel (one
+    // pass, K lockstep accumulators) incl. zh multi-byte text and the
+    // empty/NULL degenerates (where scores are the priors plus the
+    // one-space-pair grams' contributions)
+    import spark.implicits._
+    graft.plans.GraftFunctions.register(spark)
+    val m = LangId.train(spark, frame(trainDocs, trainLangs))
+    val df = (trainDocs ++ testDocs ++ Seq("", "É ü ß 中文", null))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val gs = LangId.gramsOfPortable(col("text"))
+    val nat = LangId.nbScoresNative(spark, gs, m)
+    val mismatches = df.select(
+      array(m.langs.indices.map(i => round(element_at(nat, i + 1), 9)): _*)
+        .as("a"),
+      array(m.langs.indices.map(i =>
+        LangId.scoreOfPortable(gs, m.logPrior(i), m.logProb(i))): _*)
+        .as("b"))
+      .where(!(col("a") <=> col("b"))).count()
+    assert(mismatches == 0)
+  }
+
   test("NB training is bit-deterministic (integer counts -> frozen logs)") {
     // unlike the k-means trainers, NB's artifact derives from EXACT
     // integer counts (order-independent aggregation) — retrains must

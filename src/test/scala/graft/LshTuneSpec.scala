@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, LshTune}
+
+/** W3: the LSH band-parameter tuner, gated against an INDEPENDENT
+  * recomputation (plain Scala over the collected W2 decile counts)
+  * plus the published-curve invariants the inversion rests on. */
+class LshTuneSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("analytic collision curve invariants (LRU ch. 3)") {
+    // monotone in s for fixed (b, r); degenerate families collapse to
+    // the published closed forms: b=1 -> s^r, r=1 -> 1-(1-s)^b
+    for ((b, r) <- LshTune.candidates) {
+      val ps = (0 to 9).map(d => LshTune.pCollide(LshTune.midpoint(d), b, r))
+      assert(ps.zip(ps.tail).forall { case (a, c) => a <= c },
+        s"p not monotone for (b=$b, r=$r): $ps")
+      assert(ps.forall(p => p >= 0.0 && p <= 1.0))
+    }
+    val s = 0.35
+    var sr = 1.0
+    (1 to 3).foreach(_ => sr *= s)
+    // b=1: AND-only — 1-(1-s^r), the function's own arithmetic (the
+    // mathematical identity 1-(1-x) = x does NOT hold bitwise)
+    assert(LshTune.pCollide(s, 1, 3) == 1.0 - (1.0 - sr))
+    assert(math.abs(LshTune.pCollide(s, 1, 1) - s) < 1e-15)
+  }
+
+  test("tuner matches an independent recomputation over the same W2 table") {
+    // planted W2 table: pair mass concentrated at the extremes (the
+    // real corpus shape — most pairs unrelated, a small dup family)
+    val w2 = Seq(
+      (0, 20000L, 1L), (1, 8000L, 2L), (2, 3000L, 5L), (3, 900L, 9L),
+      (4, 300L, 30L), (5, 120L, 70L), (6, 80L, 60L), (7, 50L, 45L),
+      (8, 30L, 29L), (9, 25L, 25L))
+      .toDF("jac_decile", "n_pairs", "n_collide")
+      .withColumn("p_collide",
+        round(col("n_collide").cast("double") / col("n_pairs"), 6))
+    val out = LshTune.lshTuneFrom(spark, w2).collect()
+    assert(out.length == LshTune.candidates.size)
+
+    // independent recomputation, same analytic curve, plain Scala
+    val n = Map(0 -> 20000L, 1 -> 8000L, 2 -> 3000L, 3 -> 900L,
+      4 -> 300L, 5 -> 120L, 6 -> 80L, 7 -> 50L, 8 -> 30L, 9 -> 25L)
+    def recall(b: Int, r: Int): Double = {
+      val num = (5 to 9).map(d =>
+        LshTune.pCollide(LshTune.midpoint(d), b, r) * n(d)).sum
+      num / (5 to 9).map(n).sum
+    }
+    def fpLoad(b: Int, r: Int): Double =
+      (0 to 4).map(d => LshTune.pCollide(LshTune.midpoint(d), b, r) * n(d)).sum
+    // Spark's round(double, 6) is BigDecimal(double).setScale(HALF_UP)
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expect = LshTune.candidates.map { case (b, r) =>
+      (b, r, r6(recall(b, r)), r6(fpLoad(b, r)))
+    }
+    val eligible = expect.filter(_._3 >= LshTune.RecallTarget)
+    assert(eligible.nonEmpty, "fixture must admit at least one family")
+    val expectChosen = eligible.minBy(t => (t._4, t._1, t._2))
+    out.foreach { row =>
+      val (b, r) = (row.getInt(0), row.getInt(1))
+      val e = expect.find(t => t._1 == b && t._2 == r).get
+      assert(math.abs(row.getDouble(3) - e._3) < 1e-9,
+        s"recall mismatch at (b=$b, r=$r): ${row.getDouble(3)} vs ${e._3}")
+      assert(math.abs(row.getDouble(4) - e._4) < 1e-9,
+        s"fp load mismatch at (b=$b, r=$r)")
+      assert(row.getBoolean(5) == (e._3 >= LshTune.RecallTarget))
+      assert(row.getBoolean(6) ==
+        (b == expectChosen._1 && r == expectChosen._2),
+        s"chosen mismatch at (b=$b, r=$r)")
+    }
+  }
+
+  test("exactly one chosen family on the corpus, and it is eligible within the H budget") {
+    val out = LshTune.lshTune(spark, sfDir).collect()
+    val chosen = out.filter(_.getBoolean(6))
+    assert(chosen.length == 1, s"expected one chosen family, got ${chosen.length}")
+    val c = chosen.head
+    assert(c.getBoolean(5), "chosen family must be eligible")
+    assert(c.getInt(0) * c.getInt(1) <= Dedup.H,
+      "chosen family exceeds the signature budget")
+  }
+}

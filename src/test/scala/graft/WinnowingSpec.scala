@@ -152,6 +152,39 @@ class WinnowingSpec extends SparkSpec {
     }
   }
 
+  test("maintained fp index equals the intact full rebuild (poison-proof)") {
+    // the O5/L4/K8 discipline: one CDC delta (removed / changed /
+    // added) against a standing index, with every NON-delta doc's
+    // text corrupted in the frame handed to maintenance — if
+    // maintenance reads ANY unchanged doc's text, the poison leaks
+    // into its fingerprints and the equality below breaks
+    def tokens(seed: String) =
+      (1 to Winnowing.GuaranteeTokens + 6).map(i => s"$seed$i").mkString(" ")
+    val v0 = Seq(
+      (1L, tokens("alpha")), (2L, tokens("beta")),
+      (3L, tokens("gamma")), (4L, tokens("delta")))
+      .toDF("doc_id", "text")
+    val index0 = Winnowing.fpValuesFrom(spark, v0).localCheckpoint()
+    // v1: doc 2 removed, doc 3 changed, doc 5 added, docs 1/4 untouched
+    val v1 = Seq(
+      (1L, tokens("alpha")), (3L, tokens("gammaNew")),
+      (4L, tokens("delta")), (5L, tokens("epsilon")))
+      .toDF("doc_id", "text")
+    val delta = Seq((2L, "removed"), (3L, "changed"), (5L, "added"))
+      .toDF("doc_id", "change")
+    val poisoned = v1.withColumn("text",
+      when(col("doc_id").isin(3L, 5L), col("text"))
+        .otherwise(lit("POISON unread text")))
+    val maintained = Winnowing
+      .maintainFpIndex(spark, index0, poisoned, delta)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted
+    val rebuilt = Winnowing.fpValuesFrom(spark, v1)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted
+    assert(maintained.sameElements(rebuilt),
+      s"maintained index diverged from the intact rebuild")
+    assert(maintained.nonEmpty && !maintained.exists(_._1 == 2L))
+  }
+
   test("rightmost-minimum tie rule: identical hashes in one window pick the later position") {
     // a run of IDENTICAL tokens makes every gram (and hash) in the
     // window equal — the selected pos must be the window's last slot
