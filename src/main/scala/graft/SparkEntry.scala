@@ -235,6 +235,7 @@ object SparkEntry {
     // W2: LSH dedup-quality eval (measured S-curve on a fixed probe)
     "q_lsh_recall" -> (Dedup.lshRecall _),
     "q_lsh_tune" -> (LshTune.lshTune _),
+    "q_lsh_tuned_check" -> (LshTune.lshTunedCheck _),
     // X1: content-defined chunk dedup (FastCDC at token grain)
     "q_cdc_dedup" -> (Chunking.cdcDedup _),
     "q_winnow_fp" -> (Winnowing.qFingerprints _),
@@ -391,6 +392,7 @@ object SparkEntry {
     "q_sample_pareto" -> Sampling.paretoSampleSql,
     "q_lsh_recall" -> Dedup.lshRecallSql,
     "q_lsh_tune" -> LshTune.lshTuneSql,
+    "q_lsh_tuned_check" -> LshTune.lshTunedCheckSql,
     // I4 joins the oracle through its frozen-centroid literal (the D3
     // convention) — formerly rows-only
     "q_dedup_semantic" -> SemanticDedup.semanticDedupSql,

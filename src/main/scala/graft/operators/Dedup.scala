@@ -1185,7 +1185,7 @@ object Dedup {
     * corpus-scaled), so the eval costs the same at any corpus size and
     * bench curves stay honest (the J3 lesson). */
   val LshProbeN = 256
-  private val lshRecallSalt = "lshrecall"
+  private[graft] val lshRecallSalt = "lshrecall"
 
   /** W2: LSH dedup-quality eval — the measured S-curve every
     * banded-MinHash deployment is tuned against (Broder 1997;

@@ -75,6 +75,43 @@ class LshTuneSpec extends SparkSpec {
     }
   }
 
+  test("tuned family check: identical docs always collide, disjoint never, predictions are the analytic curve") {
+    // s = 1 -> P(collide) = 1 for ANY (b, r): an identical pair MUST
+    // collide under every family the tuner can choose; docs sharing no
+    // shingle can never share a band key (min-hashes of disjoint sets
+    // under an md5 family are equal only by hash collision)
+    val docs = Seq(
+      (1L, "the same exact duplicated text body here"),
+      (2L, "the same exact duplicated text body here"),
+      (3L, (1 to 30).map(i => s"left$i").mkString(" ")),
+      (4L, (1 to 30).map(i => s"right$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    for ((b, r) <- Seq((2, 6), (4, 3), (1, 12))) {
+      val out = LshTune.lshTunedCheckFrom(spark, docs, b, r)
+        .collect().map(row => row.getInt(0) ->
+          (row.getLong(3), row.getLong(4), row.getDouble(6))).toMap
+      // decile 9 holds exactly the identical pair: measured 1/1
+      assert(out(9) == ((1L, 1L,
+        BigDecimal(LshTune.pCollide(0.95, b, r))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)),
+        s"decile 9 wrong for (b=$b, r=$r): ${out(9)}")
+      // decile 0 holds the 5 disjoint pairs: zero collisions
+      assert(out(0)._1 == 5L && out(0)._2 == 0L,
+        s"decile 0 wrong for (b=$b, r=$r): ${out(0)}")
+    }
+  }
+
+  test("the corpus pick is deterministic and feeds the check") {
+    val p1 = LshTune.pick(spark, sfDir)
+    val p2 = LshTune.pick(spark, sfDir)
+    assert(p1 == p2)
+    assert(p1._1 * p1._2 <= Dedup.H)
+    val out = LshTune.lshTunedCheck(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(row =>
+      row.getInt(1) == p1._1 && row.getInt(2) == p1._2))
+  }
+
   test("exactly one chosen family on the corpus, and it is eligible within the H budget") {
     val out = LshTune.lshTune(spark, sfDir).collect()
     val chosen = out.filter(_.getBoolean(6))
