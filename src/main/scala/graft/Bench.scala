@@ -239,7 +239,8 @@ object Bench {
     "from_domain_reweight", "from_ppl_buckets", "from_qc_calibration",
     "from_span_incremental", "from_alloc_materialize", "from_hard_negatives",
     "from_dedup_semantic", "from_epoch_alloc", "from_lm_quality",
-    "from_winnow_incremental", "from_ann_bq", "from_profile_sketch")
+    "from_winnow_incremental", "from_ann_bq", "from_profile_sketch",
+    "from_langid_trained")
 
   /** Materialize the shared stage outputs once (untimed), then time
     * ONLY the `*From` compositions over the persisted parquet — the
@@ -270,6 +271,7 @@ object Bench {
       // pass every consumer pays
       lazy val qcModel = QualityClassifier.model(spark, sfDir)
       lazy val bpeModel = Bpe.model(spark, sfDir)
+      lazy val lidModel = LangId.model(spark, sfDir)
       // D7's serving price: build the `cid=`-partitioned on-disk index
       // ONCE (untimed — index builds happen at maintenance cadence),
       // then time the PROBE-ONLY search whose literal cid predicate
@@ -377,7 +379,13 @@ object Bench {
         // q_profile_approx keeps pricing the hash-gated AUDIT form
         // (sketch + exact + verdicts), which a deployment runs at
         // audit cadence, not per tick — BENCH carries both prices
-        "from_profile_sketch" -> (() => Sampling.approxProfile(spark, sfDir)))
+        "from_profile_sketch" -> (() => Sampling.approxProfile(spark, sfDir)),
+        // Y1 steady state: the NB model is a refresh-cadence artifact
+        // (trained once untimed via the lazy val); the timed pass is
+        // the frozen-model scoring every corpus tick pays — one narrow
+        // native gram+score kernel pass
+        "from_langid_trained" -> (() =>
+          LangId.langidTrainedFrom(docs, lidModel)))
       forms.filter { case (n, _) => only.forall(_.contains(n)) }
         .foreach { case (n, mk) =>
           // Force the form's stage dependencies (the lazy parquet

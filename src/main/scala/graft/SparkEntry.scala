@@ -236,6 +236,7 @@ object SparkEntry {
     "q_lsh_recall" -> (Dedup.lshRecall _),
     "q_lsh_tune" -> (LshTune.lshTune _),
     "q_lsh_tuned_check" -> (LshTune.lshTunedCheck _),
+    "q_removal_audit" -> (Removal.removalAudit _),
     // X1: content-defined chunk dedup (FastCDC at token grain)
     "q_cdc_dedup" -> (Chunking.cdcDedup _),
     "q_winnow_fp" -> (Winnowing.qFingerprints _),
@@ -393,6 +394,7 @@ object SparkEntry {
     "q_lsh_recall" -> Dedup.lshRecallSql,
     "q_lsh_tune" -> LshTune.lshTuneSql,
     "q_lsh_tuned_check" -> LshTune.lshTunedCheckSql,
+    "q_removal_audit" -> Removal.removalAuditSql,
     // I4 joins the oracle through its frozen-centroid literal (the D3
     // convention) — formerly rows-only
     "q_dedup_semantic" -> SemanticDedup.semanticDedupSql,

@@ -206,7 +206,14 @@ object LangId {
       }
     val scored = withScores.select(col("doc_id"), col("lang_declared"),
       pred.as("lang_pred"), round(best, 6).as("lp_best"))
-    if (docs.isStreaming) scored else scored.orderBy("doc_id")
+    // presentation sort only — and through an exchange (the
+    // qFingerprints device): a global sort's range-sampling pass
+    // re-executes its child lineage, and with a purely narrow child
+    // that means the whole gram-hash + scoring pass runs TWICE; the
+    // repartition materializes it once and the sampler reads shuffle
+    // files
+    if (docs.isStreaming) scored
+    else scored.repartition(col("doc_id")).orderBy("doc_id")
   }
 
   /** DuckDB twin: the frozen log tables ride the SQL as list literals

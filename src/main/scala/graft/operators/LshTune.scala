@@ -27,9 +27,12 @@ import graft.sources.Tables
   *    false-candidate load C4's verify pass would absorb (the
   *    verify pass is the expensive downstream, so this is the cost
   *    being minimized);
-  *  - `eligible`: pred_recall_hi ≥ [[RecallTarget]];
-  *  - `chosen`: the eligible candidate with the smallest fp load
-  *    (ties to the smallest b, then r).
+  *  - `eligible`: pred_recall_hi ≥ [[RecallTarget]] (false when the
+  *    probe saw no hi-decile pair mass — recall is NULL/undefined);
+  *  - `chosen`: the top-ranked candidate — eligible families first,
+  *    then smallest fp load, ties to the smallest b, then r. With no
+  *    eligible family the pick degrades to the minimal-fp-load
+  *    family; `chosen && !eligible` marks that fallback visibly.
   *
   * Scale shape: the only corpus-scale work is W2's fixed 256-doc
   * probe (constant at any corpus size — the J3 lesson); the decile
@@ -104,7 +107,12 @@ object LshTune {
         n(d).cast("double")).reduce(_ + _)
       struct(lit(b).as("b"), lit(r).as("r"),
         lit(math.rint(thresholdOf(b, r) * 1e6) / 1e6).as("threshold"),
-        round(hiNum / hiDen.cast("double"), 6).as("pred_recall_hi"),
+        // a probe with NO hi-decile pair mass (e.g. a corpus whose
+        // near-dups missed the fixed sample) has UNDEFINED recall —
+        // NULL, never a 0/0 ANSI error
+        when(hiDen === 0, lit(null).cast("double"))
+          .otherwise(round(hiNum / hiDen.cast("double"), 6))
+          .as("pred_recall_hi"),
         round(fpLoad, 6).as("pred_fp_load"))
     }
     val scored = counts
@@ -113,14 +121,19 @@ object LshTune {
         col("c.threshold").as("threshold"),
         col("c.pred_recall_hi").as("pred_recall_hi"),
         col("c.pred_fp_load").as("pred_fp_load"),
-        (col("c.pred_recall_hi") >= RecallTarget).as("eligible"))
+        coalesce(col("c.pred_recall_hi") >= RecallTarget, lit(false))
+          .as("eligible"))
     // 35 rows — the window is a presentation-grain rank, not a
-    // corpus-scale shuffle
+    // corpus-scale shuffle. Eligible families rank first; with NO
+    // eligible family (no observed dup mass to demand recall of) the
+    // pick degrades to the minimal false-candidate-load family — a
+    // defined, defensible fallback the `eligible` column makes
+    // visible (chosen && !eligible = fallback pick).
     val rn = row_number().over(Window.orderBy(
       when(col("eligible"), 0).otherwise(1),
       col("pred_fp_load"), col("b"), col("r")))
     scored
-      .withColumn("chosen", col("eligible") && rn === 1)
+      .withColumn("chosen", rn === 1)
       .orderBy("b", "r")
   }
 
@@ -287,7 +300,9 @@ object LshTune {
         .mkString(" + ")
       s"""SELECT $b AS b, $r AS r,
          |    ${d2s(math.rint(thresholdOf(b, r) * 1e6) / 1e6)} AS threshold,
-         |    round(($hiNum) / CAST($hiDen AS DOUBLE), 6) AS pred_recall_hi,
+         |    CASE WHEN ($hiDen) = 0 THEN NULL
+         |         ELSE round(($hiNum) / CAST($hiDen AS DOUBLE), 6) END
+         |      AS pred_recall_hi,
          |    round($fpLoad, 6) AS pred_fp_load
          |  FROM counts""".stripMargin
     }.mkString("\n  UNION ALL ")
@@ -300,7 +315,7 @@ object LshTune {
       |  $rowSelects),
       |scored AS (
       |  SELECT b, r, threshold, pred_recall_hi, pred_fp_load,
-      |    pred_recall_hi >= $RecallTarget AS eligible
+      |    coalesce(pred_recall_hi >= $RecallTarget, false) AS eligible
       |  FROM cand),
       |ranked AS (
       |  SELECT *, row_number() OVER (ORDER BY
@@ -308,7 +323,7 @@ object LshTune {
       |      pred_fp_load, b, r) AS rn
       |  FROM scored)
       |SELECT b, r, threshold, pred_recall_hi, pred_fp_load, eligible,
-      |  (eligible AND rn = 1) AS chosen
+      |  (rn = 1) AS chosen
       |FROM ranked
       |ORDER BY b, r""".stripMargin
   }

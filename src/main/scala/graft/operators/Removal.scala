@@ -1,0 +1,160 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** M4: governed removal propagation — the "delete these documents
+  * everywhere" operation a production corpus owes its sources
+  * (opt-out / takedown / right-to-erasure requests are a standing
+  * input of every large-scale training-data pipeline, not an edge
+  * case). Removing a doc from the `documents` table is the easy 1%;
+  * the engine's DERIVED ARTIFACTS — dedup verdict tables, fingerprint
+  * indexes, gram-occurrence indexes, token-count state — all still
+  * mention it, and at 100 TB rebuilding each from scratch per
+  * removal batch re-pays full corpus passes for a 10⁻⁴ delta.
+  *
+  * This operator routes one removal set through every maintained
+  * artifact's EXISTING delta maintainer (the O5/L4/K8/N6/Y8 family —
+  * each already poison-proofed individually) and emits the audit a
+  * compliance review wants: per artifact, the surviving row count, an
+  * artifact-specific integer checksum, and the RESIDUE — rows still
+  * referencing a removed doc (doc-keyed artifacts) or corrupted
+  * counts (occurrence-keyed artifacts). The DuckDB twin computes the
+  * same stats off artifacts REBUILT from scratch on the remaining
+  * corpus, so the hash gate proves maintained ≡ rebuilt at
+  * count+checksum grain with zero residue — the per-row bit-equality
+  * is each maintainer's own spec. All audit stats are exact integers:
+  * nothing in this query can float-drift.
+  *
+  * Scale shape: each maintainer is O(|removed| + touched state) —
+  * removal never re-reads unchanged text (RemovalSpec's composition
+  * poison-proof corrupts every surviving doc's text in the frame
+  * handed to maintenance and the audit must not move). The artifact
+  * BUILDS in the self-contained gated form stand in for the standing
+  * state a deployment already has on disk. */
+object Removal {
+
+  /** Deterministic 10% hash split standing in for "a removal batch
+    * arrives" — the H4 BatchSalt device at governance grain. */
+  private val ForgetSalt = "forget"
+  private val ForgetPct = 10
+
+  private[graft] def isForgotten(c: Column): Column =
+    Sampling.hashBucket(c, ForgetSalt) < Sampling.pctThreshold(ForgetPct)
+
+  def removalAudit(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select("doc_id", "source", "text")
+    removalAuditFrom(spark, docs,
+      docs.where(isForgotten(col("doc_id"))).select("doc_id"))
+  }
+
+  /** The audit over an arbitrary corpus + removal set: build each
+    * artifact's standing state, apply the removal through its delta
+    * maintainer, and audit the result. `removeIds` must be a subset
+    * of `docs` ids (removing an unknown id is a no-op in every
+    * maintainer — anti-joins simply miss). */
+  def removalAuditFrom(spark: SparkSession, docs: DataFrame,
+                       removeIds: DataFrame): DataFrame = {
+    val delta = removeIds.select(col("doc_id"),
+      lit("removed").as("change"))
+    // maintainers read newDocs only for ARRIVED ids; the delta is
+    // removal-only, so no text is read through `docs` here (pinned by
+    // RemovalSpec's composition poison-proof)
+    val ex1 = SnapshotDiff.maintainExactDedup(
+      Dedup.exactFrom(docs), docs, delta)
+    val tok1 = CorpusStats.maintainTokenCounts(
+      CorpusStats.tokenCounts(docs), docs, delta)
+    val fp1 = Winnowing.maintainFpIndex(spark,
+      Winnowing.fpValuesFrom(spark, docs), docs, delta)
+    // occurrence-keyed artifact: subtraction maintenance needs the
+    // REMOVED docs' text (a removal request is served from the corpus
+    // before the rows are dropped), never the survivors'
+    val span1 = SpanDedup.maintainSpanIndexRemoval(spark,
+      SpanDedup.spanGramIndex(spark, docs),
+      docs.join(removeIds, Seq("doc_id"), "left_semi"))
+
+    val removed = removeIds.withColumn("r", lit(true))
+    // residue = membership count against the removal set — doc-keyed
+    // artifacts must carry ZERO rows of it
+    val residue = sum(when(col("r").isNotNull, 1L).otherwise(0L))
+    def docKeyed(name: String, df: DataFrame, checksum: Column): DataFrame =
+      df.join(broadcast(removed), Seq("doc_id"), "left")
+        .agg(count(lit(1)).as("n_rows"), checksum.as("checksum"),
+          residue.as("n_residue"))
+        .select(lit(name).as("artifact"), col("n_rows"),
+          col("checksum").cast("long").as("checksum"), col("n_residue"))
+    val exAudit = docKeyed("exact_verdicts", ex1,
+      sum(col("is_dup").cast("long")))
+    val tokAudit = docKeyed("token_counts", tok1, sum(col("c")))
+    val fpAudit = docKeyed("winnow_fp_index", fp1,
+      countDistinct(col("fp")))
+    val spanAudit = span1.agg(count(lit(1)).as("n_rows"),
+        sum(col("occ_old")).as("checksum"),
+        sum(when(col("occ_old") <= 0, 1L).otherwise(0L)).as("n_residue"))
+      .select(lit("span_gram_index").as("artifact"), col("n_rows"),
+        col("checksum").cast("long").as("checksum"), col("n_residue"))
+    exAudit.unionByName(tokAudit).unionByName(fpAudit)
+      .unionByName(spanAudit)
+      .orderBy("artifact")
+  }
+
+  /** DuckDB twin: every artifact REBUILT from scratch on the
+    * remaining corpus — the specification the maintained state must
+    * match. Residue terms are computed (not literal zeros) so the
+    * twin states the contract explicitly. */
+  def removalAuditSql: String = {
+    val keep = s"NOT (${Sampling.hashBucketSql("CAST(doc_id AS VARCHAR)",
+      ForgetSalt)} < ${Sampling.pctThreshold(ForgetPct)})"
+    val forgotten = s"${Sampling.hashBucketSql("CAST(doc_id AS VARCHAR)",
+      ForgetSalt)} < ${Sampling.pctThreshold(ForgetPct)}"
+    val k = SpanDedup.SpanK
+    s"""WITH rem AS (
+      |  SELECT doc_id, source, text FROM documents WHERE $keep),
+      |ex AS (
+      |  SELECT doc_id,
+      |    doc_id <> min(doc_id) OVER (PARTITION BY sig) AS is_dup
+      |  FROM (SELECT doc_id, ${graft.functions.Portable.bagSignatureSql("text")} AS sig
+      |        FROM rem)),
+      |tok AS (
+      |  SELECT doc_id, source, token, CAST(count(*) AS BIGINT) AS c
+      |  FROM (SELECT doc_id, source,
+      |          unnest(string_split(text, ' ')) AS token FROM rem)
+      |  GROUP BY doc_id, source, token),
+      |${Winnowing.fpSqlCtes("_rem", keep)},
+      |fv AS (SELECT DISTINCT doc_id, fp FROM fps_rem),
+      |spang AS (
+      |  SELECT array_to_string(tk[i:i+${k - 1}], ' ') AS g,
+      |         CAST(count(*) AS BIGINT) AS occ
+      |  FROM (SELECT tk,
+      |          unnest(range(1, greatest(len(tk) - ${k - 2}, 2))) AS i
+      |        FROM (SELECT string_split(coalesce(text, ''), ' ') AS tk
+      |              FROM rem))
+      |  GROUP BY 1)
+      |SELECT * FROM (
+      |  SELECT 'exact_verdicts' AS artifact,
+      |    CAST(count(*) AS BIGINT) AS n_rows,
+      |    CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS checksum,
+      |    CAST(sum(CASE WHEN $forgotten THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_residue
+      |  FROM ex
+      |  UNION ALL
+      |  SELECT 'token_counts',
+      |    CAST(count(*) AS BIGINT), CAST(sum(c) AS BIGINT),
+      |    CAST(sum(CASE WHEN $forgotten THEN 1 ELSE 0 END) AS BIGINT)
+      |  FROM tok
+      |  UNION ALL
+      |  SELECT 'winnow_fp_index',
+      |    CAST(count(*) AS BIGINT), CAST(count(DISTINCT fp) AS BIGINT),
+      |    CAST(sum(CASE WHEN $forgotten THEN 1 ELSE 0 END) AS BIGINT)
+      |  FROM fv
+      |  UNION ALL
+      |  SELECT 'span_gram_index',
+      |    CAST(count(*) AS BIGINT), CAST(sum(occ) AS BIGINT),
+      |    CAST(sum(CASE WHEN occ <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |  FROM spang)
+      |ORDER BY artifact""".stripMargin
+  }
+}

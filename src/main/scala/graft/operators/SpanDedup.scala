@@ -269,6 +269,26 @@ object SpanDedup {
       .groupBy(xxhash64(col("g")).as("gh"))
       .agg(count(lit(1)).as("occ_old"))
 
+  /** M4 removal maintenance for the occurrence-keyed [[spanGramIndex]]:
+    * the index has no doc attribution (that boundedness is its point),
+    * so departure is COUNT SUBTRACTION — one gram pass over the
+    * REMOVED docs' text (a removal request is served from the corpus
+    * before its rows drop; survivors are never read), exhausted rows
+    * (occ 0) leave the index. O(|removed| grams + one index join). */
+  def maintainSpanIndexRemoval(spark: SparkSession, oldIndex: DataFrame,
+                               removedDocs: DataFrame): DataFrame = {
+    val removedCounts = removedDocs
+      .select(posexplode(Vectors.shinglesFast(spark,
+        coalesce(col("text"), lit("")), SpanK, distinct = false))
+        .as(Seq("p0", "g")))
+      .groupBy(xxhash64(col("g")).as("gh"))
+      .agg(count(lit(1)).as("occ_rm"))
+    oldIndex.join(removedCounts, Seq("gh"), "left")
+      .select(col("gh"),
+        (col("occ_old") - coalesce(col("occ_rm"), lit(0L))).as("occ_old"))
+      .where(col("occ_old") > 0)
+  }
+
   def spanDedupIncremental(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.parallelized(spark, Tables.documents(spark, dir))
     spanDedupIncrementalFrom(spark,

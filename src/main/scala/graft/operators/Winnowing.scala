@@ -230,7 +230,7 @@ object Winnowing {
   /** The fingerprint CTE chain over `documents WHERE where`, with CTE
     * names suffixed `sfx` so two populations can coexist in one
     * query (the incremental twin). */
-  private def fpSqlCtes(sfx: String = "", where: String = "true"): String = {
+  private[operators] def fpSqlCtes(sfx: String = "", where: String = "true"): String = {
     val gram = s"md5(array_to_string(toks[i:i+${K - 1}], ' '))"
     val win = s"gh[i:i+${W - 1}]"
     s"""t$sfx AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS toks
