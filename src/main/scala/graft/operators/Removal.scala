@@ -112,6 +112,42 @@ object Removal {
       .orderBy("artifact")
   }
 
+  /** M5: the STREAMING removal gate's per-micro-batch body — takedown
+    * requests arrive as a stream of doc ids (`writeStream.foreachBatch`
+    * drives this), and each micro-batch maintains the PERSISTED
+    * artifacts in place:
+    *
+    *  - the doc-keyed fingerprint index leaves by anti-join (Y8's
+    *    maintenance — anti-joins compose across batches, so any split
+    *    of one removal set into micro-batches converges to the same
+    *    state as the batch form, pinned in RemovalSpec through a real
+    *    two-micro-batch stream);
+    *  - the occurrence-keyed span index subtracts the removed docs'
+    *    gram counts, with text served by an id join against the
+    *    standing corpus (a takedown stream carries IDS; the corpus is
+    *    the system of record until the rows drop).
+    *
+    * Each updated artifact is MATERIALIZED (localCheckpoint) before
+    * its directory is overwritten — read-then-overwrite of the same
+    * path is only safe once the read has been fully executed. State
+    * between batches lives on disk (the M3/Q1 bounded-state
+    * convention: artifact size is corpus-bounded, not stream-
+    * unbounded). */
+  def removalMicroBatch(spark: SparkSession, batchIds: DataFrame,
+                        docs: DataFrame, fpDir: String,
+                        spanDir: String): Unit = {
+    val ids = batchIds.select("doc_id")
+    val fp = spark.read.parquet(fpDir)
+      .join(ids, Seq("doc_id"), "left_anti")
+      .localCheckpoint()
+    fp.write.mode("overwrite").parquet(fpDir)
+    val span = SpanDedup.maintainSpanIndexRemoval(spark,
+      spark.read.parquet(spanDir),
+      docs.join(ids, Seq("doc_id"), "left_semi"))
+      .localCheckpoint()
+    span.write.mode("overwrite").parquet(spanDir)
+  }
+
   /** DuckDB twin: every artifact REBUILT from scratch on the
     * remaining corpus — the specification the maintained state must
     * match. Residue terms are computed (not literal zeros) so the

@@ -65,8 +65,24 @@ object Winnowing {
         explode(array_distinct(transform(fpStructs(spark, col("text")),
           f => f.getField("fp")))).as("fp"))
 
-  /** The deduped (pos, fp) struct array of one text column. */
+  /** The deduped (pos, fp) struct array of one text column — ONE
+    * fused native pass ([[graft.plans.WinnowOps]]: gram spans → md5
+    * per gram → window minima on raw digests → consecutive dedup),
+    * replacing [[fpStructsPortable]]'s interpreted HOF chain (one
+    * interpreted lambda call per gram/window element — the dominant
+    * cost of the whole winnowing family, 60–100 s entries at 100×).
+    * WinnowingSpec pins kernel ≡ chain bit-for-bit; the DuckDB twin
+    * is unchanged. */
   private def fpStructs(spark: SparkSession, text: Column): Column = {
+    graft.plans.GraftFunctions.register(spark)
+    call_function("graft_winnow_fp",
+      coalesce(text, lit("")), lit(K), lit(W))
+  }
+
+  /** The spelled-out built-in formulation — mirrors the DuckDB twin
+    * term for term; kept as WinnowingSpec's ground truth for the
+    * native kernel. */
+  private[graft] def fpStructsPortable(spark: SparkSession, text: Column): Column = {
     graft.plans.GraftFunctions.register(spark)
     val grams = call_function("graft_shingles",
       coalesce(text, lit("")), lit(K), lit(false))

@@ -286,10 +286,18 @@ object GraftFunctions {
     new ExpressionInfo(classOf[BitPack].getName, null, "graft_bitpack"),
     (children: Seq[Expression]) => BitPack(children(0)): Expression)
 
+  private val winnowFpDesc = (
+    FunctionIdentifier("graft_winnow_fp"),
+    new ExpressionInfo(classOf[WinnowFp].getName, null, "graft_winnow_fp"),
+    (children: Seq[Expression]) => WinnowFp(
+      children(0),
+      litInt(children(1), "graft_winnow_fp k"),
+      litInt(children(2), "graft_winnow_fp w")): Expression)
+
   private val all = Seq(cosineDesc, srpDesc, minhashDesc, simhashDesc,
     pqEncodeDesc, shinglesDesc, gramStatsDesc, gramBucketsDesc,
     mightContainDesc, sortedExceptDesc, bpeCountDesc, bpeEncodeDesc,
-    bitPackDesc, nbScoresDesc)
+    bitPackDesc, nbScoresDesc, winnowFpDesc)
 
   /** Idempotent per-session registration (for sessions built without
     * the extensions config). */

@@ -42,7 +42,7 @@ object GramOps {
 
   /** Token start/end byte offsets of `b` split on 0x20 (Spark
     * `split(text, ' ')` token spans; T = spaces + 1 ≥ 1). */
-  private def tokenBounds(b: Array[Byte]): (Array[Int], Array[Int]) = {
+  private[plans] def tokenBounds(b: Array[Byte]): (Array[Int], Array[Int]) = {
     var spaces = 0
     var i = 0
     while (i < b.length) { if (b(i) == 0x20) spaces += 1; i += 1 }
@@ -115,7 +115,7 @@ object GramOps {
     new GenericArrayData(Array[Any](w.toLong, seen.size.toLong))
   }
 
-  private val mdTl = new ThreadLocal[java.security.MessageDigest] {
+  private[plans] val mdTl = new ThreadLocal[java.security.MessageDigest] {
     override def initialValue(): java.security.MessageDigest =
       java.security.MessageDigest.getInstance("MD5")
   }

@@ -113,6 +113,8 @@ class CodegenContractSpec extends SparkSpec {
         typedlit(Seq(-0.5, -0.7)),
         typedlit(Seq(-1.0, -2.0, -3.0, -4.0,
           -1.5, -2.5, -3.5, -4.5))).as("nbs"),
+      call_function("graft_winnow_fp",
+        coalesce(col("text"), lit("")), lit(3), lit(4)).as("wfp"),
       call_function("graft_bpe_encode", col("text"),
         array(bpeWords.map(lit(_)): _*),
         array(bpeOffsets.map(lit(_)): _*),

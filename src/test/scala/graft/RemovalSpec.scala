@@ -89,6 +89,53 @@ class RemovalSpec extends SparkSpec {
     assert(ex.getAs[Long]("checksum") == 0L)
   }
 
+  test("M5: streamed removal micro-batches converge to the batch rebuild (two triggers)") {
+    // takedown ids arrive in TWO micro-batches (one file per trigger);
+    // after the stream drains, the on-disk artifacts must equal a
+    // from-scratch rebuild on the remaining corpus bit-for-bit —
+    // anti-join and count-subtraction maintenance compose across any
+    // batch split
+    val intact = docs
+    val remaining = intact.where(!col("doc_id").isin(removeSet: _*))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_rm").toString
+    try {
+      Winnowing.fpValuesFrom(spark, intact)
+        .write.parquet(s"$tmp/fp")
+      SpanDedup.spanGramIndex(spark, intact)
+        .write.parquet(s"$tmp/span")
+      // one file per removal id -> maxFilesPerTrigger=1 gives two
+      // genuine micro-batches
+      Seq(2L).toDF("doc_id").coalesce(1).write.parquet(s"$tmp/in/a")
+      Seq(5L).toDF("doc_id").coalesce(1).write.parquet(s"$tmp/in/b")
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType)))
+      val q = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(s"$tmp/in/*")
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          Removal.removalMicroBatch(spark, b, intact,
+            s"$tmp/fp", s"$tmp/span")
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val fpFinal = sortedRows(spark.read.parquet(s"$tmp/fp"))
+      val spanFinal = sortedRows(spark.read.parquet(s"$tmp/span"))
+      assert(fpFinal.sameElements(
+        sortedRows(Winnowing.fpValuesFrom(spark, remaining))))
+      assert(spanFinal.sameElements(
+        sortedRows(SpanDedup.spanGramIndex(spark, remaining))))
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+      }
+      rm(new java.io.File(tmp))
+    }
+  }
+
   test("removing an unknown id is a no-op in every artifact") {
     val out = Removal.removalAuditFrom(spark, docs,
       Seq(999L).toDF("doc_id")).collect()

@@ -152,6 +152,34 @@ class WinnowingSpec extends SparkSpec {
     }
   }
 
+  test("native winnow kernel matches the spelled-out HOF chain bit-for-bit") {
+    // the DuckDB twin mirrors the portable chain term for term, so
+    // native == portable pins the oracle equivalence — incl. the
+    // rightmost-tie path (runs of IDENTICAL tokens make equal gram
+    // digests inside one window), multi-space runs (empty tokens),
+    // short-text (< K tokens), empty and NULL degenerates
+    import spark.implicits._
+    val tie = (1 to 20).map(_ => "same").mkString(" ")
+    val texts = Seq(
+      (1 to 40).map(i => s"tok$i").mkString(" "),
+      tie,
+      s"prefix $tie suffix1 suffix2",
+      "a  b   c", // empty tokens between runs of spaces
+      "one two", // fewer than K tokens
+      "solo", "", null,
+      ((1 to 9).map(i => s"alpha$i") ++ (1 to 9).map(i => s"alpha$i"))
+        .mkString(" ")) // an internal repeat: window re-selection path
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val nat = Winnowing.fingerprintsFrom(spark, df)
+    val port = df.select(col("doc_id"),
+        explode(Winnowing.fpStructsPortable(spark, col("text"))).as("f"))
+      .select(col("doc_id"), col("f.pos").as("pos"), col("f.fp").as("fp"))
+    assert(nat.collect().map(_.toSeq).sortBy(_.toString)
+      .sameElements(port.collect().map(_.toSeq).sortBy(_.toString)))
+    assert(nat.count() > 0)
+  }
+
   test("maintained fp index equals the intact full rebuild (poison-proof)") {
     // the O5/L4/K8 discipline: one CDC delta (removed / changed /
     // added) against a standing index, with every NON-delta doc's
