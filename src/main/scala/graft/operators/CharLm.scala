@@ -84,14 +84,48 @@ object CharLm {
   }
 
   /** O4 steady state: score a doc frame under an already-trained
-    * `(g, logp)` table — one broadcast join + doc-grain aggregation;
-    * grams absent from the table (impossible when self-trained,
+    * `(g, logp)` table — ONE native fused pass
+    * ([[graft.plans.LmOps]]: per doc, walk the trigram stream and
+    * binary-search the frozen table, summing in text order), the
+    * model collected ONCE (vocabulary-bounded, the P1/P2 frozen-
+    * artifact convention) and riding the plan as literals. Replaces
+    * the exploded trigram stream + broadcast join + doc-grain
+    * aggregation (5·10⁸ interpreted-lambda rows at 100× — the stage
+    * every lmScore consumer shared; CharLmSpec pins kernel ≡ chain
+    * bit-for-bit, the chain survives as [[lmScoreWithPortable]]).
+    * Grams absent from the table (impossible when self-trained,
     * possible under a persisted model on NEW docs) price as the
     * γ-floor ln(1/γ), the same "rare transition" mass the smoothing
     * assigns a hapax — an unknown trigram must not score BETTER than
     * a rare known one, and dropping it would silently shorten the
     * stream. */
-  def lmScoreWith(docs: DataFrame, logp: DataFrame): DataFrame =
+  def lmScoreWith(docs: DataFrame, logp: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    graft.plans.GraftFunctions.register(spark)
+    val model = logp.select("g", "logp").collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    val scored = docs.where(length(col("text")) >= 3)
+      // explode(array(...)) is the Generate projection-collapse
+      // BARRIER (the Y1 device): the struct is referenced three
+      // times below — without it CollapseProject substitutes the
+      // whole kernel into each reference
+      .select(col("doc_id"), explode(array(call_function("graft_lm_score",
+        col("text"),
+        typedlit(model.map(_._1).toSeq),
+        typedlit(model.map(_._2).toSeq),
+        log(lit(1.0 / Gamma))))).as("ls"))
+      .select(col("doc_id"), col("ls.n_grams").as("n_grams"),
+        round(col("ls.sum_logp") / col("ls.n_grams"), 6).as("avg_logp"))
+      .withColumn("suspect", col("avg_logp") < SuspectBar)
+    // presentation sort through an exchange (the qFingerprints
+    // device): a narrow child's range sampler re-executes the kernel
+    if (docs.isStreaming) scored
+    else scored.repartition(col("doc_id")).orderBy("doc_id")
+  }
+
+  /** The spelled-out formulation the kernel replaced — broadcast join
+    * + Average — kept as CharLmSpec's ground truth. */
+  private[graft] def lmScoreWithPortable(docs: DataFrame, logp: DataFrame): DataFrame =
     lmGramsOf(docs).join(broadcast(logp), Seq("g"), "left")
       .select(col("doc_id"),
         coalesce(col("logp"), log(lit(1.0 / Gamma))).as("logp"))

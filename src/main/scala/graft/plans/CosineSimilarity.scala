@@ -286,6 +286,26 @@ object GraftFunctions {
     new ExpressionInfo(classOf[BitPack].getName, null, "graft_bitpack"),
     (children: Seq[Expression]) => BitPack(children(0)): Expression)
 
+  /** Foldable-non-null-double extraction (smoothing floors, never
+    * per-row data). */
+  private def litDouble(e: Expression, what: String): Double = e match {
+    case x if x.foldable => x.eval() match {
+      case n: Number => n.doubleValue()
+      case other => throw new IllegalArgumentException(
+        s"$what must be a non-null double literal, got $other")
+    }
+    case x => throw new IllegalArgumentException(s"$what must be a literal, got $x")
+  }
+
+  private val lmScoreDesc = (
+    FunctionIdentifier("graft_lm_score"),
+    new ExpressionInfo(classOf[LmScore].getName, null, "graft_lm_score"),
+    (children: Seq[Expression]) => LmScore(
+      children(0),
+      litStringArray(children(1), "graft_lm_score vocab"),
+      litDoubleArray(children(2), "graft_lm_score logps"),
+      litDouble(children(3), "graft_lm_score floor")): Expression)
+
   private val winnowFpDesc = (
     FunctionIdentifier("graft_winnow_fp"),
     new ExpressionInfo(classOf[WinnowFp].getName, null, "graft_winnow_fp"),
@@ -297,7 +317,7 @@ object GraftFunctions {
   private val all = Seq(cosineDesc, srpDesc, minhashDesc, simhashDesc,
     pqEncodeDesc, shinglesDesc, gramStatsDesc, gramBucketsDesc,
     mightContainDesc, sortedExceptDesc, bpeCountDesc, bpeEncodeDesc,
-    bitPackDesc, nbScoresDesc, winnowFpDesc)
+    bitPackDesc, nbScoresDesc, winnowFpDesc, lmScoreDesc)
 
   /** Idempotent per-session registration (for sessions built without
     * the extensions config). */

@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
 import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -367,5 +367,128 @@ case class GramStats(child: Expression, n: Int) extends UnaryExpression {
       isNull = FalseLiteral)
   }
   override protected def withNewChildInternal(newChild: Expression): GramStats =
+    copy(child = newChild)
+}
+
+/** Static kernel for [[LmScore]] — the O4 char-trigram LM scoring
+  * pass (per-doc: explode nChars−2 trigrams → look each up in the
+  * frozen `(trigram, logp)` table → sequential (sum, count)) fused
+  * into ONE pass, replacing the exploded 5·10⁸-row
+  * `transform(sequence)` + broadcast join + doc-grain aggregation
+  * that every lmScore consumer paid (q_lm_quality 60 s at 100×; the
+  * epoch/ppl/RHO-1 family shares the stage).
+  *
+  * Bit-identity with the replaced chain: trigram i is the 3-CODE-
+  * POINT substring at offset i (Spark `substring` semantics); the
+  * sum accumulates in TEXT ORDER from 0.0 — exactly the order the
+  * old per-doc Average partial saw, because a doc's exploded grams
+  * all lived in one task in explode order — and the caller divides
+  * sum by count exactly as Average's final `sum / count` did;
+  * unknown trigrams price as the γ-floor literal, the old left-join
+  * coalesce. The vocab arrives SORTED (binary UTF8 order, enforced
+  * at resolution) and lookups are binary search — the BpeEncode
+  * discipline. */
+object LmOps {
+  private def cmp(a: Array[Byte], b: Array[Byte], bs: Int, blen: Int): Int = {
+    val n = math.min(a.length, blen)
+    var i = 0
+    while (i < n) {
+      val d = (a(i) & 0xFF) - (b(bs + i) & 0xFF)
+      if (d != 0) return d
+      i += 1
+    }
+    a.length - blen
+  }
+
+  /** `[n_grams, sum_logp]` of one text under the frozen table. NULL
+    * or sub-trigram text yields (0, 0.0) — callers filter
+    * `length(text) >= 3` exactly as the replaced chain did. */
+  def lmScore(s: UTF8String, vocab: Array[Array[Byte]],
+              logps: Array[Double], floor: Double): InternalRow = {
+    if (s == null) return new GenericInternalRow(Array[Any](0L, 0.0))
+    val b = s.getBytes
+    var i = 0
+    var nChars = 0
+    while (i < b.length) {
+      nChars += 1
+      i += UTF8String.numBytesForFirstByte(b(i))
+    }
+    val n = nChars - 2
+    if (n <= 0) return new GenericInternalRow(Array[Any](0L, 0.0))
+    val offs = new Array[Int](nChars + 1)
+    i = 0
+    var ci = 0
+    while (i < b.length) {
+      offs(ci) = i
+      ci += 1
+      i += UTF8String.numBytesForFirstByte(b(i))
+    }
+    offs(nChars) = b.length
+    var sum = 0.0
+    var g = 0
+    while (g < n) {
+      val st = offs(g)
+      val len = offs(g + 3) - st
+      var lo = 0
+      var hi = vocab.length - 1
+      var hit = -1
+      while (lo <= hi && hit < 0) {
+        val mid = (lo + hi) >>> 1
+        val c = cmp(vocab(mid), b, st, len)
+        if (c == 0) hit = mid
+        else if (c < 0) lo = mid + 1
+        else hi = mid - 1
+      }
+      sum += (if (hit >= 0) logps(hit) else floor)
+      g += 1
+    }
+    new GenericInternalRow(Array[Any](n.toLong, sum))
+  }
+}
+
+/** `graft_lm_score(text, vocab_lit, logps_lit, floor_lit)` →
+  * struct<n_grams: bigint, sum_logp: double>. The frozen model rides
+  * as foldable array literals sorted in binary UTF8 order (re-sorted
+  * defensively at resolution — a mis-sorted vocab would silently
+  * break the binary search). */
+case class LmScore(child: Expression, vocab: IndexedSeq[String],
+                   logps: IndexedSeq[Double], floor: Double)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType if vocab.size == logps.size =>
+      TypeCheckResult.TypeCheckSuccess
+    case StringType => TypeCheckResult.TypeCheckFailure(
+      s"graft_lm_score vocab/logps size mismatch: ${vocab.size} vs ${logps.size}")
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"graft_lm_score expects string, got $dt")
+  }
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_grams", LongType, nullable = false),
+    StructField("sum_logp", DoubleType, nullable = false)))
+  override def prettyName: String = "graft_lm_score"
+  override def nullable: Boolean = false
+  @transient private lazy val (vocabArr, logpArr) = {
+    val pairs = vocab.zip(logps)
+      .map { case (g, p) => (g.getBytes("UTF-8"), p) }
+      .sortWith { (a, b) =>
+        UTF8String.fromBytes(a._1).compareTo(UTF8String.fromBytes(b._1)) < 0
+      }
+    (pairs.map(_._1).toArray, pairs.map(_._2).toArray)
+  }
+  override def eval(input: InternalRow): Any =
+    LmOps.lmScore(child.eval(input).asInstanceOf[UTF8String],
+      vocabArr, logpArr, floor)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val vRef = ctx.addReferenceObj("lmVocab", vocabArr, "byte[][]")
+    val pRef = ctx.addReferenceObj("lmLogps", logpArr, "double[]")
+    val c = child.genCode(ctx)
+    ev.copy(code = code"""
+      ${c.code}
+      org.apache.spark.sql.catalyst.InternalRow ${ev.value} =
+        graft.plans.LmOps$$.MODULE$$.lmScore(
+          ${c.isNull} ? null : ${c.value}, $vRef, $pRef, $floor);""",
+      isNull = FalseLiteral)
+  }
+  override protected def withNewChildInternal(newChild: Expression): LmScore =
     copy(child = newChild)
 }

@@ -115,6 +115,9 @@ class CodegenContractSpec extends SparkSpec {
           -1.5, -2.5, -3.5, -4.5))).as("nbs"),
       call_function("graft_winnow_fp",
         coalesce(col("text"), lit("")), lit(3), lit(4)).as("wfp"),
+      call_function("graft_lm_score", coalesce(col("text"), lit("")),
+        typedlit(Seq("he ", "the", "uic")),
+        typedlit(Seq(-1.5, -0.5, -2.5)), lit(-4.605170185988091)).as("lms"),
       call_function("graft_bpe_encode", col("text"),
         array(bpeWords.map(lit(_)): _*),
         array(bpeOffsets.map(lit(_)): _*),

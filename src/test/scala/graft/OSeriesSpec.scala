@@ -214,6 +214,30 @@ class OSeriesSpec extends SparkSpec {
       s"gibberish must cross the $$SuspectBar flag, suspects=${suspects.mkString(",")}")
   }
 
+  test("native LM score kernel matches the exploded join+Average chain bit-for-bit") {
+    // the DuckDB twin mirrors the portable chain; kernel == portable
+    // pins the oracle equivalence — incl. multi-byte code points
+    // (substring is char-based in both), the unknown-trigram γ-floor
+    // (scored under a DIFFERENT frame's model), and the sub-trigram
+    // drop
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+      .unionByName(Seq(
+        (910001L, "añejo müller 中文测试 façade naïve coöperate"),
+        (910002L, "zz"),
+        (910003L, "unseen trigram content qqq www vvv kkk jjj")
+      ).toDF("doc_id", "text"))
+    val model = CharLm.lmModelFrom(
+      Tables.documents(spark, sfDir).select("doc_id", "text"))
+      .localCheckpoint()
+    val nat = CharLm.lmScoreWith(docs, model)
+      .collect().map(_.toSeq).sortBy(_.toString)
+    val port = CharLm.lmScoreWithPortable(docs, model)
+      .collect().map(_.toSeq).sortBy(_.toString)
+    assert(nat.length == port.length && nat.sameElements(port))
+    assert(nat.nonEmpty)
+  }
+
   test("char-LM n_grams is exactly length-2 per surviving doc") {
     val docs = Tables.documents(spark, sfDir).limit(20)
     val expect = docs.select(col("doc_id"), (length(col("text")) - 2).cast("long").as("e"))
