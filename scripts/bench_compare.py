@@ -57,7 +57,10 @@ def main() -> int:
           f"old-only: {only_old or '—'}; new-only: {only_new or '—'}")
     tot_old = sum(r[2] for r in rows)
     tot_norm = sum(r[4] for r in rows)
-    med = sorted(r[0] for r in rows)[len(rows) // 2] if rows else 0
+    if not rows or tot_old <= 0:
+        print("no comparable numeric queries in common — nothing to rate")
+        return 0
+    med = sorted(r[0] for r in rows)[len(rows) // 2]
     print(f"common-set total: {tot_old:.1f}s old vs {tot_norm:.1f}s "
           f"new-normalized ({tot_norm / tot_old:.2f}x); "
           f"median per-query ratio {med:.2f}")

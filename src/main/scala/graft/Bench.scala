@@ -240,7 +240,7 @@ object Bench {
     "from_span_incremental", "from_alloc_materialize", "from_hard_negatives",
     "from_dedup_semantic", "from_epoch_alloc", "from_lm_quality",
     "from_winnow_incremental", "from_ann_bq", "from_profile_sketch",
-    "from_langid_trained", "from_removal_audit")
+    "from_langid_trained", "from_removal_audit", "from_removal_audit_v2")
 
   /** Materialize the shared stage outputs once (untimed), then time
     * ONLY the `*From` compositions over the persisted parquet — the
@@ -278,6 +278,20 @@ object Bench {
       lazy val rmTok = persist("rm_tok", CorpusStats.tokenCounts(docs))
       lazy val rmFp = persist("rm_fp", Winnowing.fpValuesFrom(spark, docs))
       lazy val rmSpan = persist("rm_span", SpanDedup.spanGramIndex(spark, docs))
+      // M6's vector-side standing artifacts: band index, chunk index,
+      // and one trained IVF assignment generation (training is the
+      // untimed refresh-cadence cost; removal never retrains)
+      lazy val rmBand = persist("rm_band", Dedup.bandsOf(spark, docs))
+      lazy val rmChunk = persist("rm_chunk",
+        Chunking.cdcChunks(docs).select("doc_id", "sig", "ctok"))
+      lazy val rmCents = persist("rm_cents",
+        SemanticDedup.trainedCentsDf(spark, sfDir))
+      lazy val rmEmb = persist("rm_emb",
+        graft.sources.Tables.embeddings(spark, sfDir)
+          .select("vec_id", "embedding"))
+      lazy val rmIvf = persist("rm_ivf",
+        SemanticDedup.assignTo(spark, rmEmb, rmCents)
+          .select("vec_id", "embedding", "cid", "cent_sim"))
       // D7's serving price: build the `cid=`-partitioned on-disk index
       // ONCE (untimed — index builds happen at maintenance cadence),
       // then time the PROBE-ONLY search whose literal cid predicate
@@ -399,7 +413,15 @@ object Bench {
         "from_removal_audit" -> (() =>
           Removal.removalAuditWith(spark, rmEx, rmTok, rmFp, rmSpan,
             docs, docs.where(Removal.isForgotten(col("doc_id")))
-              .select("doc_id"))))
+              .select("doc_id"))),
+        // M6 steady state: three O(|removed| + touched state)
+        // maintenance passes (two anti-joins + the empty-arrival
+        // assignment maintainer) + the audit aggregates
+        "from_removal_audit_v2" -> (() =>
+          Removal.removalAuditV2With(spark, rmBand, rmChunk, rmIvf, rmEmb,
+            docs.where(Removal.isForgotten(col("doc_id"))).select("doc_id"),
+            rmEmb.where(Removal.isForgotten(col("vec_id"))).select("vec_id"),
+            rmCents)))
       forms.filter { case (n, _) => only.forall(_.contains(n)) }
         .foreach { case (n, mk) =>
           // Force the form's stage dependencies (the lazy parquet

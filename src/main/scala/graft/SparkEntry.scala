@@ -237,6 +237,9 @@ object SparkEntry {
     "q_lsh_tune" -> (LshTune.lshTune _),
     "q_lsh_tuned_check" -> (LshTune.lshTunedCheck _),
     "q_removal_audit" -> (Removal.removalAudit _),
+    // M6: the vector-side standing artifacts (C2 band index, X2 chunk
+    // index, O5 IVF assignments) through the same governed removal
+    "q_removal_audit_v2" -> (Removal.removalAuditV2 _),
     // X1: content-defined chunk dedup (FastCDC at token grain)
     "q_cdc_dedup" -> (Chunking.cdcDedup _),
     "q_winnow_fp" -> (Winnowing.qFingerprints _),
@@ -395,6 +398,7 @@ object SparkEntry {
     "q_lsh_tune" -> LshTune.lshTuneSql,
     "q_lsh_tuned_check" -> LshTune.lshTunedCheckSql,
     "q_removal_audit" -> Removal.removalAuditSql,
+    "q_removal_audit_v2" -> Removal.removalAuditV2Sql,
     // I4 joins the oracle through its frozen-centroid literal (the D3
     // convention) — formerly rows-only
     "q_dedup_semantic" -> SemanticDedup.semanticDedupSql,

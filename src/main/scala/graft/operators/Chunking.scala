@@ -207,7 +207,7 @@ object Chunking {
   def cdcDedupIncrementalSql: String = {
     val isNew = s"${Sampling.hashBucketSql("CAST(doc_id AS VARCHAR)", cdcBatchSalt)}" +
       s" < ${Sampling.pctThreshold(20)}"
-    val chunksCtes = cdcChunksSqlCtes
+    val chunksCtes = cdcChunksSqlCtes()
     s"""WITH $chunksCtes,
       |oldsig AS (SELECT DISTINCT sig FROM pc WHERE NOT ($isNew)),
       |np AS (SELECT * FROM pc WHERE $isNew)
@@ -226,7 +226,7 @@ object Chunking {
 
   /** The shared chunk-grain CTE chain (t → b → ix → pc): one row per
     * content-defined chunk, the twin of [[cdcChunks]]. */
-  private val cdcChunksSqlCtes: String = {
+  private[operators] def cdcChunksSqlCtes(from: String = "documents"): String = {
     val W = CdcWindow
     val gram = s"array_to_string(toks[p - ${W - 1}:p], ' ')"
     val bucket = Sampling.hashBucketSql(s"($gram)", cdcSalt)
@@ -235,7 +235,7 @@ object Chunking {
     s"""t AS (
       |  SELECT doc_id, string_split(coalesce(text, ''), ' ') AS toks,
       |    CAST(len(string_split(coalesce(text, ''), ' ')) AS BIGINT) AS n
-      |  FROM documents),
+      |  FROM $from),
       |b AS (
       |  SELECT doc_id, toks, n,
       |    list_filter(range(1, n + 1), p -> p = n
@@ -252,7 +252,7 @@ object Chunking {
   }
 
   def cdcDedupSql: String = {
-    s"""WITH $cdcChunksSqlCtes,
+    s"""WITH ${cdcChunksSqlCtes()},
       |occ AS (SELECT sig, count(*) AS occ FROM pc GROUP BY sig)
       |SELECT pc.doc_id, pc.n_tokens AS n_tokens,
       |  CAST(count(*) AS BIGINT) AS n_chunks,

@@ -197,6 +197,31 @@ object Dedup {
       |    FROM bands_raw) t WHERE rn <= $BucketCap)""".stripMargin
   }
 
+  /** The RAW (doc_id, band, key) band-index rebuild over an arbitrary
+    * docs relation `from` — the twin of [[bandsOf]] (uncapped: the
+    * standing index carries every band row; the BucketCap applies at
+    * bucket-collect time in the pair pipeline, not in the index).
+    * CTE names are suffixed `_rb` so callers can compose this beside
+    * other gram/band CTEs in one oracle query. */
+  private[operators] def rawBandsSqlCtes(from: String): String = {
+    val mhs = (0 until H).map(j =>
+      s"list_aggregate(list_transform(sh, x -> md5('$j:' || x)), 'min') AS mh_$j").mkString(",\n    ")
+    val bandSelects = (0 until Bands).map { b =>
+      val ks = (0 until R).map(i => s"mh_${b * R + i}").mkString(" || '|' || ")
+      s"SELECT doc_id, $b AS band, md5($ks) AS key FROM m_rb"
+    }.mkString("\n  UNION ALL ")
+    s"""s_rb AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(range(1, greatest(len(toks)-1, 2)),
+      |      i -> array_to_string(toks[i:i+2], ' '))) AS sh
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM $from)),
+      |m_rb AS (SELECT doc_id,
+      |    $mhs
+      |  FROM s_rb),
+      |bands_rb AS (
+      |  $bandSelects)""".stripMargin
+  }
+
   /** Candidate pairs = docs sharing ≥1 LSH band bucket.
     *
     * Pairs are generated by collecting each bucket's (sorted, capped)

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.sources.Tables
+import graft.sources.{ArtifactStore, Tables}
 
 /** M4: governed removal propagation — the "delete these documents
   * everywhere" operation a production corpus owes its sources
@@ -112,6 +112,123 @@ object Removal {
       .orderBy("artifact")
   }
 
+  /** M6: the removal audit's VECTOR-SIDE twin — the same governed
+    * removal routed through the engine's other standing artifacts: the
+    * C2 band-signature index (doc-keyed, anti-join), the X2
+    * chunk-signature index (doc-keyed, anti-join), and O5's IVF
+    * assignment index (vec-keyed, [[SemanticDedup.maintainAssignments]]
+    * with a removal-only delta — the maintainer reads NO embedding for
+    * a pure removal: the arrived side's semi-join is empty). Same
+    * audit grain as [[removalAuditWith]]: per artifact the surviving
+    * row count, an exact-integer checksum, and the residue (rows
+    * still naming a removed id). The DuckDB twin rebuilds each
+    * artifact from scratch on the remaining corpus/embeddings under
+    * the SAME frozen centroid generation (removal never retrains —
+    * the O5 generation contract), so hash-green proves maintained ≡
+    * rebuilt at count+checksum grain with zero residue; per-row
+    * bit-equality is RemovalSpec's extension. */
+  def removalAuditV2(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select("doc_id", "source", "text")
+    val emb = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    val cents = SemanticDedup.trainedCentsDf(spark, dir)
+    removalAuditV2With(spark,
+      Dedup.bandsOf(spark, docs),
+      Chunking.cdcChunks(docs).select("doc_id", "sig", "ctok"),
+      SemanticDedup.assignTo(spark, emb, cents)
+        .select("vec_id", "embedding", "cid", "cent_sim"),
+      emb,
+      docs.where(isForgotten(col("doc_id"))).select("doc_id"),
+      emb.where(isForgotten(col("vec_id"))).select("vec_id"),
+      cents)
+  }
+
+  /** Steady-state form: artifacts arrive prebuilt (the standing
+    * on-disk state); timed work is three O(|removed| + touched state)
+    * maintenance passes + the audit aggregates
+    * (`from_removal_audit_v2` in the bench). */
+  def removalAuditV2With(spark: SparkSession, band0: DataFrame,
+                         chunk0: DataFrame, ivf0: DataFrame,
+                         emb: DataFrame, removeDocIds: DataFrame,
+                         removeVecIds: DataFrame,
+                         cents: DataFrame): DataFrame = {
+    val band1 = band0.join(removeDocIds, Seq("doc_id"), "left_anti")
+    val chunk1 = chunk0.join(removeDocIds, Seq("doc_id"), "left_anti")
+    val delta = removeVecIds.select(col("vec_id"),
+      lit("removed").as("change"))
+    val ivf1 = SemanticDedup.maintainAssignments(spark, ivf0, emb,
+      delta, cents)
+
+    val removedD = removeDocIds.withColumn("r", lit(true))
+    val removedV = removeVecIds.withColumn("r", lit(true))
+    val residue = sum(when(col("r").isNotNull, 1L).otherwise(0L))
+    def docKeyed(name: String, df: DataFrame, checksum: Column): DataFrame =
+      df.join(broadcast(removedD), Seq("doc_id"), "left")
+        .agg(count(lit(1)).as("n_rows"), checksum.as("checksum"),
+          residue.as("n_residue"))
+        .select(lit(name).as("artifact"), col("n_rows"),
+          col("checksum").cast("long").as("checksum"), col("n_residue"))
+    val bandAudit = docKeyed("band_index", band1, countDistinct(col("key")))
+    val chunkAudit = docKeyed("chunk_sig_index", chunk1, sum(col("ctok")))
+    val ivfAudit = ivf1.join(broadcast(removedV), Seq("vec_id"), "left")
+      .agg(count(lit(1)).as("n_rows"), sum(col("cid")).as("checksum"),
+        residue.as("n_residue"))
+      .select(lit("ivf_assignments").as("artifact"), col("n_rows"),
+        col("checksum").cast("long").as("checksum"), col("n_residue"))
+    bandAudit.unionByName(chunkAudit).unionByName(ivfAudit)
+      .orderBy("artifact")
+  }
+
+  /** DuckDB twin of [[removalAuditV2]]: band + chunk indexes rebuilt
+    * over the remaining docs, assignments rebuilt over the remaining
+    * embeddings under the frozen centroid literal (round-9 cosine
+    * desc, ties to the smallest cid — the house argmax). */
+  def removalAuditV2Sql: String = {
+    val keepD = s"NOT (${Sampling.hashBucketSql("CAST(doc_id AS VARCHAR)",
+      ForgetSalt)} < ${Sampling.pctThreshold(ForgetPct)})"
+    val forgD = s"${Sampling.hashBucketSql("CAST(doc_id AS VARCHAR)",
+      ForgetSalt)} < ${Sampling.pctThreshold(ForgetPct)}"
+    val keepV = s"NOT (${Sampling.hashBucketSql("CAST(vec_id AS VARCHAR)",
+      ForgetSalt)} < ${Sampling.pctThreshold(ForgetPct)})"
+    val forgV = s"${Sampling.hashBucketSql("CAST(vec_id AS VARCHAR)",
+      ForgetSalt)} < ${Sampling.pctThreshold(ForgetPct)}"
+    val centRows = SemanticDedup.oracleCents().map { case (cid, ce) =>
+      s"($cid, CAST([${ce.map(java.lang.Double.toString).mkString(", ")}]" +
+        " AS DOUBLE[]))"
+    }.mkString(",\n    ")
+    s"""WITH rem AS (
+      |  SELECT doc_id, source, text FROM documents WHERE $keepD),
+      |${Dedup.rawBandsSqlCtes("rem")},
+      |${Chunking.cdcChunksSqlCtes("rem")},
+      |reme AS (SELECT vec_id, embedding FROM embeddings WHERE $keepV),
+      |cents(cid, c_emb) AS (VALUES
+      |    $centRows),
+      |cscore AS (
+      |  SELECT e.vec_id, c.cid,
+      |    row_number() OVER (PARTITION BY e.vec_id
+      |      ORDER BY round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.c_emb), 9) DESC,
+      |               c.cid) AS rk
+      |  FROM reme e, cents c),
+      |assign AS (SELECT vec_id, cid FROM cscore WHERE rk = 1)
+      |SELECT * FROM (
+      |  SELECT 'band_index' AS artifact,
+      |    CAST(count(*) AS BIGINT) AS n_rows,
+      |    CAST(count(DISTINCT key) AS BIGINT) AS checksum,
+      |    CAST(sum(CASE WHEN $forgD THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_residue
+      |  FROM bands_rb
+      |  UNION ALL
+      |  SELECT 'chunk_sig_index',
+      |    CAST(count(*) AS BIGINT), CAST(sum(ctok) AS BIGINT),
+      |    CAST(sum(CASE WHEN $forgD THEN 1 ELSE 0 END) AS BIGINT)
+      |  FROM pc
+      |  UNION ALL
+      |  SELECT 'ivf_assignments',
+      |    CAST(count(*) AS BIGINT), CAST(sum(cid) AS BIGINT),
+      |    CAST(sum(CASE WHEN $forgV THEN 1 ELSE 0 END) AS BIGINT)
+      |  FROM assign)
+      |ORDER BY artifact""".stripMargin
+  }
+
   /** M5: the STREAMING removal gate's per-micro-batch body — takedown
     * requests arrive as a stream of doc ids (`writeStream.foreachBatch`
     * drives this), and each micro-batch maintains the PERSISTED
@@ -127,25 +244,53 @@ object Removal {
     *    standing corpus (a takedown stream carries IDS; the corpus is
     *    the system of record until the rows drop).
     *
-    * Each updated artifact is MATERIALIZED (localCheckpoint) before
-    * its directory is overwritten — read-then-overwrite of the same
-    * path is only safe once the read has been fully executed. State
-    * between batches lives on disk (the M3/Q1 bounded-state
-    * convention: artifact size is corpus-bounded, not stream-
-    * unbounded). */
+    * Every artifact update goes through [[graft.sources.ArtifactStore
+    * .maintain]] — foreachBatch is AT-LEAST-ONCE, and the span
+    * index's count subtraction is not idempotent, so a replayed
+    * micro-batch applied twice would silently over-evict grams
+    * surviving docs still carry. The store's `_graft_applied` marker
+    * makes replay a per-artifact no-op, and its tmp-write + rename
+    * swap means a crash at ANY point leaves a complete copy of each
+    * artifact on disk (the old state until the new one is fully
+    * published). State between batches lives on disk (the M3/Q1
+    * bounded-state convention: artifact size is corpus-bounded, not
+    * stream-unbounded). */
   def removalMicroBatch(spark: SparkSession, batchIds: DataFrame,
-                        docs: DataFrame, fpDir: String,
+                        batchId: Long, docs: DataFrame, fpDir: String,
                         spanDir: String): Unit = {
-    val ids = batchIds.select("doc_id")
-    val fp = spark.read.parquet(fpDir)
-      .join(ids, Seq("doc_id"), "left_anti")
-      .localCheckpoint()
-    fp.write.mode("overwrite").parquet(fpDir)
-    val span = SpanDedup.maintainSpanIndexRemoval(spark,
-      spark.read.parquet(spanDir),
-      docs.join(ids, Seq("doc_id"), "left_semi"))
-      .localCheckpoint()
-    span.write.mode("overwrite").parquet(spanDir)
+    val ids = batchIds.select("doc_id").distinct()
+    // span FIRST: it is the only artifact that needs the removed
+    // docs' TEXT, so it must drink from the corpus before any
+    // corpus-moving caller (removalMicroBatchAll) drops the rows —
+    // on replay, already-applied artifacts skip and the not-yet-
+    // applied suffix still finds what it needs
+    ArtifactStore.maintain(spark, spanDir, batchId) { cur =>
+      SpanDedup.maintainSpanIndexRemoval(spark, cur,
+        docs.join(ids, Seq("doc_id"), "left_semi"))
+    }
+    ArtifactStore.maintain(spark, fpDir, batchId) { cur =>
+      cur.join(ids, Seq("doc_id"), "left_anti")
+    }
+  }
+
+  /** The full transaction-shaped unit: the SYSTEM OF RECORD (the
+    * corpus snapshot) and its derived artifacts all move in one
+    * micro-batch, each behind its own applied-batch gate. Order is
+    * the correctness invariant: text-consuming artifacts (span)
+    * update first, the corpus itself LAST — so a crash anywhere
+    * leaves the corpus rows a replay needs, and once the corpus has
+    * absorbed the batch every earlier artifact necessarily has too
+    * (re-delivery is then a complete no-op). */
+  def removalMicroBatchAll(spark: SparkSession, batchIds: DataFrame,
+                           batchId: Long, corpusDir: String,
+                           fpDir: String, spanDir: String): Unit = {
+    ArtifactStore.recover(spark, corpusDir)
+    val docs = spark.read.parquet(corpusDir)
+    removalMicroBatch(spark, batchIds, batchId, docs, fpDir, spanDir)
+    val ids = batchIds.select("doc_id").distinct()
+    ArtifactStore.maintain(spark, corpusDir, batchId) { cur =>
+      cur.join(ids, Seq("doc_id"), "left_anti")
+    }
   }
 
   /** DuckDB twin: every artifact REBUILT from scratch on the

@@ -451,6 +451,17 @@ object SemanticDedup {
 
   private def fmtD(v: Double): String = java.lang.Double.toString(v)
 
+  /** O5's trained-generation artifacts for the removal audit (M-series
+    * v2): the I4 centroid trainer's frame form and its frozen oracle
+    * literal — ONE trainer feeds the dedup, recall, and removal-audit
+    * queries, so their cid label spaces agree. */
+  private[graft] def trainedCentsDf(spark: SparkSession,
+                                    dir: String): DataFrame =
+    semCentsDf(spark, semCentCache.model(spark, dir))
+
+  private[operators] def oracleCents(): Array[(Int, Array[Double])] =
+    semCentCache.oracleModel()
+
   /** DuckDB twin of the default-path [[semanticDedup]]: the trained
     * centroids as a VALUES literal, then assignment (round-9 cosine
     * DESC, ties to the smallest cid), the per-cluster

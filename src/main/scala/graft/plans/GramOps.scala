@@ -205,9 +205,16 @@ object NbOps {
     val acc = new Array[Double](k)
     if (gs != null) {
       val n = gs.numElements()
+      val dim = probsT.length / k
       var i = 0
       while (i < n) {
-        val base = gs.getInt(i) * k
+        val g = gs.getInt(i)
+        if (g < 0 || g >= dim) {
+          throw new IllegalArgumentException(
+            s"graft_nb_scores: gram bucket $g outside the model's" +
+              s" feature dim $dim — model/featurizer dim mismatch")
+        }
+        val base = g * k
         var c = 0
         while (c < k) { acc(c) += probsT(base + c); c += 1 }
         i += 1

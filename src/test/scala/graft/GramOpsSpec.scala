@@ -97,4 +97,31 @@ class GramOpsSpec extends SparkSpec {
       "native gram stats on null text must be [1, 1] (the one empty gram)")
     assert(!rows(1).isNullAt(0) && !rows(1).isNullAt(2))
   }
+
+  test("graft_nb_scores rejects gram buckets outside the model dim with a named error") {
+    import spark.implicits._
+    // dim=4 table (2 classes x 4 grams); bucket 7 and -1 are both
+    // model/featurizer mismatches — the kernel must name itself and
+    // the offending bucket/dim instead of a raw AIOOBE
+    for (bad <- Seq(7, -1)) {
+      val e = intercept[Exception] {
+        Seq(Seq(0, bad)).toDF("gs").select(
+          call_function("graft_nb_scores", col("gs"),
+            typedlit(Seq(-0.5, -0.7)),
+            typedlit(Seq(-1.0, -2.0, -3.0, -4.0,
+              -1.5, -2.5, -3.5, -4.5)))).collect()
+      }
+      val msg = Option(e.getMessage).getOrElse("") +
+        Option(e.getCause).map(_.getMessage).getOrElse("")
+      assert(msg.contains("graft_nb_scores") && msg.contains("dim"),
+        s"bucket $bad: expected a named diagnostic, got $e")
+    }
+    // in-range buckets still score
+    val ok = Seq(Seq(0, 3)).toDF("gs").select(
+      call_function("graft_nb_scores", col("gs"),
+        typedlit(Seq(-0.5, -0.7)),
+        typedlit(Seq(-1.0, -2.0, -3.0, -4.0,
+          -1.5, -2.5, -3.5, -4.5)))).head().getSeq[Double](0)
+    assert(math.abs(ok.head - (-0.5 - 1.0 - 4.0)) < 1e-12)
+  }
 }

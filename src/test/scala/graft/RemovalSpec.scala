@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.operators.{CorpusStats, Dedup, Removal, SnapshotDiff, SpanDedup, Winnowing}
+import graft.operators.{CorpusStats, Dedup, Removal, SemanticDedup, SnapshotDiff, SpanDedup, Winnowing}
 
 /** M4: governed removal propagation — the composition poison-proof.
   * Each maintainer is individually poison-proofed in its own suite
@@ -114,8 +114,8 @@ class RemovalSpec extends SparkSpec {
         .option("maxFilesPerTrigger", 1)
         .parquet(s"$tmp/in/*")
         .writeStream
-        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
-          Removal.removalMicroBatch(spark, b, intact,
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, bid: Long) =>
+          Removal.removalMicroBatch(spark, b, bid, intact,
             s"$tmp/fp", s"$tmp/span")
           ()
         }
@@ -127,6 +127,110 @@ class RemovalSpec extends SparkSpec {
       assert(fpFinal.sameElements(
         sortedRows(Winnowing.fpValuesFrom(spark, remaining))))
       assert(spanFinal.sameElements(
+        sortedRows(SpanDedup.spanGramIndex(spark, remaining))))
+
+      // RESTART / at-least-once replay: foreachBatch may re-deliver a
+      // batch it already ran (crash after the artifact writes, before
+      // the checkpoint commit). Count subtraction is not idempotent —
+      // the applied-batch gate must make the replay a complete no-op.
+      Removal.removalMicroBatch(spark, Seq(5L).toDF("doc_id"), 1L,
+        intact, s"$tmp/fp", s"$tmp/span")
+      assert(sortedRows(spark.read.parquet(s"$tmp/span"))
+        .sameElements(spanFinal),
+        "replayed micro-batch must not double-subtract gram counts")
+      assert(sortedRows(spark.read.parquet(s"$tmp/fp"))
+        .sameElements(fpFinal))
+      // a genuinely NEW batch still applies after the replay
+      Removal.removalMicroBatch(spark, Seq(4L).toDF("doc_id"), 2L,
+        intact, s"$tmp/fp", s"$tmp/span")
+      val rem2 = intact.where(!col("doc_id").isin(2L, 5L, 4L))
+      assert(sortedRows(spark.read.parquet(s"$tmp/span")).sameElements(
+        sortedRows(SpanDedup.spanGramIndex(spark, rem2))))
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+      }
+      rm(new java.io.File(tmp))
+    }
+  }
+
+  test("M6: vector-side artifacts maintained == rebuilt (removal reads no survivor text or embedding)") {
+    import graft.operators.Chunking
+    val intact = docs
+    val remaining = intact.where(!col("doc_id").isin(removeSet: _*))
+    val removeIds = Seq(2L, 5L).toDF("doc_id")
+
+    // doc-keyed artifacts: anti-join maintenance touches no text
+    val band1 = Dedup.bandsOf(spark, intact)
+      .join(removeIds, Seq("doc_id"), "left_anti")
+    assert(sortedRows(band1).sameElements(
+      sortedRows(Dedup.bandsOf(spark, remaining))))
+    val chunk1 = Chunking.cdcChunks(intact).select("doc_id", "sig", "ctok")
+      .join(removeIds, Seq("doc_id"), "left_anti")
+    assert(sortedRows(chunk1).sameElements(
+      sortedRows(Chunking.cdcChunks(remaining).select("doc_id", "sig", "ctok"))))
+
+    // O5: removal-only delta through maintainAssignments must read NO
+    // embedding — the frame handed to maintenance is fully poisoned
+    val emb = Seq(
+      (1L, Seq(1.0, 0.1)), (2L, Seq(0.9, 0.2)), (3L, Seq(0.1, 1.0)),
+      (4L, Seq(-0.3, 0.8)), (5L, Seq(0.5, 0.5))).toDF("vec_id", "embedding")
+    val cents = Seq((0, Seq(1.0, 0.0)), (1, Seq(0.0, 1.0)))
+      .toDF("cid", "c_emb")
+    val ivf0 = SemanticDedup.assignTo(spark, emb, cents)
+      .select("vec_id", "embedding", "cid", "cent_sim")
+    val poisonedEmb = emb.withColumn("embedding",
+      org.apache.spark.sql.functions.array(lit(9e9), lit(-9e9)))
+    val removeVecs = Seq(2L, 5L).toDF("vec_id")
+    val ivf1 = SemanticDedup.maintainAssignments(spark, ivf0, poisonedEmb,
+      removeVecs.select(col("vec_id"), lit("removed").as("change")), cents)
+    val rebuilt = SemanticDedup.assignTo(spark,
+      emb.where(!col("vec_id").isin(2L, 5L)), cents)
+      .select("vec_id", "embedding", "cid", "cent_sim")
+    assert(sortedRows(ivf1).sameElements(sortedRows(rebuilt)))
+  }
+
+  test("corpus + artifacts move as one unit; crash windows recover; re-delivery is a no-op") {
+    import graft.sources.ArtifactStore
+    val intact = docs
+    val remaining = intact.where(!col("doc_id").isin(removeSet: _*))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_rma").toString
+    try {
+      intact.write.parquet(s"$tmp/corpus")
+      Winnowing.fpValuesFrom(spark, intact).write.parquet(s"$tmp/fp")
+      SpanDedup.spanGramIndex(spark, intact).write.parquet(s"$tmp/span")
+
+      // batch 0 removes doc 2; simulate a crash INSIDE the corpus
+      // swap window afterwards: dir renamed away, tmp left behind
+      Removal.removalMicroBatchAll(spark, Seq(2L).toDF("doc_id"), 0L,
+        s"$tmp/corpus", s"$tmp/fp", s"$tmp/span")
+      val afterB0 = sortedRows(spark.read.parquet(s"$tmp/corpus"))
+      val fs = new java.io.File(s"$tmp/corpus")
+      assert(fs.renameTo(new java.io.File(s"$tmp/corpus.old")))
+      // recovery restores the pre-crash state; the batch re-delivery
+      // (at-least-once) then finds everything already applied
+      Removal.removalMicroBatchAll(spark, Seq(2L).toDF("doc_id"), 0L,
+        s"$tmp/corpus", s"$tmp/fp", s"$tmp/span")
+      assert(sortedRows(spark.read.parquet(s"$tmp/corpus"))
+        .sameElements(afterB0))
+
+      // batch 1 removes doc 5 — corpus, fp and span all advance
+      Removal.removalMicroBatchAll(spark, Seq(5L).toDF("doc_id"), 1L,
+        s"$tmp/corpus", s"$tmp/fp", s"$tmp/span")
+      assert(sortedRows(spark.read.parquet(s"$tmp/corpus")).sameElements(
+        sortedRows(remaining)))
+      assert(sortedRows(spark.read.parquet(s"$tmp/fp")).sameElements(
+        sortedRows(Winnowing.fpValuesFrom(spark, remaining))))
+      assert(sortedRows(spark.read.parquet(s"$tmp/span")).sameElements(
+        sortedRows(SpanDedup.spanGramIndex(spark, remaining))))
+      assert(ArtifactStore.appliedBatch(spark, s"$tmp/corpus") == 1L)
+
+      // re-delivering batch 1 AFTER the corpus dropped doc 5's text
+      // must be a no-op everywhere (the span maintainer would find no
+      // text — the gate must stop it first)
+      Removal.removalMicroBatchAll(spark, Seq(5L).toDF("doc_id"), 1L,
+        s"$tmp/corpus", s"$tmp/fp", s"$tmp/span")
+      assert(sortedRows(spark.read.parquet(s"$tmp/span")).sameElements(
         sortedRows(SpanDedup.spanGramIndex(spark, remaining))))
     } finally {
       def rm(f: java.io.File): Unit = {
