@@ -178,6 +178,33 @@ object Removal {
       .orderBy("artifact")
   }
 
+  /** D7 removal: takedown propagation into the on-disk
+    * `cid=`-partitioned IVF layout, at PARTITION grain — touched cids
+    * come from a vec→cid lookup (at a deployment, O5's maintained
+    * assignment frame; at 10⁹ vectors with k=10⁴ buckets a removal
+    * batch touches ≤|batch| buckets), so only the touched `cid=`
+    * directories are ever read or rewritten; untouched buckets' files
+    * are never opened (RemovalSpec proves it by corrupting an
+    * untouched bucket's files — the removal must still succeed).
+    * Each touched bucket publishes through [[ArtifactStore.maintain]]
+    * — replayed batches are per-bucket no-ops, crashes leave every
+    * bucket complete, and the layout root is swept for interrupted
+    * swaps first so partition discovery never sees a stale
+    * `cid=N.tmp` child. */
+  def removeFromIvfLayout(spark: SparkSession, layoutDir: String,
+                          lookup: DataFrame, removeVecIds: DataFrame,
+                          batchId: Long): Unit = {
+    ArtifactStore.recoverAll(spark, layoutDir)
+    val ids = removeVecIds.select("vec_id")
+    val touched = lookup.join(ids, Seq("vec_id"), "left_semi")
+      .select("cid").distinct().collect().map(_.get(0))
+    touched.foreach { c =>
+      ArtifactStore.maintain(spark, s"$layoutDir/cid=$c", batchId) { cur =>
+        cur.join(broadcast(ids), Seq("vec_id"), "left_anti")
+      }
+    }
+  }
+
   /** DuckDB twin of [[removalAuditV2]]: band + chunk indexes rebuilt
     * over the remaining docs, assignments rebuilt over the remaining
     * embeddings under the frozen centroid literal (round-9 cosine

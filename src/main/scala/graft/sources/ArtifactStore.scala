@@ -98,6 +98,24 @@ object ArtifactStore {
     if (f.exists(old)) f.delete(old, true)
   }
 
+  /** Sweep a PARENT directory (e.g. a hive-partitioned layout root)
+    * for children left by an interrupted swap — `<name>.old` /
+    * `<name>.tmp` — and [[recover]] each base path. A partitioned
+    * layout whose buckets are maintained individually needs this
+    * before any full-layout read: a stale `cid=3.tmp` child would
+    * otherwise be picked up by partition discovery as a malformed
+    * partition value. */
+  def recoverAll(spark: SparkSession, parentDir: String): Unit = {
+    val (f, p) = fs(spark, parentDir)
+    if (!f.exists(p)) return
+    f.listStatus(p).foreach { st =>
+      val name = st.getPath.getName
+      if (name.endsWith(".old") || name.endsWith(".tmp"))
+        recover(spark, new Path(p, name.stripSuffix(".old")
+          .stripSuffix(".tmp")).toString)
+    }
+  }
+
   /** The maintenance gate: recover from any interrupted swap, skip
     * the batch if this artifact already absorbed it, else compute the
     * next state from the current one and commit. `update` must be a

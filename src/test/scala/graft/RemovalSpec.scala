@@ -190,6 +190,45 @@ class RemovalSpec extends SparkSpec {
     assert(sortedRows(ivf1).sameElements(sortedRows(rebuilt)))
   }
 
+  test("D7: layout removal rewrites only touched cid buckets (untouched bucket's files corrupted)") {
+    val emb = Seq(
+      (1L, Seq(1.0, 0.1)), (2L, Seq(0.9, 0.2)), (3L, Seq(0.1, 1.0)),
+      (4L, Seq(-0.3, 0.8)), (5L, Seq(0.8, 0.3))).toDF("vec_id", "embedding")
+    val cents = Seq((0, Seq(1.0, 0.0)), (1, Seq(0.0, 1.0)))
+      .toDF("cid", "c_emb")
+    val assigned = SemanticDedup.assignTo(spark, emb, cents)
+      .select("vec_id", "embedding", "cid")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_d7").toString
+    try {
+      assigned.write.partitionBy("cid").parquet(s"$tmp/ivf")
+      // vecs 1/2/5 land in cid=0, vecs 3/4 in cid=1 (by construction)
+      assert(sortedRows(spark.read.parquet(s"$tmp/ivf/cid=0")
+        .select("vec_id")).map(_.head).toSeq == Seq(1L, 2L, 5L))
+      // corrupt the cid=1 bucket's data files: if removal opens them,
+      // it throws — partition-grain removal must never read an
+      // untouched bucket
+      new java.io.File(s"$tmp/ivf/cid=1").listFiles()
+        .filter(_.getName.endsWith(".parquet")).foreach { f =>
+          java.nio.file.Files.write(f.toPath,
+            "NOT A PARQUET FILE".getBytes)
+        }
+      Removal.removeFromIvfLayout(spark, s"$tmp/ivf",
+        assigned.select("vec_id", "cid"), Seq(2L).toDF("vec_id"), 0L)
+      assert(sortedRows(spark.read.parquet(s"$tmp/ivf/cid=0")
+        .select("vec_id")).map(_.head).toSeq == Seq(1L, 5L))
+      // replay of the same batch: no-op (the bucket's applied marker)
+      Removal.removeFromIvfLayout(spark, s"$tmp/ivf",
+        assigned.select("vec_id", "cid"), Seq(2L).toDF("vec_id"), 0L)
+      assert(sortedRows(spark.read.parquet(s"$tmp/ivf/cid=0")
+        .select("vec_id")).map(_.head).toSeq == Seq(1L, 5L))
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+      }
+      rm(new java.io.File(tmp))
+    }
+  }
+
   test("corpus + artifacts move as one unit; crash windows recover; re-delivery is a no-op") {
     import graft.sources.ArtifactStore
     val intact = docs
