@@ -236,6 +236,9 @@ object SparkEntry {
     "q_lsh_recall" -> (Dedup.lshRecall _),
     "q_lsh_tune" -> (LshTune.lshTune _),
     "q_lsh_tuned_check" -> (LshTune.lshTunedCheck _),
+    // W5: the tuned family through C2's FULL candidate->verify path,
+    // pair-set diffed against the fixed (4,3) family
+    "q_lsh_reband" -> (LshTune.lshReband _),
     "q_removal_audit" -> (Removal.removalAudit _),
     // M6: the vector-side standing artifacts (C2 band index, X2 chunk
     // index, O5 IVF assignments) through the same governed removal
@@ -397,6 +400,7 @@ object SparkEntry {
     "q_lsh_recall" -> Dedup.lshRecallSql,
     "q_lsh_tune" -> LshTune.lshTuneSql,
     "q_lsh_tuned_check" -> LshTune.lshTunedCheckSql,
+    "q_lsh_reband" -> LshTune.lshRebandSql,
     "q_removal_audit" -> Removal.removalAuditSql,
     "q_removal_audit_v2" -> Removal.removalAuditV2Sql,
     // I4 joins the oracle through its frozen-centroid literal (the D3

@@ -94,8 +94,8 @@ object Dedup {
     * ≈0.99 with zero false candidates and max bucket size 3 (measured
     * at sf0.01). */
   private[graft] val H = 12
-  private val Bands = 4
-  private val R = 3
+  private[operators] val Bands = 4
+  private[operators] val R = 3
   /** Per-bucket member cap, applied IDENTICALLY on both engines (Spark
     * slices the sorted collect; the oracle row_numbers per bucket), so
     * a degenerate bucket can never diverge Spark from the oracle.
@@ -472,6 +472,94 @@ object Dedup {
       |  AND a.doc_id < b.doc_id
       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 4
       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  /** The (doc_id, sh, mh_0..mh_{H-1}) frame the whole LSH family
+    * shares: ONE signature pass feeds any banding (re-banding a
+    * persisted H-hash sketch is free at serve time — W3's premise,
+    * W5's proof). */
+  private[operators] def shingledSig(spark: SparkSession,
+                                     docs: DataFrame): DataFrame =
+    minhashSigOf(spark, shingled(docs), carrySh = true)
+
+  /** The FULL C2→C4 path under an ARBITRARY banding (b × r) of the
+    * same H-hash signature: band keys on hashes [i·r, i·r + r),
+    * bucket-collect with the house [[BucketCap]], then exact
+    * distinct-shingle Jaccard for every bucket-colliding pair — one
+    * row per CANDIDATE pair with its verified jaccard. */
+  private[operators] def verifiedPairsAt(spark: SparkSession,
+                                         sig: DataFrame, b: Int,
+                                         r: Int): DataFrame = {
+    require(b * r <= H, s"family ($b, $r) exceeds the $H-hash budget")
+    val bandStructs = (0 until b).map { i =>
+      val ks = (0 until r).map(j => col(s"mh_${i * r + j}"))
+      struct(lit(i).as("band"), md5(concat_ws("|", ks: _*)).as("key"))
+    }
+    sig
+      .select(col("doc_id"), col("sh"),
+        explode(array(bandStructs: _*)).as("bk"))
+      .select(col("doc_id"), col("sh"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+      .groupBy("band", "key")
+      .agg(collect_list(struct(col("doc_id"), col("sh"))).as("ms"))
+      .where(size(col("ms")) > 1)
+      .withColumn("sms", expr(s"slice(array_sort(ms), 1, $BucketCap)"))
+      .select(explode(expr(
+        """flatten(transform(sms, (a, i) ->
+          |  transform(slice(sms, i + 2, size(sms)), b ->
+          |    named_struct('doc_a', a.doc_id, 'doc_b', b.doc_id,
+          |      'inter', size(array_intersect(a.sh, b.sh)),
+          |      'na', size(a.sh), 'nb', size(b.sh)))))""".stripMargin)).as("p"))
+      .where(col("p.doc_a") < col("p.doc_b"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
+        (col("p.inter").cast("double") /
+          (col("p.na") + col("p.nb") - col("p.inter"))).as("jaccard"))
+      .distinct()
+  }
+
+  /** SQL twin of [[verifiedPairsAt]] over a shared `s` shingle CTE:
+    * emits `m_<tag>`(unused)-free CTEs `bands_<tag>` (capped) and
+    * `ver_<tag>` (doc_a, doc_b, jaccard). Assumes CTEs `s` (doc_id,
+    * sh) and `m` (doc_id, mh_0..mh_{H-1}) are already in scope. */
+  private[operators] def verifiedPairsSqlCtes(tag: String, b: Int,
+                                              r: Int): String = {
+    val bandSelects = (0 until b).map { i =>
+      val ks = (0 until r).map(j => s"mh_${i * r + j}").mkString(" || '|' || ")
+      s"SELECT doc_id, $i AS band, md5($ks) AS key FROM m"
+    }.mkString("\n  UNION ALL ")
+    s"""bands_${tag}_raw AS (
+      |  $bandSelects),
+      |bands_$tag AS (
+      |  SELECT doc_id, band, key FROM (
+      |    SELECT doc_id, band, key,
+      |      row_number() OVER (PARTITION BY band, key ORDER BY doc_id) AS rn
+      |    FROM bands_${tag}_raw) t WHERE rn <= $BucketCap),
+      |pairs_$tag AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM bands_$tag a JOIN bands_$tag b
+      |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+      |ver_$tag AS (
+      |  SELECT doc_a, doc_b,
+      |    CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+      |      (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))
+      |      AS jaccard
+      |  FROM pairs_$tag JOIN s sa ON doc_a = sa.doc_id
+      |                  JOIN s sb ON doc_b = sb.doc_id)""".stripMargin
+  }
+
+  /** The shared shingle+signature CTE pair for [[verifiedPairsSqlCtes]]
+    * callers (`s` + `m` over an arbitrary docs relation). */
+  private[operators] def shingledSigSqlCtes(from: String): String = {
+    val mhs = (0 until H).map(j =>
+      s"list_aggregate(list_transform(sh, x -> md5('$j:' || x)), 'min') AS mh_$j").mkString(",\n    ")
+    s"""s AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(range(1, greatest(len(toks)-1, 2)),
+      |      i -> array_to_string(toks[i:i+2], ' '))) AS sh
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM $from)),
+      |m AS (SELECT doc_id,
+      |    $mhs
+      |  FROM s)""".stripMargin
   }
 
   // ---------------------------------------------------------------- C4

@@ -285,6 +285,87 @@ object LshTune {
       |ORDER BY jac_decile""".stripMargin
   }
 
+  // ---------------------------------------------------------------- W5
+  /** W5: the tuner's pick taken ALL THE WAY through C2's real pair
+    * pipeline — re-band the SAME persisted 12-hash signatures at the
+    * chosen (b, r), run the full candidate→exact-Jaccard-verify path
+    * over the whole corpus, and set the result beside the fixed
+    * (4, 3) family's: per family the candidate count (the verify load
+    * a deployment pays), the verified-dup yield at the C4 τ = 0.8
+    * bar, the false-candidate count the verify pass absorbed, and the
+    * verified pairs ONLY this family found (the recall trade made
+    * concrete as an exact pair-set diff, not a prediction). One
+    * signature pass feeds both bandings — re-banding is serve-time
+    * free, which is W3's premise and this query's proof.
+    *
+    * Scale shape: the signature pipeline is narrow and runs ONCE;
+    * each family adds one band-key shuffle + capped bucket pair
+    * explode (the C2/C4 shape, already priced) and the pair-set diff
+    * is an anti-join on (doc_a, doc_b) — no all-pairs anywhere. */
+  val VerifyTau = 0.8
+
+  def lshReband(spark: SparkSession, dir: String): DataFrame = {
+    val (tb, tr) = pick(spark, dir)
+    lshRebandFrom(spark, Tables.documents(spark, dir), tb, tr)
+  }
+
+  def lshRebandFrom(spark: SparkSession, docs: DataFrame,
+                    tb: Int, tr: Int): DataFrame = {
+    val sig = Dedup.shingledSig(spark, docs)
+    val verF = Dedup.verifiedPairsAt(spark, sig, Dedup.Bands, Dedup.R)
+    val verT = Dedup.verifiedPairsAt(spark, sig, tb, tr)
+    def dups(v: DataFrame) = v.where(col("jaccard") >= VerifyTau)
+      .select("doc_a", "doc_b")
+    def famRow(name: String, b: Int, r: Int, ver: DataFrame,
+               other: DataFrame): DataFrame =
+      ver.agg(count(lit(1)).as("n_candidates"),
+          sum(when(col("jaccard") >= VerifyTau, 1L).otherwise(0L))
+            .as("n_verified"),
+          sum(when(col("jaccard") < VerifyTau, 1L).otherwise(0L))
+            .as("n_fp"))
+        .crossJoin(dups(ver).join(dups(other),
+          Seq("doc_a", "doc_b"), "left_anti")
+          .agg(count(lit(1)).as("n_only_here")))
+        .select(lit(name).as("family"), lit(b).as("b"), lit(r).as("r"),
+          col("n_candidates"), col("n_verified"), col("n_fp"),
+          col("n_only_here"))
+    famRow("fixed", Dedup.Bands, Dedup.R, verF, verT)
+      .unionByName(famRow("tuned", tb, tr, verT, verF))
+      .orderBy("family")
+  }
+
+  /** DuckDB twin: both families rebuilt from the same shingle + 12-hash
+    * signature CTEs, full candidate→verify per family, exact-integer
+    * aggregates + the anti-join pair-set diff. */
+  def lshRebandSql: String = {
+    val (tb, tr) = pickCache.oracleModel()
+    s"""WITH ${Dedup.shingledSigSqlCtes("documents")},
+      |${Dedup.verifiedPairsSqlCtes("f", Dedup.Bands, Dedup.R)},
+      |${Dedup.verifiedPairsSqlCtes("t", tb, tr)},
+      |df AS (SELECT doc_a, doc_b FROM ver_f WHERE jaccard >= $VerifyTau),
+      |dt AS (SELECT doc_a, doc_b FROM ver_t WHERE jaccard >= $VerifyTau)
+      |SELECT * FROM (
+      |  SELECT 'fixed' AS family, ${Dedup.Bands} AS b, ${Dedup.R} AS r,
+      |    (SELECT CAST(count(*) AS BIGINT) FROM ver_f) AS n_candidates,
+      |    (SELECT CAST(count(*) AS BIGINT) FROM df) AS n_verified,
+      |    (SELECT CAST(count(*) AS BIGINT) FROM ver_f
+      |       WHERE jaccard < $VerifyTau) AS n_fp,
+      |    (SELECT CAST(count(*) AS BIGINT) FROM df
+      |       WHERE NOT EXISTS (SELECT 1 FROM dt
+      |         WHERE dt.doc_a = df.doc_a AND dt.doc_b = df.doc_b))
+      |      AS n_only_here
+      |  UNION ALL
+      |  SELECT 'tuned', $tb, $tr,
+      |    (SELECT CAST(count(*) AS BIGINT) FROM ver_t),
+      |    (SELECT CAST(count(*) AS BIGINT) FROM dt),
+      |    (SELECT CAST(count(*) AS BIGINT) FROM ver_t
+      |       WHERE jaccard < $VerifyTau),
+      |    (SELECT CAST(count(*) AS BIGINT) FROM dt
+      |       WHERE NOT EXISTS (SELECT 1 FROM df
+      |         WHERE df.doc_a = dt.doc_a AND df.doc_b = dt.doc_b)))
+      |ORDER BY family""".stripMargin
+  }
+
   def lshTuneSql: String = {
     def d2s(x: Double) = java.lang.Double.toString(x)
     val countCols = (0 to 9).map(d =>

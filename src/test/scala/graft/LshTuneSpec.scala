@@ -121,4 +121,39 @@ class LshTuneSpec extends SparkSpec {
     assert(c.getInt(0) * c.getInt(1) <= Dedup.H,
       "chosen family exceeds the signature budget")
   }
+
+  test("W5 reband: full-pipeline pair sets honor the family semantics (degenerate + planted cases)") {
+    // A (12, 1) OR-only family collides ANY pair sharing one min-hash;
+    // a (1, 12) AND-only family collides only full-signature matches.
+    // Identical docs collide under BOTH; distinct docs with partial
+    // overlap collide under the OR family far more readily — the
+    // pair-set diff must reflect the containment.
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (1L, base), (2L, base), // identical pair: collides in any family
+      (3L, (1 to 40).map(i => s"tok$i").mkString(" ") + " extra1 extra2"),
+      (4L, (20 to 60).map(i => s"tok$i").mkString(" ")),
+      (5L, (100 to 140).map(i => s"zzz$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = LshTune.lshRebandFrom(spark, docs, 1, 12).collect()
+    assert(out.map(_.getString(0)).toSeq == Seq("fixed", "tuned"))
+    val fixed = out(0); val tuned = out(1)
+    // arithmetic invariant: candidates split exactly into verified + fp
+    for (r <- out)
+      assert(r.getAs[Long]("n_candidates") ==
+        r.getAs[Long]("n_verified") + r.getAs[Long]("n_fp"))
+    // the AND-only (1,12) family's candidate set is a subset of any
+    // family that includes per-band sub-signatures of the full one: a
+    // full 12-hash match implies every 3-hash band matches
+    assert(tuned.getAs[Long]("n_verified") <= fixed.getAs[Long]("n_verified"))
+    assert(tuned.getAs[Long]("n_only_here") == 0L,
+      "a (1,12) verified pair is verified under (4,3) too")
+    // the identical pair is caught by both
+    assert(tuned.getAs[Long]("n_verified") >= 1L)
+    // the corpus-level gated form runs with the tuner's own pick
+    val corpus = LshTune.lshReband(spark, sfDir).collect()
+    val pk = LshTune.pick(spark, sfDir)
+    assert(corpus.length == 2)
+    assert(corpus(1).getInt(1) == pk._1 && corpus(1).getInt(2) == pk._2)
+  }
 }
