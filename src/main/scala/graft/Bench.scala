@@ -240,7 +240,8 @@ object Bench {
     "from_span_incremental", "from_alloc_materialize", "from_hard_negatives",
     "from_dedup_semantic", "from_epoch_alloc", "from_lm_quality",
     "from_winnow_incremental", "from_ann_bq", "from_profile_sketch",
-    "from_langid_trained", "from_removal_audit", "from_removal_audit_v2")
+    "from_langid_trained", "from_removal_audit", "from_removal_audit_v2",
+    "from_video_meta")
 
   /** Materialize the shared stage outputs once (untimed), then time
     * ONLY the `*From` compositions over the persisted parquet — the
@@ -289,6 +290,10 @@ object Bench {
       lazy val rmEmb = persist("rm_emb",
         graft.sources.Tables.embeddings(spark, sfDir)
           .select("vec_id", "embedding"))
+      // F8's stored corpus: at a deployment the clips are BYTES ON
+      // DISK; the persist is the untimed synthesis of that corpus
+      lazy val vidBlobs = persist("vid_blobs",
+        VideoDedup.videoTable(spark, sfDir).toDF)
       lazy val rmIvf = persist("rm_ivf",
         SemanticDedup.assignTo(spark, rmEmb, rmCents)
           .select("vec_id", "embedding", "cid", "cent_sim"))
@@ -421,7 +426,11 @@ object Bench {
           Removal.removalAuditV2With(spark, rmBand, rmChunk, rmIvf, rmEmb,
             docs.where(Removal.isForgotten(col("doc_id"))).select("doc_id"),
             rmEmb.where(Removal.isForgotten(col("vec_id"))).select("vec_id"),
-            rmCents)))
+            rmCents)),
+        // F8 steady state: the structural metadata walk over the
+        // stored blob corpus — no encode, no pixel decode
+        "from_video_meta" -> (() =>
+          VideoDedup.videoMetaFrom(spark, vidBlobs)))
       forms.filter { case (n, _) => only.forall(_.contains(n)) }
         .foreach { case (n, mk) =>
           // Force the form's stage dependencies (the lazy parquet

@@ -47,7 +47,7 @@ object BinaryAnn {
   /** Integer hamming distance between two packed-word array columns
     * (named by `words`/`qWords`) — Σ_w popcount(xor), plain codegen'd
     * built-ins. Shared by the flat scan and the IVF-composed form. */
-  private[operators] def hammingOf(words: String, qWords: String): org.apache.spark.sql.Column =
+  private[graft] def hammingOf(words: String, qWords: String): org.apache.spark.sql.Column =
     (0 until BitPack.Words)
       .map(w => expr(s"bit_count(element_at($words, ${w + 1}) " +
         s"^ element_at($qWords, ${w + 1}))").cast("long"))

@@ -28,6 +28,24 @@ class VideoDedupSpec extends SparkSpec {
     }
   }
 
+  test("structural metadata walk equals the full ImageIO parse on every clip; garbage is None") {
+    // parseGifFast replaces getNumImages(true)'s per-frame decode in
+    // videoMeta — it must agree with the full parse bit-for-bit on
+    // every rendered container, and keep the unreadable-payload
+    // contract on junk
+    val blobs = VideoDedup.videoTable(spark, sfDir).collect()
+    blobs.foreach { v =>
+      assert(VideoDedup.parseGifFast(v.gif) == VideoDedup.parseGif(v.gif),
+        s"doc ${v.doc_id}: structural walk diverged from ImageIO")
+    }
+    assert(VideoDedup.parseGifFast("NOT A GIF AT ALL".getBytes).isEmpty)
+    assert(VideoDedup.parseGifFast(Array[Byte]()).isEmpty)
+    // truncated container: header valid, stream cut mid-frame
+    val cut = blobs.head.gif.take(40)
+    assert(VideoDedup.parseGifFast(cut).isEmpty ||
+      VideoDedup.parseGifFast(cut) == VideoDedup.parseGif(cut))
+  }
+
   test("stride 1 decodes all frames and later frames differ from frame 0 (a real stream)") {
     val v = VideoDedup.videoTable(spark, sfDir).limit(1).collect().head
     val (hashes, decoded) = VideoDedup.sampledHashes(v.gif, 1).get
