@@ -43,6 +43,7 @@ object ProbeCaps1000x {
     val base = if (args.length > 0) args(0) else "/tmp/graft_100x"
     val x = if (args.length > 1) args(1).toInt else 10
     val out = if (args.length > 2) args(2) else "/tmp/graft_caps1000x"
+    val stride = if (args.length > 3) args(3).toLong else 100L
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -50,7 +51,7 @@ object ProbeCaps1000x {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    try run(spark, base, x, out)
+    try run(spark, base, x, out, stride)
     finally spark.stop()
   }
 
@@ -60,10 +61,24 @@ object ProbeCaps1000x {
     (r, (System.nanoTime() - t0) / 1e9)
   }
 
-  def run(spark: SparkSession, base: String, x: Int, out: String): Unit = {
-    val hotStride = 100L // F = nDocs / 100 (≈500k at 1000×)
+  def run(spark: SparkSession, base: String, x: Int, out: String,
+          hotStride: Long = 100L): Unit = {
 
     // ---- phase 0 (untimed): planted 1000× tables on disk ----------
+    // (skipped when the planted tables already exist — probes re-run
+    // against the same build after a kernel change)
+    val built = new java.io.File(s"$out/emb.parquet/_SUCCESS").exists()
+    if (!built) buildTables(spark, base, x, out, hotStride)
+
+    val nDocs = spark.read.parquet(s"$out/docs_win.parquet").count()
+    val nVecs = spark.read.parquet(s"$out/emb.parquet").count()
+    val f = nDocs / hotStride
+    println(s"[caps1000x] built: $nDocs docs, $nVecs vecs, planted F=$f")
+    probes(spark, out, nDocs, nVecs, f)
+  }
+
+  private def buildTables(spark: SparkSession, base: String, x: Int,
+                          out: String, hotStride: Long): Unit = {
     val docs0 = spark.read.parquet(s"$base/documents.parquet")
       .select("doc_id", "text")
     val mx = docs0.agg(max(col("doc_id"))).head().getLong(0)
@@ -107,12 +122,10 @@ object ProbeCaps1000x {
         when(pmod(col("vec_id"), lit(hotStride)) === 0, hotLit)
           .otherwise(col("embedding")))
       .write.mode("overwrite").parquet(s"$out/emb.parquet")
+  }
 
-    val nDocs = spark.read.parquet(s"$out/docs_win.parquet").count()
-    val nVecs = spark.read.parquet(s"$out/emb.parquet").count()
-    val f = nDocs / hotStride
-    println(s"[caps1000x] built: $nDocs docs, $nVecs vecs, planted F=$f")
-
+  private def probes(spark: SparkSession, out: String, nDocs: Long,
+                     nVecs: Long, f: Long): Unit = {
     // ---- probe 1: WinnowBucketCap ---------------------------------
     val dw = spark.read.parquet(s"$out/docs_win.parquet")
     val (wPairs, wSec) = time {
@@ -125,9 +138,9 @@ object ProbeCaps1000x {
     val dl = spark.read.parquet(s"$out/docs_lsh.parquet")
     val (lPairs, lSec) = time {
       Dedup.bandsOf(spark, dl)
-        .groupBy("band", "key").agg(collect_list("doc_id").as("ids"))
-        .where(size(col("ids")) > 1)
-        .withColumn("sids", expr(s"slice(array_sort(ids), 1, ${Dedup.BucketCap})"))
+        .groupBy("band", "key")
+        .agg(TopK.minIds(spark, Dedup.BucketCap, col("doc_id")).as("sids"))
+        .where(size(col("sids")) > 1)
         .select(explode(expr(
           """flatten(transform(sids, (a, i) ->
             |  transform(slice(sids, i + 2, size(sids)),

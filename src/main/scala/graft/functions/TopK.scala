@@ -73,4 +73,22 @@ object TopK {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Scored]())
     agg(id, sim)
   }
+
+  /** The k SMALLEST ids per group, ascending — `slice(array_sort(
+    * collect_list(id)), 1, k)` with a BOUNDED buffer: the collect
+    * form first materializes the whole group in one aggregation value
+    * (O(F) bytes for an F-member hot bucket — ~800 MB for the 10⁸-doc
+    * boilerplate key a 100 TB corpus will contain), while this
+    * aggregator's buffer never exceeds k entries at any stage and the
+    * map-side partial already reduces each partition's group to k.
+    * Exactly the multiset the capped-collect form kept (duplicates
+    * insert adjacently), so swapping it in cannot move a hash gate —
+    * the native [[graft.plans.MinIds]] aggregate (primitive buffer +
+    * raw serde; the typed-udaf route measured ~5× slower than even
+    * the collect form on a 300M-row stream). */
+  def minIds(spark: SparkSession, k: Int, id: Column): Column = {
+    import org.apache.spark.sql.functions.{call_function, lit}
+    graft.plans.GraftFunctions.register(spark)
+    call_function("graft_min_ids", id, lit(k))
+  }
 }

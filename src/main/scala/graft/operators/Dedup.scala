@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.{Portable, Vectors}
+import graft.functions.{Portable, TopK, Vectors}
 import graft.sources.Tables
 
 /** Deduplication operators over the `documents` table (C1-C5).
@@ -234,9 +234,12 @@ object Dedup {
     * duplicate via its first 999 members). */
   private def lshPairs(spark: SparkSession, dir: String): DataFrame =
     minhashBands(spark, dir)
-      .groupBy("band", "key").agg(collect_list("doc_id").as("ids"))
-      .where(size(col("ids")) > 1)
-      .withColumn("sids", expr(s"slice(array_sort(ids), 1, $BucketCap)"))
+      // bounded min-k aggregation: O(cap) buffer per bucket however
+      // hot the band key (see TopK.minIds; the collect-and-slice form
+      // buffered the full F-member list first)
+      .groupBy("band", "key")
+      .agg(TopK.minIds(spark, BucketCap, col("doc_id")).as("sids"))
+      .where(size(col("sids")) > 1)
       .select(explode(expr(
         """flatten(transform(sids, (a, i) ->
           |  transform(slice(sids, i + 2, size(sids)),

@@ -314,10 +314,16 @@ object GraftFunctions {
       litInt(children(1), "graft_winnow_fp k"),
       litInt(children(2), "graft_winnow_fp w")): Expression)
 
+  private val minIdsDesc = (
+    FunctionIdentifier("graft_min_ids"),
+    new ExpressionInfo(classOf[MinIds].getName, null, "graft_min_ids"),
+    (children: Seq[Expression]) => MinIds(
+      children(0), litInt(children(1), "graft_min_ids cap")): Expression)
+
   private val all = Seq(cosineDesc, srpDesc, minhashDesc, simhashDesc,
     pqEncodeDesc, shinglesDesc, gramStatsDesc, gramBucketsDesc,
     mightContainDesc, sortedExceptDesc, bpeCountDesc, bpeEncodeDesc,
-    bitPackDesc, nbScoresDesc, winnowFpDesc, lmScoreDesc)
+    bitPackDesc, nbScoresDesc, winnowFpDesc, lmScoreDesc, minIdsDesc)
 
   /** Idempotent per-session registration (for sessions built without
     * the extensions config). */

@@ -45,8 +45,8 @@ object DocStreams {
   def corpusBandIndex(spark: SparkSession, corpusDir: String): DataFrame =
     Dedup.bandsOf(spark, Tables.documents(spark, corpusDir))
       .groupBy("band", "key")
-      .agg(expr(s"slice(array_sort(collect_list(doc_id)), 1, ${Dedup.BucketCap})")
-        .as("ids"))
+      .agg(graft.functions.TopK.minIds(spark, Dedup.BucketCap,
+        col("doc_id")).as("ids"))
       .select(col("band"), col("key"), explode(col("ids")).as("old_id"))
 
   /** Matches of streaming docs against a pre-built corpus band index
