@@ -153,6 +153,16 @@ object ProbeCaps1000x {
     println(s"""[caps1000x] {"probe":"lsh_bucket_cap","n_docs":$nDocs,""" +
       f""""planted_f":$f,"pairs":$lPairs,"sec":$lSec%.1f}""")
 
+    // ---- probe 2b: the PAYLOAD-carrying C4 verify path ------------
+    // (the one-pass (doc_id, sh)-struct bucket collect OOM'd an 8 GB
+    // JVM here; the shipped two-pass cappedShBuckets form must price)
+    val (vPairs, vSec) = time {
+      Dedup.verifiedPairsAt(spark, Dedup.shingledSig(spark, dl), 4, 3)
+        .count()
+    }
+    println(s"""[caps1000x] {"probe":"c4_verify_payload","n_docs":$nDocs,""" +
+      f""""planted_f":$f,"pairs":$vPairs,"sec":$vSec%.1f}""")
+
     // ---- probe 3: ShortM (Z1 hamming shortlist) -------------------
     val pe = spark.read.parquet(s"$out/emb.parquet")
     val (sRows, sSec) = time {

@@ -481,7 +481,7 @@ object Dedup {
     * shares: ONE signature pass feeds any banding (re-banding a
     * persisted H-hash sketch is free at serve time — W3's premise,
     * W5's proof). */
-  private[operators] def shingledSig(spark: SparkSession,
+  private[graft] def shingledSig(spark: SparkSession,
                                      docs: DataFrame): DataFrame =
     minhashSigOf(spark, shingled(docs), carrySh = true)
 
@@ -490,7 +490,7 @@ object Dedup {
     * bucket-collect with the house [[BucketCap]], then exact
     * distinct-shingle Jaccard for every bucket-colliding pair — one
     * row per CANDIDATE pair with its verified jaccard. */
-  private[operators] def verifiedPairsAt(spark: SparkSession,
+  private[graft] def verifiedPairsAt(spark: SparkSession,
                                          sig: DataFrame, b: Int,
                                          r: Int): DataFrame = {
     require(b * r <= H, s"family ($b, $r) exceeds the $H-hash budget")
@@ -498,15 +498,11 @@ object Dedup {
       val ks = (0 until r).map(j => col(s"mh_${i * r + j}"))
       struct(lit(i).as("band"), md5(concat_ws("|", ks: _*)).as("key"))
     }
-    sig
-      .select(col("doc_id"), col("sh"),
-        explode(array(bandStructs: _*)).as("bk"))
-      .select(col("doc_id"), col("sh"),
+    val bands = sig
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
+      .select(col("doc_id"),
         col("bk.band").as("band"), col("bk.key").as("key"))
-      .groupBy("band", "key")
-      .agg(collect_list(struct(col("doc_id"), col("sh"))).as("ms"))
-      .where(size(col("ms")) > 1)
-      .withColumn("sms", expr(s"slice(array_sort(ms), 1, $BucketCap)"))
+    cappedShBuckets(spark, bands, sig.select("doc_id", "sh"))
       .select(explode(expr(
         """flatten(transform(sms, (a, i) ->
           |  transform(slice(sms, i + 2, size(sms)), b ->
@@ -565,21 +561,41 @@ object Dedup {
       |  FROM s)""".stripMargin
   }
 
+  /** Capped (doc_id, sh) bucket structs with BOUNDED memory — the
+    * payload twin of the graft_min_ids swap: pass 1 caps each
+    * bucket's member ids (O(cap) buffer at any hot-key F), pass 2
+    * joins the KEPT memberships back to the doc-grain shingle frame
+    * and collects the ≤cap structs. Identical `sms` to the one-pass
+    * collect-and-slice form (doc_id is unique within a bucket, so the
+    * cap keeps the same members and the struct sort gives the same
+    * order) — but no aggregation value ever holds more than cap
+    * entries, where the one-pass form buffered an F-member hot
+    * bucket's ENTIRE payload in one value: measured OOM of an 8 GB
+    * JVM at the planted F=500k 1000× probe (BASELINE round-19). The
+    * sh payload also stops riding the ×Bands band shuffle — it now
+    * crosses once per kept membership. */
+  private def cappedShBuckets(spark: SparkSession, bands: DataFrame,
+                              shFrame: DataFrame): DataFrame =
+    bands.groupBy("band", "key")
+      .agg(TopK.minIds(spark, BucketCap, col("doc_id")).as("sids"))
+      .where(size(col("sids")) > 1)
+      .select(col("band"), col("key"), explode(col("sids")).as("doc_id"))
+      .join(shFrame, Seq("doc_id"))
+      .groupBy("band", "key")
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("sh"))))
+        .as("sms"))
+
   // ---------------------------------------------------------------- C4
   /** N-gram Jaccard verification of the LSH candidates: exact distinct-
     * shingle Jaccard, computed only for bucket-colliding pairs. Union
     * size by inclusion-exclusion so intersect is the only set op. */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    // Shingle arrays ride along through the signature aggregation and
-    // bucket collect (first(sh) per doc — one array per doc crosses the
-    // shuffle, same bytes a join would move but with no second scan or
-    // join), so candidate pairing and exact Jaccard happen in one
-    // pipeline. Bucket arrays stay tiny (LSH-uniform keys + cap).
-    explodeBands(minhashSig(spark, dir, carrySh = true), Seq("sh"))
-      .groupBy("band", "key")
-      .agg(collect_list(struct(col("doc_id"), col("sh"))).as("ms"))
-      .where(size(col("ms")) > 1)
-      .withColumn("sms", expr(s"slice(array_sort(ms), 1, $BucketCap)"))
+    // Two-pass bounded shape (see cappedShBuckets): bucket membership
+    // caps on ids alone, then the kept members fetch their shingle
+    // arrays by a doc-grain join — a hot boilerplate bucket can no
+    // longer buffer F payloads in one aggregation value.
+    cappedShBuckets(spark, minhashBands(spark, dir),
+      withShingles(spark, dir, par = true))
       .select(explode(expr(
         """flatten(transform(sms, (a, i) ->
           |  transform(slice(sms, i + 2, size(sms)), b ->
@@ -634,11 +650,8 @@ object Dedup {
     containmentOf(minhashSigOf(spark, shingled(docs), carrySh = true))
 
   private def containmentOf(sig: DataFrame): DataFrame =
-    explodeBands(sig, Seq("sh"))
-      .groupBy("band", "key")
-      .agg(collect_list(struct(col("doc_id"), col("sh"))).as("ms"))
-      .where(size(col("ms")) > 1)
-      .withColumn("sms", expr(s"slice(array_sort(ms), 1, $BucketCap)"))
+    cappedShBuckets(sig.sparkSession, explodeBands(sig.drop("sh"), Nil),
+      sig.select("doc_id", "sh"))
       .select(explode(expr(
         """flatten(transform(sms, (a, i) ->
           |  transform(slice(sms, i + 2, size(sms)), b ->
