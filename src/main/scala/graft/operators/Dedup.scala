@@ -423,14 +423,16 @@ object Dedup {
       explode(expr(simhashTableStructsExpr)).as("bk"))
       .select(col("doc_id"), col("simhash"), col("bk.band"), col("bk.key"))
 
-  private[graft] def hammingPairsOf(sigs: DataFrame): DataFrame = {
-    val bands = simhashBandsOf(sigs)
-    // bucket-collect pair generation: signatures computed once (see
-    // lshPairs for the shape rationale and cap)
-    bands.groupBy("band", "key")
-      .agg(collect_list(struct(col("doc_id"), col("simhash"))).as("ms"))
-      .where(size(col("ms")) > 1)
-      .withColumn("sms", expr(s"slice(array_sort(ms), 1, $BucketCap)"))
+  private[graft] def hammingPairsOf(sigs0: DataFrame): DataFrame = {
+    // (doc_id, simhash) is 16 B/doc — materialize once so the
+    // two-pass branches (bands + payload join) don't re-run the sig
+    // lineage, which for the multimodal callers bears a CODEC decode
+    // pass (bounded state: the M3 convention, doc-grain fixed width)
+    val sigs = sigs0.select("doc_id", "simhash").localCheckpoint()
+    val bands = simhashBandsOf(sigs).select("doc_id", "band", "key")
+    // bounded two-pass bucket pairing (see cappedMemberBuckets)
+    cappedMemberBuckets(sigs.sparkSession, bands, Seq("band", "key"),
+      "doc_id", sigs, Seq("simhash"))
       .select(explode(expr(
         """flatten(transform(sms, (a, i) ->
           |  transform(slice(sms, i + 2, size(sms)),
@@ -576,14 +578,27 @@ object Dedup {
     * crosses once per kept membership. */
   private def cappedShBuckets(spark: SparkSession, bands: DataFrame,
                               shFrame: DataFrame): DataFrame =
-    bands.groupBy("band", "key")
-      .agg(TopK.minIds(spark, BucketCap, col("doc_id")).as("sids"))
-      .where(size(col("sids")) > 1)
-      .select(col("band"), col("key"), explode(col("sids")).as("doc_id"))
-      .join(shFrame, Seq("doc_id"))
-      .groupBy("band", "key")
-      .agg(sort_array(collect_list(struct(col("doc_id"), col("sh"))))
-        .as("sms"))
+    cappedMemberBuckets(spark, bands, Seq("band", "key"), "doc_id",
+      shFrame, Seq("sh"))
+
+  /** The general form of [[cappedShBuckets]] for any (bucket, id,
+    * payload) family: `sms` = the cap smallest members' (id, payload)
+    * structs, ascending — identical to the one-pass
+    * collect-struct-sort-slice idiom it replaces (ids are unique
+    * within a bucket), with O(cap) aggregation memory at any F.
+    * `payload` must be id-grain (one row per id). */
+  private[graft] def cappedMemberBuckets(spark: SparkSession,
+      bands: DataFrame, bucketCols: Seq[String], idCol: String,
+      payload: DataFrame, payloadCols: Seq[String],
+      minMembers: Int = 2): DataFrame =
+    bands.groupBy(bucketCols.map(col): _*)
+      .agg(TopK.minIds(spark, BucketCap, col(idCol)).as("sids"))
+      .where(size(col("sids")) >= minMembers)
+      .select(bucketCols.map(col) :+ explode(col("sids")).as(idCol): _*)
+      .join(payload, Seq(idCol))
+      .groupBy(bucketCols.map(col): _*)
+      .agg(sort_array(collect_list(
+        struct((idCol +: payloadCols).map(col): _*))).as("sms"))
 
   // ---------------------------------------------------------------- C4
   /** N-gram Jaccard verification of the LSH candidates: exact distinct-
@@ -915,10 +930,10 @@ object Dedup {
     // no self-join and no second embeddings fetch; a pair bucketed
     // together by BOTH sketches yields two identical (vec_a, vec_b,
     // cos_sim) rows, collapsed by the distinct
-    sk.groupBy("s", "bucket")
-      .agg(collect_list(struct(col("vec_id"), col("embedding"))).as("ms"))
-      .where(size(col("ms")) > 1)
-      .withColumn("sms", expr(s"slice(array_sort(ms), 1, $BucketCap)"))
+    cappedMemberBuckets(spark, sk.select("vec_id", "s", "bucket"),
+      Seq("s", "bucket"), "vec_id",
+      Tables.embeddings(spark, dir).select("vec_id", "embedding"),
+      Seq("embedding"))
       .select(explode(expr(
         """flatten(transform(sms, (a, i) ->
           |  transform(slice(sms, i + 2, size(sms)),
@@ -1207,11 +1222,18 @@ object Dedup {
   def incrementalDedup(spark: SparkSession, dir: String): DataFrame = {
     def isNew(c: Column): Column =
       Sampling.hashBucket(c, BatchSalt) < Sampling.pctThreshold(BatchPct)
-    val bands = minhashBands(spark, dir).withColumn("is_new", isNew(col("doc_id")))
-    val matches = bands
-      .groupBy("band", "key")
-      .agg(collect_list(struct(col("doc_id"), col("is_new"))).as("ms"))
-      .withColumn("sms", expr(s"slice(array_sort(ms), 1, $BucketCap)"))
+    val bands = minhashBands(spark, dir)
+    // bounded bucket cap (graft_min_ids) with NO payload join: is_new
+    // is a pure hash of doc_id, computed on the capped ids in place —
+    // the plan keeps its two-documents-scans shape (PlanSpec) and no
+    // aggregation value exceeds the cap however hot the bucket
+    val matches = bands.groupBy("band", "key")
+      .agg(TopK.minIds(spark, BucketCap, col("doc_id")).as("sids"))
+      .where(size(col("sids")) > 1)
+      .withColumn("sms", transform(col("sids"), d =>
+        struct(d.as("doc_id"),
+          (Sampling.hashBucket(d, BatchSalt) <
+            Sampling.pctThreshold(BatchPct)).as("is_new"))))
       .select(explode(expr("filter(sms, m -> m.is_new)")).as("nm"), col("sms"))
       .select(col("nm.doc_id").as("doc_id"),
         explode(expr("filter(sms, m -> NOT m.is_new)")).as("om"))
@@ -1274,10 +1296,9 @@ object Dedup {
         substring(col("text"), 1, FuzzyPrefixLen).as("pfx"),
         expr(fuzzyBlockTokExpr).as("blk_tok"),
         expr(fuzzyBlockLenExpr).as("blk_len"))
-    blocked.groupBy("blk_tok", "blk_len")
-      .agg(collect_list(struct(col("doc_id"), col("pfx"))).as("ms"))
-      .where(size(col("ms")) > 1)
-      .withColumn("sms", expr(s"slice(array_sort(ms), 1, $BucketCap)"))
+    cappedMemberBuckets(spark, blocked.select("doc_id", "blk_tok", "blk_len"),
+      Seq("blk_tok", "blk_len"), "doc_id",
+      blocked.select("doc_id", "pfx"), Seq("pfx"))
       .select(explode(expr(
         """flatten(transform(sms, (a, i) ->
           |  transform(slice(sms, i + 2, size(sms)),

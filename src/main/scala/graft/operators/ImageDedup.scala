@@ -315,15 +315,20 @@ object ImageDedup {
     * just band collisions. At scale this is written once, bucketed on
     * (band, key), and reused across micro-batches (the H9 corpus-
     * index convention; capped like the batch buckets). */
-  def imageBandIndex(spark: SparkSession, dir: String): DataFrame =
-    Dedup.simhashBandsOf(decodedSigs(imageTable(spark, dir)).toDF())
-      .groupBy("band", "key")
-      .agg(expr("slice(array_sort(collect_list(named_struct(" +
-        s"'doc_id', doc_id, 'simhash', simhash))), 1, ${Dedup.BucketCap})")
-        .as("ms"))
-      .select(col("band"), col("key"), explode(col("ms")).as("m"))
+  def imageBandIndex(spark: SparkSession, dir: String): DataFrame = {
+    // bounded two-pass (Dedup.cappedMemberBuckets device): capped ids
+    // per bucket, then the fingerprint joins back — minMembers = 1
+    // because a one-member bucket is still probe-able index state
+    val sigs = decodedSigs(imageTable(spark, dir)).toDF()
+      .select("doc_id", "simhash").localCheckpoint()
+    Dedup.cappedMemberBuckets(spark,
+      Dedup.simhashBandsOf(sigs).select("doc_id", "band", "key"),
+      Seq("band", "key"), "doc_id",
+      sigs.select("doc_id", "simhash"), Seq("simhash"), minMembers = 1)
+      .select(col("band"), col("key"), explode(col("sms")).as("m"))
       .select(col("band"), col("key"),
         col("m.doc_id").as("old_id"), col("m.simhash").as("old_sim"))
+  }
 
   /** F5: STREAMING image near-dup — arriving blobs decode (the same
     * real codec pass, stream-safe: mapPartitions is narrow), band out
