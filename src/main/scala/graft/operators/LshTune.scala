@@ -318,11 +318,15 @@ object LshTune {
       .select("doc_a", "doc_b")
     def famRow(name: String, b: Int, r: Int, ver: DataFrame,
                other: DataFrame): DataFrame =
+      // coalesce: sum() over an EMPTY candidate set is NULL while the
+      // DuckDB twin's count(*)-shaped aggregates emit 0 — a family
+      // producing zero candidates (degenerate/tiny corpus) must not
+      // break the hash gate on null-vs-0
       ver.agg(count(lit(1)).as("n_candidates"),
-          sum(when(col("jaccard") >= VerifyTau, 1L).otherwise(0L))
-            .as("n_verified"),
-          sum(when(col("jaccard") < VerifyTau, 1L).otherwise(0L))
-            .as("n_fp"))
+          coalesce(sum(when(col("jaccard") >= VerifyTau, 1L).otherwise(0L)),
+            lit(0L)).as("n_verified"),
+          coalesce(sum(when(col("jaccard") < VerifyTau, 1L).otherwise(0L)),
+            lit(0L)).as("n_fp"))
         .crossJoin(dups(ver).join(dups(other),
           Seq("doc_a", "doc_b"), "left_anti")
           .agg(count(lit(1)).as("n_only_here")))

@@ -101,13 +101,19 @@ object VideoDedup {
       if (hdr != "GIF87a" && hdr != "GIF89a") return None
       def u8(i: Int): Int = gif(i) & 0xFF
       def u16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
-      val w = u16(6); val h = u16(8)
       val flags = u8(10)
       var p = 13
       // global color table: 3 * 2^(size+1) bytes when the flag is set
       if ((flags & 0x80) != 0) p += 3 * (1 << ((flags & 0x07) + 1))
       var frames = 0
       var done = false
+      // frame-0 IMAGE-DESCRIPTOR dims, not the logical screen
+      // descriptor's: the ImageIO path this walk replaces returns
+      // getWidth(0)/getHeight(0), and F8's contract is that declared
+      // metadata (the screen descriptor) is never trusted — a real-
+      // world GIF whose first frame is smaller than the declared
+      // screen must report the frame's dims, exactly as ImageIO does
+      var w = 0; var h = 0
       while (!done && p < gif.length) {
         u8(p) match {
           case 0x3B => done = true // trailer
@@ -116,6 +122,7 @@ object VideoDedup {
             while (u8(p) != 0) p += u8(p) + 1
             p += 1
           case 0x2C => // image descriptor
+            if (frames == 0) { w = u16(p + 5); h = u16(p + 7) }
             val lFlags = u8(p + 9)
             p += 10
             if ((lFlags & 0x80) != 0) p += 3 * (1 << ((lFlags & 0x07) + 1))
@@ -126,7 +133,9 @@ object VideoDedup {
           case _ => return None // unknown block: unreadable payload
         }
       }
-      if (frames < 1) None else Some((w, h, frames))
+      // a container truncated before the 0x3B trailer is an unreadable
+      // payload (the ImageIO path EOFs there), not a shorter clip
+      if (!done || frames < 1) None else Some((w, h, frames))
     } catch { case _: Exception => None }
 
   /** Real container parse: dimensions + frame count from the GIF

@@ -54,10 +54,15 @@ object ArtifactStore {
     else {
       val in = f.open(m)
       try {
+        // read to EOF: the InputStream contract allows partial reads
+        // (realistic on HDFS/object-store streams), and a short read
+        // of "1" from "12" would yield a wrong applied batchId — the
+        // exact double-apply hazard the marker exists to prevent
         val bytes = new Array[Byte](64)
-        val n = in.read(bytes)
-        new String(bytes, 0, math.max(n, 0), StandardCharsets.UTF_8)
-          .trim.toLong
+        var n = 0
+        var r = in.read(bytes, n, bytes.length - n)
+        while (r > 0) { n += r; r = in.read(bytes, n, bytes.length - n) }
+        new String(bytes, 0, n, StandardCharsets.UTF_8).trim.toLong
       } finally in.close()
     }
   }

@@ -150,6 +150,19 @@ class LshTuneSpec extends SparkSpec {
       "a (1,12) verified pair is verified under (4,3) too")
     // the identical pair is caught by both
     assert(tuned.getAs[Long]("n_verified") >= 1L)
+    // EMPTY candidate set: two fully-disjoint docs produce zero
+    // candidates in every family — the counting aggregates must emit
+    // 0 (the DuckDB twin's count(*) shape), never SQL NULL
+    val disjoint = Seq(
+      (1L, (1 to 40).map(i => s"aaa$i").mkString(" ")),
+      (2L, (1 to 40).map(i => s"bbb$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    for (r <- LshTune.lshRebandFrom(spark, disjoint, 1, 12).collect()) {
+      assert(!r.isNullAt(r.fieldIndex("n_verified")) &&
+        r.getAs[Long]("n_verified") == 0L, s"null/nonzero n_verified: $r")
+      assert(!r.isNullAt(r.fieldIndex("n_fp")) &&
+        r.getAs[Long]("n_fp") == 0L, s"null/nonzero n_fp: $r")
+    }
     // the corpus-level gated form runs with the tuner's own pick
     val corpus = LshTune.lshReband(spark, sfDir).collect()
     val pk = LshTune.pick(spark, sfDir)

@@ -44,6 +44,42 @@ class VideoDedupSpec extends SparkSpec {
     val cut = blobs.head.gif.take(40)
     assert(VideoDedup.parseGifFast(cut).isEmpty ||
       VideoDedup.parseGifFast(cut) == VideoDedup.parseGif(cut))
+    // truncated AT a block boundary (trailer 0x3B stripped): a full
+    // frame parsed but no trailer seen — the strict contract is None
+    // (the ImageIO path EOFs there), not a shorter clip
+    val noTrailer = {
+      val g = blobs.head.gif
+      assert((g.last & 0xFF) == 0x3B, "rendered GIF must end in trailer")
+      g.dropRight(1)
+    }
+    assert(VideoDedup.parseGifFast(noTrailer).isEmpty,
+      "missing-trailer container accepted — unreadable-payload contract broken")
+    // frame-0 dims must come from the IMAGE DESCRIPTOR, not the
+    // logical screen descriptor: hand-build a minimal GIF whose
+    // declared screen (10x10) exceeds its only frame (3x2) — the walk
+    // must report the frame's dims, as ImageIO's getWidth(0) does
+    val smallFrame: Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(64)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put("GIF89a".getBytes("US-ASCII"))
+      b.putShort(10.toShort).putShort(10.toShort) // screen 10x10
+      b.put(0x80.toByte) // global color table, 2 entries
+      b.put(0.toByte).put(0.toByte) // bg index, aspect
+      b.put(Array[Byte](0, 0, 0, -1, -1, -1)) // 2-entry palette
+      b.put(0x2C.toByte) // image descriptor
+      b.putShort(0.toShort).putShort(0.toShort) // left, top
+      b.putShort(3.toShort).putShort(2.toShort) // frame 3x2
+      b.put(0.toByte) // no local color table
+      b.put(2.toByte) // LZW min code size
+      // one raw data sub-block: clear(4), 6 pixels of index 0, end(5)
+      // packed LZW at 3-bit codes — content is irrelevant to the walk
+      b.put(3.toByte).put(0x44.toByte).put(0x10.toByte).put(0x05.toByte)
+      b.put(0.toByte) // sub-block terminator
+      b.put(0x3B.toByte) // trailer
+      java.util.Arrays.copyOf(b.array(), b.position())
+    }
+    assert(VideoDedup.parseGifFast(smallFrame) == Some((3, 2, 1)),
+      "walk trusted the declared screen descriptor over frame 0's dims")
   }
 
   test("stride 1 decodes all frames and later frames differ from frame 0 (a real stream)") {
