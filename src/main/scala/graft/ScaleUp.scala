@@ -19,7 +19,10 @@ import org.apache.spark.sql.functions._
   * at this scale; this exists to measure wall-clock scaling curves
   * (BASELINE.md "Full-suite scaling").
   *
-  * Run: sbt "runMain graft.ScaleUp <baseDir> <outDir> <x>"
+  * Run: sbt "runMain graft.ScaleUp <baseDir> <outDir> <x> [tables]"
+  * `tables` (optional, comma-list) restricts the build — the organic
+  * 1000× sweep needs only documents+embeddings, and building 600M
+  * lineitem rows for a dedup/ANN probe would be pure disk burn.
   */
 object ScaleUp {
 
@@ -28,9 +31,14 @@ object ScaleUp {
   private val Stride = 1000000000L
 
   def main(args: Array[String]): Unit = {
-    val Array(base, out, xs) = args
+    val (base, out, xs) = (args(0), args(1), args(2))
+    val tables = if (args.length > 3)
+      args(3).split(",").map(_.trim).filter(_.nonEmpty).toSet
+    else AllTables
     val x = xs.toInt
-    require(x >= 1 && x <= 128, s"x must be in [1, 128], got $x")
+    // 1000 copies shift keys by <= 999e9, still an order of magnitude
+    // under copy stride collisions (ids are < 1e9 by the check below)
+    require(x >= 1 && x <= 1000, s"x must be in [1, 1000], got $x")
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -39,14 +47,21 @@ object ScaleUp {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    try build(spark, base, out, x)
+    try build(spark, base, out, x, tables)
     finally spark.stop()
   }
 
-  def build(spark: SparkSession, base: String, out: String, x: Int): Unit = {
+  private val AllTables = Set("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
+  def build(spark: SparkSession, base: String, out: String, x: Int,
+            tables: Set[String] = AllTables): Unit = {
+    require((tables -- AllTables).isEmpty,
+      s"unknown tables: ${(tables -- AllTables).mkString(", ")}")
     def read(t: String): DataFrame = spark.read.parquet(s"$base/$t.parquet")
-    def write(df: DataFrame, t: String): Unit =
-      df.write.mode("overwrite").parquet(s"$out/$t.parquet")
+    def write(df: => DataFrame, t: String): Unit =
+      if (tables(t))
+        df.write.mode("overwrite").parquet(s"$out/$t.parquet")
     def copies(df: DataFrame)(copy: (DataFrame, Int) => DataFrame): DataFrame =
       (0 until x).map(i => copy(df, i)).reduce(_ unionByName _)
     def shifted(i: Int)(c: String) = (col(c) + lit(i * Stride)).as(c)
@@ -60,7 +75,7 @@ object ScaleUp {
       "lineitem" -> "l_orderkey", "events" -> "event_id",
       "events" -> "user_id",
       "documents" -> "doc_id", "embeddings" -> "vec_id")
-    keyCols.foreach { case (t, k) =>
+    keyCols.filter { case (t, _) => tables(t) }.foreach { case (t, k) =>
       val row = read(t).agg(max(col(k))).head()
       require(!row.isNullAt(0), s"$t is empty — nothing to scale")
       val mx = row.getLong(0)

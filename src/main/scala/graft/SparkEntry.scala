@@ -243,6 +243,10 @@ object SparkEntry {
     // M6: the vector-side standing artifacts (C2 band index, X2 chunk
     // index, O5 IVF assignments) through the same governed removal
     "q_removal_audit_v2" -> (Removal.removalAuditV2 _),
+    // M11: the third removal ring — Z1/Z5 packed BQ index (vec-keyed
+    // anti-join) + O1's persisted BM25 serving state (postings
+    // anti-join, df count-subtraction, integer corpus-stat rescale)
+    "q_removal_audit_v3" -> (Removal.removalAuditV3 _),
     // X1: content-defined chunk dedup (FastCDC at token grain)
     "q_cdc_dedup" -> (Chunking.cdcDedup _),
     "q_winnow_fp" -> (Winnowing.qFingerprints _),
@@ -265,7 +269,16 @@ object SparkEntry {
     // exact rescore; the quantization matrix's last cell)
     "q_ann_ivf_bq" -> ((s: SparkSession, d: String) =>
       SimilaritySearch.ivfBqTopK(s, d))
-  )
+  ) ++
+    // The 23 `from_*` steady-state production forms (FromStages): the
+    // plans a deployment runs per refresh once stage outputs persist.
+    // Each builds its stages into a shared memoized temp dir (the
+    // untimed refresh-cadence cost), then runs the steady-state
+    // composition the bench prices — under the same DuckDB hash gate
+    // as everything else (oracle = the self-contained twin's SQL,
+    // because the composition must equal the one-shot query exactly).
+    FromStages.names.map(n =>
+      n -> ((s: SparkSession, d: String) => FromStages.of(s, d).run(n)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -403,6 +416,7 @@ object SparkEntry {
     "q_lsh_reband" -> LshTune.lshRebandSql,
     "q_removal_audit" -> Removal.removalAuditSql,
     "q_removal_audit_v2" -> Removal.removalAuditV2Sql,
+    "q_removal_audit_v3" -> Removal.removalAuditV3Sql,
     // I4 joins the oracle through its frozen-centroid literal (the D3
     // convention) — formerly rows-only
     "q_dedup_semantic" -> SemanticDedup.semanticDedupSql,
@@ -417,6 +431,37 @@ object SparkEntry {
     "q_quality_qnorm" -> Selection.qualityQnormSql,
     "q_sample_cluster_cap" -> SimilaritySearch.clusterCapSampleSql,
     "q_fineweb_filters" -> RuleFilters.fineWebFiltersSql,
-    "q_ann_ivf_bq" -> SimilaritySearch.ivfBqTopKSql
+    "q_ann_ivf_bq" -> SimilaritySearch.ivfBqTopKSql,
+    // `from_*` steady-state forms: each oracle is the self-contained
+    // twin's SQL — the staged composition is required to equal the
+    // one-shot query bit-for-bit (spec-pinned AND now hash-gated).
+    // from_profile_sketch stays rows-only (raw HLL/GK estimates are
+    // engine-specific; its audit twin q_profile_approx is hash-gated).
+    // from_ann_ivf_index / from_hard_negatives probe the D7 on-disk
+    // index built from the FROZEN TrainedK centroids, so their
+    // oracles are the trained-literal probe restatements.
+    "from_curate" -> Curation.curateSql,
+    "from_pipeline_pack" -> Pipeline.pipelinePackSql(),
+    "from_corpus_report" -> Reporting.corpusReportSql,
+    "from_drop_ledger" -> Reporting.dropLedgerSql,
+    "from_quality_classifier" -> QualityClassifier.classifySql,
+    "from_text_tokens_bpe" -> Bpe.tokenCountsBpeSql,
+    "from_ann_ivf_index" -> SimilaritySearch.ivfTopKTrainedSql,
+    "from_hard_negatives" -> SimilaritySearch.hardNegativesFromIndexSql,
+    "from_dedup_semantic" -> SemanticDedup.semanticDedupSql,
+    "from_domain_reweight" -> DomainMix.domainReweightSql,
+    "from_ppl_buckets" -> CharLm.pplBucketsSql,
+    "from_lm_quality" -> CharLm.lmScoreSql,
+    "from_winnow_incremental" -> Winnowing.winnowIncrementalSql,
+    "from_qc_calibration" -> QualityClassifier.calibrationSql,
+    "from_span_incremental" -> SpanDedup.spanDedupIncrementalSql,
+    "from_alloc_materialize" -> DomainMix.epochAllocMaterializeSql,
+    "from_epoch_alloc" -> DomainMix.epochAllocSql,
+    "from_ann_bq" -> BinaryAnn.bqTopKSql,
+    "from_langid_trained" -> LangId.langidTrainedSql,
+    "from_removal_audit" -> Removal.removalAuditSql,
+    "from_removal_audit_v2" -> Removal.removalAuditV2Sql,
+    "from_removal_audit_v3" -> Removal.removalAuditV3Sql,
+    "from_video_meta" -> VideoDedup.videoMetaSql
   )
 }

@@ -178,6 +178,143 @@ object Removal {
       .orderBy("artifact")
   }
 
+  /** M11: the removal audit's third ring — the two standing artifacts
+    * round 19's verdict flagged as uncovered: the Z1/Z5 PACKED
+    * BINARY-QUANTIZATION index `(vec_id, words)` (vec-keyed — the 8
+    * B/vector sign-bit artifact a deployment scans instead of floats)
+    * and O1's persisted BM25 serving state (postings + term df +
+    * corpus stats, [[Retrieval.bm25Postings]] family). Same audit
+    * grain as v1/v2: per artifact the surviving row count, an
+    * exact-integer checksum, and the residue. The packed index leaves
+    * by anti-join; the BM25 family routes through
+    * [[Retrieval.maintainBm25Removal]] (df is a SUBTRACTION from the
+    * removed docs' own posting rows; corpus stats subtract integer
+    * token mass — no survivor text, no re-average). DuckDB rebuilds
+    * everything from the remaining corpus/embeddings, so hash-green
+    * proves maintained ≡ rebuilt; per-row bit-equality is
+    * RemovalSpec's M11 case. */
+  def removalAuditV3(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select("doc_id", "source", "text")
+    val emb = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    val post0 = Retrieval.bm25Postings(docs)
+    removalAuditV3With(spark, post0,
+      Retrieval.bm25TermStats(post0),
+      Retrieval.bm25CorpusStats(docs),
+      emb.select(col("vec_id"),
+        graft.functions.Vectors.bitpackFast(spark, col("embedding"))
+          .as("words")),
+      docs,
+      docs.where(isForgotten(col("doc_id"))).select("doc_id"),
+      emb.where(isForgotten(col("vec_id"))).select("vec_id"))
+  }
+
+  /** Steady-state form: artifacts arrive prebuilt; timed work is the
+    * four O(|removed| + touched state) maintenance passes + the audit
+    * aggregates (`from_removal_audit_v3` in the bench). Removed docs'
+    * text is served from `docs` via semi-join (survivor text is never
+    * read — RemovalSpec poisons it). */
+  def removalAuditV3With(spark: SparkSession, post0: DataFrame,
+                         term0: DataFrame, corp0: DataFrame,
+                         bq0: DataFrame, docs: DataFrame,
+                         removeDocIds: DataFrame,
+                         removeVecIds: DataFrame): DataFrame = {
+    val removedDocs = docs.join(removeDocIds, Seq("doc_id"), "left_semi")
+    val (post1, term1, corp1) =
+      Retrieval.maintainBm25Removal(post0, term0, corp0, removedDocs)
+    val bq1 = bq0.join(removeVecIds, Seq("vec_id"), "left_anti")
+
+    val removedD = removeDocIds.withColumn("r", lit(true))
+    val removedV = removeVecIds.withColumn("r", lit(true))
+    val residue = sum(when(col("r").isNotNull, 1L).otherwise(0L))
+    val wordsSum = (1 to graft.plans.BitPack.Words)
+      .map(i => element_at(col("words"), i)).reduce(_ + _)
+    val corpAudit = corp1.agg(count(lit(1)).as("n_rows"),
+        sum(col("n_docs") + col("sum_dl")).as("checksum"),
+        sum(when(col("n_docs") <= 0 || col("sum_dl") <= 0, 1L)
+          .otherwise(0L)).as("n_residue"))
+      .select(lit("bm25_corpus_stats").as("artifact"), col("n_rows"),
+        col("checksum").cast("long").as("checksum"), col("n_residue"))
+    val postAudit = post1.join(broadcast(removedD), Seq("doc_id"), "left")
+      .agg(count(lit(1)).as("n_rows"), sum(col("tf")).as("checksum"),
+        residue.as("n_residue"))
+      .select(lit("bm25_postings").as("artifact"), col("n_rows"),
+        col("checksum").cast("long").as("checksum"), col("n_residue"))
+    val termAudit = term1.agg(count(lit(1)).as("n_rows"),
+        sum(col("df")).as("checksum"),
+        sum(when(col("df") <= 0, 1L).otherwise(0L)).as("n_residue"))
+      .select(lit("bm25_term_stats").as("artifact"), col("n_rows"),
+        col("checksum").cast("long").as("checksum"), col("n_residue"))
+    val bqAudit = bq1.join(broadcast(removedV), Seq("vec_id"), "left")
+      .agg(count(lit(1)).as("n_rows"), sum(wordsSum).as("checksum"),
+        residue.as("n_residue"))
+      .select(lit("bq_packed_index").as("artifact"), col("n_rows"),
+        col("checksum").cast("long").as("checksum"), col("n_residue"))
+    corpAudit.unionByName(postAudit).unionByName(termAudit)
+      .unionByName(bqAudit)
+      .orderBy("artifact")
+  }
+
+  /** DuckDB twin of [[removalAuditV3]]: postings/df/corpus-stats
+    * rebuilt over the remaining docs, the packed index rebuilt over
+    * the remaining embeddings via the explicit Σ 2^j sign-bit chain
+    * ([[BinaryAnn.wordSql]] — integer-exact in both engines). */
+  def removalAuditV3Sql: String = {
+    val keepD = s"NOT (${Sampling.hashBucketSql("CAST(doc_id AS VARCHAR)",
+      ForgetSalt)} < ${Sampling.pctThreshold(ForgetPct)})"
+    val forgD = s"${Sampling.hashBucketSql("CAST(doc_id AS VARCHAR)",
+      ForgetSalt)} < ${Sampling.pctThreshold(ForgetPct)}"
+    val keepV = s"NOT (${Sampling.hashBucketSql("CAST(vec_id AS VARCHAR)",
+      ForgetSalt)} < ${Sampling.pctThreshold(ForgetPct)})"
+    val forgV = s"${Sampling.hashBucketSql("CAST(vec_id AS VARCHAR)",
+      ForgetSalt)} < ${Sampling.pctThreshold(ForgetPct)}"
+    val vocabList = Retrieval.vocab.map(t => s"'$t'").mkString(", ")
+    val wordCols = (0 until graft.plans.BitPack.Words)
+      .map(w => s"${BinaryAnn.wordSql(w)} AS w_$w").mkString(",\n         ")
+    val wordSum = (0 until graft.plans.BitPack.Words)
+      .map(w => s"w_$w").mkString(" + ")
+    s"""WITH rem AS (SELECT doc_id, text FROM documents WHERE $keepD),
+      |reme AS (SELECT vec_id, embedding FROM embeddings WHERE $keepV),
+      |toks AS (
+      |  SELECT doc_id, len(string_split(text, ' ')) AS dl,
+      |         unnest(string_split(text, ' ')) AS term
+      |  FROM rem),
+      |tf AS (
+      |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+      |  FROM toks WHERE term IN ($vocabList) GROUP BY doc_id, term),
+      |dfx AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+      |        FROM tf GROUP BY term),
+      |corp AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+      |                CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+      |                  AS sum_dl
+      |         FROM rem),
+      |bq AS (SELECT vec_id,
+      |         $wordCols
+      |       FROM reme)
+      |SELECT * FROM (
+      |  SELECT 'bm25_corpus_stats' AS artifact,
+      |    CAST(count(*) AS BIGINT) AS n_rows,
+      |    CAST(sum(n_docs + sum_dl) AS BIGINT) AS checksum,
+      |    CAST(sum(CASE WHEN n_docs <= 0 OR sum_dl <= 0 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_residue
+      |  FROM corp
+      |  UNION ALL
+      |  SELECT 'bm25_postings',
+      |    CAST(count(*) AS BIGINT), CAST(sum(tf) AS BIGINT),
+      |    CAST(sum(CASE WHEN $forgD THEN 1 ELSE 0 END) AS BIGINT)
+      |  FROM tf
+      |  UNION ALL
+      |  SELECT 'bm25_term_stats',
+      |    CAST(count(*) AS BIGINT), CAST(sum(df) AS BIGINT),
+      |    CAST(sum(CASE WHEN df <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |  FROM dfx
+      |  UNION ALL
+      |  SELECT 'bq_packed_index',
+      |    CAST(count(*) AS BIGINT), CAST(sum($wordSum) AS BIGINT),
+      |    CAST(sum(CASE WHEN $forgV THEN 1 ELSE 0 END) AS BIGINT)
+      |  FROM bq)
+      |ORDER BY artifact""".stripMargin
+  }
+
   /** D7 removal: takedown propagation into the on-disk
     * `cid=`-partitioned IVF layout, at PARTITION grain — touched cids
     * come from a vec→cid lookup (at a deployment, O5's maintained

@@ -74,18 +74,9 @@ object Retrieval {
     val qterms = Queries.flatMap { case (qid, q) =>
       q.split(" ").distinct.map(t => (qid, t))
     }.toDF("query_id", "term")
-    val vocab = Queries.flatMap(_._2.split(" ")).distinct
 
-    val toks = docs
-      .select(col("doc_id"), split(col("text"), " ").as("toks"))
-      .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
-        explode(col("toks")).as("term"))
-    // the map-side vocabulary prune: everything downstream is
-    // matched-terms-sized
-    val tf = toks.where(col("term").isin(vocab: _*))
-      .groupBy("doc_id", "term")
-      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
-    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val tf = bm25Postings(docs)
+    val df = bm25TermStats(tf)
     val stats = docs.agg(count(lit(1)).as("n_docs"),
       avg(size(split(col("text"), " ")).cast("long")).as("avgdl"))
 
@@ -99,6 +90,77 @@ object Retrieval {
       .crossJoin(broadcast(stats))
       .groupBy("query_id", "doc_id")
       .agg(round(sum(idf * tfNorm), 6).as("score"))
+  }
+
+  // ------------------------------------- O1 standing artifacts (M11)
+  /** The probe-query vocabulary — the map-side prune that keeps every
+    * O1 artifact matched-terms-sized. */
+  private[operators] def vocab: Seq[String] =
+    Queries.flatMap(_._2.split(" ")).distinct
+
+  /** O1's persisted POSTINGS artifact: the vocab-pruned
+    * `(doc_id, term, tf, dl)` frame — one row per (matching doc,
+    * query term), the exact frame [[bm25ScoredFrom]] scores from. At
+    * a deployment this persists at ingest cadence and the serving
+    * pass never re-tokenizes the corpus. */
+  def bm25Postings(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
+        explode(col("toks")).as("term"))
+    // the map-side vocabulary prune: everything downstream is
+    // matched-terms-sized
+    toks.where(col("term").isin(vocab: _*))
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+  }
+
+  /** O1's term-stats artifact `(term, df)` — document frequency per
+    * vocabulary term, derived from the postings (df = posting rows
+    * per term by construction, which is what makes removal a
+    * SUBTRACTION from the removed docs' own postings). */
+  def bm25TermStats(postings: DataFrame): DataFrame =
+    postings.groupBy("term").agg(count(lit(1)).as("df"))
+
+  /** O1's corpus-stats artifact `(n_docs, sum_dl)` — kept as EXACT
+    * integers (avgdl = sum_dl / n_docs is derived at serve time), so
+    * removal maintenance subtracts counts instead of re-averaging
+    * floats. */
+  def bm25CorpusStats(docs: DataFrame): DataFrame =
+    docs.agg(count(lit(1)).as("n_docs"),
+      sum(size(split(col("text"), " ")).cast("long")).as("sum_dl"))
+
+  /** M11 maintenance: route one removal batch through the three O1
+    * artifacts in O(|removed| + touched state) —
+    *  - postings: doc-keyed anti-join;
+    *  - term df: count subtraction driven by the REMOVED docs' own
+    *    posting rows (the span-index device at term grain — no
+    *    surviving doc is ever re-tokenized), terms falling to df=0
+    *    leave the artifact exactly as a rebuild would drop them;
+    *  - corpus stats: integer subtraction of the removed batch's doc
+    *    count and token mass (text is read for REMOVED docs only —
+    *    a removal request is served from the corpus before the rows
+    *    drop, the M4 span convention).
+    * RemovalSpec pins per-row equality with artifacts rebuilt from
+    * the remaining corpus under survivor-text poisoning. */
+  def maintainBm25Removal(post0: DataFrame, term0: DataFrame,
+                          corp0: DataFrame, removedDocs: DataFrame)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val ids = removedDocs.select("doc_id").distinct()
+    val post1 = post0.join(ids, Seq("doc_id"), "left_anti")
+    val dfSub = post0.join(broadcast(ids), Seq("doc_id"), "left_semi")
+      .groupBy("term").agg(count(lit(1)).as("sub"))
+    val term1 = term0.join(broadcast(dfSub), Seq("term"), "left")
+      .select(col("term"),
+        (col("df") - coalesce(col("sub"), lit(0L))).as("df"))
+      .where(col("df") > 0)
+    val rmStats = removedDocs.agg(count(lit(1)).as("rm_docs"),
+      coalesce(sum(size(split(col("text"), " ")).cast("long")), lit(0L))
+        .as("rm_dl"))
+    val corp1 = corp0.crossJoin(broadcast(rmStats))
+      .select((col("n_docs") - col("rm_docs")).as("n_docs"),
+        (col("sum_dl") - col("rm_dl")).as("sum_dl"))
+    (post1, term1, corp1)
   }
 
   /** The retrieval over an arbitrary (doc_id, text) frame. */

@@ -1405,6 +1405,28 @@ object SimilaritySearch {
         .agg(TopK.topk(spark, k, col("vec_id"), col("cos_sim")).as("hits")))
   }
 
+  /** D7 index build from the FROZEN TrainedK centroid generation —
+    * the same artifact [[ivfTopKTrained]] searches with and
+    * [[ivfTopKTrainedSql]] carries as a VALUES literal. An index
+    * written here therefore answers [[ivfIndexTopK]] probes
+    * IDENTICALLY to the lineage form, which is what puts the
+    * probe-only serve path (`from_ann_ivf_index`,
+    * `from_hard_negatives`) under the DuckDB hash gate: same
+    * centroids, same round-9/smallest-cid assignment rule
+    * (SemanticDedup.assignTo ≡ ivfSearchOn's argmax, PackingSpec),
+    * same probe/tie rules in the search. [[writeIvfIndex]] stays the
+    * layout-spec's independent-training variant. */
+  def writeTrainedIvfIndex(spark: SparkSession, dir: String,
+                           outDir: String): Unit = {
+    val emb = Tables.parallelized(spark, Tables.embeddings(spark, dir))
+    val cents = centsDf(spark, ivfCentCache.model(spark, dir)).localCheckpoint()
+    SemanticDedup.assignTo(spark, emb, cents)
+      .select("vec_id", "embedding", "cid")
+      .write.mode("overwrite").partitionBy("cid")
+      .parquet(s"$outDir/ivf.parquet")
+    cents.write.mode("overwrite").parquet(s"$outDir/ivf_centroids.parquet")
+  }
+
   /** Top-K search over a written index dir. `flatPath` overrides the
     * partitioned read (the spec's layout-equality control). */
   def ivfIndexTopK(spark: SparkSession, indexDir: String,
@@ -1478,4 +1500,41 @@ object SimilaritySearch {
                              nProbe: Int = NProbe): DataFrame =
     ivfIndexTopK(spark, indexDir, nQueries, nProbe, None,
       Some((HardNegLo, HardNegHi)))
+
+  /** DuckDB twin of [[hardNegativesFromIndex]] over a
+    * [[writeTrainedIvfIndex]] artifact: [[ivfTopKTrainedSql]]'s
+    * frozen-centroid assignment + probe CTEs, with the hard-negative
+    * band filter applied BEFORE the per-query rank — exactly where
+    * [[ivfIndexTopK]] applies its `band` predicate. (Deliberately NOT
+    * [[hardNegativesSql]]: the index form is probe-only — band
+    * members outside the probed buckets are unseen by design — so its
+    * oracle must restate the probe, not the exhaustive scan.) */
+  def hardNegativesFromIndexSql: String = {
+    val cents = ivfCentCache.oracleModel()
+    val rows = cents.map { case (cid, ce) =>
+      s"($cid, CAST(${dArrSql(ce.toSeq)} AS DOUBLE[]))"
+    }.mkString(",\n    ")
+    s"""WITH cents(cid, c_emb) AS (VALUES
+      |    $rows),
+      |cscore AS (
+      |  SELECT e.vec_id, e.embedding, c.cid,
+      |    row_number() OVER (PARTITION BY e.vec_id
+      |      ORDER BY round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.c_emb), 9) DESC,
+      |               c.cid) AS rk
+      |  FROM embeddings e, cents c),
+      |assign AS (SELECT vec_id, embedding, cid FROM cscore WHERE rk = 1),
+      |probes AS (SELECT vec_id AS query_id, embedding AS q_emb, cid
+      |           FROM cscore WHERE vec_id < $NQueries AND rk <= $NProbe)
+      |SELECT query_id, rank, vec_id, cos_sim FROM (
+      |  SELECT p.query_id, a.vec_id,
+      |    ${Vectors.cosineSql("p.q_emb", "a.embedding")} AS cos_sim,
+      |    row_number() OVER (PARTITION BY p.query_id
+      |      ORDER BY round(${Vectors.cosineSql("p.q_emb", "a.embedding")}, 9) DESC,
+      |               a.vec_id) AS rank
+      |  FROM probes p JOIN assign a ON p.cid = a.cid AND a.vec_id <> p.query_id
+      |  WHERE round(${Vectors.cosineSql("p.q_emb", "a.embedding")}, 9) >= $HardNegLo
+      |    AND round(${Vectors.cosineSql("p.q_emb", "a.embedding")}, 9) < $HardNegHi) t
+      |WHERE rank <= $K
+      |ORDER BY query_id, rank""".stripMargin
+  }
 }

@@ -26,7 +26,10 @@ class QueriesSpec extends SparkSpec {
     // bounds vs exact)
     val rowsOnly =
       Set("q_ann_ivf_trained", "q_profile_approx", "q_ann_pq", "q_ann_ivfpq",
-        "q_dedup_semantic")
+        "q_dedup_semantic",
+        // sketch-only monitoring form: raw HLL/GK estimates are
+        // engine-specific; its audit twin q_profile_approx is gated
+        "from_profile_sketch")
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly
     assert(missing.isEmpty, s"queries without oracle: $missing")
     assert((rowsOnly -- SparkEntry.queries.keySet).isEmpty, "stale allowlist entry")

@@ -287,4 +287,90 @@ class RemovalSpec extends SparkSpec {
     assert(ex.getAs[Long]("checksum") == 1L) // the 1/2 dup pair intact
     assert(out.forall(_.getAs[Long]("n_residue") == 0L))
   }
+
+  // --------------------------------------------------------------- M11
+  // corpus with probe-vocabulary hits so the postings are non-trivial:
+  // docs 2 and 4 are the removal set, and each carries terms NO
+  // survivor has (window/agg/batch; hash/table/scan) — their df must
+  // fall to 0 and LEAVE the term-stats artifact, exactly as a rebuild
+  // drops them
+  private def bmDocs = Seq(
+    (1L, "spark join filter and more data words here"),
+    (2L, "window agg batch data spark spark"),
+    (3L, "customer order line query join spark"),
+    (4L, "hash table scan scan scan"),
+    (5L, "nothing from the probe vocabulary at all")).toDF("doc_id", "text")
+
+  test("M11: BM25 serving state maintained == rebuilt (survivor text poisoned; df-to-zero terms leave)") {
+    import graft.operators.Retrieval
+    val removeIds = Seq(2L, 4L).toDF("doc_id")
+    val remaining = bmDocs.where(!col("doc_id").isin(2L, 4L))
+
+    val post0 = Retrieval.bm25Postings(bmDocs)
+    val term0 = Retrieval.bm25TermStats(post0)
+    val corp0 = Retrieval.bm25CorpusStats(bmDocs)
+    // survivors' text corrupted in the frame maintenance drinks from:
+    // a removal serves the REMOVED docs' text from the corpus (corpus
+    // stats subtract their token mass) but must never re-read what it
+    // isn't removing
+    val poisoned = bmDocs.withColumn("text",
+      when(col("doc_id").isin(2L, 4L), col("text"))
+        .otherwise(lit("POISON")))
+    val (post1, term1, corp1) = Retrieval.maintainBm25Removal(
+      post0, term0, corp0,
+      poisoned.join(removeIds, Seq("doc_id"), "left_semi"))
+
+    assert(sortedRows(post1).sameElements(
+      sortedRows(Retrieval.bm25Postings(remaining))))
+    assert(sortedRows(term1).sameElements(
+      sortedRows(Retrieval.bm25TermStats(Retrieval.bm25Postings(remaining)))))
+    assert(sortedRows(corp1).sameElements(
+      sortedRows(Retrieval.bm25CorpusStats(remaining))))
+    // the df-to-zero terms are GONE, not present with df=0
+    val terms1 = term1.select("term").collect().map(_.getString(0)).toSet
+    for (t <- Seq("window", "agg", "batch", "hash", "table", "scan"))
+      assert(!terms1.contains(t), s"df-0 term '$t' still in term stats")
+    // shared terms survive with the survivors' df
+    assert(terms1.contains("spark") && terms1.contains("join"))
+  }
+
+  test("M11: packed BQ index maintained == rebuilt; v3 audit is zero-residue with poisoned survivors") {
+    import graft.operators.Retrieval
+    val emb = (1L to 6L).map(i =>
+      (i, Seq.tabulate(64)(j => if ((i + j) % 3 == 0) -1.0 else 1.0)))
+      .toDF("vec_id", "embedding")
+    val removeVecs = Seq(2L, 5L).toDF("vec_id")
+    def packOf(e: DataFrame) = e.select(col("vec_id"),
+      graft.functions.Vectors.bitpackFast(spark, col("embedding"))
+        .as("words"))
+    val bq1 = packOf(emb).join(removeVecs, Seq("vec_id"), "left_anti")
+    assert(sortedRows(bq1).sameElements(
+      sortedRows(packOf(emb.where(!col("vec_id").isin(2L, 5L))))))
+
+    // the composed audit over poisoned survivors: four artifact rows,
+    // zero residue everywhere, checksums equal to a from-scratch
+    // audit on the remaining corpus with an empty removal set
+    val removeIds = Seq(2L, 4L).toDF("doc_id")
+    val poisoned = bmDocs.withColumn("text",
+      when(col("doc_id").isin(2L, 4L), col("text"))
+        .otherwise(lit("POISON")))
+    val post0 = Retrieval.bm25Postings(bmDocs)
+    val audit = Removal.removalAuditV3With(spark, post0,
+      Retrieval.bm25TermStats(post0),
+      Retrieval.bm25CorpusStats(bmDocs),
+      packOf(emb), poisoned, removeIds, removeVecs).collect()
+    assert(audit.map(_.getString(0)).toSeq == Seq("bm25_corpus_stats",
+      "bm25_postings", "bm25_term_stats", "bq_packed_index"))
+    assert(audit.forall(_.getAs[Long]("n_residue") == 0L))
+    val remaining = bmDocs.where(!col("doc_id").isin(2L, 4L))
+    val post0r = Retrieval.bm25Postings(remaining)
+    val rebuilt = Removal.removalAuditV3With(spark, post0r,
+      Retrieval.bm25TermStats(post0r),
+      Retrieval.bm25CorpusStats(remaining),
+      packOf(emb.where(!col("vec_id").isin(2L, 5L))),
+      remaining, Seq.empty[Long].toDF("doc_id"),
+      Seq.empty[Long].toDF("vec_id")).collect()
+    assert(audit.map(_.toSeq.toList).toSeq ==
+      rebuilt.map(_.toSeq.toList).toSeq)
+  }
 }

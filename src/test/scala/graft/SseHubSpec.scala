@@ -228,4 +228,94 @@ class SseHubSpec extends SparkSpec {
       }
     } finally hub.stop()
   }
+
+  test("500 concurrent clients incl. stalled readers: stalled overflow and die, everyone else stays gapless") {
+    // The reference's real serving risk at fan-out: many clients on
+    // one bounded log, some of them NEVER reading (a wedged proxy, a
+    // phone in a tunnel). The contract under that load: a stalled
+    // reader overflows its own bounded queue and is marked dead (the
+    // serving layer disconnects it — heap stays bounded), and its
+    // death never perturbs any draining client, whose delivered set
+    // remains a contiguous gapless suffix of its route with no
+    // duplicates. 500 subscriptions share the ONE ingest query.
+    val base = Files.createTempDirectory("graft_hub_stress").toFile
+    val evDir = new File(base, "events.parquet")
+    writeEvents(evDir, 1 to 1000, append = false)
+    // queue cap 2000 < the ~5.5k live frames per route: stalled
+    // readers MUST overflow; drainers never hold 2000 undrained
+    val hub = new graft.streaming.SseHub(spark, base.getPath,
+      capacity = 256, maxQueuedFrames = 2000)
+    hub.start()
+    try {
+      assert(eventually()(hub.retainedRange("click").exists(_._2 >= 1000L)),
+        "seed ingest never landed")
+      val lastId = 12000L
+      val nFast = 460
+      val nStalled = 40
+      val idRe = "(?m)^id: (\\d+)$".r
+      val fast = (1 to nFast).map { i =>
+        val route = if (i % 2 == 0) "click" else "view"
+        (hub.subscribe(route), route,
+          new java.util.concurrent.ConcurrentLinkedQueue[Long]())
+      }
+      val stalled = (1 to nStalled).map { i =>
+        hub.subscribe(if (i % 2 == 0) "click" else "view")
+      }
+      assert(hub.activeSubscribers == nFast + nStalled)
+      @volatile var stop = false
+      val drainers = fast.map { case (sub, _, got) =>
+        val t = new Thread(() => {
+          while (!stop) {
+            sub.drain().foreach { f =>
+              idRe.findFirstMatchIn(f).foreach(m => got.add(m.group(1).toLong))
+            }
+            Thread.sleep(2)
+          }
+          sub.drain().foreach { f =>
+            idRe.findFirstMatchIn(f).foreach(m => got.add(m.group(1).toLong))
+          }
+        })
+        t.setDaemon(true); t.start(); t
+      }
+      // churn: ~11k live events in 500-event files — the 256-frame
+      // ring evicts ~20x over while 500 clients are attached
+      var next = 1001
+      while (next <= lastId) {
+        writeEvents(evDir, next to math.min(next + 499, lastId.toInt),
+          append = true)
+        next += 500
+        Thread.sleep(20)
+      }
+      assert(eventually(240000L) {
+        fast.forall { case (_, route, got) =>
+          got.contains(if (route == "click") lastId else lastId - 1)
+        }
+      }, "fast readers never reached the head")
+      stop = true
+      drainers.foreach(_.join(10000L))
+
+      // stalled readers: overflowed (their live volume >> queue cap),
+      // the serving layer's disconnect signal
+      assert(stalled.forall(_.overflowed),
+        s"${stalled.count(!_.overflowed)} stalled readers never overflowed")
+      // every draining client: no dup, nothing foreign, contiguous
+      // suffix up to its route head — stalled deaths perturbed nobody
+      fast.foreach { case (sub, route, gotQ) =>
+        assert(!sub.overflowed, "draining reader overflowed")
+        val got = {
+          val b = scala.collection.mutable.ArrayBuffer.empty[Long]
+          val it = gotQ.iterator(); while (it.hasNext) b += it.next(); b
+        }
+        val parity = if (route == "click") 0L else 1L
+        assert(got.forall(_ % 2 == parity), s"foreign-route frame on $route")
+        assert(got.distinct.size == got.size,
+          s"duplicate delivery: ${got.diff(got.distinct).take(5)}")
+        val sorted = got.sorted
+        val head = if (route == "click") lastId else lastId - 1
+        val want = sorted.head to head by 2L
+        assert(sorted == want.toBuffer,
+          s"hole in $route suffix: ${sorted.size} ids from ${sorted.head}, want ${want.size}")
+      }
+    } finally hub.stop()
+  }
 }
