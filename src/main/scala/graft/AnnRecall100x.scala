@@ -1,0 +1,98 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+
+import graft.operators.{BinaryAnn, SimilaritySearch}
+
+/** The serving-scale recall record: AnnRecallSpec gates recall at
+  * test SF only; this main MEASURES recall@5 for the whole
+  * quantization matrix — D3 trained IVF, D5 PQ-ADC, D6 IVF-PQ, Z1
+  * binary-quantized, Z5 IVF-BQ — at 100× corpus size (200k × 64-dim)
+  * against brute-force ground truth on the fixed probe set, and gates
+  * each at the spec's ≥ 0.9 bar.
+  *
+  * The corpus is CLUSTERED (16 planted clusters, the spec fixture's
+  * construction scaled 1000×, deterministic seed) — the workload ANN
+  * indexes exist for. The sf tables' uniform-random embeddings are
+  * the wrong recall substrate at any scale: with cosine concentrated
+  * at 0, bucketing provably cannot beat chance, so "recall on
+  * uniform" measures luck, not the index (AnnRecallSpec's stated
+  * rationale). Coarse structures train with k = 16 matched to the
+  * planted structure, as the spec trains k=4 on its 4 clusters.
+  *
+  * Run: sbt "runMain graft.AnnRecall100x" — prints one JSON line.
+  */
+object AnnRecall100x {
+
+  private val N = sys.env.getOrElse("ANN_RECALL_N", "200000").toInt
+  private val Clusters = 16
+  private val Dims = 64
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    try run(spark) finally spark.stop()
+  }
+
+  def run(spark: SparkSession): Unit = {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_annrecall").toFile
+    val dir = root.getPath
+    // the spec fixture's construction, scaled: Gaussian cluster
+    // centers from seed 42, per-vector noise sigma 0.05 seeded by the
+    // vector id (deterministic at any parallelism)
+    val rnd = new scala.util.Random(42)
+    val centers = Array.fill(Clusters)(Array.fill(Dims)(rnd.nextGaussian()))
+    spark.range(N.toLong).repartition(32).map { i =>
+      val label = (i % Clusters).toInt
+      val noise = new scala.util.Random(i)
+      val emb = centers(label).map(c => (c + 0.05 * noise.nextGaussian()).toFloat)
+      (i, emb, label)
+    }.toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+
+    try {
+      val brute = SimilaritySearch.bruteTopK(spark, dir)
+        .select("query_id", "vec_id").cache()
+      val nTrue = brute.count()
+      require(nTrue > 0, "empty ground truth")
+      def recallOf(df: org.apache.spark.sql.DataFrame): Double =
+        df.select("query_id", "vec_id")
+          .join(brute, Seq("query_id", "vec_id")).count().toDouble / nTrue
+      val ops: Seq[(String, () => Double)] = Seq(
+        "d3_ivf_trained" -> (() =>
+          recallOf(SimilaritySearch.ivfTopKTrained(spark, dir, k = Clusters))),
+        "d5_pq" -> (() => recallOf(SimilaritySearch.pqTopK(spark, dir))),
+        "d6_ivfpq" -> (() =>
+          recallOf(SimilaritySearch.ivfPqTopK(spark, dir, c = Clusters))),
+        "z1_bq" -> (() => recallOf(BinaryAnn.bqTopK(spark, dir))),
+        "z5_ivfbq" -> (() =>
+          recallOf(SimilaritySearch.ivfBqTopK(spark, dir, c = Clusters))))
+      val results = ops.map { case (name, f) =>
+        val t0 = System.nanoTime()
+        val r = f()
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"[annrecall] $name recall@5 = $r%.4f (${sec}%.1f s)")
+        (name, r, sec)
+      }
+      val rs = results.map { case (n, r, s) =>
+        f""""$n":{"recall_at_5":$r%.4f,"sec":$s%.1f}""" }.mkString(",")
+      println(s"""{"metric":"ann_recall_100x","n_vecs":$N,"clusters":$Clusters,"n_true":$nTrue,$rs}""")
+      val failed = results.filter(_._2 < 0.9)
+      require(failed.isEmpty,
+        s"recall below the 0.9 bar: ${failed.map(t => s"${t._1}=${t._2}").mkString(", ")}")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+      }
+      rm(root)
+    }
+  }
+}

@@ -62,18 +62,35 @@ object CorpusStats {
     * agg bounds that at one row per task — and AQE's skew-join split
     * covers the join-back side (AqeSkewSpec proves the mechanism). */
   def dupGramFrac(spark: SparkSession, dir: String): DataFrame = {
-    val grams = Tables.parallelized(spark, Tables.documents(spark, dir))
-      .select(col("doc_id"),
-        explode(Vectors.shinglesFast(spark, col("text"), DupGramN,
-          distinct = true)).as("g"))
+    val docs = Tables.parallelized(spark, Tables.documents(spark, dir))
+    def sh = Vectors.shinglesFast(spark, col("text"), DupGramN,
+      distinct = true)
+    // n_grams is a NARROW per-doc property (the distinct-shingle array
+    // length) — the round-19 form re-derived it by counting every
+    // exploded occurrence through a corpus-wide grams⋈freq sort-merge
+    // join, which at the organic 1000× probe OOM'd 32 concurrent
+    // tasks' sort pages (BASELINE round-20). Only the DUP side needs a
+    // join, and dup occurrences are ~10% of all occurrences (measured
+    // sf0.1), so the J6 bloom prune sheds the other ~90% inside the
+    // probe's scan stage and both SMJ sorts shrink to the dup slice.
+    val nGrams = docs.select(col("doc_id"), size(sh).cast("long").as("n_grams"))
+    val grams = docs.select(col("doc_id"), explode(sh).as("g"))
       .select(col("doc_id"), xxhash64(col("g")).as("gram"))
-    val freq = grams.groupBy("gram").agg(count(lit(1)).as("n_docs"))
-    grams.join(freq, Seq("gram"))
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_grams"),
-        sum(when(col("n_docs") > 1, 1L).otherwise(0L)).as("n_dup"))
-      .select(col("doc_id"), col("n_grams"), col("n_dup"),
-        (col("n_dup").cast("double") / col("n_grams")).as("dup_frac"))
+    // the corpus-global dup definition keeps its one aggregation
+    // shuffle (partial-agg'd, hash-spillable); localCheckpoint stores
+    // the bounded dup-key frame once so the bloom build and the exact
+    // semi join don't each re-run the aggregation lineage
+    val dup = grams.groupBy("gram").agg(count(lit(1)).as("n_docs"))
+      .where(col("n_docs") > 1)
+      .select(col("gram").as("dup_gram"))
+      .localCheckpoint()
+    val nDup = BloomJoin.bloomPrunedSemi(spark, grams, "gram",
+        dup, "dup_gram", expectedItems = 1L << 23)
+      .groupBy("doc_id").agg(count(lit(1)).as("n_dup"))
+    nGrams.join(nDup, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"))
+      .withColumn("dup_frac", col("n_dup").cast("double") / col("n_grams"))
       .orderBy("doc_id")
   }
 
