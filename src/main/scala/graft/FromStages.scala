@@ -74,12 +74,16 @@ final class FromStages(spark: SparkSession, sfDir: String) {
   lazy val rmBand: DataFrame = persist("rm_band", Dedup.bandsOf(spark, docs))
   lazy val rmChunk: DataFrame = persist("rm_chunk",
     Chunking.cdcChunks(docs).select("doc_id", "sig", "ctok"))
+  // centroid generation + assignment at the corpus's own regime:
+  // exact (the frozen-oracle artifact) at gate scale, bounded-sample
+  // trainer + IVF-probe assignment above SemanticDedup's
+  // ExactRegimeMaxVecs — removal maintenance never retrains either way
   lazy val rmCents: DataFrame = persist("rm_cents",
-    SemanticDedup.trainedCentsDf(spark, sfDir))
+    SemanticDedup.trainedCentsAtScale(spark, sfDir))
   lazy val rmEmb: DataFrame = persist("rm_emb",
     Tables.embeddings(spark, sfDir).select("vec_id", "embedding"))
   lazy val rmIvf: DataFrame = persist("rm_ivf",
-    SemanticDedup.assignTo(spark, rmEmb, rmCents)
+    SemanticDedup.assignAtScale(spark, rmEmb, rmCents)
       .select("vec_id", "embedding", "cid", "cent_sim"))
 
   // ------------------------------------ M11 standing removal artifacts
@@ -96,8 +100,14 @@ final class FromStages(spark: SparkSession, sfDir: String) {
     VideoDedup.videoTable(spark, sfDir).toDF)
 
   // ------------------------------------------- I4 / O4 / Y5 / T1 state
-  lazy val semAssigned: DataFrame = persist("sem_assigned",
-    SemanticDedup.assigned(spark, sfDir, 0, 3))
+  lazy val semAssigned: DataFrame = persist("sem_assigned", {
+    // the I4 regime dial: exact end-to-end at gate scale, the
+    // bounded-sample + IVF-probe path above the exact-regime ceiling
+    val nVecs = Tables.embeddings(spark, sfDir).count()
+    SemanticDedup.assigned(spark, sfDir, 0, 3,
+      probeCoarse = if (nVecs <= SemanticDedup.ExactRegimeMaxVecs) 0
+                    else SemanticDedup.ProbeAuto)
+  })
   lazy val lmScores: DataFrame = persist("lm_scores",
     CharLm.lmScore(spark, sfDir).select("doc_id", "avg_logp"))
   lazy val lmLogp: DataFrame = persist("lm_logp", CharLm.lmModelFrom(docs))

@@ -462,6 +462,46 @@ object SemanticDedup {
   private[operators] def oracleCents(): Array[(Int, Array[Double])] =
     semCentCache.oracleModel()
 
+  /** Exact-regime ceiling for corpus-sized centroid generations: at
+    * or below it the frozen exact trainer runs (full-corpus Lloyd's,
+    * the artifact the DuckDB oracles carry as literals — every gate
+    * corpus sits far below); above it the generation switches to the
+    * bounded-sample trainer + IVF-probe assignment this file already
+    * ships for the big-n regime (the ProbeLab crossover, measured
+    * 3.7× at 400k vectors — and at the organic 1000× probe the exact
+    * regime's autoK = n/125 made the n·k Lloyd's passes and the
+    * driver seeding an outright wall, BASELINE round-20). */
+  private[graft] val ExactRegimeMaxVecs = 1000000L
+
+  /** The O5 centroid generation at the corpus's own regime (the
+    * standing artifact FromStages persists for the removal audits):
+    * exact ≤ [[ExactRegimeMaxVecs]], bounded-sample trainer above.
+    * Removal maintenance never retrains either way — this prices the
+    * GENERATION the deployment refreshes at maintenance cadence. */
+  private[graft] def trainedCentsAtScale(spark: SparkSession,
+                                         dir: String): DataFrame = {
+    val emb = Tables.parallelized(spark, Tables.embeddings(spark, dir))
+      .select("vec_id", "embedding")
+    val n = emb.select("vec_id").count()
+    if (n <= ExactRegimeMaxVecs) trainedCentsDf(spark, dir)
+    else {
+      val kk = autoK(n)
+      val sample = SimilaritySearch.hashOrderedSample(emb, TrainPerCentroid * kk)
+        .repartition(spark.sparkContext.defaultParallelism)
+      SimilaritySearch.trainCentroids(spark, sample, kk, iters = 2)
+        .localCheckpoint()
+    }
+  }
+
+  /** Assignment at the centroid table's own regime: the exact argmax
+    * below 4·[[LiteralAssignMaxK]] centroids, the coarse-quantized
+    * IVF probe above it (where the n·k broadcast argmax is the
+    * measured wall). */
+  private[graft] def assignAtScale(spark: SparkSession, emb: DataFrame,
+                                   cents: DataFrame): DataFrame =
+    if (cents.count() <= 4L * LiteralAssignMaxK) assignTo(spark, emb, cents)
+    else assignViaIvf(spark, emb, cents)
+
   /** DuckDB twin of the default-path [[semanticDedup]]: the trained
     * centroids as a VALUES literal, then assignment (round-9 cosine
     * DESC, ties to the smallest cid), the per-cluster

@@ -304,25 +304,63 @@ object SimilaritySearch {
       val near = Array.fill(cands.length)(Double.NegativeInfinity)
       val taken = Array.fill(cands.length)(false)
       taken(0) = true
-      while (chosen.size < math.min(k, cands.length)) {
-        val (_, latest) = chosen.last
-        var bestIdx = -1
-        var i = 0
-        while (i < cands.length) {
+      val rounds = math.min(k, cands.length)
+      // Above ~16M (candidate × round) ops the single-threaded loop is
+      // a measured wall (the organic 1000× probe: autoK = 16k, 128k
+      // candidates → 2·10⁹ round9(cos) on ONE core, hours) — so large
+      // seedings fan the per-round scan across a fixed pool. Bit-
+      // identical by construction: each index's near() is touched by
+      // exactly one task per round, the per-chunk winner uses the same
+      // (near asc, vec_id asc) total order, and the cross-chunk merge
+      // is an argmin under that order (merge order immaterial; main
+      // thread's submit/get gives the round-to-round happens-before).
+      val parThreads = {
+        val work = cands.length.toLong * rounds
+        if (work < (1L << 24)) 1
+        else math.min(Runtime.getRuntime.availableProcessors(), 32)
+      }
+      val pool = if (parThreads > 1)
+        java.util.concurrent.Executors.newFixedThreadPool(parThreads) else null
+      def betterThan(i: Int, best: Int): Boolean =
+        best < 0 ||
+          java.lang.Double.compare(near(i), near(best)) < 0 ||
+          (java.lang.Double.compare(near(i), near(best)) == 0 &&
+            cands(i)._1 < cands(best)._1)
+      def scanChunk(lo: Int, hi: Int, latest: Array[Float]): Int = {
+        var best = -1
+        var i = lo
+        while (i < hi) {
           if (!taken(i)) {
             val c = round9(cos(cands(i)._2, latest))
             if (java.lang.Double.compare(c, near(i)) > 0) near(i) = c
-            val better = bestIdx < 0 ||
-              java.lang.Double.compare(near(i), near(bestIdx)) < 0 ||
-              (java.lang.Double.compare(near(i), near(bestIdx)) == 0 &&
-                cands(i)._1 < cands(bestIdx)._1)
-            if (better) bestIdx = i
+            if (betterThan(i, best)) best = i
           }
           i += 1
         }
-        taken(bestIdx) = true
-        chosen += cands(bestIdx)
+        best
       }
+      try {
+        while (chosen.size < rounds) {
+          val (_, latest) = chosen.last
+          var bestIdx = -1
+          if (parThreads == 1) bestIdx = scanChunk(0, cands.length, latest)
+          else {
+            val chunk = (cands.length + parThreads - 1) / parThreads
+            val futs = (0 until parThreads).map { t =>
+              pool.submit(new java.util.concurrent.Callable[Int] {
+                def call(): Int = scanChunk(t * chunk,
+                  math.min((t + 1) * chunk, cands.length), latest)
+              })
+            }
+            futs.foreach { f =>
+              val b = f.get()
+              if (b >= 0 && betterThan(b, bestIdx)) bestIdx = b
+            }
+          }
+          taken(bestIdx) = true
+          chosen += cands(bestIdx)
+        }
+      } finally if (pool != null) pool.shutdown()
     }
     // cid by seed vec_id order, exactly the old row_number(Window) rule
     val seedRows = chosen.sortBy(_._1).zipWithIndex
