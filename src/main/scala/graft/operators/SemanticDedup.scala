@@ -485,7 +485,16 @@ object SemanticDedup {
     val n = emb.select("vec_id").count()
     if (n <= ExactRegimeMaxVecs) trainedCentsDf(spark, dir)
     else {
-      val kk = autoK(n)
+      // k capped in this regime: autoK = n/125 is the dedup-granularity
+      // heuristic, but the farthest-point seeding costs 8k² rounded
+      // cosines — at autoK(2M) = 16k that is 2·10⁹ BigDecimal ops, a
+      // measured wall even fanned across 32 threads (organic 1000×
+      // probe). An ASSIGNMENT-INDEX generation doesn't need n/125
+      // granularity (published SemDeDup ran fixed ~11k clusters at
+      // 380M docs; cluster population is a serving-shard choice), so
+      // the cap bounds seeding at 8·4096² ≈ 1.3·10⁸ and the sampled
+      // Lloyd's at 32·k² regardless of n.
+      val kk = math.min(autoK(n), 4096)
       val sample = SimilaritySearch.hashOrderedSample(emb, TrainPerCentroid * kk)
         .repartition(spark.sparkContext.defaultParallelism)
       SimilaritySearch.trainCentroids(spark, sample, kk, iters = 2)
