@@ -84,8 +84,11 @@ object CorpusStats {
       .where(col("n_docs") > 1)
       .select(col("gram").as("dup_gram"))
       .localCheckpoint()
+    // bloom sized to the ACTUAL dup-key count (cheap: dup is
+    // checkpointed) — a fixed 2^23 sizing embedded a 7.3 MB literal
+    // in every task binary even when 12k keys needed ~14 KB
     val nDup = BloomJoin.bloomPrunedSemi(spark, grams, "gram",
-        dup, "dup_gram", expectedItems = 1L << 23)
+        dup, "dup_gram", expectedItems = math.max(dup.count(), 1024L))
       .groupBy("doc_id").agg(count(lit(1)).as("n_dup"))
     nGrams.join(nDup, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_grams"),

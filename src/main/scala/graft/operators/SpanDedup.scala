@@ -103,7 +103,7 @@ object SpanDedup {
     val dupG = freq.where(col("occ") >= 2)
       .select(col("gh").as("dup_gh")).localCheckpoint()
     val anchors = BloomJoin.bloomPrunedSemi(spark, grams, "gh",
-        dupG, "dup_gh", expectedItems = 1L << 23)
+        dupG, "dup_gh", expectedItems = math.max(dupG.count(), 1024L))
       .select("doc_id", "i")
     sealSpans(base, anchors)
   }
