@@ -12,8 +12,12 @@ CACHE=$(find "$HOME/.cache/coursier" -name "scala-compiler-$SCALA_VER.jar" | hea
 SCALA_LIB=$(find "$HOME/.cache/coursier" -name "scala-library-$SCALA_VER.jar" | head -1)
 SCALA_REFLECT=$(find "$HOME/.cache/coursier" -name "scala-reflect-$SCALA_VER.jar" | head -1)
 
-GRAFT_JAR=$(find "$HOME/.ivy2/local" -name "kinesis2ssespark_2.13*.jar" -path "*/jars/*" | head -1)
+# newest publishLocal artifact (mtime order) — `find | head -1` picked
+# an arbitrary, possibly stale version when several versions coexist
+GRAFT_JAR=$(find "$HOME/.ivy2/local" -name "kinesis2ssespark_2.13*.jar" -path "*/jars/*" \
+  -printf '%T@ %p\n' | sort -rn | head -1 | cut -d' ' -f2-)
 [ -n "$GRAFT_JAR" ] || { echo "run 'sbt publishLocal' first (no jar in ~/.ivy2/local)" >&2; exit 1; }
+echo "[quickstart.sh] using artifact: $GRAFT_JAR"
 
 SPARK_CP="/opt/spark/jars/*"
 OUT=$(mktemp -d /tmp/graft_quickstart.XXXX)

@@ -31,7 +31,7 @@ import graft.sources.Tables
   * shared artifact", so the timed/gated plan must include the scan.
   * Every stage is a lazy val — a form forces exactly the stages it
   * needs, nothing else builds. Instances memoize per (session, dir)
-  * so Verify's 23 form keys build each stage once, not 23 times.
+  * so Verify's 24 form keys build each stage once, not 24 times.
   */
 final class FromStages(spark: SparkSession, sfDir: String) {
   private val root = Files.createTempDirectory("graft_from_stages")
@@ -143,7 +143,7 @@ final class FromStages(spark: SparkSession, sfDir: String) {
     s"$root/bqidx"
   }
 
-  /** The 23 steady-state forms, in Bench's historical order. Each
+  /** The 24 steady-state forms, in Bench's historical order. Each
     * thunk forces exactly its stage dependencies on first call. */
   val forms: Seq[(String, () => DataFrame)] = Seq(
     "from_curate" -> (() => Curation.curateFrom(docs, quality, exact, decont)),
@@ -201,13 +201,20 @@ final class FromStages(spark: SparkSession, sfDir: String) {
     "from_video_meta" -> (() =>
       VideoDedup.videoMetaFrom(spark, vidBlobs)))
 
+  // the companion's hand-maintained name list must track the thunk
+  // list exactly — a drift would either throw at gate time or
+  // silently drop a form from the bench AND the driver gate
+  require(forms.map(_._1) == FromStages.names,
+    "FromStages.forms and FromStages.names have drifted")
+
   private val byName = forms.toMap
 
   def run(name: String): DataFrame = byName(name)()
 
-  /** Drop the persisted stages (Bench calls this after timing). The
-    * memo entry stays — a later run() would fail on the missing
-    * files, which is the correct loud signal for a use-after-cleanup. */
+  /** Drop the persisted stages (Bench calls this after timing) and
+    * evict the memo entry: a later of()/run() for the same
+    * (session, dir) rebuilds fresh stages instead of handing out
+    * frames over deleted files. */
   def cleanup(): Unit = {
     FromStages.evict(this)
     def rm(f: java.io.File): Unit = {
@@ -229,17 +236,24 @@ object FromStages {
     "from_profile_sketch", "from_langid_trained", "from_removal_audit",
     "from_removal_audit_v2", "from_removal_audit_v3", "from_video_meta")
 
-  private val cache =
-    new java.util.concurrent.ConcurrentHashMap[String, FromStages]()
+  // keyed on the SparkSession OBJECT (reference identity via a
+  // WeakHashMap, not identityHashCode — hash values can collide
+  // across sessions and a stopped session's entry must not be handed
+  // to a new one), weakly so a dropped session's stages don't pin the
+  // JVM for its lifetime
+  private val cache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.mutable.Map[String, FromStages]]())
 
-  private def key(spark: SparkSession, sfDir: String): String =
-    System.identityHashCode(spark).toString + "|" + sfDir
-
-  /** Memoized per (session, dir): Verify's 23 keys and a whole test
+  /** Memoized per (session, dir): Verify's 24 keys and a whole test
     * suite share one stage build per corpus. */
   def of(spark: SparkSession, sfDir: String): FromStages =
-    cache.computeIfAbsent(key(spark, sfDir), _ => new FromStages(spark, sfDir))
+    cache.synchronized {
+      cache.computeIfAbsent(spark, _ => scala.collection.mutable.Map.empty)
+        .getOrElseUpdate(sfDir, new FromStages(spark, sfDir))
+    }
 
-  private def evict(s: FromStages): Unit =
-    cache.entrySet().removeIf(e => e.getValue eq s)
+  private def evict(s: FromStages): Unit = cache.synchronized {
+    cache.values.forEach(m => m.filterInPlace((_, v) => v ne s))
+  }
 }

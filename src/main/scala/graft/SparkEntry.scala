@@ -270,7 +270,7 @@ object SparkEntry {
     "q_ann_ivf_bq" -> ((s: SparkSession, d: String) =>
       SimilaritySearch.ivfBqTopK(s, d))
   ) ++
-    // The 23 `from_*` steady-state production forms (FromStages): the
+    // The 24 `from_*` steady-state production forms (FromStages): the
     // plans a deployment runs per refresh once stage outputs persist.
     // Each builds its stages into a shared memoized temp dir (the
     // untimed refresh-cadence cost), then runs the steady-state

@@ -284,8 +284,8 @@ object Removal {
       |dfx AS (SELECT term, CAST(count(*) AS BIGINT) AS df
       |        FROM tf GROUP BY term),
       |corp AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
-      |                CAST(sum(len(string_split(text, ' '))) AS BIGINT)
-      |                  AS sum_dl
+      |                CAST(coalesce(sum(len(string_split(text, ' '))), 0)
+      |                  AS BIGINT) AS sum_dl
       |         FROM rem),
       |bq AS (SELECT vec_id,
       |         $wordCols
