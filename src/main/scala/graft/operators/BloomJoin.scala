@@ -60,10 +60,20 @@ object BloomJoin {
     val urgent = Tables.orders(spark, dir)
       .where(col("o_orderpriority") === "1-URGENT")
       .select("o_orderkey")
+      // two consumers (count for sizing + bloom build + join) over a
+      // cheap one-column filter scan — checkpoint so each reads the
+      // materialized keys
+      .localCheckpoint()
     val li = Tables.lineitem(spark, dir)
       .select("l_orderkey", "l_returnflag", "l_quantity",
         "l_extendedprice", "l_discount")
-    bloomPrunedSemi(spark, li, "l_orderkey", urgent, "o_orderkey")
+    // bloom sized to the ACTUAL urgent-key count (the I3 dup-gram
+    // precedent): the former fixed 2^20 sizing built a ~0.9 MB sketch
+    // whose bytes rode every task binary and every plan-equality walk
+    // even when ~30k keys need ~36 KB. Same fpp contract, identical
+    // join result (false positives die in the exact semi join).
+    bloomPrunedSemi(spark, li, "l_orderkey", urgent, "o_orderkey",
+      expectedItems = math.max(urgent.count(), 1024L))
       .groupBy(col("l_returnflag"))
       .agg(
         count(lit(1)).as("n_items"),

@@ -70,9 +70,15 @@ object Boilerplate {
 
   private[graft] def scrubFrom(documents: DataFrame, cap: Long): DataFrame = {
     val tiled = documents.select(col("doc_id"), tilesOf(col("text")).as("tiles"))
-    // pass 1: tile document frequency (distinct docs per tile)
-    val df = tiled.select(col("doc_id"), explode(col("tiles")).as("tile"))
-      .distinct()
+    // pass 1: tile document frequency (distinct docs per tile) —
+    // within-doc dedup happens IN-ROW (array_distinct before the
+    // explode), so the (doc_id, tile) stream is already distinct and
+    // the former `.distinct()` exchange (a full shuffle of every tile
+    // occurrence keyed on (doc_id, tile), ahead of the tile-keyed
+    // aggregation's own shuffle) disappears: one exchange instead of
+    // two, same df values (guide §2.4 "remove shuffles outright").
+    val df = tiled.select(col("doc_id"),
+        explode(array_distinct(col("tiles"))).as("tile"))
       .groupBy("tile").agg(count(lit(1)).as("df"))
     val nDocs = documents.select(count(lit(1)).as("n_docs"))
     // hot set as ONE sorted-array row (deterministic; broadcast),
@@ -107,8 +113,9 @@ object Boilerplate {
   def hotSetSize(spark: SparkSession, dir: String): Long = {
     val tiled = Tables.documents(spark, dir)
       .select(col("doc_id"), tilesOf(col("text")).as("tiles"))
-    val df = tiled.select(col("doc_id"), explode(col("tiles")).as("tile"))
-      .distinct().groupBy("tile").agg(count(lit(1)).as("df"))
+    val df = tiled.select(col("doc_id"),
+        explode(array_distinct(col("tiles"))).as("tile"))
+      .groupBy("tile").agg(count(lit(1)).as("df"))
     val n = Tables.documents(spark, dir).count()
     val sz = df.where(col("df") >= math.max(AbsFloor, n / RelDiv)).count()
     require(sz <= HotSetCap,
@@ -125,8 +132,9 @@ object Boilerplate {
   def collectHotSet(spark: SparkSession, dir: String): Seq[String] = {
     val tiled = Tables.documents(spark, dir)
       .select(col("doc_id"), tilesOf(col("text")).as("tiles"))
-    val df = tiled.select(col("doc_id"), explode(col("tiles")).as("tile"))
-      .distinct().groupBy("tile").agg(count(lit(1)).as("df"))
+    val df = tiled.select(col("doc_id"),
+        explode(array_distinct(col("tiles"))).as("tile"))
+      .groupBy("tile").agg(count(lit(1)).as("df"))
     val n = Tables.documents(spark, dir).count()
     val hot = df.where(col("df") >= math.max(AbsFloor, n / RelDiv))
       .orderBy("tile").select("tile")

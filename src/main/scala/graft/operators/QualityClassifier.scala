@@ -77,10 +77,15 @@ object QualityClassifier {
       s"CAST(${Sampling.hashBucketSql("x", Salt)} % $Dim AS INT)), $Dim)))"
 
   /** Margin fold over the sorted feature list — SEQUENTIAL, so the
-    * oracle's identical fold sums in the identical order. */
+    * oracle's identical fold sums in the identical order. The weight
+    * vector rides as ONE array literal (`lit(Array[Double])`), not a
+    * 513-child CreateArray: same doubles, same element_at lookups,
+    * but the analyzer/optimizer walk one node per step instead of 513
+    * (the training loop re-plans this expression Iters times per
+    * rep). */
   private def marginOf(feats: Column, w: IndexedSeq[Double]): Column =
     aggregate(feats, lit(0.0), (acc, i) =>
-      acc + element_at(array(w.map(lit): _*), i + 1))
+      acc + element_at(lit(w.toArray), i + 1))
 
   // --------------------------------------------------------- training
   /** Per-dir last-trained cache + dump-only fallback (shared
@@ -95,36 +100,70 @@ object QualityClassifier {
   private[graft] def train(spark: SparkSession, docs: DataFrame): QcModel = {
     val t0 = System.nanoTime()
     val q = TextAnalysis.qualityScore(col("text"))
+    // bounded sample: smallest TrainCap by salted md5 — TakeOrdered,
+    // deterministic, identical below the cap. The global limit
+    // funnels the survivors through ONE task (bounded: ≤TrainCap
+    // feature rows), so re-spread them before the gradient steps —
+    // without the repartition all 30 steps ran single-partition
+    // (measured 3× SLOWER than the uncapped 250k-row training).
     val base = docs
       .select(col("doc_id"), featsOf(col("text")).as("feats"), q.as("q"))
       .where(col("q") >= BandHi || col("q") <= BandLo)
-      // bounded sample: smallest TrainCap by salted md5 — TakeOrdered,
-      // deterministic, identical below the cap. The global limit
-      // funnels the survivors through ONE task (bounded: ≤TrainCap
-      // feature rows), so re-spread them before the gradient steps —
-      // without the repartition all 30 steps ran single-partition
-      // (measured 3× SLOWER than the uncapped 250k-row training).
       .orderBy(md5(concat(col("doc_id").cast("string"), lit(":qctrain"))))
       .limit(TrainCap)
       .select(col("feats"), when(col("q") >= BandHi, 1.0).otherwise(0.0).as("y"))
       .repartition(spark.sparkContext.defaultParallelism)
-      .localCheckpoint() // featurize once; 30 steps re-read materialized rows
-    val n = base.count()
+    // The 30 sequential gradient steps run over a PERSISTED compact
+    // RDD of the sample, one lightweight RDD job per step, not one
+    // DataFrame action per step: the step's work is microseconds of
+    // float math, but a DataFrame collect costs ~60-90 ms of query
+    // machinery (analysis/optimization/AQE/collect plumbing — a
+    // measured `spark.range(32).count()` floor on this class of
+    // host), so the former explode+groupBy step shape priced 30 ×
+    // ~220 ms ≈ 6.6 s per training at EVERY scale. Per-row math is
+    // unchanged (same sequential margin fold over the sorted feature
+    // list, same sigmoid residual); per-feature sums accumulate in
+    // row order within each partition and merge in PARTITION-INDEX
+    // order driver-side (≤ Dim+1 doubles per partition — model-grain,
+    // the bounded-artifact discipline), which is deterministic where
+    // the former shuffled-fetch merge order was not.
+    val rows = base.queryExecution.toRdd.mapPartitions { it =>
+      // InternalRow: feats as ArrayData of ints, y as double
+      it.map { r =>
+        val a = r.getArray(0)
+        (a.toIntArray(), r.getDouble(1))
+      }
+    }
+    rows.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = rows.count()
     require(n > 0, "no docs in the confident label bands — cannot train")
     val w = Array.fill(Dim + 1)(0.0)
     var step = 0
     while (step < Iters) {
-      val margin = marginOf(col("feats"), w.toIndexedSeq)
-      val resid = (lit(1.0) / (lit(1.0) + exp(-margin)) - col("y")).as("r")
-      // one job: per-feature gradient (bias included — it IS feature
-      // Dim), <= Dim+1 rows back
-      val grads = base.select(explode(col("feats")).as("i"), resid)
-        .groupBy("i").agg(sum("r").as("g"))
-        .collect().map(r => r.getInt(0) -> r.getDouble(1))
-      grads.foreach { case (i, g) => w(i) -= Lr * g / n }
+      val wB = w.clone()
+      val parts = rows.mapPartitionsWithIndex { (pi, it) =>
+        val g = new Array[Double](wB.length)
+        it.foreach { case (fs, y) =>
+          var m = 0.0
+          var j = 0
+          while (j < fs.length) { m += wB(fs(j)); j += 1 }
+          val r = 1.0 / (1.0 + math.exp(-m)) - y
+          j = 0
+          while (j < fs.length) { g(fs(j)) += r; j += 1 }
+        }
+        Iterator((pi, g))
+      }.collect()
+      java.util.Arrays.sort(parts, java.util.Comparator.comparingInt((p: (Int, Array[Double])) => p._1))
+      val g = new Array[Double](w.length)
+      parts.foreach { case (_, pg) =>
+        var i = 0
+        while (i < g.length) { g(i) += pg(i); i += 1 }
+      }
+      var i = 0
+      while (i < w.length) { w(i) -= Lr * g(i) / n; i += 1 }
       step += 1
     }
-    base.unpersist()
+    rows.unpersist(blocking = false)
     QcModel(w.toIndexedSeq, n, (System.nanoTime() - t0) / 1000000L)
   }
 

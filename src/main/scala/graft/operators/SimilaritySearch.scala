@@ -825,7 +825,15 @@ object SimilaritySearch {
       while (i < a.length) { val t = a(i) - b(i); s += t * t; i += 1 }
       s
     }
-    for (mi <- 0 until m) {
+    // subspaces are INDEPENDENT (disjoint slices of the sample,
+    // disjoint cb ranges) — fan the m trainings across a fixed pool;
+    // bit-identical to the sequential loop by construction. The
+    // driver-local seeding + Lloyd's otherwise runs m·k·|sample|·d
+    // float work on one core inside every PQ-family rep (D5/D6/…).
+    val pqPool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(m, Runtime.getRuntime.availableProcessors()))
+    val pqFutures = (0 until m).map { mi => pqPool.submit(
+      new java.util.concurrent.Callable[Unit] { def call(): Unit = {
       val subs: Array[Array[Double]] =
         sample.map(v => v.slice(mi * d, mi * d + d).map(_.toDouble))
       // farthest-point seeding with cached nearest distance (L2)
@@ -870,7 +878,9 @@ object SimilaritySearch {
       }
       for (j <- 0 until k; i <- 0 until d)
         cb((mi * k + j) * d + i) = cents(j)(i).toFloat
-    }
+    }})}
+    try pqFutures.foreach(_.get())
+    finally pqPool.shutdown()
     PqModel(cb.toIndexedSeq, m, k, d)
   }
 
@@ -920,29 +930,52 @@ object SimilaritySearch {
     AdcArtifacts(model, qRows, normLut.toIndexedSeq)
   }
 
+  /** Query frame + LUT plan constants. The per-query dot LUTs ride as
+    * ONE flattened literal array indexed by `qidx` — NOT as an
+    * array column on the joined rows: the former (query_id, dot_lut,
+    * q_norm) frame made every candidate row of the score join
+    * materialize its query's m·k-double LUT (16 KB per row — ~1.3 GB
+    * of UnsafeRow writes for 80k candidates at sf0.1, measured 5.5 s
+    * for the join+score pass alone), when the score only LOOKS UP m
+    * of those doubles per row. The joined row now carries three
+    * scalars; the lookups hit the shared literal. Same doubles, same
+    * left-fold order — bit-identical scores. */
   private def adcFrames(spark: SparkSession,
-                        art: AdcArtifacts): (DataFrame, Column) =
-    (spark.createDataFrame(art.qRows).toDF("query_id", "dot_lut", "q_norm"),
-      lit(art.normLut.toArray))
+                        art: AdcArtifacts): (DataFrame, Array[Double], Array[Double]) = {
+    val q = art.qRows.zipWithIndex.map { case ((id, _, qn), qi) => (id, qi, qn) }
+    val dotFlat = art.qRows.flatMap(_._2).toArray
+    (spark.createDataFrame(q).toDF("query_id", "qidx", "q_norm"),
+      dotFlat, art.normLut.toArray)
+  }
 
-  /** Σ over subvectors of lut[mi·k + code[mi]] — the m-lookup sum every
-    * ADC term (dot, norm, residual cross term) is built from. Requires
-    * a `code` column in scope. */
-  private def adcLutSum(model: PqModel, lut: Column): Column =
-    (0 until model.m).map(mi =>
-      element_at(lut, lit(mi * model.k + 1) + element_at(col("code"), mi + 1)))
-      .reduce(_ + _)
+  /** Σ over subvectors of lut[off + mi·k + code[mi]] — the m-lookup
+    * sum every ADC term (dot, norm, residual cross term) is built
+    * from, as the fused native kernel ([[graft.plans.LutSum]]): the
+    * LUT rides the expression as a FrozenSeq reference object, so
+    * plan hashing is O(1) where an element_at chain over the same
+    * array LITERAL cost multi-second AQE-replan gaps. Requires a
+    * `code` column in scope; `off` selects a slice of a flattened
+    * multi-LUT array (0 for a single-LUT array). Same left-fold
+    * order — bit-identical sums. */
+  private def adcLutSum(spark: SparkSession, model: PqModel, lut: Seq[Double],
+                        off: Column = lit(0)): Column = {
+    graft.plans.GraftFunctions.register(spark)
+    call_function("graft_lut_sum", col("code"), off,
+      lit(lut.toArray), lit(model.k))
+  }
 
-  /** ADC score column; requires `code`, `dot_lut`, `q_norm` in scope.
+  /** ADC score column; requires `code`, `qidx`, `q_norm` in scope.
     * `dotBase`/`normBase` shift the reconstruction for residual codes
     * (v̂ = c + r̂): dot gains the exact q·c term, the squared norm
     * gains |c|² + 2c·r̂ (the cross term is the per-centroid LUT sum
     * a caller passes via `normBase`). */
-  private def adcScore(model: PqModel, normLutCol: Column,
+  private def adcScore(spark: SparkSession, model: PqModel,
+                       dotFlat: Seq[Double], normLut: Seq[Double],
                        dotBase: Column = lit(0.0),
                        normBase: Column = lit(0.0)): Column =
-    (dotBase + adcLutSum(model, col("dot_lut"))) /
-      (col("q_norm") * sqrt(normBase + adcLutSum(model, normLutCol)))
+    (dotBase + adcLutSum(spark, model, dotFlat,
+      col("qidx") * lit(model.m * model.k))) /
+      (col("q_norm") * sqrt(normBase + adcLutSum(spark, model, normLut)))
 
   /** Exact-cosine rescore of a (query_id, vec_id) shortlist → ranked
     * top-[[K]] (shared tail of D4/D5/D6). */
@@ -974,9 +1007,10 @@ object SimilaritySearch {
     val codes = emb.select(col("vec_id"),
       Vectors.pqEncodeFast(spark, col("embedding"),
         art.model.cb, art.model.m, art.model.k, art.model.d).as("code"))
-    val (queries, normLutCol) = adcFrames(spark, art)
+    val (queries, dotFlat, normLut) = adcFrames(spark, art)
     val cands = codes.join(broadcast(queries), col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id"), adcScore(art.model, normLutCol).as("adc"))
+      .select(col("query_id"), col("vec_id"),
+        adcScore(spark, art.model, dotFlat, normLut).as("adc"))
       .groupBy("query_id")
       .agg(TopK.topk(spark, PqShortlist, col("vec_id"), col("adc")).as("hits"))
       .select(col("query_id"), explode(col("hits")).as("h"))
@@ -1184,8 +1218,15 @@ object SimilaritySearch {
     val codes = residuals.select(col("vec_id"), col("cid"),
       Vectors.pqEncodeFast(spark, col("embedding"),
         model.cb, model.m, model.k, model.d).as("code"))
-    val centProps = spark.createDataFrame(art.centProps)
-      .toDF("cid", "c_norm2", "cross_lut")
+    // per-centroid exact terms: cross LUTs flattened into ONE literal
+    // indexed by `cidx` (position in the artifact order — cids can be
+    // sparse after empty-cluster drops), same de-payloading as
+    // adcFrames' dot LUTs: the probe rows carry scalars, not 16 KB
+    // arrays copied into every candidate row
+    val centProps = spark.createDataFrame(
+        art.centProps.zipWithIndex.map { case ((cid, n2, _), ci) => (cid, ci, n2) })
+      .toDF("cid", "cidx", "c_norm2")
+    val crossFlat = art.centProps.flatMap(_._3).toArray
     val qcDots = spark.createDataFrame(art.qcDots)
       .toDF("query_id", "cid", "qc_dot")
 
@@ -1197,15 +1238,16 @@ object SimilaritySearch {
     val probes = centScore.where(col("vec_id") < NQueries)
       .withColumn("rk", row_number().over(wVec)).where(col("rk") <= NProbe)
       .select(col("vec_id").as("query_id"), col("cid"))
-    val (queryLuts, normLutCol) = adcFrames(spark, art.adc)
+    val (queryLuts, dotFlat, normLut) = adcFrames(spark, art.adc)
     val queries = broadcast(queryLuts.join(probes, "query_id")
       .join(qcDots, Seq("query_id", "cid")).join(centProps, "cid"))
     val cands = codes.join(queries, Seq("cid"))
       .where(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
-        adcScore(model, normLutCol,
+        adcScore(spark, model, dotFlat, normLut,
           dotBase = col("qc_dot"),
-          normBase = col("c_norm2") + adcLutSum(model, col("cross_lut"))).as("adc"))
+          normBase = col("c_norm2") + adcLutSum(spark, model, crossFlat,
+            col("cidx") * lit(model.m * model.k))).as("adc"))
       .groupBy("query_id")
       .agg(TopK.topk(spark, PqShortlistIvf, col("vec_id"), col("adc")).as("hits"))
       .select(col("query_id"), explode(col("hits")).as("h"))

@@ -6,6 +6,23 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.types._
 import org.apache.spark.util.sketch.BloomFilter
 
+/** Serialized bloom bytes with IDENTITY-first, digest-cached equality:
+  * a case-class field of 10⁶ boxed bytes made every expression
+  * hashCode/equals call O(|filter|), and Catalyst calls both
+  * constantly during analysis/optimization (semanticEquals,
+  * canonicalization, rule maps) — measured ~1.6 s of driver time per
+  * rep on q_bloom_join's ~0.9 MB filter. The hash is computed once at
+  * construction; equals short-circuits on reference, then hash, and
+  * only byte-compares on a genuine collision. */
+final class BloomBytes(val bytes: Array[Byte]) extends Serializable {
+  override val hashCode: Int = java.util.Arrays.hashCode(bytes)
+  override def equals(o: Any): Boolean = o match {
+    case b: BloomBytes => (this eq b) ||
+      (hashCode == b.hashCode && java.util.Arrays.equals(bytes, b.bytes))
+    case _ => false
+  }
+}
+
 /** Per-row bloom-filter membership probe over a long key — the
   * application side of a hand-rolled runtime join filter (J6). The
   * serialized filter arrives as a foldable binary literal (bounded
@@ -18,7 +35,7 @@ import org.apache.spark.util.sketch.BloomFilter
   * removed by the exact join that follows), false negatives cannot
   * happen — pruning can only cost rows forwarded, never correctness.
   */
-case class BloomMightContain(child: Expression, bloom: IndexedSeq[Byte])
+case class BloomMightContain(child: Expression, bloom: BloomBytes)
   extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult =
@@ -31,7 +48,7 @@ case class BloomMightContain(child: Expression, bloom: IndexedSeq[Byte])
   override def prettyName: String = "graft_might_contain"
 
   @transient private lazy val bf: BloomFilter =
-    BloomFilter.readFrom(new java.io.ByteArrayInputStream(bloom.toArray))
+    BloomFilter.readFrom(new java.io.ByteArrayInputStream(bloom.bytes))
 
   override protected def nullSafeEval(k: Any): Any =
     bf.mightContainLong(k.asInstanceOf[Long])

@@ -129,9 +129,9 @@ object GraftFunctions {
       case x if x.foldable => x.eval() match {
         case a: org.apache.spark.sql.catalyst.util.ArrayData =>
           x.dataType match {
-            case ArrayType(FloatType, _) => a.toFloatArray().toIndexedSeq
+            case ArrayType(FloatType, _) => FrozenSeq(a.toFloatArray().toIndexedSeq)
             case ArrayType(DoubleType, _) =>
-              a.toDoubleArray().map(_.toFloat).toIndexedSeq
+              FrozenSeq(a.toDoubleArray().map(_.toFloat).toIndexedSeq)
             case dt => throw new IllegalArgumentException(
               s"$what must be array<float|double>, got $dt")
           }
@@ -197,9 +197,9 @@ object GraftFunctions {
   /** Foldable-binary extraction: serialized sketch state (bloom
     * filters) arrives as a binary literal and is unpacked once at
     * resolution, never per row. */
-  private def litBinary(e: Expression, what: String): IndexedSeq[Byte] = e match {
+  private def litBinary(e: Expression, what: String): BloomBytes = e match {
     case x if x.foldable => x.eval() match {
-      case b: Array[Byte] => b.toIndexedSeq
+      case b: Array[Byte] => new BloomBytes(b)
       case other => throw new IllegalArgumentException(
         s"$what must be a non-null binary literal, got $other")
     }
@@ -217,7 +217,7 @@ object GraftFunctions {
     e match {
       case x if x.foldable => x.eval() match {
         case a: org.apache.spark.sql.catalyst.util.ArrayData =>
-          (0 until a.numElements()).map(i => a.getUTF8String(i).toString)
+          FrozenSeq((0 until a.numElements()).map(i => a.getUTF8String(i).toString))
         case other => throw new IllegalArgumentException(
           s"$what must be a non-null array literal, got $other")
       }
@@ -229,7 +229,7 @@ object GraftFunctions {
     e match {
       case x if x.foldable => x.eval() match {
         case a: org.apache.spark.sql.catalyst.util.ArrayData =>
-          a.toLongArray().toIndexedSeq
+          FrozenSeq(a.toLongArray().toIndexedSeq)
         case other => throw new IllegalArgumentException(
           s"$what must be a non-null array literal, got $other")
       }
@@ -266,12 +266,20 @@ object GraftFunctions {
     e match {
       case x if x.foldable => x.eval() match {
         case a: org.apache.spark.sql.catalyst.util.ArrayData =>
-          a.toDoubleArray().toIndexedSeq
+          FrozenSeq(a.toDoubleArray().toIndexedSeq)
         case other => throw new IllegalArgumentException(
           s"$what must be a non-null array literal, got $other")
       }
       case x => throw new IllegalArgumentException(s"$what must be a literal, got $x")
     }
+
+  private val lutSumDesc = (
+    FunctionIdentifier("graft_lut_sum"),
+    new ExpressionInfo(classOf[LutSum].getName, null, "graft_lut_sum"),
+    (children: Seq[Expression]) => LutSum(
+      children(0), children(1),
+      litDoubleArray(children(2), "graft_lut_sum lut"),
+      litInt(children(3), "graft_lut_sum k")): Expression)
 
   private val nbScoresDesc = (
     FunctionIdentifier("graft_nb_scores"),
@@ -323,7 +331,8 @@ object GraftFunctions {
   private val all = Seq(cosineDesc, srpDesc, minhashDesc, simhashDesc,
     pqEncodeDesc, shinglesDesc, gramStatsDesc, gramBucketsDesc,
     mightContainDesc, sortedExceptDesc, bpeCountDesc, bpeEncodeDesc,
-    bitPackDesc, nbScoresDesc, winnowFpDesc, lmScoreDesc, minIdsDesc)
+    bitPackDesc, nbScoresDesc, winnowFpDesc, lmScoreDesc, minIdsDesc,
+    lutSumDesc)
 
   /** Idempotent per-session registration (for sessions built without
     * the extensions config). */

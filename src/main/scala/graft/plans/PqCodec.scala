@@ -51,6 +51,54 @@ object PqCodec {
     }
     new GenericArrayData(codes)
   }
+
+  /** Σ over subvectors of lut[off + mi·k + code[mi]] — the fused ADC
+    * lookup sum (dot, norm and residual-cross terms all have this
+    * shape). Left-associated ascending-mi accumulation, bit-identical
+    * to the element_at chain it replaces and to the oracle's explicit
+    * `lut[i1] + lut[i2] + …` sum. */
+  def lutSum(code: ArrayData, off: Int, lut: Array[Double], k: Int): Double = {
+    val m = code.numElements()
+    if (m == 0) return 0.0
+    var s = lut(off + code.getInt(0))
+    var mi = 1
+    while (mi < m) { s += lut(off + mi * k + code.getInt(mi)); mi += 1 }
+    s
+  }
+}
+
+/** `graft_lut_sum(code, off, lut_lit, k_lit)` → double: the ADC
+  * m-lookup sum over a FLATTENED multi-LUT literal, `off` selecting
+  * the query/centroid slice. The LUT rides the expression as a
+  * reference object (FrozenSeq — O(1) plan hashing; a plain
+  * element_at chain over an 80k-double array literal cost multi-
+  * second driver gaps in canonicalization/AQE replanning), the loop
+  * is one precompiled static call — no boxed per-element access. */
+case class LutSum(code: Expression, off: Expression,
+                  lut: IndexedSeq[Double], k: Int)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def left: Expression = code
+  override def right: Expression = off
+  override def checkInputDataTypes(): TypeCheckResult =
+    (code.dataType, off.dataType) match {
+      case (ArrayType(IntegerType, _), IntegerType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (c, o) => TypeCheckResult.TypeCheckFailure(
+        s"graft_lut_sum expects (array<int>, int), got ($c, $o)")
+    }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_lut_sum"
+  @transient private lazy val lutArr: Array[Double] = lut.toArray
+  override protected def nullSafeEval(c: Any, o: Any): Any =
+    PqCodec.lutSum(c.asInstanceOf[ArrayData], o.asInstanceOf[Int], lutArr, k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val lutRef = ctx.addReferenceObj("adcLut", lutArr, "double[]")
+    defineCodeGen(ctx, ev, (c, o) =>
+      s"graft.plans.PqCodec$$.MODULE$$.lutSum($c, $o, $lutRef, $k)")
+  }
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): LutSum =
+    copy(code = newLeft, off = newRight)
 }
 
 /** `graft_pq_encode(embedding, codebook_lit, m, k, d)` → array<int>
