@@ -155,6 +155,10 @@ object Dev {
       (1 to 20).foreach(_ => f)
       println(f"[dev] $name: ${(System.nanoTime() - t0) / 20e6}%.1f ms/rep")
     }
+    t("range-32-explain-formatted")(spark.range(0, 32, 1, 32).groupBy().count().collect())
+    spark.conf.set("spark.sql.ui.explainMode", "simple")
+    t("range-32-explain-simple")(spark.range(0, 32, 1, 32).groupBy().count().collect())
+    spark.conf.set("spark.sql.ui.explainMode", "formatted")
     t("range-1part")(spark.range(0, 32, 1, 1).groupBy().count().collect())
     t("range-4part")(spark.range(0, 32, 1, 4).groupBy().count().collect())
     t("range-32part")(spark.range(0, 32, 1, 32).groupBy().count().collect())

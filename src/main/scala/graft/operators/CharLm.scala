@@ -62,12 +62,19 @@ object CharLm {
   def lmScoreFrom(docs: DataFrame): DataFrame =
     lmScoreWith(docs, lmModelFrom(docs))
 
-  private def lmGramsOf(docs: DataFrame): DataFrame =
+  /** The char-trigram stream behind the `length >= 3` guard — the
+    * native [[graft.plans.CharGrams]] kernel (one fused code-point
+    * walk per doc) in place of the interpreted
+    * `transform(sequence(...), i -> substring(text, i, 3))` chain
+    * (one lambda + sequence array per gram); element-identical on the
+    * guarded domain, CharLmSpec pins the chain equality. */
+  private def lmGramsOf(docs: DataFrame): DataFrame = {
+    graft.plans.GraftFunctions.register(docs.sparkSession)
     docs.where(length(col("text")) >= 3)
       .select(col("doc_id"),
-        explode(expr(
-          "transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))"))
+        explode(call_function("graft_char_grams", col("text"), lit(3)))
           .as("g"))
+  }
 
   /** The trained O4 artifact — the `(trigram, logp)` table, bounded
     * by |charset|³ (never corpus size), i.e. the thing a steady-state
@@ -272,10 +279,10 @@ object CharLm {
   def excessLossSelectFrom(docs: DataFrame,
                            sortCap: Long = Sampling.SampleSortCap): DataFrame = {
     val corpus3 = docs.where(length(col("text")) >= 3)
+    graft.plans.GraftFunctions.register(docs.sparkSession)
     def gramsOf(d: DataFrame): DataFrame = d
       .select(col("doc_id"),
-        explode(expr(
-          "transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))"))
+        explode(call_function("graft_char_grams", col("text"), lit(3)))
           .as("g"))
     val grams = gramsOf(corpus3)
     // Fit as TWO flag-free branches, NOT one pass carrying a per-doc

@@ -273,6 +273,12 @@ object GraftFunctions {
       case x => throw new IllegalArgumentException(s"$what must be a literal, got $x")
     }
 
+  private val charGramsDesc = (
+    FunctionIdentifier("graft_char_grams"),
+    new ExpressionInfo(classOf[CharGrams].getName, null, "graft_char_grams"),
+    (children: Seq[Expression]) => CharGrams(
+      children(0), litInt(children(1), "graft_char_grams n")): Expression)
+
   private val lutSumDesc = (
     FunctionIdentifier("graft_lut_sum"),
     new ExpressionInfo(classOf[LutSum].getName, null, "graft_lut_sum"),
@@ -332,7 +338,7 @@ object GraftFunctions {
     pqEncodeDesc, shinglesDesc, gramStatsDesc, gramBucketsDesc,
     mightContainDesc, sortedExceptDesc, bpeCountDesc, bpeEncodeDesc,
     bitPackDesc, nbScoresDesc, winnowFpDesc, lmScoreDesc, minIdsDesc,
-    lutSumDesc)
+    lutSumDesc, charGramsDesc)
 
   /** Idempotent per-session registration (for sessions built without
     * the extensions config). */

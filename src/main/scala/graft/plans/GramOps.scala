@@ -59,6 +59,33 @@ object GramOps {
     (starts, ends)
   }
 
+  /** Character n-grams as zero-copy spans over the shared byte
+    * buffer, code-point boundaries identical to Spark `substring`.
+    * Texts shorter than n yield an empty array (callers guard). */
+  def charGrams(s: UTF8String, n: Int): ArrayData = {
+    val b = s.getBytes
+    // code-point start offsets
+    val L = s.numChars()
+    if (L < n) return new GenericArrayData(Array.empty[Any])
+    val off = new Array[Int](L + 1)
+    var i = 0
+    var cp = 0
+    while (i < b.length) {
+      off(cp) = i
+      i += UTF8String.numBytesForFirstByte(b(i))
+      cp += 1
+    }
+    off(L) = b.length
+    val w = L - n + 1
+    val out = new Array[Any](w)
+    var g = 0
+    while (g < w) {
+      out(g) = UTF8String.fromBytes(b, off(g), off(g + n) - off(g))
+      g += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** The n-gram string array (optionally first-occurrence-distinct):
     * each element is a zero-copy span view over one shared byte
     * buffer. NULL text behaves as EMPTY text (→ `[""]`), matching the
@@ -313,6 +340,35 @@ case class GramBuckets(child: Expression, salt: String, dim: Int)
       isNull = FalseLiteral)
   }
   override protected def withNewChildInternal(newChild: Expression): GramBuckets =
+    copy(child = newChild)
+}
+
+/** `graft_char_grams(text, n)` → array<string> of the CHARACTER
+  * n-grams of `text` — the fused replacement for the interpreted
+  * `transform(sequence(1, length(text) - n + 1), i ->
+  * substring(text, i, n))` chain (one lambda invocation + one
+  * sequence array per gram). Code-point semantics match Spark's
+  * `substring` exactly (UTF8 boundaries, not bytes); texts shorter
+  * than n yield an EMPTY array, so callers keep the same
+  * `length(text) >= n` guard the HOF form required (there,
+  * sequence(1, 0) would DESCEND — this kernel is only substituted
+  * behind that guard, where the two are element-identical). */
+case class CharGrams(child: Expression, n: Int) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType if n >= 1 => TypeCheckResult.TypeCheckSuccess
+    case StringType => TypeCheckResult.TypeCheckFailure(
+      s"graft_char_grams n must be >= 1, got $n")
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"graft_char_grams expects string, got $dt")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_char_grams"
+  override protected def nullSafeEval(input: Any): Any =
+    GramOps.charGrams(input.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.plans.GramOps$$.MODULE$$.charGrams($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): CharGrams =
     copy(child = newChild)
 }
 
