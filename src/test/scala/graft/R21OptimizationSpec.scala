@@ -1,7 +1,6 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import org.scalatest.funsuite.AnyFunSuite
 
 import graft.plans.FrozenSeq
 
@@ -9,7 +8,7 @@ import graft.plans.FrozenSeq
   * bit-identity with the shape it replaced — these tests pin that
   * claim directly (the oracle gate pins it end-to-end).
   */
-class R21OptimizationSpec extends AnyFunSuite with SparkSessionTestWrapper {
+class R21OptimizationSpec extends SparkSpec {
 
   test("graft_char_grams equals the transform/sequence/substring HOF chain") {
     import spark.implicits._
