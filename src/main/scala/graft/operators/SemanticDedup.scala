@@ -121,25 +121,58 @@ object SemanticDedup {
   private[graft] val LiteralAssignMaxK = 512
 
   /** Small-k assignment: per-row argmax against the collected
-    * centroids via [[literalScoredCentroids]] — one NARROW projection,
-    * no n·k explode, no aggregation shuffle, and the embedding never
-    * leaves its row (no [[withEmbedding]] restore join). Bit-matches
-    * [[assignToAgg]] by construction: same `graft_cosine`, same
-    * round(_, 9), and the struct sort on (-cc, cid) is the same
-    * "max cosine, NaN loses, ties to smallest cid" rule (NaN scores
-    * sort greatest on the NEGATED key, i.e. last — exactly the agg's
-    * NaN→-Inf guard). PackingSpec pins route equality on the fixture. */
+    * centroids via the fused `graft_cent_best` kernel — one NARROW
+    * projection, no n·k explode, no aggregation shuffle, and the
+    * embedding never leaves its row (no [[withEmbedding]] restore
+    * join). The centroid matrix rides the expression as FrozenSeq
+    * reference fields (O(1) plan hashing — the former
+    * array-of-struct-literal tree was k·d expression NODES and cost
+    * measured multi-second driver gaps in analysis/canonicalization
+    * once the trainer started running 3+ such plans per query).
+    * Bit-matches [[assignToAgg]] by construction: same cosine
+    * accumulation, same round(_, 9), and (ns asc, cid asc) selection
+    * is the same "max cosine, NaN loses, ties to smallest cid" rule.
+    * PackingSpec pins route equality on the fixture. */
   private[graft] def assignToLiteral(spark: SparkSession, emb: DataFrame,
                               cents: DataFrame): DataFrame =
     assignToLiteral(spark, emb, cents.collect().toIndexedSeq)
 
   private def assignToLiteral(spark: SparkSession, emb: DataFrame,
                               centRows: Seq[org.apache.spark.sql.Row]): DataFrame = {
-    val best = element_at(
-      literalScoredCentroids(spark, centRows, col("embedding")), 1)
+    graft.plans.GraftFunctions.register(spark)
+    val (flat, cids) = flatCentRows(centRows)
+    val best = call_function("graft_cent_best", col("embedding"),
+      lit(flat), lit(cids))
     emb.select(col("vec_id"), col("embedding"),
       best.getField("cid").as("cid"),
       (-best.getField("ns")).as("cent_sim"))
+  }
+
+  /** Collected centroid rows (column 0: Int id, column 1: the
+    * embedding as float or double elements) → the kernels' flat
+    * matrix + parallel cid array. Element conversion is the same
+    * Number.doubleValue the literal chain used (float→double is
+    * exact). */
+  private def flatCentRows(centRows: Seq[org.apache.spark.sql.Row])
+      : (Array[Double], Array[Int]) = {
+    val k = centRows.length
+    require(k > 0, "empty centroid table")
+    val d = centRows.head.getSeq[Any](1).length
+    val flat = new Array[Double](k * d)
+    val cids = new Array[Int](k)
+    var j = 0
+    while (j < k) {
+      val r = centRows(j)
+      cids(j) = r.getInt(0)
+      val e = r.getSeq[Any](1)
+      var i = 0
+      while (i < d) {
+        flat(j * d + i) = e(i).asInstanceOf[Number].doubleValue
+        i += 1
+      }
+      j += 1
+    }
+    (flat, cids)
   }
 
   /** Large-k assignment: n·k candidate rows from a broadcast join,
@@ -196,44 +229,22 @@ object SemanticDedup {
   }
 
   /** Top-`n` centroid ids per row against a COLLECTED centroid frame
-    * (column 0: Int id, column 1: the embedding) ridden as an in-plan
-    * literal struct array — one NARROW projection, no aggregation
-    * (stream-safe), deterministic ties to the smallest id via the
-    * struct sort on (-round(cos, 9), id), bit-matching [[argmaxBest]]'s
-    * rule. Shared by the batch probe path and the streaming
-    * assignment ([[graft.streaming.VecStreams]]) so the two can never
-    * drift on rounding or tie-breaks. Expression size bounds the
-    * collected frame to k in the low thousands — callers at larger k
-    * route through a coarse quantizer first. */
+    * (column 0: Int id, column 1: the embedding) via the fused
+    * `graft_cent_topn` kernel — one NARROW projection, no aggregation
+    * (stream-safe), deterministic (ns asc, cid asc) selection with
+    * the NaN→+2.0 sentinel ("NaN loses", the agg route's rule), the
+    * exact contract of the former `slice(array_sort(transform(...)),
+    * 1, n).cid` chain. Shared by the batch probe path and the
+    * streaming assignment ([[graft.streaming.VecStreams]]) so the two
+    * can never drift on rounding or tie-breaks. The matrix rides the
+    * expression as FrozenSeq reference fields, so k in the low
+    * thousands no longer bloats the plan — callers at larger k still
+    * route through a coarse quantizer first (per-row cost is k·d). */
   private[graft] def literalTopCentroids(spark: SparkSession, cents: DataFrame,
-                                         emb: Column, n: Int): Column =
-    slice(literalScoredCentroids(spark, cents.collect().toIndexedSeq, emb),
-      1, n).getField("cid")
-
-  /** The scored-and-sorted struct array `(ns = -round(cos, 9), cid)`
-    * behind [[literalTopCentroids]] — exposed so [[assignToLiteral]]
-    * can read the winner's SCORE as well as its id. Input rows are
-    * (column 0: Int id, column 1: the embedding); row ORDER is
-    * irrelevant (the struct sort orders candidates). */
-  private def literalScoredCentroids(spark: SparkSession,
-                                     centRows: Seq[org.apache.spark.sql.Row],
-                                     emb: Column): Column = {
+                                         emb: Column, n: Int): Column = {
     graft.plans.GraftFunctions.register(spark)
-    val arr = array(centRows.map { r =>
-      struct(lit(r.getInt(0)).as("cid"),
-        array(r.getSeq[Any](1).map(v =>
-          lit(v.asInstanceOf[Number].doubleValue)): _*).as("c_emb"))
-    }: _*)
-    // NaN cosine → ns sentinel +2.0: sorts LAST like NaN does on the
-    // negated key (so ordering is unchanged), but decodes to the agg
-    // route's all-NaN cent_sim of -2.0 (argmaxRank's NaN→-2 guard)
-    // instead of NaN — the two routes stay bit-equal on the corner
-    // where EVERY candidate cosine is NaN (an all-zero input vector).
-    array_sort(transform(arr, { c =>
-      val c9 = round(call_function("graft_cosine", emb, c.getField("c_emb")), 9)
-      struct(when(isnan(c9), lit(2.0)).otherwise(-c9).as("ns"),
-        c.getField("cid").as("cid"))
-    }))
+    val (flat, cids) = flatCentRows(cents.collect().toIndexedSeq)
+    call_function("graft_cent_topn", emb, lit(flat), lit(cids), lit(n))
   }
 
   /** The >10⁷-vector assignment path (the SemDeDup/faiss shape): a

@@ -369,34 +369,36 @@ object SimilaritySearch {
       .select(col("cid"), col("c_emb").cast("array<float>").as("c_emb"))
 
     require(k < ArgmaxCidCap, s"k=$k exceeds the encoded-argmax cid cap")
+    // Assignment per round goes through SemanticDedup.assignTo's
+    // dispatch: at k <= LiteralAssignMaxK the centroids ride the plan
+    // as literals and the argmax is ONE NARROW projection — no n·k
+    // broadcast-agg shuffle, no n-row embedding-restore join, and no
+    // per-round localCheckpoint (the literal severs lineage by
+    // construction: the next round's plan references collected
+    // centroid VALUES, not the previous round's frame). Above the cap
+    // the dispatch takes assignToAgg — exactly the broadcast +
+    // argmaxRank + restore-join shape that used to be inlined here —
+    // and the per-round checkpoint stays (the agg route consumes the
+    // centroid frame twice: head-probe collect + broadcast build).
+    // Both routes share the tie/NaN rule (max round-9 cosine, ties to
+    // the smallest cid, NaN loses) — bit-equality is PackingSpec's
+    // standing gate, so the trained centroids are unchanged. Measured
+    // at sf0.1: each Lloyd round drops from ~8 AQE-stage jobs to ~3.
+    val literalRegime = k <= SemanticDedup.LiteralAssignMaxK
     for (_ <- 1 to iters) {
-      // argmax via the single-DOUBLE encoded rank (argmaxRank): max
-      // cosine, ties to the smallest cid. The former max(struct) form
-      // planned as SortAggregate AND carried the embedding through the
-      // buffer (first(embedding)) — at 500× each Lloyd pass sorted
-      // 8·10⁹ candidate rows and died on spill disk. Now the n·k
-      // stream pipelines through a primitive HashAggregate and the
-      // embedding is restored by an n-row join (the assignToAgg
-      // trade). NaN cosines lose (argmaxRank guard) where the struct
-      // double-ordering let them win — no corpus vector is zero, so
-      // no trained centroid moves; losing is the defensible rule.
-      val best = emb.select("vec_id", "embedding").join(broadcast(cents))
-        .select(col("vec_id"), argmaxRank(
-          round(Vectors.cosineFast(spark, col("embedding"), col("c_emb")), 9),
-          col("cid")).as("r"))
-        .groupBy("vec_id").agg(max(col("r")).as("rank"))
-      val assigned = best
-        .select(col("vec_id"), argmaxDecodeCid(col("rank")).as("cid"))
-        .join(emb.select("vec_id", "embedding"), Seq("vec_id"))
+      val assigned = SemanticDedup.assignTo(spark, emb, cents)
         .select(col("embedding"), col("cid"))
       cents = assigned
         .select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "v")))
         .groupBy("cid", "pos").agg(avg(col("v").cast("double")).as("c"))
         .groupBy("cid")
         .agg(expr("transform(array_sort(collect_list(struct(pos, c))), s -> s.c)").as("c_emb"))
-        .localCheckpoint()
+      if (!literalRegime) cents = cents.localCheckpoint()
     }
-    cents
+    // the returned frame keeps the historical "already materialized"
+    // contract — several consumers read it more than once
+    // (assignViaIvf's coarse table, VecStreams' per-batch centroids)
+    if (literalRegime) cents.localCheckpoint() else cents
   }
 
   /** Default centroid count for the [[ivfTopKTrained]] query form. */

@@ -279,6 +279,35 @@ object GraftFunctions {
     (children: Seq[Expression]) => CharGrams(
       children(0), litInt(children(1), "graft_char_grams n")): Expression)
 
+  /** Foldable int-array extraction (frozen centroid-id tables). */
+  private def litIntArray(e: Expression, what: String): IndexedSeq[Int] =
+    e match {
+      case x if x.foldable => x.eval() match {
+        case a: org.apache.spark.sql.catalyst.util.ArrayData =>
+          FrozenSeq(a.toIntArray().toIndexedSeq)
+        case other => throw new IllegalArgumentException(
+          s"$what must be a non-null array literal, got $other")
+      }
+      case x => throw new IllegalArgumentException(s"$what must be a literal, got $x")
+    }
+
+  private val centBestDesc = (
+    FunctionIdentifier("graft_cent_best"),
+    new ExpressionInfo(classOf[CentBest].getName, null, "graft_cent_best"),
+    (children: Seq[Expression]) => CentBest(
+      children(0),
+      litDoubleArray(children(1), "graft_cent_best centroids"),
+      litIntArray(children(2), "graft_cent_best cids")): Expression)
+
+  private val centTopNDesc = (
+    FunctionIdentifier("graft_cent_topn"),
+    new ExpressionInfo(classOf[CentTopN].getName, null, "graft_cent_topn"),
+    (children: Seq[Expression]) => CentTopN(
+      children(0),
+      litDoubleArray(children(1), "graft_cent_topn centroids"),
+      litIntArray(children(2), "graft_cent_topn cids"),
+      litInt(children(3), "graft_cent_topn n")): Expression)
+
   private val lutSumDesc = (
     FunctionIdentifier("graft_lut_sum"),
     new ExpressionInfo(classOf[LutSum].getName, null, "graft_lut_sum"),
@@ -338,7 +367,7 @@ object GraftFunctions {
     pqEncodeDesc, shinglesDesc, gramStatsDesc, gramBucketsDesc,
     mightContainDesc, sortedExceptDesc, bpeCountDesc, bpeEncodeDesc,
     bitPackDesc, nbScoresDesc, winnowFpDesc, lmScoreDesc, minIdsDesc,
-    lutSumDesc, charGramsDesc)
+    lutSumDesc, charGramsDesc, centBestDesc, centTopNDesc)
 
   /** Idempotent per-session registration (for sessions built without
     * the extensions config). */
