@@ -239,8 +239,10 @@ object FromStages {
   // keyed on the SparkSession OBJECT (reference identity via a
   // WeakHashMap, not identityHashCode — hash values can collide
   // across sessions and a stopped session's entry must not be handed
-  // to a new one), weakly so a dropped session's stages don't pin the
-  // JVM for its lifetime
+  // to a new one). NOTE: the WeakHashMap does NOT make entries
+  // collectable — each FromStages value strongly references its
+  // session key (the classic value→key pin), so lifetime management
+  // is cleanup()/evict() (Bench calls cleanup() after timing), not GC
   private val cache = java.util.Collections.synchronizedMap(
     new java.util.WeakHashMap[SparkSession,
       scala.collection.mutable.Map[String, FromStages]]())

@@ -55,7 +55,15 @@ object BloomJoin {
     * fixture SF the exact join is a broadcast anyway — the query is
     * the CORRECTNESS contract (bloom+join ≡ plain semi join, oracled);
     * BloomJoinSpec pins the pruning behavior itself (filter present
-    * before the join, measured selectivity ≈ fpp on disjoint keys). */
+    * before the join, measured selectivity ≈ fpp on disjoint keys).
+    *
+    * INTENTIONALLY EAGER construction: building this frame runs Spark
+    * jobs (the urgent-keys localCheckpoint, the sizing count, the
+    * bloom aggregation) before any action on the result — a bloom
+    * filter is a driver-side artifact, same class as the trained
+    * centroid/codebook collects, so plan-only consumers (explain,
+    * PlanDump) pay the build. That is the documented cost of every
+    * frozen-artifact query in this engine, not an accident. */
   def qBloomJoin(spark: SparkSession, dir: String): DataFrame = {
     val urgent = Tables.orders(spark, dir)
       .where(col("o_orderpriority") === "1-URGENT")

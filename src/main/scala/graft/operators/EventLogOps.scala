@@ -58,13 +58,20 @@ object EventLogOps {
     // ranges in partition order, ordered within), but the range sampler
     // runs over the bare scan instead of re-evaluating the JSON
     // extraction for a second full pass the way a trailing orderBy did
-    // (measured 2.2 s -> 1.7 s steady-state at sf0.1).
+    // (measured 2.2 s -> 1.7 s steady-state at sf0.1). The RAW-column
+    // skip conditions (missing time / missing detail) filter BELOW the
+    // exchange — they reach the parquet scan as PushedFilters, so
+    // skipped records never ride the shuffle; only the parse-dependent
+    // `k` check stays above (ts_us is null iff ts is null — `ts DIV
+    // 1000` of a non-null BIGINT never nulls — so the drop set is
+    // identical to the former post-exchange triple check).
     Tables.eventsRaw(spark, dir)
+      .where(col("ts").isNotNull && col("props").isNotNull)
       .repartitionByRange(col("event_id"))
       .sortWithinPartitions("event_id")
       .select(col("event_id"), tsUs.as("ts_us"), col("props"),
         Portable.intStrict(Portable.jsonGetString(col("props"), "$.k")).as("k"))
-      .where(col("ts_us").isNotNull && col("props").isNotNull && col("k").isNotNull)
+      .where(col("k").isNotNull)
       .select(col("event_id"), col("ts_us"), col("k"), col("props").as("detail"))
 
   val parseSql: String =

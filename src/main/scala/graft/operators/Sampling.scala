@@ -435,9 +435,14 @@ object Sampling {
       percentile_approx(col("value"), array(lit(0.5), lit(0.99)),
         lit(10000)).as("pa"),
       expr("percentile(value, array(0.45, 0.55, 0.985, 0.995))").as("pe"))
-    val users = ev.groupBy(col("event_type"))
+    // null-safe join key (<=>): the single-agg form this split
+    // replaced kept a NULL event_type group (as does the oracle's
+    // GROUP BY) — an inner equi-join would silently drop it if events
+    // ever carried null event_type (the schema field is nullable)
+    val users = ev.groupBy(col("event_type").as("event_type_u"))
       .agg(countDistinct(col("user_id")).as("n_users"))
-    sketches.join(users, Seq("event_type"))
+    sketches.join(users, col("event_type") <=> col("event_type_u"))
+      .drop("event_type_u")
       .select(col("event_type"), col("n_events"), col("n_users"),
         (abs(col("au") - col("n_users")) <= col("n_users") * 0.05)
           .as("users_sketch_ok"),

@@ -137,7 +137,7 @@ object SemanticDedup {
                               cents: DataFrame): DataFrame =
     assignToLiteral(spark, emb, cents.collect().toIndexedSeq)
 
-  private def assignToLiteral(spark: SparkSession, emb: DataFrame,
+  private[graft] def assignToLiteral(spark: SparkSession, emb: DataFrame,
                               centRows: Seq[org.apache.spark.sql.Row]): DataFrame = {
     graft.plans.GraftFunctions.register(spark)
     val (flat, cids) = flatCentRows(centRows)
@@ -241,9 +241,17 @@ object SemanticDedup {
     * thousands no longer bloats the plan — callers at larger k still
     * route through a coarse quantizer first (per-row cost is k·d). */
   private[graft] def literalTopCentroids(spark: SparkSession, cents: DataFrame,
+                                         emb: Column, n: Int): Column =
+    literalTopCentroids(spark, cents.collect().toIndexedSeq, emb, n)
+
+  /** Row-level overload: callers that already hold the collected
+    * centroid rows (one collect shared across assignment + probe
+    * sides) build both kernels from the same rows. */
+  private[graft] def literalTopCentroids(spark: SparkSession,
+                                         centRows: Seq[org.apache.spark.sql.Row],
                                          emb: Column, n: Int): Column = {
     graft.plans.GraftFunctions.register(spark)
-    val (flat, cids) = flatCentRows(cents.collect().toIndexedSeq)
+    val (flat, cids) = flatCentRows(centRows)
     call_function("graft_cent_topn", emb, lit(flat), lit(cids), lit(n))
   }
 

@@ -121,31 +121,49 @@ object SimilaritySearch {
     * join, never a shuffle of the corpus. */
   private def ivfSearchOn(spark: SparkSession, emb: DataFrame,
                           cents: DataFrame): DataFrame = {
-    val centScore = emb.select("vec_id", "embedding").join(broadcast(cents))
-      .select(col("vec_id"), col("embedding"), col("cid"),
-        Vectors.cosineFast(spark, col("embedding"), col("c_emb")).as("c_cos"))
-    // corpus-side assignment is a map-side max(struct) argmax — the
-    // partial aggregation reduces the C·n scored rows to n before any
-    // shuffle, where a vec_id window would shuffle all C·n. Ties pick
-    // the smallest cid (max of -cid), identical to the oracle's
-    // `ORDER BY round(cos,9) DESC, cid` rank — cids are non-negative
-    // (labels or trained indices), so -cid ordering is exact.
-    val assign = centScore
-      .groupBy("vec_id")
-      .agg(first(col("embedding")).as("embedding"),
-        max(struct(round(col("c_cos"), 9).as("cc"), (-col("cid")).as("ncid"))).as("best"))
-      .select(col("vec_id"), col("embedding"), (-col("best.ncid")).as("cid"))
-
-    // the probe side is only the NQueries query vectors — the window
-    // is over C rows per query, trivially small at any corpus size
-    val wVec = Window.partitionBy("vec_id")
-      .orderBy(round(col("c_cos"), 9).desc, col("cid"))
-    val probes = centScore.where(col("vec_id") < NQueries)
-      .withColumn("rk", row_number().over(wVec)).where(col("rk") <= NProbe)
-      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"), col("cid"))
-
+    // Small centroid tables (every shipped caller: label means,
+    // TrainedK, AnnRecall's fixture ks) take the NARROW kernel route —
+    // one collect feeds both the corpus assignment and the query
+    // probes, so the corpus side has NO shuffle and NO aggregation
+    // (the former map-side max(struct) argmax carried the embedding
+    // through a first() ObjectHashAggregate buffer — the shape the
+    // SemanticDedup scaladoc documents as the 500× OOM). Tie rule
+    // unchanged: max round-9 cosine, ties to the smallest cid (the
+    // kernels' (ns asc, cid asc) order — CentScoreSpec pins it).
+    // Above the literal cap the former broadcast+argmax shape runs.
+    val head = cents.limit(SemanticDedup.LiteralAssignMaxK + 1).collect()
+    val (assign, probes) =
+      if (head.length <= SemanticDedup.LiteralAssignMaxK) {
+        val a = SemanticDedup
+          .assignToLiteral(spark, emb.select("vec_id", "embedding"), head.toIndexedSeq)
+          .select(col("vec_id"), col("embedding"), col("cid"))
+        val p = emb.select("vec_id", "embedding")
+          .where(col("vec_id") < NQueries)
+          .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+            explode(SemanticDedup.literalTopCentroids(spark, head.toIndexedSeq,
+              col("embedding"), NProbe)).as("cid"))
+        (a, p)
+      } else {
+        val centScore = emb.select("vec_id", "embedding").join(broadcast(cents))
+          .select(col("vec_id"), col("embedding"), col("cid"),
+            Vectors.cosineFast(spark, col("embedding"), col("c_emb")).as("c_cos"))
+        val a = centScore
+          .groupBy("vec_id")
+          .agg(first(col("embedding")).as("embedding"),
+            max(struct(round(col("c_cos"), 9).as("cc"), (-col("cid")).as("ncid"))).as("best"))
+          .select(col("vec_id"), col("embedding"), (-col("best.ncid")).as("cid"))
+        val wVec = Window.partitionBy("vec_id")
+          .orderBy(round(col("c_cos"), 9).desc, col("cid"))
+        val p = centScore.where(col("vec_id") < NQueries)
+          .withColumn("rk", row_number().over(wVec)).where(col("rk") <= NProbe)
+          .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+            col("cid"))
+        (a, p)
+      }
     explodeRanked(
-      probes.join(assign, Seq("cid"))
+      // the probe side is NQueries·NProbe rows at any corpus size —
+      // broadcast it so the n-row assignment never shuffles on cid
+      broadcast(probes).join(assign, Seq("cid"))
         .where(col("vec_id") =!= col("query_id"))
         .select(col("query_id"), col("vec_id"),
           Vectors.cosineFast(spark, col("q_emb"), col("embedding")).as("cos_sim"))
@@ -1144,20 +1162,18 @@ object SimilaritySearch {
     * input type — codebook training uses the SAME cast, so train and
     * encode see identical bits). */
   private def ivfPqResiduals(spark: SparkSession, emb: DataFrame,
-                             cents: DataFrame): DataFrame = {
-    val centScore = emb.join(broadcast(cents))
-      .select(col("vec_id"), col("embedding"), col("cid"),
-        round(Vectors.cosineFast(spark, col("embedding"), col("c_emb")), 9).as("cc"))
-    val assigned = centScore
-      .groupBy("vec_id")
-      .agg(first(col("embedding")).as("embedding"),
-        max(struct(col("cc"), (-col("cid")).as("ncid"))).as("best"))
-      .select(col("vec_id"), col("embedding"), (-col("best.ncid")).as("cid"))
-    assigned.join(broadcast(cents), "cid")
+                             cents: DataFrame): DataFrame =
+    // assignment via the shared dispatch (narrow kernel argmax at the
+    // coarse ks this path runs — the former max(struct) shape carried
+    // the embedding through a first() ObjectHashAggregate buffer and
+    // shuffled n rows per pass; tie rule identical, CentScoreSpec +
+    // the oracle gate pin it); only the k-row centroid join remains
+    SemanticDedup.assignTo(spark, emb, cents)
+      .select("vec_id", "embedding", "cid")
+      .join(broadcast(cents), "cid")
       .select(col("vec_id"), col("cid"),
         expr("zip_with(embedding, c_emb, (x, y) -> CAST(CAST(x AS DOUBLE) - y AS FLOAT))")
           .as("embedding"))
-  }
 
   private def ivfPqArtifacts(spark: SparkSession, dir: String,
                              c: Int): IvfPqArtifacts = {
@@ -1213,9 +1229,6 @@ object SimilaritySearch {
     // (vec_id, cid, code) — 8 B/vector — as the persisted index
     // artifact; a session-lifetime persist() of the float residuals
     // here would be the wrong shape at 100 TB.
-    val centScore = emb.join(broadcast(cents))
-      .select(col("vec_id"), col("embedding"), col("cid"),
-        round(Vectors.cosineFast(spark, col("embedding"), col("c_emb")), 9).as("cc"))
     val residuals = ivfPqResiduals(spark, emb, cents)
     val codes = residuals.select(col("vec_id"), col("cid"),
       Vectors.pqEncodeFast(spark, col("embedding"),
@@ -1232,14 +1245,16 @@ object SimilaritySearch {
     val qcDots = spark.createDataFrame(art.qcDots)
       .toDF("query_id", "cid", "qc_dot")
 
-    // query side: NProbe nearest centroids per query, joined with the
-    // ADC LUT frame and the exact centroid terms — ≤ NProbe·|queries|
-    // broadcast rows (each carrying m·k-double LUTs)
-    val wVec = Window.partitionBy("vec_id")
-      .orderBy(col("cc").desc, col("cid"))
-    val probes = centScore.where(col("vec_id") < NQueries)
-      .withColumn("rk", row_number().over(wVec)).where(col("rk") <= NProbe)
-      .select(col("vec_id").as("query_id"), col("cid"))
+    // query side: NProbe nearest centroids per query via the narrow
+    // top-n kernel (the former shape scored the FULL corpus against
+    // the centroid table just to window-filter 40 query rows out of
+    // it), joined with the ADC LUT frame and the exact centroid
+    // terms — ≤ NProbe·|queries| broadcast rows (each carrying
+    // m·k-double LUTs). Same round-9-desc/cid-asc rule.
+    val probes = emb.where(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"),
+        explode(SemanticDedup.literalTopCentroids(spark,
+          cents.collect().toIndexedSeq, col("embedding"), NProbe)).as("cid"))
     val (queryLuts, dotFlat, normLut) = adcFrames(spark, art.adc)
     val queries = broadcast(queryLuts.join(probes, "query_id")
       .join(qcDots, Seq("query_id", "cid")).join(centProps, "cid"))
