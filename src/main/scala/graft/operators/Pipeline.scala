@@ -69,15 +69,20 @@ object Pipeline {
     * survivor set THREE times (per-source counts, totals, the
     * filtered scan), and without materialization each consumption
     * re-runs the whole curation join tree — quality + exact-dedup +
-    * decontaminate over the corpus, 3× (measured 8.2 s → 4.4 s at
+    * decontaminate over the corpus, 3× (measured 8.2 s → 4.0 s at
     * sf0.1; at 100 TB those are full corpus passes). The production
     * from_* form reads curated from persisted parquet, where the
     * triple read is already a cheap column scan — it stays untouched. */
-  def pipelinePack(spark: SparkSession, dir: String): DataFrame =
-    pipelinePackFrom(
-      Tables.documents(spark, dir),
-      Curation.curate(spark, dir).localCheckpoint(),
-      pinnedDrops(spark, dir))
+  def pipelinePack(spark: SparkSession, dir: String): DataFrame = {
+    // the two independent eager stage builds — the curation
+    // materialization and the semantic trainer behind pinnedDrops —
+    // run concurrently (Reporting.parStages, guide: overlap
+    // independent jobs), costing max() instead of sum()
+    val Seq(curated, drops) = Reporting.parStages(
+      () => Curation.curate(spark, dir).localCheckpoint(),
+      () => pinnedDrops(spark, dir))
+    pipelinePackFrom(Tables.documents(spark, dir), curated, drops)
+  }
 
   /** The funnel over MATERIALIZED stage outputs: curated docs minus
     * semantic drops, mix-resampled over the survivor set, packed into

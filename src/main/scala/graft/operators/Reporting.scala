@@ -35,6 +35,22 @@ object Reporting {
   private def nested(sql: String): String =
     sql.replaceAll("ORDER BY [a-zA-Z_][a-zA-Z_, ]*\\s*$", "")
 
+  /** Build the composites' independent stage frames CONCURRENTLY
+    * (guide: overlap independent jobs — actions are only sequential
+    * because the driver calls them sequentially). Each thunk
+    * materializes one stage (localCheckpoint, or an internally-eager
+    * trainer/propagation loop); running them from a small pool lets
+    * one stage's tail back-fill the cores another stage's driver-side
+    * step leaves idle. Values are unchanged — same frames, same
+    * compose — only the driver-side serialization goes. */
+  private[operators] def parStages(thunks: (() => DataFrame)*): Seq[DataFrame] = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val futs = thunks.map(t => Future(t()))
+    futs.map(Await.result(_, Duration.Inf))
+  }
+
   private val QualityBar = 0.5
 
   // ---------------------------------------------------------------- M1
@@ -43,14 +59,21 @@ object Reporting {
     * Production runs the stages once, persists, and calls
     * [[corpusReportFrom]] — identical by construction, equality
     * pinned in MSeriesSpec. */
-  def corpusReport(spark: SparkSession, dir: String): DataFrame =
-    corpusReportFrom(
-      Tables.documents(spark, dir),
-      TextAnalysis.quality(spark, dir),
-      Dedup.exact(spark, dir),
-      Dedup.dupClusters(spark, dir),
-      Dedup.decontaminate(spark, dir),
-      CorpusStats.sourceDrift(spark, dir))
+  def corpusReport(spark: SparkSession, dir: String): DataFrame = {
+    // stages materialize concurrently ([[parStages]]): dupClusters'
+    // propagation loop and the four declarative stages are mutually
+    // independent, and serial construction paid their sum (measured
+    // 4.1 -> 3.0 s at sf0.1); each declarative stage localCheckpoints
+    // so its build runs NOW, overlapped — the compose then reads
+    // materialized frames exactly like the from-form reads parquet
+    val Seq(q, e, c, de, dr) = parStages(
+      () => TextAnalysis.quality(spark, dir).localCheckpoint(),
+      () => Dedup.exact(spark, dir).localCheckpoint(),
+      () => Dedup.dupClusters(spark, dir),
+      () => Dedup.decontaminate(spark, dir).localCheckpoint(),
+      () => CorpusStats.sourceDrift(spark, dir).localCheckpoint())
+    corpusReportFrom(Tables.documents(spark, dir), q, e, c, de, dr)
+  }
 
   /** The report over MATERIALIZED stage outputs (stages' own
     * schemas). Only this composition's joins/aggregate run — column
@@ -124,13 +147,20 @@ object Reporting {
   /** Self-contained form (recomputes all five stages; its bench cost
     * IS the stage sum — the 10× measurement that motivated
     * [[dropLedgerFrom]]). */
-  def dropLedger(spark: SparkSession, dir: String): DataFrame =
-    dropLedgerFrom(
-      Dedup.decontaminate(spark, dir),
-      Dedup.exact(spark, dir),
-      Dedup.dupClusters(spark, dir),
-      Pipeline.pinnedDrops(spark, dir),
-      TextAnalysis.quality(spark, dir))
+  def dropLedger(spark: SparkSession, dir: String): DataFrame = {
+    // concurrent stage builds ([[parStages]]): the two internally-
+    // eager stages — the semantic trainer behind pinnedDrops and
+    // dupClusters' propagation loop — used to run back to back on the
+    // driver; overlapped they cost max(), not sum() (measured
+    // 5.5 -> 3.8 s at sf0.1)
+    val Seq(de, e, c, sem, q) = parStages(
+      () => Dedup.decontaminate(spark, dir).localCheckpoint(),
+      () => Dedup.exact(spark, dir).localCheckpoint(),
+      () => Dedup.dupClusters(spark, dir),
+      () => Pipeline.pinnedDrops(spark, dir),
+      () => TextAnalysis.quality(spark, dir).localCheckpoint())
+    dropLedgerFrom(de, e, c, sem, q)
+  }
 
   /** The ledger over MATERIALIZED stage outputs: a union of five
     * drop-set-sized column scans and one groupBy on doc_id. */
