@@ -798,13 +798,17 @@ object Dedup {
       // change count is a cheap scan of the materialized round — no
       // second labels-vs-labels join per iteration (it used to double
       // every round's cost on the suite's most expensive query)
+      // LAZY checkpoint: the round's convergence count below is the
+      // materializing action for checkpoint + persist together — one
+      // job per round where the eager form paid two (checkpoint job,
+      // then count job re-reading it)
       val ck = withLbl2.join(prop, col("id") === col("src"), "left")
         .select(col("id"),
           least(col("lbl"),
             least(col("lbl2"), coalesce(col("nbr_lbl"), col("lbl")))).as("lbl"),
           (least(col("lbl2"), coalesce(col("nbr_lbl"), col("lbl")))
             < col("lbl")).as("chg"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       // re-root: a plain LogicalRDD leaf over the checkpointed rows,
       // carrying NO origin statistics (see scaladoc — the origin
       // stats are the compounding product that stalled 100× planning),
