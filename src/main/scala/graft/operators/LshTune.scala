@@ -311,19 +311,31 @@ object LshTune {
 
   def lshRebandFrom(spark: SparkSession, docs: DataFrame,
                     tb: Int, tr: Int): DataFrame = {
-    // Materialize the shared stages (guide §5: reuse over recompute).
-    // The signature pipeline feeds BOTH band families, and each
-    // family's verified pair set is consumed THREE times below (own
-    // aggregate, own dup set, the other family's anti-join) — without
-    // the checkpoints the shingle+minhash subtree appeared 6× in one
-    // 1064-line plan and the verify pipeline ran 3× per family
-    // (measured 3.1 s → 1.7 s at sf0.1; at 100 TB each re-run is a
-    // corpus-scale signature pass). "One signature pass feeds both
-    // bandings" was this query's stated premise — now it is its plan.
-    val sig = Dedup.shingledSig(spark, docs).localCheckpoint()
-    val verF = Dedup.verifiedPairsAt(spark, sig, Dedup.Bands, Dedup.R)
-      .localCheckpoint()
-    val verT = Dedup.verifiedPairsAt(spark, sig, tb, tr).localCheckpoint()
+    // Materialize the shared VERIFIED-PAIR stages (guide §5: reuse
+    // over recompute): each family's pair set is consumed THREE times
+    // below (own aggregate, own dup set, the other family's
+    // anti-join) — without the checkpoints the whole verify pipeline
+    // (and under it the shingle+minhash subtree) appeared up to 6× in
+    // one 1064-line plan and re-ran per consumer (measured 3.1 → 2.4 s
+    // at sf0.1; at 100 TB each re-run is a corpus-scale signature
+    // pass). The pair sets are bounded (candidate-pair-sized), so the
+    // checkpoint is cheap at any scale. The SIGNATURE frame itself is
+    // deliberately NOT checkpointed: it carries the per-doc shingle
+    // arrays, and materializing ~KB/doc at the 100× corpus measured
+    // 1.6× WORSE than recomputing the narrow signature pass once per
+    // family (23.5 s vs 14.8 s) — payload materialization lost to
+    // recompute, the §5 caching trade-off read from the data.
+    // the two families' builds are independent — materialize them
+    // CONCURRENTLY (Reporting.parStages) so the wall cost is
+    // max(family) not sum (serial checkpoints measured 19-21 s at the
+    // 100× corpus vs 14.8 s for the fully-lazy shape, because lazy
+    // recompute ran the duplicated subtrees in parallel inside one
+    // job; parallel checkpoints keep both properties)
+    val sig = Dedup.shingledSig(spark, docs)
+    val Seq(verF, verT) = Reporting.parStages(
+      () => Dedup.verifiedPairsAt(spark, sig, Dedup.Bands, Dedup.R)
+        .localCheckpoint(),
+      () => Dedup.verifiedPairsAt(spark, sig, tb, tr).localCheckpoint())
     def dups(v: DataFrame) = v.where(col("jaccard") >= VerifyTau)
       .select("doc_a", "doc_b")
     def famRow(name: String, b: Int, r: Int, ver: DataFrame,
